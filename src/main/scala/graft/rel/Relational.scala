@@ -1,0 +1,260 @@
+package graft.rel
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.tables.Tables
+
+/** Relational operator surface: scans, joins, aggregations (SURVEY.md §2B,
+  * categories scan/join/agg).
+  *
+  * Design rules (100 TB posture — SURVEY.md §4.2):
+  *  - declarative DataFrame plans only: filters/projections reach the parquet
+  *    scan (PushedFilters / ReadSchema), Catalyst + AQE pick join strategies;
+  *  - small dimension tables (region: 5 rows, nation: 25 rows) are broadcast
+  *    explicitly so the big side never shuffles for the join;
+  *  - large⋈large joins (orders⋈customer) shuffle on the join key and are
+  *    AQE-coalesced / skew-split at runtime — no driver-side state anywhere;
+  *  - every oracle'd query ends in a total ORDER BY and rounds floats
+  *    (FIXTURES.md §4 determinism rules). Aggregate sums of BIGINT are cast
+  *    on the DuckDB side (DuckDB sums to HUGEINT, Spark to BIGINT).
+  */
+object Relational {
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---------------------------------------------------------------- scan --
+
+  /** Filter + 4-column projection on lineitem; both the predicate and the
+    * column set must be visible in the parquet scan node (pushdown check in
+    * RelationalSpec). */
+  def scanProjectFilter(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") < to_timestamp(lit("1996-01-01 00:00:00")))
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  // ---------------------------------------------------------------- join --
+
+  /** Tiny dim ⋈ tiny dim, explicit broadcast: BroadcastHashJoinExec. */
+  def joinBroadcast(s: SparkSession, d: String): DataFrame =
+    Tables.nation(s, d)
+      .join(broadcast(Tables.region(s, d)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"), col("r_name"))
+      .orderBy("n_nationkey")
+
+  /** orders ⋈ customer (shuffle on custkey) ⋈ nation (broadcast): revenue by
+    * nation. The orders⋈customer side is the scale path — keyed shuffle,
+    * partial aggregation after the join. */
+  def joinShuffle(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("n_name")
+
+  /** customer LEFT JOIN orders — unmatched customers keep NULL aggregates;
+    * count(o_orderkey) ignores them, sum is coalesced to 0. */
+  def joinLeft(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        coalesce(round(sum(col("o_totalprice")), 2), lit(0.0)).as("total"))
+      .orderBy("c_custkey")
+
+  /** Customers with ≥1 order — left-semi: no row multiplication, the probe
+    * side short-circuits on first match. */
+  def joinSemi(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** Customers with no orders since 2000 — left-anti (NOT EXISTS). The date
+    * filter keeps the result non-empty on this data (every customer has SOME
+    * order) and is pushed below the anti-join into the orders scan. */
+  def joinAnti(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(
+        Tables.orders(s, d)
+          .filter(col("o_orderdate") >= to_timestamp(lit("2000-01-01 00:00:00"))),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** Same-region nation pairs, n1.name < n2.name. Deliberately planned as an
+    * equi-join on regionkey with the `<` as a post-join predicate — at scale
+    * this hash-partitions instead of degenerating to a nested-loop cross
+    * product (the naive theta-only formulation). */
+  def joinTheta(s: SparkSession, d: String): DataFrame = {
+    val n1 = Tables.nation(s, d).select(
+      col("n_name").as("name1"), col("n_regionkey").as("rk1"))
+    val n2 = Tables.nation(s, d).select(
+      col("n_name").as("name2"), col("n_regionkey").as("rk2"))
+    n1.join(n2, col("rk1") === col("rk2") && col("name1") < col("name2"))
+      .select(col("name1"), col("name2"), col("rk1").as("regionkey"))
+      .orderBy("name1", "name2")
+  }
+
+  // ----------------------------------------------------------------- agg --
+
+  /** TPC-H Q1 shape: scan + filter + hash-agg (partial/final) + sort. The
+    * flagship relational query (SparkEntry.entry). */
+  def aggHash(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02 00:00:00")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("sum_disc_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** count(DISTINCT) — Catalyst rewrites to Expand + two-phase agg, so the
+    * distinct set is never collected to one node. */
+  def aggDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(countDistinct(col("o_custkey")).as("n_cust"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+
+  /** HLL++ distinct users per event type — the 100 TB path for distinct
+    * counts (fixed-size sketch per group, no expand). Approximate by design:
+    * declared oracle:no. */
+  def aggApproxDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+      .orderBy("event_type")
+
+  /** Revenue by ROLLUP(region, nation): ExpandExec duplicates each row per
+    * grouping set; partial agg keeps the shuffle bounded by group count. */
+  def aggRollup(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(round(sum(col("o_totalprice")), 2).as("revenue"))
+      .orderBy(asc_nulls_first("r_name"), asc_nulls_first("n_name"))
+
+  /** Counts by CUBE(returnflag, linestatus). */
+  def aggCube(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
+  /** GROUPING SETS ((mktsegment), (nation)) over customer⋈nation. */
+  def aggGroupingSets(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d).createOrReplaceTempView("gs_customer")
+    Tables.nation(s, d).createOrReplaceTempView("gs_nation")
+    s.sql("""
+      SELECT c_mktsegment, n_name,
+             COUNT(1) AS n_cust,
+             ROUND(SUM(c_acctbal), 2) AS acctbal
+      FROM gs_customer JOIN gs_nation ON c_nationkey = n_nationkey
+      GROUP BY GROUPING SETS ((c_mktsegment), (n_name))
+      ORDER BY c_mktsegment ASC NULLS FIRST, n_name ASC NULLS FIRST
+    """)
+  }
+
+  // ------------------------------------------------------------- wiring --
+
+  val queries: Map[String, Q] = Map(
+    "q_scan_project_filter" -> scanProjectFilter _,
+    "q_join_broadcast"      -> joinBroadcast _,
+    "q_join_shuffle"        -> joinShuffle _,
+    "q_join_left"           -> joinLeft _,
+    "q_join_semi"           -> joinSemi _,
+    "q_join_anti"           -> joinAnti _,
+    "q_join_theta"          -> joinTheta _,
+    "q_agg_hash"            -> aggHash _,
+    "q_agg_distinct"        -> aggDistinct _,
+    "q_agg_approx_distinct" -> aggApproxDistinct _,
+    "q_agg_rollup"          -> aggRollup _,
+    "q_agg_cube"            -> aggCube _,
+    "q_agg_grouping_sets"   -> aggGroupingSets _,
+  )
+
+  /** DuckDB 1.0.0 oracle SQL — column names/aliases must match the Spark
+    * side exactly (driver sorts columns by name before hashing). */
+  val oracle: Map[String, String] = Map(
+    "q_scan_project_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+         FROM lineitem WHERE l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+         ORDER BY l_orderkey, l_linenumber""",
+    "q_join_broadcast" ->
+      """SELECT n_nationkey, n_name, r_name
+         FROM nation JOIN region ON n_regionkey = r_regionkey
+         ORDER BY n_nationkey""",
+    "q_join_shuffle" ->
+      """SELECT n_name, ROUND(SUM(o_totalprice), 2) AS revenue,
+                CAST(COUNT(1) AS BIGINT) AS n_orders
+         FROM orders JOIN customer ON o_custkey = c_custkey
+                     JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name ORDER BY n_name""",
+    "q_join_left" ->
+      """SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders,
+                COALESCE(ROUND(SUM(o_totalprice), 2), 0.0) AS total
+         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         GROUP BY c_custkey ORDER BY c_custkey""",
+    "q_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         ORDER BY c_custkey""",
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                           AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+         ORDER BY c_custkey""",
+    "q_join_theta" ->
+      """SELECT n1.n_name AS name1, n2.n_name AS name2,
+                n1.n_regionkey AS regionkey
+         FROM nation n1 JOIN nation n2
+           ON n1.n_regionkey = n2.n_regionkey AND n1.n_name < n2.n_name
+         ORDER BY name1, name2""",
+    "q_agg_hash" ->
+      """SELECT l_returnflag, l_linestatus,
+                ROUND(SUM(l_quantity), 2) AS sum_qty,
+                ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+                ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+                ROUND(AVG(l_quantity), 4) AS avg_qty,
+                ROUND(AVG(l_discount), 4) AS avg_disc,
+                CAST(COUNT(1) AS BIGINT) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "q_agg_distinct" ->
+      """SELECT o_orderpriority, CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+                CAST(COUNT(1) AS BIGINT) AS n_orders
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q_agg_rollup" ->
+      """SELECT r_name, n_name, ROUND(SUM(o_totalprice), 2) AS revenue
+         FROM orders JOIN customer ON o_custkey = c_custkey
+                     JOIN nation ON c_nationkey = n_nationkey
+                     JOIN region ON n_regionkey = r_regionkey
+         GROUP BY ROLLUP (r_name, n_name)
+         ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""",
+    "q_agg_cube" ->
+      """SELECT l_returnflag, l_linestatus, CAST(COUNT(1) AS BIGINT) AS n,
+                ROUND(SUM(l_quantity), 2) AS sum_qty
+         FROM lineitem
+         GROUP BY CUBE (l_returnflag, l_linestatus)
+         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+    "q_agg_grouping_sets" ->
+      """SELECT c_mktsegment, n_name, CAST(COUNT(1) AS BIGINT) AS n_cust,
+                ROUND(SUM(c_acctbal), 2) AS acctbal
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY GROUPING SETS ((c_mktsegment), (n_name))
+         ORDER BY c_mktsegment ASC NULLS FIRST, n_name ASC NULLS FIRST""",
+  )
+}

@@ -1,0 +1,53 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: run Verify output against
+DuckDB oracle SQL and diff. Dev tool only (driver-side python libs), not part
+of the engine. Usage: python3 tools/check.py <sfDir> <verifyOutDir>"""
+import sys, json, glob, os
+import duckdb
+import pandas as pd
+import numpy as np
+
+sf, out = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders","lineitem",
+          "events","documents","embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+
+oracle = json.load(open(f"{out}/oracle_sql.json"))
+fail = 0
+names = sorted(d for d in os.listdir(out) if os.path.isdir(f"{out}/{d}"))
+for name in names:
+    spark_df = pd.read_parquet(f"{out}/{name}")
+    if name not in oracle:
+        print(f"[rows-only] {name}: {len(spark_df)} rows")
+        continue
+    duck_df = con.execute(oracle[name]).df()
+    s = spark_df[sorted(spark_df.columns)].reset_index(drop=True)
+    d = duck_df[sorted(duck_df.columns)].reset_index(drop=True)
+    problems = []
+    if list(s.columns) != list(d.columns):
+        problems.append(f"cols spark={list(s.columns)} duck={list(d.columns)}")
+    elif len(s) != len(d):
+        problems.append(f"rowcount spark={len(s)} duck={len(d)}")
+    else:
+        for c in s.columns:
+            sv, dv = s[c], d[c]
+            if str(sv.dtype) != str(dv.dtype):
+                problems.append(f"dtype[{c}] spark={sv.dtype} duck={dv.dtype}")
+            # value compare via string repr (like a hash would see)
+            a = sv.astype(str).values
+            b = dv.astype(str).values
+            neq = a != b
+            if neq.any():
+                i = int(np.argmax(neq))
+                problems.append(f"value[{c}] row{i}: spark={a[i]!r} duck={b[i]!r} ({int(neq.sum())} diffs)")
+    if problems:
+        fail += 1
+        print(f"[FAIL] {name}: " + "; ".join(problems[:4]))
+    else:
+        print(f"[ok]   {name}: {len(s)} rows")
+missing = set(oracle) - set(names)
+if missing:
+    print(f"[warn] oracle entries without results: {sorted(missing)}")
+print(f"{len(names)-fail}/{len(names)} pass")
+sys.exit(1 if fail else 0)
