@@ -1,0 +1,80 @@
+package graft.rel
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.tables.Tables
+
+/** As-of (time-travel) join — Spark has no native operator; rather than a
+  * custom SparkPlan we compose built-ins (preference order (a), SURVEY.md
+  * §4.2): union both sides, one windowed `last(ignoreNulls)` pass per key,
+  * then filter to the probe side.
+  *
+  * Scale shape: ONE hash exchange on the key + a per-key time sort — same
+  * cost as the sort-merge pass a dedicated as-of operator would do, with
+  * AQE handling skewed keys. The naive alternative (range join + groupBy
+  * max) would shuffle twice and blow up on key×time cardinality.
+  *
+  * Tie semantics match DuckDB `ASOF JOIN` (`probe.ts >= build.ts`,
+  * i.e. a build row at the exact probe timestamp matches): build rows sort
+  * BEFORE probe rows at equal (ts, tie) via the `side` column.
+  */
+object AsOf {
+  import Relational.Q
+
+  /** Generic as-of: for each probe row, attach `valCols` of the latest build
+    * row with build.ts <= probe.ts and equal key. Probe rows with no prior
+    * build row are dropped (inner as-of). */
+  def asOfJoin(probe: DataFrame, build: DataFrame, key: String, ts: String,
+               buildCols: Map[String, String]): DataFrame = {
+    val pTagged = probe.withColumn("__side", lit(1))
+    val bTagged = build.withColumn("__side", lit(0))
+    // align schemas: probe keeps its columns, build contributes ts/key/vals
+    val common = Seq(key, ts)
+    val pCols = probe.columns
+    val unioned = pTagged
+      .select((pCols.map(col) :+ col("__side")) ++
+        buildCols.keys.map(c => lit(null).cast(build.schema(c).dataType).as(s"__b_$c")): _*)
+      .unionByName(
+        bTagged.select((pCols.map(c =>
+          if (common.contains(c)) col(c) else lit(null).cast(probe.schema(c).dataType).as(c))
+          :+ col("__side")) ++ buildCols.keys.map(c => col(c).as(s"__b_$c")): _*))
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts).asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = buildCols.foldLeft(unioned) { case (df, (bc, outName)) =>
+      df.withColumn(outName, last(col(s"__b_$bc"), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("__side") === 1)
+      .filter(buildCols.values.map(col(_).isNotNull).reduce(_ && _))
+      .drop((buildCols.keys.map(c => s"__b_$c").toSeq :+ "__side"): _*)
+  }
+
+  /** Each purchase event ↦ latest prior (<=) signup of the same user.
+    * Timestamps compared at MICROsecond precision on both sides (DuckDB
+    * 1.0.0 truncates the parquet ns-timestamps to micros on read). */
+  def joinAsOf(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).withColumn("ts_us", unix_micros(col("ts")))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts_us"), col("ts_us").as("signup_us"))
+    asOfJoin(purchases, signups, "user_id", "ts_us",
+      Map("signup_us" -> "signup_us"))
+      .select(col("event_id"), col("user_id"),
+        col("ts_us").as("purchase_us"), col("signup_us"))
+      .orderBy("event_id")
+  }
+
+  val queries: Map[String, Q] = Map("q_join_asof" -> joinAsOf _)
+
+  val oracle: Map[String, String] = Map(
+    "q_join_asof" ->
+      """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS purchase_us,
+                epoch_us(s.ts) AS signup_us
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+         ASOF JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+           ON p.user_id = s.user_id AND p.ts >= s.ts
+         ORDER BY p.event_id""",
+  )
+}

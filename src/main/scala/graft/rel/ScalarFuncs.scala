@@ -1,0 +1,132 @@
+package graft.rel
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.tables.Tables
+
+/** Scalar expression surface (SURVEY.md §2B category scalar): string, date,
+  * math, array (higher-order), and JSON functions.
+  *
+  * Everything here is a codegen'd built-in `org.apache.spark.sql.functions`
+  * expression — per-row, no shuffle, fully pipelined inside
+  * WholeStageCodegen; at 100 TB these run at scan speed. Float outputs are
+  * rounded and cast per FIXTURES.md §4 so results hash-match the DuckDB
+  * oracle bit-for-bit.
+  */
+object ScalarFuncs {
+  import Relational.Q
+
+  /** upper/substring/length/LIKE/concat/split over part. */
+  def stringFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .select(
+        col("p_partkey"),
+        upper(col("p_name")).as("name_upper"),
+        substring(col("p_name"), 1, 5).as("name_pfx"),
+        length(col("p_name")).as("name_len"),
+        col("p_name").like("%ol%").as("has_ol"),
+        concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"),
+        size(split(col("p_name"), " ")).as("n_words"))
+      .orderBy("p_partkey")
+
+  /** year/quarter/month/date_trunc/datediff over orders. */
+  def dateFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("yr"),
+        quarter(col("o_orderdate")).as("qtr"),
+        month(col("o_orderdate")).as("mo"),
+        unix_micros(date_trunc("month", col("o_orderdate"))).as("month_start_us"),
+        datediff(col("o_orderdate"),
+          to_timestamp(lit("1995-01-01 00:00:00"))).as("days_since_95"))
+      .orderBy("o_orderkey")
+
+  /** round/abs/sqrt/pow/ln over lineitem prices. Per-row IEEE-double math —
+    * deterministic on both engines; rounded at 4dp. */
+  def mathFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice"), 1).as("price_r1"),
+        abs(col("l_discount") - lit(0.05)).as("disc_dev"),
+        round(sqrt(col("l_extendedprice")), 4).as("price_sqrt"),
+        round(pow(col("l_quantity"), 2.0), 2).as("qty_sq"),
+        round(log(col("l_extendedprice") + lit(1.0)), 4).as("price_ln1p"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** size/element_at/slice + higher-order aggregate over the embedding
+    * array — the array surface the sc-matrix ops build on. */
+  def arrayFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(
+        col("vec_id"),
+        size(col("embedding")).as("dim"),
+        round(element_at(col("embedding"), 1).cast("double"), 4).as("first_val"),
+        round(aggregate(col("embedding"), lit(0.0),
+          (acc, x) => acc + x.cast("double")), 4).as("vec_sum"),
+        round(aggregate(slice(col("embedding"), 1, 8), lit(0.0),
+          (acc, x) => acc + x.cast("double")), 4).as("head8_sum"))
+      .orderBy("vec_id")
+
+  /** get_json_object over events.props (single-key JSON {"k": int}). */
+  def jsonFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("sum_k"),
+        count(col("k")).as("n_with_k"))
+      .orderBy("event_type")
+
+  val queries: Map[String, Q] = Map(
+    "q_string_funcs" -> stringFuncs _,
+    "q_date_funcs"   -> dateFuncs _,
+    "q_math_funcs"   -> mathFuncs _,
+    "q_array_funcs"  -> arrayFuncs _,
+    "q_json_funcs"   -> jsonFuncs _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_string_funcs" ->
+      """SELECT p_partkey,
+                upper(p_name) AS name_upper,
+                substr(p_name, 1, 5) AS name_pfx,
+                CAST(length(p_name) AS INT) AS name_len,
+                p_name LIKE '%ol%' AS has_ol,
+                concat(p_brand, '-', p_type) AS brand_type,
+                CAST(len(str_split(p_name, ' ')) AS INT) AS n_words
+         FROM part ORDER BY p_partkey""",
+    "q_date_funcs" ->
+      """SELECT o_orderkey,
+                CAST(year(o_orderdate) AS INT) AS yr,
+                CAST(quarter(o_orderdate) AS INT) AS qtr,
+                CAST(month(o_orderdate) AS INT) AS mo,
+                epoch_us(date_trunc('month', o_orderdate)) AS month_start_us,
+                CAST(datediff('day', TIMESTAMP '1995-01-01 00:00:00',
+                              o_orderdate) AS INT) AS days_since_95
+         FROM orders ORDER BY o_orderkey""",
+    "q_math_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+                round(l_extendedprice, 1) AS price_r1,
+                abs(l_discount - 0.05) AS disc_dev,
+                round(sqrt(l_extendedprice), 4) AS price_sqrt,
+                round(pow(l_quantity, 2.0), 2) AS qty_sq,
+                round(ln(l_extendedprice + 1.0), 4) AS price_ln1p
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+    "q_array_funcs" ->
+      """SELECT vec_id,
+                CAST(len(embedding) AS INT) AS dim,
+                round(CAST(embedding[1] AS DOUBLE), 4) AS first_val,
+                round(list_sum(list_transform(embedding,
+                      x -> CAST(x AS DOUBLE))), 4) AS vec_sum,
+                round(list_sum(list_transform(embedding[1:8],
+                      x -> CAST(x AS DOUBLE))), 4) AS head8_sum
+         FROM embeddings ORDER BY vec_id""",
+    "q_json_funcs" ->
+      """SELECT event_type,
+                CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+                CAST(COUNT(props->>'$.k') AS BIGINT) AS n_with_k
+         FROM events GROUP BY event_type ORDER BY event_type""",
+  )
+}

@@ -1,0 +1,143 @@
+package graft.rel
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.tables.Tables
+
+/** Window functions, top-k, and set operations (SURVEY.md §2B categories
+  * window/sort/setop).
+  *
+  * Scale notes: window partitions are keyed by customer/user — at 100 TB the
+  * shuffle is one hash exchange per window spec and state per partition is
+  * bounded by per-key row counts (no global sort). q_topk deliberately goes
+  * through orderBy+limit so Catalyst plans TakeOrderedAndProject — per-
+  * partition top-k then a driver merge of k·numPartitions rows, never a
+  * global sort (asserted in WindowSetSortSpec).
+  */
+object WindowSetSort {
+  import Relational.Q
+
+  /** Top-3 orders per customer by totalprice; rank with an orderkey
+    * tie-break so ranks are total (deterministic vs the oracle). */
+  def windowRank(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(s, d)
+      .withColumn("rnk", rank().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_totalprice"), col("rnk"))
+      .orderBy("o_custkey", "rnk", "o_orderkey")
+  }
+
+  /** Per-user running sum of event value in time order. Rounded: Spark and
+    * DuckDB may accumulate window sums differently (running vs segment
+    * tree), identical only to float precision. */
+  def windowRunningSum(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("running", round(sum(col("value")).over(w), 4))
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("running"))
+      .orderBy("user_id", "ts_us", "event_id")
+  }
+
+  /** Inter-event gap (micros) per user via lag(). First event per user keeps
+    * a NULL gap. */
+  def windowLag(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    Tables.events(s, d)
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("gap_us", col("ts_us") - lag(col("ts_us"), 1).over(w))
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("gap_us"))
+      .orderBy("user_id", "ts_us", "event_id")
+  }
+
+  /** Top-10 orders by totalprice (orderkey tie-break) —
+    * TakeOrderedAndProject, not a global sort. */
+  def topK(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+
+  private def ordersOfYear(s: SparkSession, d: String, y: Int): DataFrame =
+    Tables.orders(s, d).filter(year(col("o_orderdate")) === y)
+
+  /** 1995 ∪ 1996 order keys, duplicates kept (none exist — keys are unique —
+    * but the operator is UNION ALL). */
+  def unionAll(s: SparkSession, d: String): DataFrame =
+    ordersOfYear(s, d, 1995).select(lit(1995).as("yr"), col("o_orderkey"))
+      .unionAll(
+        ordersOfYear(s, d, 1996).select(lit(1996).as("yr"), col("o_orderkey")))
+      .orderBy("yr", "o_orderkey")
+
+  /** Customers ordering in both 1995 and 1996 (INTERSECT = distinct). */
+  def intersectYears(s: SparkSession, d: String): DataFrame =
+    ordersOfYear(s, d, 1995).select(col("o_custkey"))
+      .intersect(ordersOfYear(s, d, 1996).select(col("o_custkey")))
+      .orderBy("o_custkey")
+
+  /** Customers ordering in 1995 but not 1996 (EXCEPT = distinct). */
+  def exceptYears(s: SparkSession, d: String): DataFrame =
+    ordersOfYear(s, d, 1995).select(col("o_custkey"))
+      .except(ordersOfYear(s, d, 1996).select(col("o_custkey")))
+      .orderBy("o_custkey")
+
+  val queries: Map[String, Q] = Map(
+    "q_window_rank"        -> windowRank _,
+    "q_window_running_sum" -> windowRunningSum _,
+    "q_window_lag"         -> windowLag _,
+    "q_topk"               -> topK _,
+    "q_union_all"          -> unionAll _,
+    "q_intersect"          -> intersectYears _,
+    "q_except"             -> exceptYears _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rnk AS INT) AS rnk
+         FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                      rank() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+               FROM orders)
+         WHERE rnk <= 3
+         ORDER BY o_custkey, rnk, o_orderkey""",
+    "q_window_running_sum" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                ROUND(SUM(value) OVER (PARTITION BY user_id
+                      ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+                  AS running
+         FROM events
+         ORDER BY user_id, ts_us, event_id""",
+    "q_window_lag" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                epoch_us(ts) - lag(epoch_us(ts), 1) OVER
+                  (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+         FROM events
+         ORDER BY user_id, ts_us, event_id""",
+    "q_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+    "q_union_all" ->
+      """SELECT 1995 AS yr, o_orderkey FROM orders WHERE year(o_orderdate) = 1995
+         UNION ALL
+         SELECT 1996 AS yr, o_orderkey FROM orders WHERE year(o_orderdate) = 1996
+         ORDER BY yr, o_orderkey""",
+    "q_intersect" ->
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+         INTERSECT
+         SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+         ORDER BY o_custkey""",
+    "q_except" ->
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+         EXCEPT
+         SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+         ORDER BY o_custkey""",
+  )
+}

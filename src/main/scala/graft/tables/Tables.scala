@@ -45,6 +45,9 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     s.read.parquet(path(d, "events"))
+      // keep the raw nanos (ts_ns) for exact ordering/compare against the
+      // oracle's epoch_ns(ts) — the TIMESTAMP column truncates to micros.
+      .withColumn("ts_ns", col("ts"))
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 }
