@@ -1,0 +1,169 @@
+package graft.sc
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.tables.Tables
+
+/** Single-cell matrix preprocessing — the reference's core semantics
+  * (lasersonlab/single-cell-experiments `scanpy_spark.py`: filter_cells,
+  * filter_genes, normalize_per_cell, log1p, scale, HVG selection,
+  * recipe_zheng17; mount empty at build time, semantics double-anchored on
+  * the published scanpy.pp API — SURVEY.md §2A).
+  *
+  * Data model: DataFrame(id BIGINT, vec ARRAY<DOUBLE>) — one row per cell,
+  * one array slot per gene (the reference holds Zarr row-chunks of the same
+  * matrix as RDD partitions). The testbed's `embeddings` table stands in for
+  * cells×genes; `abs(x)` is taken as the count value so log1p/normalize stay
+  * in-domain.
+  *
+  * Scale design (the part the reference did with driver round-trips):
+  * per-GENE statistics (filter_genes, scale, HVG) are global aggregates.
+  * The reference computed per-block partials and `reduce`d them onto the
+  * Python driver, then re-broadcast closures. Here each stats pass is ONE
+  * declarative plan: posexplode → partial+final hash agg (gene-count-sized
+  * output, i.e. tiny) → collapsed to a single-row array via sorted
+  * collect_list → broadcast cross-join back onto the matrix. No driver
+  * action in the data path; the broadcast payload is O(#genes), never
+  * O(#cells). Per-CELL ops (filter_cells, normalize, log1p) are pure
+  * higher-order array expressions inside WholeStageCodegen — they run at
+  * scan speed and never shuffle.
+  */
+object ScMatrix {
+
+  /** embeddings → (id, vec) counts view: vec = abs(embedding) as doubles. */
+  def counts(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).select(
+      col("vec_id").as("id"),
+      transform(col("embedding"), x => abs(x.cast("double"))).as("vec"))
+
+  /** Per-cell expressed-gene count: #{ x > tau }. (`filter_cells`'s n_genes,
+    * scanpy_spark.py::filter_cells.) */
+  def nGenes(vec: Column, tau: Double): Column =
+    size(filter(vec, x => x > lit(tau)))
+
+  /** Keep cells with ≥ minGenes expressed genes; annotates n_genes. */
+  def filterCells(df: DataFrame, minGenes: Int, tau: Double): DataFrame =
+    df.withColumn("n_genes", nGenes(col("vec"), tau))
+      .filter(col("n_genes") >= minGenes)
+
+  /** Per-gene global stats in one pass: expressed-cell count, mean,
+    * population std-dev, dispersion (var/mean). Output has #genes rows. */
+  def geneStats(df: DataFrame, tau: Double): DataFrame =
+    df.select(posexplode(col("vec")).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg(
+        count(when(col("x") > tau, 1)).as("n_cells"),
+        avg(col("x")).as("mu"),
+        stddev_pop(col("x")).as("sigma"),
+        // zero-mean genes get NULL dispersion (not NaN — Spark sorts NaN as
+        // the LARGEST double, which would win every top-k by mistake)
+        when(avg(col("x")) === 0.0, lit(null))
+          .otherwise(var_pop(col("x")) / avg(col("x"))).as("disp"))
+
+  /** Collapse a (pos, flag) frame into a single-row broadcastable boolean
+    * mask array ordered by pos. */
+  private def maskOf(flags: DataFrame): DataFrame =
+    flags.agg(
+      transform(array_sort(collect_list(struct(col("pos"), col("keep")))),
+        s => s.getField("keep")).as("mask"))
+
+  /** Project every cell's vec to the positions where mask is true. */
+  def projectGenes(df: DataFrame, mask: DataFrame): DataFrame = {
+    val masked = df.crossJoin(broadcast(mask))
+    masked.withColumn("vec",
+        filter(col("vec"), (_, i) => element_at(col("mask"), i + 1)))
+      .drop("mask")
+  }
+
+  /** `filter_genes`: drop genes expressed in fewer than minCells cells.
+    * minCells may be a fraction of total cells (relative) — resolved
+    * declaratively via a broadcast scalar, no driver action. */
+  def filterGenes(df: DataFrame, minCellsFrac: Double, tau: Double): DataFrame = {
+    val total = df.agg(count(lit(1)).as("total"))
+    val flags = geneStats(df, tau)
+      .crossJoin(broadcast(total))
+      .select(col("pos"),
+        (col("n_cells") >= col("total") * minCellsFrac).as("keep"))
+    projectGenes(df, maskOf(flags))
+  }
+
+  /** `normalize_per_cell`: scale each row so its sum equals `target`
+    * (or the median row sum when target is None — exact percentile, a
+    * single broadcast scalar). */
+  def normalizePerCell(df: DataFrame, target: Option[Double]): DataFrame = {
+    val withSum = df.withColumn("row_sum",
+      aggregate(col("vec"), lit(0.0), (a, x) => a + x))
+    val withTarget = target match {
+      case Some(t) => withSum.withColumn("target", lit(t))
+      case None =>
+        withTarget0(withSum)
+    }
+    withTarget
+      // zero-sum rows pass through unscaled (0/0 would poison them to NaN;
+      // scanpy expects such cells to be filtered beforehand)
+      .withColumn("__scale",
+        when(col("row_sum") === 0.0, lit(1.0))
+          .otherwise(col("target") / col("row_sum")))
+      .withColumn("vec", transform(col("vec"), x => x * col("__scale")))
+      .drop("row_sum", "target", "__scale")
+  }
+
+  private def withTarget0(withSum: DataFrame): DataFrame = {
+    val med = withSum.agg(
+      expr("percentile(row_sum, 0.5)").as("target"))
+    withSum.crossJoin(broadcast(med))
+  }
+
+  /** `log1p`: elementwise ln(1+x) — codegen'd map, no shuffle. */
+  def log1p(df: DataFrame): DataFrame =
+    df.withColumn("vec",
+      transform(col("vec"), x => org.apache.spark.sql.functions.log1p(x)))
+
+  /** `scale`: per-gene z-score with clipping at maxValue; zero-variance
+    * genes map to 0 (scanpy guards sigma=0 the same way). */
+  def scaleZ(df: DataFrame, maxValue: Double, tau: Double = 0.0): DataFrame = {
+    val stats = geneStats(df, tau).agg(
+      transform(array_sort(collect_list(struct(col("pos"), col("mu")))),
+        s => s.getField("mu")).as("mus"),
+      transform(array_sort(collect_list(struct(col("pos"), col("sigma")))),
+        s => s.getField("sigma")).as("sigmas"))
+    df.crossJoin(broadcast(stats))
+      .withColumn("vec", zip_with(
+        col("vec"),
+        zip_with(col("mus"), col("sigmas"), (m, s) => struct(m.as("m"), s.as("s"))),
+        (x, ms) => when(ms.getField("s") === 0.0, lit(0.0))
+          .otherwise(least((x - ms.getField("m")) / ms.getField("s"), lit(maxValue)))))
+      .drop("mus", "sigmas")
+  }
+
+  /** Highly-variable-gene selection: top-k genes by dispersion (var/mean),
+    * the Zheng17 HVG core. Returns (pos, disp) of the selected genes. */
+  def hvgTopK(df: DataFrame, k: Int, tau: Double = 0.0): DataFrame =
+    geneStats(df, tau)
+      .select(col("pos"), col("disp"))
+      .orderBy(col("disp").desc, col("pos"))
+      .limit(k)
+
+  /** Keep only the top-k dispersed genes in the matrix. */
+  def projectHvg(df: DataFrame, k: Int, tau: Double = 0.0): DataFrame = {
+    val keepSet = hvgTopK(df, k, tau).select(col("pos"), lit(true).as("hit"))
+    val allPos = geneStats(df, tau).select(col("pos"))
+    val flags = allPos.join(keepSet, Seq("pos"), "left")
+      .select(col("pos"), coalesce(col("hit"), lit(false)).as("keep"))
+    projectGenes(df, maskOf(flags))
+  }
+
+  /** `recipe_zheng17` (scanpy_spark.py::recipe_zheng17 [recalled], semantics
+    * = sc.pp.recipe_zheng17): filter_genes(min 1 cell) → normalize to median
+    * → HVG top-k subset → re-normalize → log1p → scale(clip 10). One fused
+    * Catalyst plan end-to-end — the reference needed a driver collect per
+    * global stat. */
+  def recipeZheng17(df: DataFrame, nTopGenes: Int): DataFrame = {
+    val g = filterGenes(df, minCellsFrac = 0.0000001, tau = 0.0)
+    val n = normalizePerCell(g, None)
+    val h = projectHvg(n, nTopGenes)
+    val n2 = normalizePerCell(h, None)
+    val l = log1p(n2)
+    scaleZ(l, maxValue = 10.0)
+  }
+}

@@ -1,0 +1,134 @@
+package graft.sc
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Oracle-checked query surface over ScMatrix (SURVEY.md §2B sc-matrix
+  * rows). vec = abs(embedding) as doubles throughout (counts view). */
+object ScQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val TAU = 0.05
+  private val MIN_GENES = 40
+  private val MIN_CELLS_FRAC = 0.617
+  private val NORM_TARGET = 100.0
+  private val CLIP = 3.0
+  private val HVG_K = 16
+
+  /** R4 filter_cells: cells expressing ≥ MIN_GENES genes at |x| > TAU. */
+  def scFilterCells(s: SparkSession, d: String): DataFrame =
+    ScMatrix.filterCells(ScMatrix.counts(s, d), MIN_GENES, TAU)
+      .select(col("id").as("vec_id"), col("n_genes"))
+      .orderBy("vec_id")
+
+  /** R5 filter_genes: per-gene expressed-cell counts, genes kept at a
+    * relative min-cells threshold. */
+  def scFilterGenes(s: SparkSession, d: String): DataFrame = {
+    val df = ScMatrix.counts(s, d)
+    val total = df.agg(count(lit(1)).as("total"))
+    ScMatrix.geneStats(df, TAU)
+      .crossJoin(broadcast(total))
+      .filter(col("n_cells") >= col("total") * MIN_CELLS_FRAC)
+      .select((col("pos") + 1).cast("int").as("pos1"), col("n_cells"))
+      .orderBy("pos1")
+  }
+
+  /** R6+R7 normalize_per_cell(target) → log1p; rounded row checksums. */
+  def scNormalizeLog1p(s: SparkSession, d: String): DataFrame = {
+    val n = ScMatrix.log1p(
+      ScMatrix.normalizePerCell(ScMatrix.counts(s, d), Some(NORM_TARGET)))
+    n.select(col("id").as("vec_id"),
+        round(aggregate(col("vec"), lit(0.0), (a, x) => a + x), 4)
+          .as("row_checksum"),
+        round(element_at(col("vec"), 1), 4).as("first_val"))
+      .orderBy("vec_id")
+  }
+
+  /** R8 scale: per-gene z-score clipped at CLIP; row checksum + row max. */
+  def scScale(s: SparkSession, d: String): DataFrame =
+    ScMatrix.scaleZ(ScMatrix.counts(s, d), CLIP)
+      .select(col("id").as("vec_id"),
+        round(aggregate(col("vec"), lit(0.0), (a, x) => a + x), 3)
+          .as("row_checksum"),
+        round(array_max(col("vec")), 4).as("max_z"))
+      .orderBy("vec_id")
+
+  /** R9 HVG: top-k genes by dispersion (var/mean) — Zheng17 core. */
+  def scHvgTopK(s: SparkSession, d: String): DataFrame =
+    ScMatrix.hvgTopK(ScMatrix.counts(s, d), HVG_K)
+      .select((col("pos") + 1).cast("int").as("pos1"),
+        round(col("disp"), 6).as("disp"))
+      .orderBy(col("disp").desc, col("pos1"))
+
+  /** R10 recipe_zheng17 end-to-end (no SQL oracle — covered by golden
+    * invariants in ScMatrixSpec; driver records rows-only). */
+  def scRecipe(s: SparkSession, d: String): DataFrame =
+    ScMatrix.recipeZheng17(ScMatrix.counts(s, d), HVG_K)
+      .select(col("id").as("vec_id"),
+        round(aggregate(col("vec"), lit(0.0), (a, x) => a + x), 3)
+          .as("row_checksum"),
+        size(col("vec")).as("n_genes"))
+      .orderBy("vec_id")
+
+  val queries: Map[String, Q] = Map(
+    "q_sc_filter_cells"    -> scFilterCells _,
+    "q_sc_filter_genes"    -> scFilterGenes _,
+    "q_sc_normalize_log1p" -> scNormalizeLog1p _,
+    "q_sc_scale"           -> scScale _,
+    "q_sc_hvg_topk"        -> scHvgTopK _,
+    "q_sc_recipe"          -> scRecipe _,
+  )
+
+  private val COUNTS_CTE =
+    """WITH c AS (SELECT vec_id,
+                         list_transform(embedding,
+                           x -> abs(CAST(x AS DOUBLE))) AS v
+                  FROM embeddings)"""
+
+  val oracle: Map[String, String] = Map(
+    "q_sc_filter_cells" -> s"""$COUNTS_CTE
+      SELECT vec_id, n_genes FROM (
+        SELECT vec_id,
+               CAST(len(list_filter(v, x -> x > 0.05)) AS INT) AS n_genes
+        FROM c)
+      WHERE n_genes >= 40 ORDER BY vec_id""",
+    "q_sc_filter_genes" -> s"""$COUNTS_CTE,
+      x AS (SELECT vec_id, unnest(v) AS val,
+                   generate_subscripts(v, 1) AS pos FROM c),
+      st AS (SELECT pos,
+                    count(*) FILTER (WHERE val > 0.05) AS n_cells
+             FROM x GROUP BY pos)
+      SELECT CAST(pos AS INT) AS pos1, CAST(n_cells AS BIGINT) AS n_cells
+      FROM st
+      WHERE n_cells >= 0.617 * (SELECT count(*) FROM embeddings)
+      ORDER BY pos1""",
+    "q_sc_normalize_log1p" -> s"""$COUNTS_CTE,
+      sc AS (SELECT vec_id, v, 100.0 / list_sum(v) AS s FROM c),
+      n AS (SELECT vec_id,
+                   list_transform(v, x -> ln(1.0 + x * s)) AS y FROM sc)
+      SELECT vec_id, round(list_sum(y), 4) AS row_checksum,
+             round(y[1], 4) AS first_val
+      FROM n ORDER BY vec_id""",
+    "q_sc_scale" -> s"""$COUNTS_CTE,
+      x AS (SELECT vec_id, unnest(v) AS val,
+                   generate_subscripts(v, 1) AS pos FROM c),
+      st AS (SELECT pos, avg(val) AS mu, stddev_pop(val) AS sigma
+             FROM x GROUP BY pos),
+      z AS (SELECT vec_id,
+                   CASE WHEN sigma = 0 THEN 0.0
+                        ELSE least((val - mu) / sigma, 3.0) END AS zz
+            FROM x JOIN st USING (pos))
+      SELECT vec_id, round(sum(zz), 3) AS row_checksum,
+             round(max(zz), 4) AS max_z
+      FROM z GROUP BY vec_id ORDER BY vec_id""",
+    "q_sc_hvg_topk" -> s"""$COUNTS_CTE,
+      x AS (SELECT vec_id, unnest(v) AS val,
+                   generate_subscripts(v, 1) AS pos FROM c),
+      st AS (SELECT pos, var_pop(val) / avg(val) AS disp0
+             FROM x GROUP BY pos)
+      SELECT pos1, disp FROM (
+        SELECT CAST(pos AS INT) AS pos1, round(disp0, 6) AS disp, disp0
+        FROM st ORDER BY disp0 DESC, pos LIMIT 16)
+      ORDER BY disp DESC, pos1""",
+  )
+}
