@@ -16,12 +16,16 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     rel.Relational.queries ++ rel.WindowSetSort.queries ++
-      rel.ScalarFuncs.queries ++ rel.AsOf.queries ++ sc.ScQueries.queries
+      rel.ScalarFuncs.queries ++ rel.AsOf.queries ++ sc.ScQueries.queries ++
+      llm.TextOps.queries ++ llm.Dedup.queries ++ llm.Similarity.queries ++
+      llm.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
     * (approximate/impl-defined results) → driver records rows-only check. */
   def oracleSql: Map[String, String] =
     rel.Relational.oracle ++ rel.WindowSetSort.oracle ++
-      rel.ScalarFuncs.oracle ++ rel.AsOf.oracle ++ sc.ScQueries.oracle
+      rel.ScalarFuncs.oracle ++ rel.AsOf.oracle ++ sc.ScQueries.oracle ++
+      llm.TextOps.oracle ++ llm.Dedup.oracle ++ llm.Similarity.oracle ++
+      llm.Multimodal.oracle
 }

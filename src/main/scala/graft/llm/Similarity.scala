@@ -1,0 +1,144 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.tables.Tables
+
+/** Similarity search over embedding columns (ARRAY<FLOAT>): brute-force
+  * cosine as the exact baseline, random-hyperplane LSH bucketing as the
+  * scale path.
+  *
+  * Scale design: brute-force all-pairs is O(n²) and only ever run on an
+  * explicit bounded block (the oracle'd queries). The LSH variant hashes
+  * each vector into sign-pattern buckets per table (map-side, no shuffle),
+  * then joins WITHIN buckets only — candidate count is sum of squared
+  * bucket sizes, not n². Hyperplanes are generated driver-side from a fixed
+  * seed (O(tables·planes·dim) doubles, broadcast as literals).
+  */
+object Similarity {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Cosine similarity of two double-array columns — one fused
+    * zip_with+aggregate pass, codegen'd, no UDF. */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), _ + _)
+    val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0), _ + _))
+    val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0), _ + _))
+    dot / (na * nb)
+  }
+
+  /** embeddings as (id, v: array<double>). */
+  private def vecs(s: SparkSession, d: String, maxId: Long): DataFrame =
+    Tables.embeddings(s, d)
+      .filter(col("vec_id") < maxId)
+      .select(col("vec_id").as("id"),
+        transform(col("embedding"), _.cast("double")).as("v"))
+
+  /** Exact top-10 cosine pairs within a bounded block (brute force — the
+    * correctness baseline for the LSH path). */
+  def similarityKnn(s: SparkSession, d: String): DataFrame = {
+    val e = vecs(s, d, 50)
+    val pairs = e.select(col("id").as("id1"), col("v").as("v1"))
+      .join(e.select(col("id").as("id2"), col("v").as("v2")),
+        col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        cosine(col("v1"), col("v2")).as("cos0"))
+    pairs.orderBy(col("cos0").desc, col("id1"), col("id2")).limit(10)
+      .select(col("id1"), col("id2"), round(col("cos0"), 4).as("cosine"))
+      .orderBy(col("cosine").desc, col("id1"), col("id2"))
+  }
+
+  /** Embedding near-duplicate pairs: cosine ≥ tau within a bounded block. */
+  def dedupEmbedding(s: SparkSession, d: String): DataFrame = {
+    val e = vecs(s, d, 200)
+    e.select(col("id").as("id1"), col("v").as("v1"))
+      .join(e.select(col("id").as("id2"), col("v").as("v2")),
+        col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        round(cosine(col("v1"), col("v2")), 4).as("cosine"))
+      .filter(col("cosine") >= 0.35)
+      .orderBy("id1", "id2")
+  }
+
+  // ------------------------------------------------- LSH (scale path) --
+
+  /** Deterministic random hyperplanes: tables × planes × dim, seed-fixed. */
+  def hyperplanes(tables: Int, planes: Int, dim: Int, seed: Long)
+      : Seq[Seq[Seq[Double]]] = {
+    val rng = new scala.util.Random(seed)
+    Seq.fill(tables, planes, dim)(rng.nextGaussian())
+  }
+
+  /** Bucket id of vector column `v` for one table: sign bits against each
+    * hyperplane packed into a long. */
+  private def bucketId(v: Column, tablePlanes: Seq[Seq[Double]]): Column =
+    tablePlanes.zipWithIndex.map { case (plane, i) =>
+      val proj = aggregate(
+        zip_with(v, typedlit(plane), (x, p) => x * p), lit(0.0), _ + _)
+      when(proj >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** LSH-bucketed near-neighbour pairs: cosine ≥ tau, candidates only from
+    * same-bucket collisions in any of `tables` hash tables. Approximate
+    * (recall < 1) — validated against brute force in SimilaritySpec. */
+  def lshPairs(df: DataFrame, tau: Double, dim: Int = 64, tables: Int = 8,
+               planes: Int = 12, seed: Long = 42L): DataFrame = {
+    val hp = hyperplanes(tables, planes, dim, seed)
+    val bucketCols = hp.zipWithIndex.map { case (tp, t) =>
+      struct(lit(t).as("tbl"), bucketId(col("v"), tp).as("bucket"))
+    }
+    val buckets = df.select(col("id"), col("v"),
+        explode(array(bucketCols: _*)).as("tb"))
+      .select(col("id"), col("v"), col("tb.tbl").as("tbl"),
+        col("tb.bucket").as("bucket"))
+    val cand = buckets.select(col("id").as("id1"), col("v").as("v1"),
+        col("tbl"), col("bucket"))
+      .join(buckets.select(col("id").as("id2"), col("v").as("v2"),
+        col("tbl"), col("bucket")), Seq("tbl", "bucket"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2", "v1", "v2").distinct()
+    cand.select(col("id1"), col("id2"),
+        round(cosine(col("v1"), col("v2")), 4).as("cosine"))
+      .filter(col("cosine") >= tau)
+  }
+
+  /** LSH similarity pairs over the full embeddings table (no block bound —
+    * this is the operator that scales). oracle:no (approximate). */
+  def similarityLsh(s: SparkSession, d: String): DataFrame =
+    lshPairs(
+      Tables.embeddings(s, d).select(col("vec_id").as("id"),
+        transform(col("embedding"), _.cast("double")).as("v")),
+      tau = 0.35)
+      .orderBy("id1", "id2")
+
+  val queries: Map[String, Q] = Map(
+    "q_similarity_knn" -> similarityKnn _,
+    "q_dedup_embedding" -> dedupEmbedding _,
+    "q_similarity_lsh" -> similarityLsh _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_similarity_knn" ->
+      """SELECT id1, id2, round(cos0, 4) AS cosine FROM (
+           SELECT a.vec_id AS id1, b.vec_id AS id2,
+                  list_cosine_similarity(
+                    list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+                    list_transform(b.embedding, x -> CAST(x AS DOUBLE))) AS cos0
+           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+           WHERE a.vec_id < 50 AND b.vec_id < 50
+           ORDER BY cos0 DESC, id1, id2 LIMIT 10)
+         ORDER BY cosine DESC, id1, id2""",
+    "q_dedup_embedding" ->
+      """SELECT a.vec_id AS id1, b.vec_id AS id2,
+                round(list_cosine_similarity(
+                  list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+                  list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 4)
+                  AS cosine
+         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         WHERE a.vec_id < 200 AND b.vec_id < 200
+           AND round(list_cosine_similarity(
+                 list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+                 list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 4) >= 0.35
+         ORDER BY id1, id2""",
+  )
+}

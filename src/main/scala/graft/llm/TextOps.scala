@@ -1,0 +1,209 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.tables.Tables
+
+/** Text-analysis operators for a training-data pipeline (north-star
+  * extension surface): tokenization, corpus stats, quality scoring,
+  * language ID, document fingerprinting.
+  *
+  * All per-document ops are codegen'd expressions (run at scan speed, no
+  * shuffle); corpus-level ops (top-k tokens) are partial+final hash aggs.
+  * The BPE-ish subtoken regex and the quality formula are fixed constants
+  * shared verbatim with the DuckDB oracle.
+  */
+object TextOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Token multiset of a document (space-separated corpus). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** BPE-ish pre-tokenization: runs of letters, runs of digits, or single
+    * other non-space chars. */
+  val SubtokenRe = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+  /** "Common token" set used for the stopword-ratio feature (the corpus
+    * vocabulary is SQL keywords, so these act as its stopwords). */
+  val CommonTokens: Seq[String] =
+    Seq("join", "select", "filter", "from", "where", "group", "order")
+
+  // ------------------------------------------------------------- queries --
+
+  /** Top-20 tokens by frequency, alphabetical tie-break (ties are common on
+    * this skewed 40-token vocabulary). */
+  def textTokenize(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(20)
+
+  /** Per-language corpus stats. */
+  def textStats(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg(col("n_chars")), 4).as("avg_chars"),
+        round(avg(size(tokens(col("text"))).cast("double")), 4).as("avg_tokens"))
+      .orderBy("lang")
+
+  /** Per-document quality score: length, subtoken count (BPE-ish regex),
+    * mean token length, common-token ratio, fixed weighted combination. */
+  def textQuality(s: SparkSession, d: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("double")
+    val avgLen = aggregate(transform(toks, t => length(t).cast("double")),
+      lit(0.0), (a, x) => a + x) / nTok
+    val commonRatio = size(filter(toks,
+      t => t.isin(CommonTokens: _*))).cast("double") / nTok
+    val quality = round(
+      lit(0.4) * least(lit(1.0), nTok / 50.0) +
+      lit(0.3) * commonRatio +
+      lit(0.3) * least(lit(1.0), avgLen / 8.0), 4)
+    Tables.documents(s, d).select(
+        col("doc_id"),
+        size(toks).as("n_tokens"),
+        size(regexp_extract_all(col("text"), lit(SubtokenRe), lit(0)))
+          .as("n_subtokens"),
+        round(avgLen, 4).as("avg_token_len"),
+        round(commonRatio, 4).as("common_ratio"),
+        quality.as("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** Document fingerprints: canonical md5 over the sorted distinct token
+    * set, plus a winnowing-style rolling fingerprint — 3-gram rolling
+    * hashes, min over a 4-gram sliding window, distinct mins summarized.
+    * (Winnowing: Schleimer/Wilkerson/Aiken SIGMOD'03 — public algorithm.) */
+  def textFingerprint(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val canonical = docs.select(col("doc_id"),
+      md5(array_join(array_sort(array_distinct(tokens(col("text")))), " "))
+        .as("canonical_md5"))
+    val tok = docs.select(col("doc_id"),
+        posexplode(tokens(col("text"))).as(Seq("pos", "t")))
+    val wOrd = Window.partitionBy("doc_id").orderBy("pos")
+    val g3 = tok
+      .withColumn("t1", lead(col("t"), 1).over(wOrd))
+      .withColumn("t2", lead(col("t"), 2).over(wOrd))
+      .filter(col("t2").isNotNull)
+      .withColumn("g3", concat_ws(" ", col("t"), col("t1"), col("t2")))
+      .withColumn("h", conv(substring(md5(col("g3")), 1, 15), 16, 10)
+        .cast("long"))
+    val wFrame = wOrd.rowsBetween(Window.currentRow, 3)
+    val fps = g3.withColumn("wmin", min(col("h")).over(wFrame))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("wmin")).as("fp_count"),
+        min(col("wmin")).as("fp_min"), max(col("wmin")).as("fp_max"))
+    canonical.join(fps, Seq("doc_id")).orderBy("doc_id")
+  }
+
+  // -------------------------------------------------------- language ID --
+
+  /** Marker tokens per language for the n-gram/stopword language-ID
+    * heuristic. Deterministic, no model. */
+  val LangMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "a"),
+    "fr" -> Seq("le", "la", "les", "et", "des", "une", "est"),
+    "es" -> Seq("el", "los", "las", "una", "para", "con", "es"),
+    "de" -> Seq("der", "die", "das", "und", "ein", "mit", "ist"),
+  )
+
+  /** Predicted language of a text column: highest marker-hit count wins,
+    * CJK characters force zh, score ties resolve to the lexicographically
+    * last language (struct-max semantics — deterministic), no hits → "und".
+    */
+  def langId(text: Column): Column = {
+    val toks = split(lower(text), "[^\\p{L}\\p{Nd}]+")
+    val scores = LangMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
+      struct(size(filter(toks, t => t.isin(markers: _*))).as("score"),
+        lit(lang).as("lang"))
+    }
+    val cjk = size(regexp_extract_all(text, lit("[\\x{4e00}-\\x{9fff}]"), lit(0)))
+    val best = array_max(array(scores: _*)) // max by (score, then lang desc)
+    when(cjk > 0, lit("zh"))
+      .when(best.getField("score") === 0, lit("und"))
+      .otherwise(best.getField("lang"))
+  }
+
+  /** Language-ID distribution over the corpus (rows-only: the heuristic is
+    * not reasonably expressible in SQL; validated in TextOpsSpec on
+    * hand-written samples). */
+  def textLangId(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(langId(col("text")).as("predicted"))
+      .groupBy("predicted").agg(count(lit(1)).as("n"))
+      .orderBy("predicted")
+
+  // ------------------------------------------------------------- wiring --
+
+  val queries: Map[String, Q] = Map(
+    "q_text_tokenize"    -> textTokenize _,
+    "q_text_stats"       -> textStats _,
+    "q_text_quality"     -> textQuality _,
+    "q_text_fingerprint" -> textFingerprint _,
+    "q_text_langid"      -> textLangId _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_text_tokenize" ->
+      """SELECT token, CAST(COUNT(1) AS BIGINT) AS n
+         FROM (SELECT unnest(str_split(text, ' ')) AS token FROM documents)
+         GROUP BY token ORDER BY n DESC, token ASC LIMIT 20""",
+    "q_text_stats" ->
+      """SELECT lang, CAST(COUNT(1) AS BIGINT) AS n_docs,
+                round(avg(n_chars), 4) AS avg_chars,
+                round(avg(CAST(len(str_split(text, ' ')) AS DOUBLE)), 4)
+                  AS avg_tokens
+         FROM documents GROUP BY lang ORDER BY lang""",
+    "q_text_quality" ->
+      """WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks, text
+                    FROM documents),
+         f AS (SELECT doc_id,
+                      CAST(len(toks) AS INT) AS n_tokens,
+                      CAST(len(regexp_extract_all(text,
+                        '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS n_subtokens,
+                      list_sum(list_transform(toks,
+                        x -> CAST(len(x) AS DOUBLE))) / len(toks) AS avg_len,
+                      CAST(len(list_filter(toks, x -> x IN ('join','select',
+                        'filter','from','where','group','order'))) AS DOUBLE)
+                        / len(toks) AS common_ratio
+               FROM t)
+         SELECT doc_id, n_tokens, n_subtokens,
+                round(avg_len, 4) AS avg_token_len,
+                round(common_ratio, 4) AS common_ratio,
+                round(0.4 * least(1.0, n_tokens / 50.0)
+                    + 0.3 * common_ratio
+                    + 0.3 * least(1.0, avg_len / 8.0), 4) AS quality
+         FROM f ORDER BY doc_id""",
+    "q_text_fingerprint" ->
+      """WITH tok AS (SELECT doc_id, unnest(str_split(text, ' ')) AS t,
+                             generate_subscripts(str_split(text, ' '), 1) AS pos
+                      FROM documents),
+         canon AS (SELECT doc_id,
+                          md5(string_agg(DISTINCT t, ' ' ORDER BY t))
+                            AS canonical_md5
+                   FROM tok GROUP BY doc_id),
+         g AS (SELECT doc_id, pos,
+                      t || ' ' || lead(t, 1) OVER w || ' '
+                        || lead(t, 2) OVER w AS g3
+               FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+               QUALIFY lead(t, 2) OVER w IS NOT NULL),
+         h AS (SELECT doc_id, pos,
+                      CAST(('0x' || substr(md5(g3), 1, 15)) AS BIGINT) AS hv
+               FROM g),
+         wm AS (SELECT doc_id,
+                       min(hv) OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+                FROM h),
+         fp AS (SELECT doc_id,
+                       CAST(count(DISTINCT wmin) AS BIGINT) AS fp_count,
+                       min(wmin) AS fp_min, max(wmin) AS fp_max
+                FROM wm GROUP BY doc_id)
+         SELECT doc_id, canonical_md5, fp_count, fp_min, fp_max
+         FROM canon JOIN fp USING (doc_id) ORDER BY doc_id""",
+  )
+}

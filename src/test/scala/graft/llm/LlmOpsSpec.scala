@@ -1,0 +1,159 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** tiny_docs-style fixtures (FIXTURES.md §3): planted exact + near dups. */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  val docs = Seq(
+    (0L, "spark sql join filter window group order by"),
+    (1L, "spark sql join filter window group order by"),         // exact dup of 0
+    (2L, "spark sql join filter window group order limit"),      // near dup (1-token edit)
+    (3L, "completely different tokens here nothing shared xyz"),
+    (4L, "streaming watermark state checkpoint trigger output"),
+    (5L, "spark sql join filter window group order by extra"),   // near dup of 0/1
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts, keeps min id as rep") {
+    val groups = docs.groupBy(md5($"text").as("text_md5"))
+      .agg(min($"doc_id").as("rep_id"), count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(groups(0L) == 2L)            // docs 0,1 collapse
+    assert(groups.values.sum == 6L)
+  }
+
+  test("simhash: identical docs → distance 0; near dups close; unrelated far") {
+    val sh = Dedup.simhash(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(sh(a) ^ sh(b))
+    assert(ham(0L, 1L) == 0)
+    assert(ham(0L, 2L) < ham(0L, 3L))
+    assert(ham(0L, 5L) < ham(0L, 3L))
+  }
+
+  test("minhash-lsh finds the exact and near dup pairs (high tau)") {
+    val pairs = Dedup.minHashPairs(docs, numHashes = 32, bands = 16, tau = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))    // exact dup always found
+    assert(pairs.contains((0L, 2L)) || pairs.contains((0L, 5L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("minhash recall vs exact jaccard ground truth on sf0.001 block") {
+    val gt = Dedup.dedupNgram(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mh = Dedup.dedupMinhash(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mh.subsetOf(gt))             // verification step kills false pos
+    if (gt.nonEmpty)
+      assert(mh.size.toDouble / gt.size >= 0.8, s"recall ${mh.size}/${gt.size}")
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine: identity 1, orthogonal 0, opposite -1") {
+    val df = Seq((Seq(1.0, 0.0), Seq(1.0, 0.0), Seq(0.0, 1.0), Seq(-1.0, 0.0)))
+      .toDF("a", "b", "c", "d")
+    val r = df.select(
+      Similarity.cosine($"a", $"b"), Similarity.cosine($"a", $"c"),
+      Similarity.cosine($"a", $"d")).head()
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(r.getDouble(1)) < 1e-12)
+    assert(math.abs(r.getDouble(2) + 1.0) < 1e-12)
+  }
+
+  test("lsh finds planted near-duplicates (cos≈0.99) with perfect recall") {
+    val rng = new scala.util.Random(7)
+    val base = Array.fill(40)(Array.fill(64)(rng.nextGaussian() * 0.1))
+    // plant 5 near-dups: copy + tiny noise
+    val planted = (0 until 5).map { i =>
+      (100L + i, base(i).map(_ + rng.nextGaussian() * 0.001).toSeq)
+    }
+    val all = base.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) } ++ planted
+    val df = all.toSeq.toDF("id", "v")
+    val got = Similarity.lshPairs(df, tau = 0.95, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (0 until 5).map(i => (i.toLong, 100L + i)).toSet
+    assert(want.subsetOf(got), s"missing ${want -- got}")
+  }
+
+  test("lsh pairs are a subset of brute-force pairs at the same tau (sf0.001)") {
+    val brute = Similarity.dedupEmbedding(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.similarityLsh(spark, sf)
+      .filter($"id1" < 200 && $"id2" < 200)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(brute))
+  }
+}
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("langId classifies hand-written samples") {
+    val df = Seq(
+      ("the cat is on the table and it is happy", "en"),
+      ("le chat est sur la table et il est content", "fr"),
+      ("el gato esta en la mesa con una manta para el", "es"),
+      ("der hund und die katze sind mit ein ball", "de"),
+      ("你好世界这是中文", "zh"),
+      ("zzz qqq xxx", "und"),
+    ).toDF("text", "expected")
+    val got = df.select(TextOps.langId($"text").as("p"), $"expected").collect()
+    got.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"predicted ${r.getString(0)} expected ${r.getString(1)}"))
+  }
+
+  test("quality score is in [0,1] and favors longer docs") {
+    val rows = TextOps.textQuality(spark, sf).collect()
+    assert(rows.forall { r =>
+      val q = r.getAs[Double]("quality"); q >= 0.0 && q <= 1.0
+    })
+  }
+
+  test("fingerprint: identical text → identical fingerprint columns") {
+    val fp = TextOps.textFingerprint(spark, sf)
+      .select("doc_id", "canonical_md5", "fp_count").collect()
+    assert(fp.length == 500 && fp.forall(_.getLong(2) > 0))
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("synthetic media schema: binary payload + typed metadata") {
+    val m = Multimodal.syntheticMedia(spark, sf)
+    val f = m.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
+    assert(f("payload") == "binary" && f("format") == "string"
+      && f("width") == "int" && f("n_frames") == "int")
+  }
+
+  test("decode stub is deterministic and batch pipeline preserves rows") {
+    val media = Multimodal.syntheticMedia(spark, sf).as[Multimodal.MediaRow]
+    val out1 = Multimodal.extractFeatures(media).collect().sortBy(_.id)
+    val out2 = Multimodal.extractFeatures(media).collect().sortBy(_.id)
+    assert(out1.length == 500)
+    assert(out1.zip(out2).forall { case (a, b) =>
+      a.features.sameElements(b.features) })
+  }
+
+  test("video rows get frame-sampled features (n_frames/2 frames, pooled)") {
+    val media = Multimodal.syntheticMedia(spark, sf).as[Multimodal.MediaRow]
+    val vids = Multimodal.extractFeatures(media)
+      .filter($"format" === "mp4").collect()
+    assert(vids.nonEmpty)
+    vids.foreach { v =>
+      assert(v.n_frames >= 1 && v.features.nonEmpty)
+    }
+  }
+
+  test("metadata predicates stay pushable (no decode in the plan)") {
+    val plan = formattedPlan(
+      Multimodal.syntheticMedia(spark, sf).filter($"format" === "png"))
+    assert(!plan.contains("mapPartitions"), plan)
+  }
+}
