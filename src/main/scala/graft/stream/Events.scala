@@ -1,0 +1,138 @@
+package graft.stream
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.tables.Tables
+
+/** Event-time windowing — tumbling, sliding, session — written ONCE as
+  * plain DataFrame transforms and applied to BOTH the batch events table
+  * (DuckDB-oracle'd queries below) and Structured Streaming inputs
+  * (StreamingSpec drives the same functions through MemoryStream with
+  * watermarks). That stream/batch duality is the Spark-native design: the
+  * plan is identical, only the source/sink differ.
+  *
+  * Scale: all three window shapes shuffle once on (key, window) and use
+  * partial aggregation; session windows in streaming keep per-key state
+  * bounded by the watermark (late state evicted), the batch twin is a
+  * keyed window sort — both skew-safe under AQE.
+  */
+object Events {
+  type Q = (SparkSession, String) => DataFrame
+
+  val SessionGap = expr("INTERVAL 10 MINUTES")
+
+  /** Tumbling 1-hour counts per event_type. */
+  def tumbling(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      .select(unix_micros(col("w.start")).as("win_start_us"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Sliding 1-hour windows every 30 minutes. */
+  def sliding(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("w.start")).as("win_start_us"),
+        col("event_type"), col("n"))
+
+  /** Batch sessionization (gaps-and-islands): a new session starts when the
+    * gap from the previous event of the same user is >= the session gap —
+    * the same boundary rule as streaming session_window (an event at
+    * exactly prev + gap does NOT extend the session). */
+  def sessionsBatch(events: DataFrame, gapMinutes: Int = 10): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts_us")
+    val gapUs = gapMinutes * 60L * 1000000L
+    events
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_us").isNull ||
+          col("ts_us") - col("prev_us") >= gapUs, 1).otherwise(0))
+      .withColumn("session_id",
+        sum(col("new_session")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts_us")).as("session_start_us"),
+        max(col("ts_us")).as("session_end_us"),
+        count(lit(1)).as("n_events"))
+      .withColumn("duration_us",
+        col("session_end_us") - col("session_start_us"))
+  }
+
+  /** Streaming sessionization via the native session_window operator —
+    * used by StreamingSpec to prove stream/batch agreement. */
+  def sessionsStreaming(events: DataFrame, gapMinutes: Int = 10): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), s"$gapMinutes minutes").as("w"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), unix_micros(col("w.start")).as("session_start_us"),
+        col("n_events"))
+
+  // ------------------------------------------------------------- queries --
+
+  def streamTumbling(s: SparkSession, d: String): DataFrame =
+    tumbling(Tables.events(s, d))
+      .orderBy("win_start_us", "event_type")
+
+  def streamSliding(s: SparkSession, d: String): DataFrame =
+    sliding(Tables.events(s, d))
+      .orderBy("win_start_us", "event_type")
+
+  def streamSession(s: SparkSession, d: String): DataFrame =
+    sessionsBatch(Tables.events(s, d))
+      .select("user_id", "session_start_us", "n_events", "duration_us")
+      .orderBy("user_id", "session_start_us")
+
+  val queries: Map[String, Q] = Map(
+    "q_stream_tumbling" -> streamTumbling _,
+    "q_stream_sliding"  -> streamSliding _,
+    "q_stream_session"  -> streamSession _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_stream_tumbling" ->
+      """SELECT epoch_us(date_trunc('hour', ts)) AS win_start_us, event_type,
+                CAST(count(1) AS BIGINT) AS n, round(sum(value), 4) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY win_start_us, event_type""",
+    "q_stream_sliding" ->
+      """WITH halves AS (
+           SELECT epoch_us(ts) - epoch_us(ts) % 1800000000 AS half_us,
+                  event_type
+           FROM events),
+         wins AS (
+           SELECT unnest([half_us, half_us - 1800000000]) AS win_start_us,
+                  event_type
+           FROM halves)
+         SELECT win_start_us, event_type, CAST(count(1) AS BIGINT) AS n
+         FROM wins GROUP BY 1, 2 ORDER BY win_start_us, event_type""",
+    "q_stream_session" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+         lagged AS (
+           SELECT user_id, ts_us,
+                  lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us)
+                    AS prev_us
+           FROM e),
+         marked AS (
+           SELECT user_id, ts_us,
+                  CASE WHEN prev_us IS NULL
+                         OR ts_us - prev_us >= 600000000 THEN 1
+                       ELSE 0 END AS new_session
+           FROM lagged),
+         numbered AS (
+           SELECT user_id, ts_us,
+                  sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS session_id
+           FROM marked)
+         SELECT user_id, min(ts_us) AS session_start_us,
+                CAST(count(1) AS BIGINT) AS n_events,
+                max(ts_us) - min(ts_us) AS duration_us
+         FROM numbered GROUP BY user_id, session_id
+         ORDER BY user_id, session_start_us""",
+  )
+}

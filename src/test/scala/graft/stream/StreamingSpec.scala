@@ -1,0 +1,142 @@
+package graft.stream
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+              event_type: String, value: Double)
+
+/** Structured Streaming suites (SURVEY.md §2B stream rows + §5.2.4):
+  * MemoryStream in, memory sink out; the SAME Events.* transforms the
+  * batch oracle queries use — stream/batch consistency is the oracle. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+  implicit def sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def t(s: String) = Timestamp.valueOf(s)
+
+  private val base = Seq(
+    Ev(1, t("2024-01-01 10:00:00"), 1, "click", 1.0),
+    Ev(2, t("2024-01-01 10:05:00"), 1, "click", 2.0),
+    Ev(3, t("2024-01-01 10:20:00"), 1, "view", 3.0),   // same session (gap 15m? no: >=10m → NEW session)
+    Ev(4, t("2024-01-01 11:40:00"), 1, "click", 4.0),  // new session + new hour
+    Ev(5, t("2024-01-01 10:02:00"), 2, "view", 5.0),
+    Ev(6, t("2024-01-01 10:11:59"), 2, "view", 6.0),   // gap 9:59 < 10m → same session
+    Ev(7, t("2024-01-01 10:22:00"), 2, "click", 7.0),  // gap 10:01 ≥ 10m → new session
+  )
+
+  private def runStream[T](s: MemoryStream[Ev], df: org.apache.spark.sql.DataFrame,
+                           mode: OutputMode, name: String) = {
+    val q = df.writeStream.outputMode(mode).format("memory")
+      .queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
+  test("tumbling: streaming complete-mode result == batch transform result") {
+    val ms = MemoryStream[Ev]
+    ms.addData(base: _*)
+    val got = runStream(ms, Events.tumbling(ms.toDF()),
+      OutputMode.Complete, "tumble_out")
+      .select("win_start_us", "event_type", "n", "sum_value")
+      .collect().map(_.toSeq).toSet
+    val want = Events.tumbling(base.toDF())
+      .collect().map(_.toSeq).toSet
+    assert(got == want)
+  }
+
+  test("session_window streaming == batch gaps-and-islands (boundary exact)") {
+    val ms = MemoryStream[Ev]
+    ms.addData(base: _*)
+    val got = runStream(ms, Events.sessionsStreaming(ms.toDF()),
+      OutputMode.Complete, "sess_out")
+      .select("user_id", "session_start_us", "n_events")
+      .collect().map(_.toSeq).toSet
+    val want = Events.sessionsBatch(base.toDF())
+      .select("user_id", "session_start_us", "n_events")
+      .collect().map(_.toSeq).toSet
+    assert(got == want)
+    // boundary checks: user1 10:00+10:05 together, 10:20 separate (gap>=10m);
+    // user2 10:02+10:11:59 together (9:59<10m), 10:22 separate (10:01>=10m)
+    val u1 = Events.sessionsBatch(base.toDF()).filter($"user_id" === 1).count()
+    val u2 = Events.sessionsBatch(base.toDF()).filter($"user_id" === 2).count()
+    assert(u1 == 3 && u2 == 2)
+  }
+
+  test("watermark drops events later than the delay behind max event time") {
+    val ms = MemoryStream[Ev]
+    val agg = ms.toDF()
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("wm_out").start()
+    // batch 1: events up to 12:00 → watermark advances to 11:50
+    ms.addData(Ev(1, t("2024-01-01 10:30:00"), 1, "click", 1.0),
+      Ev(2, t("2024-01-01 12:00:00"), 1, "click", 1.0))
+    q.processAllAvailable()
+    // batch 2: a 10:40 event is > 10 min late → must be dropped;
+    //          the closed 10:00 window emits WITHOUT it
+    ms.addData(Ev(3, t("2024-01-01 10:40:00"), 1, "click", 99.0))
+    q.processAllAvailable()
+    // batch 3: advance watermark far so the 12:00 window also closes
+    ms.addData(Ev(4, t("2024-01-01 14:00:00"), 1, "click", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("wm_out")
+      .select(unix_micros($"window.start").as("w"), $"n").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val w10 = Timestamp.valueOf("2024-01-01 10:00:00").getTime * 1000
+    assert(rows(w10) == 1L, s"late event leaked into closed window: $rows")
+  }
+
+  test("dropDuplicates with watermark: stateful exactly-once by event_id") {
+    val ms = MemoryStream[Ev]
+    val dedup = ms.toDF()
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id")
+      .groupBy($"event_type").agg(count(lit(1)).as("n"))
+    val q = dedup.writeStream.outputMode(OutputMode.Complete)
+      .format("memory").queryName("dd_out").start()
+    ms.addData(base: _*)
+    ms.addData(base.take(3): _*)     // replay duplicates
+    q.processAllAvailable()
+    q.stop()
+    val total = spark.table("dd_out").agg(sum($"n")).head().getLong(0)
+    assert(total == base.length, s"expected ${base.length} distinct, got $total")
+  }
+
+  test("flatMapGroupsWithState: custom per-user session reducer") {
+    val ms = MemoryStream[Ev]
+    val sessions = ms.toDS()
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[Long], (Long, Int)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, evs: Iterator[Ev], state: GroupState[List[Long]]) =>
+          val seen = state.getOption.getOrElse(Nil) ++ evs.map(_.event_id)
+          state.update(seen)
+          Iterator.single((uid, seen.size))
+      }
+    val q = sessions.toDF("user_id", "n_seen")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("fmgs_out").start()
+    ms.addData(base.take(4): _*)   // all user 1
+    q.processAllAvailable()
+    ms.addData(base.drop(4): _*)   // user 2
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("fmgs_out").collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    assert(rows.contains((1L, 4)) && rows.contains((2L, 3)), rows.mkString(","))
+  }
+
+  test("sliding windows: each event lands in exactly two 1h/30m windows") {
+    val counts = Events.sliding(base.toDF())
+      .agg(sum($"n")).head().getLong(0)
+    assert(counts == base.length * 2)
+  }
+}
