@@ -69,35 +69,40 @@ object Similarity {
     Seq.fill(tables, planes, dim)(rng.nextGaussian())
   }
 
-  /** Bucket id of vector column `v` for one table: sign bits against each
-    * hyperplane packed into a long. */
-  private def bucketId(v: Column, tablePlanes: Seq[Seq[Double]]): Column =
-    tablePlanes.zipWithIndex.map { case (plane, i) =>
-      val proj = aggregate(
-        zip_with(v, typedlit(plane), (x, p) => x * p), lit(0.0), _ + _)
-      when(proj >= 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
-
   /** LSH-bucketed near-neighbour pairs: cosine ≥ tau, candidates only from
     * same-bucket collisions in any of `tables` hash tables. Approximate
-    * (recall < 1) — validated against brute force in SimilaritySpec. */
+    * (recall < 1) — validated against brute force in SimilaritySpec.
+    *
+    * Plan shape notes (perf-tuned): the tables×planes projections are ONE
+    * nested higher-order expression over a constant 3-D hyperplane literal
+    * — not tables·planes separate aggregate expressions, which blew up
+    * whole-stage codegen compile time ~30×. Candidates are deduped on
+    * (id1,id2) ONLY, with vectors re-joined afterwards — distinct over the
+    * raw array columns forced array-wide shuffle + compare. */
   def lshPairs(df: DataFrame, tau: Double, dim: Int = 64, tables: Int = 8,
                planes: Int = 12, seed: Long = 42L): DataFrame = {
     val hp = hyperplanes(tables, planes, dim, seed)
-    val bucketCols = hp.zipWithIndex.map { case (tp, t) =>
-      struct(lit(t).as("tbl"), bucketId(col("v"), tp).as("bucket"))
-    }
-    val buckets = df.select(col("id"), col("v"),
-        explode(array(bucketCols: _*)).as("tb"))
-      .select(col("id"), col("v"), col("tb.tbl").as("tbl"),
-        col("tb.bucket").as("bucket"))
-    val cand = buckets.select(col("id").as("id1"), col("v").as("v1"),
-        col("tbl"), col("bucket"))
-      .join(buckets.select(col("id").as("id2"), col("v").as("v2"),
-        col("tbl"), col("bucket")), Seq("tbl", "bucket"))
+    val hpLit = typedlit(hp) // array<array<array<double>>> constant
+    // bucket of table t = sign bits of the t-th plane block, packed to long
+    val bucketsArr = transform(sequence(lit(0), lit(tables - 1)), t =>
+      aggregate(sequence(lit(0), lit(planes - 1)), lit(0L), (acc, p) => {
+        val plane = element_at(element_at(hpLit, t + 1), p + 1)
+        val proj = aggregate(zip_with(col("v"), plane, (x, w) => x * w),
+          lit(0.0), _ + _)
+        // 2^p as the bit for plane p (exact in double for p < 53)
+        acc + when(proj >= 0, pow(lit(2.0), p).cast("long")).otherwise(0L)
+      }))
+    val buckets = df
+      .select(col("id"), posexplode(bucketsArr).as(Seq("tbl", "bucket")))
+    val cand = buckets.select(col("id").as("id1"), col("tbl"), col("bucket"))
+      .join(buckets.select(col("id").as("id2"), col("tbl"), col("bucket")),
+        Seq("tbl", "bucket"))
       .filter(col("id1") < col("id2"))
-      .select("id1", "id2", "v1", "v2").distinct()
-    cand.select(col("id1"), col("id2"),
+      .select("id1", "id2").distinct()
+    cand
+      .join(df.select(col("id").as("id1"), col("v").as("v1")), Seq("id1"))
+      .join(df.select(col("id").as("id2"), col("v").as("v2")), Seq("id2"))
+      .select(col("id1"), col("id2"),
         round(cosine(col("v1"), col("v2")), 4).as("cosine"))
       .filter(col("cosine") >= tau)
   }

@@ -144,12 +144,15 @@ object ScMatrix {
       .orderBy(col("disp").desc, col("pos"))
       .limit(k)
 
-  /** Keep only the top-k dispersed genes in the matrix. */
+  /** Keep only the top-k dispersed genes in the matrix. ONE stats pass:
+    * rank by dispersion within the stats frame itself (64–30k rows — a
+    * single-partition window is fine at any matrix width). */
   def projectHvg(df: DataFrame, k: Int, tau: Double = 0.0): DataFrame = {
-    val keepSet = hvgTopK(df, k, tau).select(col("pos"), lit(true).as("hit"))
-    val allPos = geneStats(df, tau).select(col("pos"))
-    val flags = allPos.join(keepSet, Seq("pos"), "left")
-      .select(col("pos"), coalesce(col("hit"), lit(false)).as("keep"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("disp").desc_nulls_last, col("pos"))
+    val flags = geneStats(df, tau)
+      .withColumn("rk", row_number().over(w))
+      .select(col("pos"), (col("rk") <= k).as("keep"))
     projectGenes(df, maskOf(flags))
   }
 
@@ -160,7 +163,11 @@ object ScMatrix {
     * global stat. */
   def recipeZheng17(df: DataFrame, nTopGenes: Int): DataFrame = {
     val g = filterGenes(df, minCellsFrac = 0.0000001, tau = 0.0)
+    // persist the normalized matrix: it feeds BOTH the HVG stats pass and
+    // the projection — without this the whole upstream recipe re-runs per
+    // consumer (at cluster scale: MEMORY_AND_DISK, spills instead of OOM)
     val n = normalizePerCell(g, None)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val h = projectHvg(n, nTopGenes)
     val n2 = normalizePerCell(h, None)
     val l = log1p(n2)
