@@ -1,0 +1,69 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.functions.{call_function, expr}
+
+/** Registration surface for graft's native expressions.
+  *
+  * Two paths:
+  *  - `register(spark)` — runtime registration into an existing session's
+  *    function registry (what the queries use: the Verify/Bench harnesses
+  *    build their own plain sessions);
+  *  - `GraftExtensions` — `SparkSessionExtensions` injection for sessions
+  *    built with `.withExtensions(new GraftExtensions)` or
+  *    `spark.sql.extensions=graft.functions.GraftExtensions` (the
+  *    idiomatic deployment path on a real cluster).
+  */
+object GraftFunctions {
+
+  val cosineBuilder: Seq[Expression] => Expression =
+    exprs => CosineSimilarity(exprs(0), exprs(1))
+
+  /** Idempotent runtime registration. */
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_sim", cosineBuilder, "scala_udf")
+  }
+
+  /** Column-API form of the native cosine expression (requires
+    * register(spark) first in that session). */
+  def cosineSim(a: Column, b: Column): Column =
+    call_function("cosine_sim", a, b)
+
+  /** Exact-median typed Aggregator (UDAF surface demo, SURVEY.md §7.3).
+    * Buffers ALL values — fine for bounded per-group cardinalities (the
+    * sc-matrix median-of-row-sums use is one group of #cells values; at
+    * 100 TB use percentile_approx or the built-in exact percentile
+    * instead, which spill). */
+  object ExactMedian extends Aggregator[Double, Array[Double], Double] {
+    override def zero: Array[Double] = Array.empty
+    override def reduce(b: Array[Double], a: Double): Array[Double] = b :+ a
+    override def merge(b1: Array[Double], b2: Array[Double]): Array[Double] =
+      b1 ++ b2
+    override def finish(r: Array[Double]): Double = {
+      if (r.isEmpty) return Double.NaN
+      val s = r.sorted
+      val n = s.length
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+    }
+    override def bufferEncoder: Encoder[Array[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
+    override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+}
+
+/** Session-extensions installer: injects graft's native functions at
+  * session build time — the no-code-change deployment route
+  * (`--conf spark.sql.extensions=graft.functions.GraftExtensions`). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+      GraftFunctions.cosineBuilder))
+  }
+}

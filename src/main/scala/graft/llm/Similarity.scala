@@ -2,6 +2,7 @@ package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions
 import graft.tables.Tables
 
 /** Similarity search over embedding columns (ARRAY<FLOAT>): brute-force
@@ -35,14 +36,16 @@ object Similarity {
         transform(col("embedding"), _.cast("double")).as("v"))
 
   /** Exact top-10 cosine pairs within a bounded block (brute force — the
-    * correctness baseline for the LSH path). */
+    * correctness baseline for the LSH path). Uses the native codegen'd
+    * CosineSimilarity expression (graft.functions). */
   def similarityKnn(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
     val e = vecs(s, d, 50)
     val pairs = e.select(col("id").as("id1"), col("v").as("v1"))
       .join(e.select(col("id").as("id2"), col("v").as("v2")),
         col("id1") < col("id2"))
       .select(col("id1"), col("id2"),
-        cosine(col("v1"), col("v2")).as("cos0"))
+        GraftFunctions.cosineSim(col("v1"), col("v2")).as("cos0"))
     pairs.orderBy(col("cos0").desc, col("id1"), col("id2")).limit(10)
       .select(col("id1"), col("id2"), round(col("cos0"), 4).as("cosine"))
       .orderBy(col("cosine").desc, col("id1"), col("id2"))
@@ -50,12 +53,13 @@ object Similarity {
 
   /** Embedding near-duplicate pairs: cosine ≥ tau within a bounded block. */
   def dedupEmbedding(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
     val e = vecs(s, d, 200)
     e.select(col("id").as("id1"), col("v").as("v1"))
       .join(e.select(col("id").as("id2"), col("v").as("v2")),
         col("id1") < col("id2"))
       .select(col("id1"), col("id2"),
-        round(cosine(col("v1"), col("v2")), 4).as("cosine"))
+        round(GraftFunctions.cosineSim(col("v1"), col("v2")), 4).as("cosine"))
       .filter(col("cosine") >= 0.35)
       .orderBy("id1", "id2")
   }
@@ -99,11 +103,12 @@ object Similarity {
         Seq("tbl", "bucket"))
       .filter(col("id1") < col("id2"))
       .select("id1", "id2").distinct()
+    GraftFunctions.register(df.sparkSession)
     cand
       .join(df.select(col("id").as("id1"), col("v").as("v1")), Seq("id1"))
       .join(df.select(col("id").as("id2"), col("v").as("v2")), Seq("id2"))
       .select(col("id1"), col("id2"),
-        round(cosine(col("v1"), col("v2")), 4).as("cosine"))
+        round(GraftFunctions.cosineSim(col("v1"), col("v2")), 4).as("cosine"))
       .filter(col("cosine") >= tau)
   }
 

@@ -1,0 +1,74 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("native cosine_sim == HOF cosine formulation on real embeddings") {
+    GraftFunctions.register(spark)
+    val e = graft.tables.Tables.embeddings(spark, sf)
+      .limit(100)
+      .select($"vec_id", transform($"embedding", _.cast("double")).as("v"))
+    val pairs = e.select($"vec_id".as("id1"), $"v".as("v1"))
+      .join(e.select($"vec_id".as("id2"), $"v".as("v2")), $"id1" < $"id2")
+    val diffs = pairs.select(
+        GraftFunctions.cosineSim($"v1", $"v2").as("native"),
+        graft.llm.Similarity.cosine($"v1", $"v2").as("hof"))
+      .filter(abs($"native" - $"hof") > 1e-12)
+      .count()
+    assert(diffs == 0)
+  }
+
+  test("cosine_sim participates in whole-stage codegen") {
+    GraftFunctions.register(spark)
+    val e = graft.tables.Tables.embeddings(spark, sf).limit(5)
+      .select(transform($"embedding", _.cast("double")).as("v"))
+    val df = e.select(expr("cosine_sim(v, v)").as("c"))
+    assert(df.collect().forall(r => math.abs(r.getDouble(0) - 1.0) < 1e-12))
+    // formatted explain marks whole-stage-codegen'd operators with '*'
+    val plan = formattedPlan(df)
+    assert(plan.contains("* Project"), plan)
+    // and no fallback marker on our expression
+    assert(!planOf(df).toLowerCase.contains("codegenfallback"))
+  }
+
+  test("cosine_sim handles nulls and SQL registration") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT cosine_sim(CAST(NULL AS ARRAY<DOUBLE>), array(1.0d)) AS a,
+                cosine_sim(array(1.0d, 0.0d), array(0.0d, 2.0d)) AS b""").head()
+    assert(r.isNullAt(0) && math.abs(r.getDouble(1)) < 1e-12)
+  }
+
+  test("GraftExtensions installs into a SparkSessionExtensions instance") {
+    // Only one SparkContext per test JVM, so the true build-time injection
+    // path (spark.sql.extensions=graft.functions.GraftExtensions) is driven
+    // in a separate spark-shell JVM by the verify workflow; here we check
+    // the installer applies cleanly.
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext)   // must not throw
+  }
+
+  test("ExactMedian aggregator: odd, even, and per-group medians") {
+    import org.apache.spark.sql.functions.udaf
+    val med = udaf(GraftFunctions.ExactMedian)
+    val df = Seq(("a", 1.0), ("a", 9.0), ("a", 4.0),
+                 ("b", 2.0), ("b", 8.0)).toDF("k", "x")
+    val got = df.groupBy("k").agg(med($"x").as("m"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got == Map("a" -> 4.0, "b" -> 5.0))
+  }
+
+  test("ExactMedian agrees with the exact percentile used by normalize") {
+    val sums = graft.sc.ScMatrix.counts(spark, sf)
+      .select(aggregate($"vec", lit(0.0), _ + _).as("s"))
+    import org.apache.spark.sql.functions.udaf
+    val med = udaf(GraftFunctions.ExactMedian)
+    val a = sums.agg(med($"s")).head().getDouble(0)
+    val b = sums.agg(expr("percentile(s, 0.5)")).head().getDouble(0)
+    assert(math.abs(a - b) < 1e-9, s"$a vs $b")
+  }
+}
