@@ -1,0 +1,51 @@
+package graft.sc
+
+import org.apache.spark.ml.feature.PCA
+import org.apache.spark.ml.linalg.{Vector, Vectors}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** PCA over the preprocessed matrix — reference R14 (SURVEY.md §2A): the
+  * repo's experiments ran 50-component PCA on the recipe output via
+  * single-node sklearn/dask; here it's MLlib's distributed PCA on a Vector
+  * column (north-star surface "DataFrame ops + MLlib").
+  *
+  * Scale: MLlib PCA computes the Gramian via one tree-aggregated pass
+  * (O(d²) driver memory, d = #genes post-HVG — small by construction after
+  * recipe selection) then local SVD; scores are a broadcast matrix multiply
+  * on executors. For d beyond ~10k, switch to randomized SVD — out of scope
+  * for the testbed's d≤64.
+  */
+object Pca {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** (id, vec ARRAY<DOUBLE>) → (id, pc ARRAY<DOUBLE>) with k components. */
+  def project(df: DataFrame, k: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val toVec = udf((a: Seq[Double]) => Vectors.dense(a.toArray))
+    val withFeatures = df.withColumn("features", toVec(col("vec")))
+    val model = new PCA().setInputCol("features").setOutputCol("pc_vec")
+      .setK(k).fit(withFeatures)
+    val toArr = udf((v: Vector) => v.toArray)
+    model.transform(withFeatures)
+      .withColumn("pc", toArr(col("pc_vec")))
+      .select(col("id"), col("pc"))
+  }
+
+  /** recipe_zheng17 → PCA scores, summarized per cell (rows-only query:
+    * eigenvector sign is implementation-defined, so the oracle-able outputs
+    * are sign-invariant norms, checked in PcaSpec). */
+  def scPca(s: SparkSession, d: String): DataFrame = {
+    val recipe = ScMatrix.recipeZheng17(ScMatrix.counts(s, d), 16)
+    project(recipe, k = 8)
+      .select(col("id").as("vec_id"),
+        round(sqrt(aggregate(transform(col("pc"), x => x * x),
+          lit(0.0), _ + _)), 3).as("pc_norm"),
+        size(col("pc")).as("n_components"))
+      .orderBy("vec_id")
+  }
+
+  val queries: Map[String, Q] = Map("q_sc_pca" -> scPca _)
+  val oracle: Map[String, String] = Map.empty
+}
