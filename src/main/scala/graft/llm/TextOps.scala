@@ -122,9 +122,11 @@ object TextOps {
       struct(size(filter(toks, t => t.isin(markers: _*))).as("score"),
         lit(lang).as("lang"))
     }
-    val cjk = size(regexp_extract_all(text, lit("[\\x{4e00}-\\x{9fff}]"), lit(0)))
+    // rlike short-circuits on first CJK hit — counting matches
+    // (regexp_extract_all) scanned the whole text for nothing
+    val cjk = text.rlike("[\\x{4e00}-\\x{9fff}]")
     val best = array_max(array(scores: _*)) // max by (score, then lang desc)
-    when(cjk > 0, lit("zh"))
+    when(cjk, lit("zh"))
       .when(best.getField("score") === 0, lit("und"))
       .otherwise(best.getField("lang"))
   }

@@ -42,6 +42,15 @@ object Tables {
     * harness sessions do not set it) and convert to a proper TIMESTAMP at
     * microsecond precision. Session timezone must be UTC for oracle parity.
     */
+  /** Rechunk (reference R11, zarr_spark.py::repartition_chunks): with
+    * Parquet + AQE this is just an explicit repartition — hash for balanced
+    * chunks, range when downstream wants clustered writes. */
+  def rechunk(df: DataFrame, n: Int, rangeBy: Option[String] = None): DataFrame =
+    rangeBy match {
+      case Some(c) => df.repartitionByRange(n, col(c))
+      case None    => df.repartition(n)
+    }
+
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     s.read.parquet(path(d, "events"))
