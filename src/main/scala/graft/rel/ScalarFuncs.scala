@@ -79,12 +79,58 @@ object ScalarFuncs {
         count(col("k")).as("n_with_k"))
       .orderBy("event_type")
 
+  /** NULL-handling surface: coalesce/nullif/nvl2-style conditionals over
+    * the left-join shape that actually produces NULLs. */
+  def nullFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") >= to_timestamp(lit("2000-01-01 00:00:00"))),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(max(col("o_totalprice")).as("max_price"))
+      .select(
+        col("c_custkey"),
+        coalesce(round(col("max_price"), 2), lit(-1.0)).as("price_or_default"),
+        col("max_price").isNull.as("no_recent_orders"),
+        when(col("max_price").isNull, lit("inactive"))
+          .otherwise(lit("active")).as("status"),
+        nullif(coalesce(col("max_price"), lit(0.0)), lit(0.0)).isNull
+          .as("zero_as_null"))
+      .orderBy("c_custkey")
+
+  /** Regex surface: extract / replace / match over part names. */
+  def regexFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .select(
+        col("p_partkey"),
+        regexp_extract(col("p_name"), "^([a-z]+) ", 1).as("first_word"),
+        regexp_replace(col("p_name"), "[aeiou]", "_").as("devoweled"),
+        col("p_name").rlike("^(small|large)").as("is_sized"),
+        size(split(col("p_type"), "[^A-Z]+")).as("type_parts"))
+      .orderBy("p_partkey")
+
+  /** Statistical aggregates: exact percentiles, stddev, correlation,
+    * covariance — per returnflag over lineitem. */
+  def aggStats(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("median_price"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"),
+        round(stddev_samp(col("l_extendedprice")), 2).as("sd_price"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("qty_price_corr"),
+        (round(covar_samp(col("l_discount"), col("l_tax")), 6) + lit(0.0)).as("disc_tax_cov"))
+      .orderBy("l_returnflag")
+
   val queries: Map[String, Q] = Map(
     "q_string_funcs" -> stringFuncs _,
     "q_date_funcs"   -> dateFuncs _,
     "q_math_funcs"   -> mathFuncs _,
     "q_array_funcs"  -> arrayFuncs _,
     "q_json_funcs"   -> jsonFuncs _,
+    "q_null_funcs"   -> nullFuncs _,
+    "q_regex_funcs"  -> regexFuncs _,
+    "q_agg_stats"    -> aggStats _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -128,5 +174,35 @@ object ScalarFuncs {
                 CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
                 CAST(COUNT(props->>'$.k') AS BIGINT) AS n_with_k
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "q_null_funcs" ->
+      """WITH m AS (
+           SELECT c_custkey, max(o_totalprice) AS max_price
+           FROM customer LEFT JOIN orders
+             ON c_custkey = o_custkey
+             AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+           GROUP BY c_custkey)
+         SELECT c_custkey,
+                coalesce(round(max_price, 2), -1.0) AS price_or_default,
+                max_price IS NULL AS no_recent_orders,
+                CASE WHEN max_price IS NULL THEN 'inactive'
+                     ELSE 'active' END AS status,
+                nullif(coalesce(max_price, 0.0), 0.0) IS NULL AS zero_as_null
+         FROM m ORDER BY c_custkey""",
+    "q_regex_funcs" ->
+      """SELECT p_partkey,
+                regexp_extract(p_name, '^([a-z]+) ', 1) AS first_word,
+                regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+                regexp_matches(p_name, '^(small|large)') AS is_sized,
+                CAST(len(regexp_split_to_array(p_type, '[^A-Z]+')) AS INT)
+                  AS type_parts
+         FROM part ORDER BY p_partkey""",
+    "q_agg_stats" ->
+      """SELECT l_returnflag,
+                round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
+                round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+                round(stddev_samp(l_extendedprice), 2) AS sd_price,
+                round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+                round(covar_samp(l_discount, l_tax), 6) + 0.0 AS disc_tax_cov
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
   )
 }
