@@ -144,15 +144,48 @@ object ScMatrix {
       .orderBy(col("disp").desc, col("pos"))
       .limit(k)
 
+  /** Zheng17-faithful HVG: z-score each gene's dispersion WITHIN its
+    * mean-expression bin (ntile binning), then take top-k by normalized
+    * dispersion — scanpy's filter_genes_dispersion(flavor='cell_ranger')
+    * semantics, where raw dispersion ranking would be confounded by the
+    * mean-dispersion trend. Returns (pos, disp_norm) of selected genes. */
+  def hvgZheng17(df: DataFrame, k: Int, nBins: Int = 20,
+                 tau: Double = 0.0): DataFrame = {
+    val binned = geneStats(df, tau)
+      .withColumn("bin", ntile(nBins).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("mu"), col("pos"))))
+    val binW = org.apache.spark.sql.expressions.Window.partitionBy("bin")
+    binned
+      .withColumn("bin_mu", avg(col("disp")).over(binW))
+      .withColumn("bin_sd", stddev_pop(col("disp")).over(binW))
+      // single-gene or zero-variance bins: fall back to raw dispersion
+      .withColumn("disp_norm",
+        when(col("bin_sd").isNull || col("bin_sd") === 0.0, col("disp"))
+          .otherwise((col("disp") - col("bin_mu")) / col("bin_sd")))
+      .select(col("pos"), col("disp_norm"))
+      .orderBy(col("disp_norm").desc_nulls_last, col("pos"))
+      .limit(k)
+  }
+
   /** Keep only the top-k dispersed genes in the matrix. ONE stats pass:
     * rank by dispersion within the stats frame itself (64–30k rows — a
-    * single-partition window is fine at any matrix width). */
-  def projectHvg(df: DataFrame, k: Int, tau: Double = 0.0): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("disp").desc_nulls_last, col("pos"))
-    val flags = geneStats(df, tau)
-      .withColumn("rk", row_number().over(w))
-      .select(col("pos"), (col("rk") <= k).as("keep"))
+    * single-partition window is fine at any matrix width). `binned=true`
+    * uses the Zheng17 normalized-dispersion ranking (hvgZheng17). */
+  def projectHvg(df: DataFrame, k: Int, tau: Double = 0.0,
+                 binned: Boolean = false): DataFrame = {
+    val flags = if (binned) {
+      val keep = hvgZheng17(df, k, tau = tau)
+        .select(col("pos"), lit(true).as("hit"))
+      geneStats(df, tau).select(col("pos"))
+        .join(keep, Seq("pos"), "left")
+        .select(col("pos"), coalesce(col("hit"), lit(false)).as("keep"))
+    } else {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("disp").desc_nulls_last, col("pos"))
+      geneStats(df, tau)
+        .withColumn("rk", row_number().over(w))
+        .select(col("pos"), (col("rk") <= k).as("keep"))
+    }
     projectGenes(df, maskOf(flags))
   }
 
@@ -168,7 +201,7 @@ object ScMatrix {
     // consumer (at cluster scale: MEMORY_AND_DISK, spills instead of OOM)
     val n = normalizePerCell(g, None)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val h = projectHvg(n, nTopGenes)
+    val h = projectHvg(n, nTopGenes, binned = true)
     val n2 = normalizePerCell(h, None)
     val l = log1p(n2)
     scaleZ(l, maxValue = 10.0)

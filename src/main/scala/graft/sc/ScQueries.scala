@@ -60,6 +60,14 @@ object ScQueries {
         round(col("disp"), 6).as("disp"))
       .orderBy(col("disp").desc, col("pos1"))
 
+  /** R9 full Zheng17 flavor: binned normalized dispersion (ntile over mean,
+    * z-score within bin, top-k). */
+  def scHvgBinned(s: SparkSession, d: String): DataFrame =
+    ScMatrix.hvgZheng17(ScMatrix.counts(s, d), HVG_K, nBins = 8)
+      .select((col("pos") + 1).cast("int").as("pos1"),
+        round(col("disp_norm"), 6).as("disp_norm"))
+      .orderBy(col("disp_norm").desc, col("pos1"))
+
   /** R10 recipe_zheng17 end-to-end (no SQL oracle — covered by golden
     * invariants in ScMatrixSpec; driver records rows-only). */
   def scRecipe(s: SparkSession, d: String): DataFrame =
@@ -76,6 +84,7 @@ object ScQueries {
     "q_sc_normalize_log1p" -> scNormalizeLog1p _,
     "q_sc_scale"           -> scScale _,
     "q_sc_hvg_topk"        -> scHvgTopK _,
+    "q_sc_hvg_binned"      -> scHvgBinned _,
     "q_sc_recipe"          -> scRecipe _,
   )
 
@@ -121,6 +130,25 @@ object ScQueries {
       SELECT vec_id, round(sum(zz), 3) AS row_checksum,
              round(max(zz), 4) AS max_z
       FROM z GROUP BY vec_id ORDER BY vec_id""",
+    "q_sc_hvg_binned" -> s"""$COUNTS_CTE,
+      x AS (SELECT vec_id, unnest(v) AS val,
+                   generate_subscripts(v, 1) AS pos FROM c),
+      st AS (SELECT pos, avg(val) AS mu,
+                    var_pop(val) / avg(val) AS disp
+             FROM x GROUP BY pos),
+      b AS (SELECT pos, disp, ntile(8) OVER (ORDER BY mu, pos) AS bin
+            FROM st),
+      z AS (SELECT pos,
+                   CASE WHEN stddev_pop(disp) OVER w IS NULL
+                          OR stddev_pop(disp) OVER w = 0 THEN disp
+                        ELSE (disp - avg(disp) OVER w)
+                             / stddev_pop(disp) OVER w END AS disp_norm
+            FROM b WINDOW w AS (PARTITION BY bin))
+      SELECT pos1, disp_norm FROM (
+        SELECT CAST(pos AS INT) AS pos1, round(disp_norm, 6) AS disp_norm,
+               disp_norm AS dn0
+        FROM z ORDER BY dn0 DESC, pos LIMIT 16)
+      ORDER BY disp_norm DESC, pos1""",
     "q_sc_hvg_topk" -> s"""$COUNTS_CTE,
       x AS (SELECT vec_id, unnest(v) AS val,
                    generate_subscripts(v, 1) AS pos FROM c),
