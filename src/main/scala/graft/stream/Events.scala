@@ -73,6 +73,68 @@ object Events {
       .select(col("user_id"), unix_micros(col("w.start")).as("session_start_us"),
         col("n_events"))
 
+  /** A closed user session. */
+  case class UserSession(user_id: Long, start_us: Long, end_us: Long,
+                         n_events: Int)
+  /** In-flight session state (public: Catalyst's encoder codegen must be
+    * able to construct it from generated code). */
+  case class OpenSession(start_us: Long, end_us: Long, n: Int)
+
+  /** Stateful streaming sessionization via flatMapGroupsWithState +
+    * EventTimeTimeout — append-mode emission of CLOSED sessions only (the
+    * control `session_window` doesn't give you: custom state, custom
+    * emission timing, per-key timeout eviction).
+    *
+    * Within a batch, rows are sorted and gap-split: all but the trailing
+    * session emit immediately; the trailing session stays in state with an
+    * event-time timeout at end+gap, so it closes exactly when the
+    * watermark proves no earlier event can still arrive. State per key is
+    * one OpenSession — O(#active users), watermark-bounded.
+    *
+    * Input: (user_id, ts) with a watermark already applied on ts.
+    */
+  def statefulSessions(events: org.apache.spark.sql.Dataset[(Long, java.sql.Timestamp)],
+                       gapMinutes: Int = 10)
+      : org.apache.spark.sql.Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val gapUs = gapMinutes * 60L * 1000000L
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[OpenSession, UserSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[(Long, java.sql.Timestamp)],
+         state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(UserSession(uid, s.start_us, s.end_us, s.n))
+          } else {
+            val incoming = rows.map(r => r._2.getTime * 1000L).toArray.sorted
+            val merged = state.getOption match {
+              case Some(open) => (Seq((open.start_us, open.end_us, open.n)),
+                incoming.dropWhile(_ <= open.end_us))
+              case None => (Seq.empty[(Long, Long, Int)], incoming)
+            }
+            // gap-split: fold timestamps into (start, end, count) runs
+            var runs = merged._1.toList
+            merged._2.foreach { t =>
+              runs match {
+                case (s0, e0, n0) :: rest if t - e0 < gapUs =>
+                  runs = (s0, math.max(e0, t), n0 + 1) :: rest
+                case _ =>
+                  runs = (t, t, 1) :: runs
+              }
+            }
+            val ordered = runs.reverse
+            val closed = ordered.dropRight(1)
+            val open = ordered.last
+            state.update(OpenSession(open._1, open._2, open._3))
+            state.setTimeoutTimestamp((open._2 + gapUs) / 1000L)
+            closed.iterator.map(c => UserSession(uid, c._1, c._2, c._3))
+          }
+      }
+  }
+
   // ------------------------------------------------------------- queries --
 
   def streamTumbling(s: SparkSession, d: String): DataFrame =

@@ -1,0 +1,77 @@
+package graft.stream
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import java.sql.Timestamp
+
+class StatefulSessionSpec extends SparkSpec {
+  import spark.implicits._
+  implicit def sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def t(s: String) = Timestamp.valueOf(s)
+
+  test("stateful sessions: in-batch gap split emits, tail closes by timeout") {
+    val ms = MemoryStream[(Long, Timestamp)]
+    val sessions = Events.statefulSessions(
+      ms.toDS().toDF("user_id", "ts")
+        .withWatermark("ts", "0 seconds")
+        .as[(Long, Timestamp)], gapMinutes = 10)
+    val q = sessions.toDF()
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("ss_out").start()
+
+    // batch 1: two sessions for user 1 in ONE batch (gap 30m) — the first
+    // closes immediately, the second stays open
+    ms.addData((1L, t("2024-01-01 10:00:00")), (1L, t("2024-01-01 10:05:00")),
+      (1L, t("2024-01-01 10:40:00")))
+    q.processAllAvailable()
+    val afterB1 = spark.table("ss_out").as[Events.UserSession].collect()
+    assert(afterB1.length == 1 && afterB1.head.n_events == 2,
+      afterB1.mkString(","))
+
+    // batch 2: advance the watermark far past 10:50 → open session times out
+    ms.addData((2L, t("2024-01-01 12:00:00")))
+    q.processAllAvailable()
+    // one more batch so the timeout (evaluated at batch start) fires
+    ms.addData((2L, t("2024-01-01 12:00:30")))
+    q.processAllAvailable()
+    q.stop()
+    val all = spark.table("ss_out").as[Events.UserSession].collect()
+    val u1 = all.filter(_.user_id == 1L).sortBy(_.start_us)
+    assert(u1.length == 2, all.mkString(","))
+    assert(u1(1).n_events == 1 &&
+      u1(1).start_us == t("2024-01-01 10:40:00").getTime * 1000)
+  }
+
+  test("stateful session boundaries agree with the batch islands twin") {
+    val data = Seq(
+      (1L, t("2024-01-01 10:00:00")), (1L, t("2024-01-01 10:09:59")),
+      (1L, t("2024-01-01 10:20:00")),                       // >=10m: new
+      (7L, t("2024-01-01 09:00:00")), (7L, t("2024-01-01 09:30:00")))
+    val ms = MemoryStream[(Long, Timestamp)]
+    val q = Events.statefulSessions(
+        ms.toDS().toDF("user_id", "ts").withWatermark("ts", "0 seconds")
+          .as[(Long, Timestamp)])
+      .toDF().writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("ss2_out").start()
+    ms.addData(data: _*)
+    q.processAllAvailable()
+    ms.addData((99L, t("2024-02-01 00:00:00")))  // watermark push
+    q.processAllAvailable()
+    ms.addData((99L, t("2024-02-01 00:00:01")))  // let timeouts fire
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ss2_out")
+      .filter($"user_id" < 99)
+      .select("user_id", "start_us", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val batch = Events.sessionsBatch(
+        data.toDF("user_id", "ts").withColumn("value", lit(0.0)))
+      .select("user_id", "session_start_us", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2).toInt)).toSet
+    assert(got == batch, s"stream=$got batch=$batch")
+  }
+}
