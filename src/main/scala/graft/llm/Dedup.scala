@@ -145,6 +145,48 @@ object Dedup {
       numHashes = 32, bands = 16, tau = 0.95)
       .orderBy("id1", "id2")
 
+  // ------------------------------------------- end-to-end cleaning pass --
+
+  /** The composed training-data cleaning pipeline over documents:
+    * 1. quality gate (token count + common-token ratio),
+    * 2. exact dedup (keep min doc_id per md5),
+    * 3. near-dup removal: drop any doc with a lower-id partner at
+    *    token-set Jaccard ≥ 0.95 (keep-first policy),
+    * emitting the surviving corpus with its quality features. Every stage
+    * is oracle-able, so the whole pipeline hash-checks against DuckDB —
+    * the composition IS the product for a 100 TB cleaning job; bounded to
+    * the doc_id<200 block only in the jaccard stage's pair join. */
+  def pipelineDocs(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).filter(col("doc_id") < 200)
+    val toks = split(col("text"), " ")
+    val quality = docs
+      .withColumn("n_tokens", size(toks))
+      .withColumn("common_ratio",
+        size(filter(toks, t => t.isin(TextOps.CommonTokens: _*)))
+          .cast("double") / size(toks))
+      .filter(col("n_tokens") >= 20 && col("common_ratio") >= 0.05)
+    val exactKept = quality
+      .withColumn("rep", min(col("doc_id"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(md5(col("text")))))
+      .filter(col("doc_id") === col("rep")).drop("rep")
+    val tok = exactKept
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t")).distinct()
+    val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val nearPairs = tok.select(col("doc_id").as("id1"), col("t"))
+      .join(tok.select(col("doc_id").as("id2"), col("t")), Seq("t"))
+      .filter(col("id1") < col("id2"))
+      .groupBy("id1", "id2").agg(count(lit(1)).as("x"))
+      .join(sizes.select(col("doc_id").as("id1"), col("n").as("n1")), Seq("id1"))
+      .join(sizes.select(col("doc_id").as("id2"), col("n").as("n2")), Seq("id2"))
+      .filter(round(col("x").cast("double") / (col("n1") + col("n2") - col("x")), 4)
+        >= 0.95)
+      .select(col("id2").as("doc_id")).distinct()
+    exactKept.join(nearPairs, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        round(col("common_ratio"), 4).as("common_ratio"))
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------------- wiring --
 
   val queries: Map[String, Q] = Map(
@@ -152,6 +194,7 @@ object Dedup {
     "q_dedup_simhash" -> dedupSimhash _,
     "q_dedup_ngram"   -> dedupNgram _,
     "q_dedup_minhash" -> dedupMinhash _,
+    "q_pipeline_docs" -> pipelineDocs _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -190,5 +233,36 @@ object Dedup {
                     JOIN sizes s2 ON s2.doc_id = id2
          WHERE round(CAST(x AS DOUBLE) / (s1.n + s2.n - x), 4) >= 0.95
          ORDER BY id1, id2""",
+    "q_pipeline_docs" ->
+      """WITH quality AS (
+           SELECT doc_id, lang, text,
+                  CAST(len(str_split(text, ' ')) AS INT) AS n_tokens,
+                  CAST(len(list_filter(str_split(text, ' '),
+                    x -> x IN ('join','select','filter','from','where',
+                               'group','order'))) AS DOUBLE)
+                    / len(str_split(text, ' ')) AS common_ratio
+           FROM documents WHERE doc_id < 200),
+         gated AS (
+           SELECT * FROM quality
+           WHERE n_tokens >= 20 AND common_ratio >= 0.05),
+         exact AS (
+           SELECT * FROM (
+             SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS rep
+             FROM gated) WHERE doc_id = rep),
+         tok AS (SELECT DISTINCT doc_id, unnest(str_split(text, ' ')) AS t
+                 FROM exact),
+         sizes AS (SELECT doc_id, count(1) AS n FROM tok GROUP BY doc_id),
+         near AS (
+           SELECT DISTINCT b.id2 AS doc_id FROM (
+             SELECT a.doc_id AS id1, b.doc_id AS id2, count(1) AS x
+             FROM tok a JOIN tok b ON a.t = b.t AND a.doc_id < b.doc_id
+             GROUP BY 1, 2) b
+           JOIN sizes s1 ON s1.doc_id = b.id1
+           JOIN sizes s2 ON s2.doc_id = b.id2
+           WHERE round(CAST(x AS DOUBLE) / (s1.n + s2.n - x), 4) >= 0.95)
+         SELECT doc_id, lang, n_tokens, round(common_ratio, 4) AS common_ratio
+         FROM exact
+         WHERE doc_id NOT IN (SELECT doc_id FROM near)
+         ORDER BY doc_id""",
   )
 }
