@@ -87,7 +87,8 @@ object Dedup {
       .join(sizes.select(col("doc_id").as("id1"), col("n").as("n1")), Seq("id1"))
       .join(sizes.select(col("doc_id").as("id2"), col("n").as("n2")), Seq("id2"))
       .withColumn("jaccard",
-        round(col("x").cast("double") / (col("n1") + col("n2") - col("x")), 4))
+        round(col("x").cast("double") / (col("n1") + col("n2") - col("x"))
+          + lit(1e-9), 4))
       .filter(col("jaccard") >= 0.95)
       .select("id1", "id2", "jaccard")
       .orderBy("id1", "id2")
@@ -132,7 +133,8 @@ object Dedup {
       .join(sizes.select(col("doc_id").as("id1"), col("n").as("n1")), Seq("id1"))
       .join(sizes.select(col("doc_id").as("id2"), col("n").as("n2")), Seq("id2"))
       .withColumn("jaccard",
-        round(col("x").cast("double") / (col("n1") + col("n2") - col("x")), 4))
+        round(col("x").cast("double") / (col("n1") + col("n2") - col("x"))
+          + lit(1e-9), 4))
       .filter(col("jaccard") >= tau)
       .select("id1", "id2", "jaccard")
   }
@@ -178,8 +180,8 @@ object Dedup {
       .groupBy("id1", "id2").agg(count(lit(1)).as("x"))
       .join(sizes.select(col("doc_id").as("id1"), col("n").as("n1")), Seq("id1"))
       .join(sizes.select(col("doc_id").as("id2"), col("n").as("n2")), Seq("id2"))
-      .filter(round(col("x").cast("double") / (col("n1") + col("n2") - col("x")), 4)
-        >= 0.95)
+      .filter(round(col("x").cast("double") / (col("n1") + col("n2") - col("x"))
+        + lit(1e-9), 4) >= 0.95)
       .select(col("id2").as("doc_id")).distinct()
     exactKept.join(nearPairs, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("lang"), col("n_tokens"),
@@ -228,10 +230,11 @@ object Dedup {
                    FROM tok a JOIN tok b ON a.t = b.t AND a.doc_id < b.doc_id
                    GROUP BY 1, 2)
          SELECT id1, id2,
-                round(CAST(x AS DOUBLE) / (s1.n + s2.n - x), 4) AS jaccard
+                round(CAST(x AS DOUBLE) / (s1.n + s2.n - x) + 1e-9, 4)
+                  AS jaccard
          FROM inter JOIN sizes s1 ON s1.doc_id = id1
                     JOIN sizes s2 ON s2.doc_id = id2
-         WHERE round(CAST(x AS DOUBLE) / (s1.n + s2.n - x), 4) >= 0.95
+         WHERE round(CAST(x AS DOUBLE) / (s1.n + s2.n - x) + 1e-9, 4) >= 0.95
          ORDER BY id1, id2""",
     "q_pipeline_docs" ->
       """WITH quality AS (
@@ -259,7 +262,8 @@ object Dedup {
              GROUP BY 1, 2) b
            JOIN sizes s1 ON s1.doc_id = b.id1
            JOIN sizes s2 ON s2.doc_id = b.id2
-           WHERE round(CAST(x AS DOUBLE) / (s1.n + s2.n - x), 4) >= 0.95)
+           WHERE round(CAST(x AS DOUBLE) / (s1.n + s2.n - x) + 1e-9, 4)
+                 >= 0.95)
          SELECT doc_id, lang, n_tokens, round(common_ratio, 4) AS common_ratio
          FROM exact
          WHERE doc_id NOT IN (SELECT doc_id FROM near)

@@ -62,14 +62,14 @@ object TextOps {
     val quality = round(
       lit(0.4) * least(lit(1.0), nTok / 50.0) +
       lit(0.3) * commonRatio +
-      lit(0.3) * least(lit(1.0), avgLen / 8.0), 4)
+      lit(0.3) * least(lit(1.0), avgLen / 8.0) + lit(1e-9), 4)
     Tables.documents(s, d).select(
         col("doc_id"),
         size(toks).as("n_tokens"),
         size(regexp_extract_all(col("text"), lit(SubtokenRe), lit(0)))
           .as("n_subtokens"),
-        round(avgLen, 4).as("avg_token_len"),
-        round(commonRatio, 4).as("common_ratio"),
+        round(avgLen + lit(1e-9), 4).as("avg_token_len"),
+        round(commonRatio + lit(1e-9), 4).as("common_ratio"),
         quality.as("quality"))
       .orderBy("doc_id")
   }
@@ -175,11 +175,16 @@ object TextOps {
                         / len(toks) AS common_ratio
                FROM t)
          SELECT doc_id, n_tokens, n_subtokens,
-                round(avg_len, 4) AS avg_token_len,
-                round(common_ratio, 4) AS common_ratio,
-                round(0.4 * least(1.0, n_tokens / 50.0)
-                    + 0.3 * common_ratio
-                    + 0.3 * least(1.0, avg_len / 8.0), 4) AS quality
+                round(avg_len + 1e-9, 4) AS avg_token_len,
+                round(common_ratio + 1e-9, 4) AS common_ratio,
+                round(CAST(0.4 AS DOUBLE)
+                        * least(CAST(1.0 AS DOUBLE),
+                                CAST(n_tokens AS DOUBLE) / 50.0)
+                    + CAST(0.3 AS DOUBLE) * common_ratio
+                    + CAST(0.3 AS DOUBLE)
+                        * least(CAST(1.0 AS DOUBLE), avg_len / 8.0)
+                    + 1e-9, 4)
+                  AS quality
          FROM f ORDER BY doc_id""",
     "q_text_fingerprint" ->
       """WITH tok AS (SELECT doc_id, unnest(str_split(text, ' ')) AS t,

@@ -62,7 +62,7 @@ object ScalarFuncs {
       .select(
         col("vec_id"),
         size(col("embedding")).as("dim"),
-        round(element_at(col("embedding"), 1).cast("double"), 4).as("first_val"),
+        (round(element_at(col("embedding"), 1).cast("double"), 4) + lit(0.0)).as("first_val"),
         round(aggregate(col("embedding"), lit(0.0),
           (acc, x) => acc + x.cast("double")), 4).as("vec_sum"),
         round(aggregate(slice(col("embedding"), 1, 8), lit(0.0),
@@ -163,7 +163,7 @@ object ScalarFuncs {
     "q_array_funcs" ->
       """SELECT vec_id,
                 CAST(len(embedding) AS INT) AS dim,
-                round(CAST(embedding[1] AS DOUBLE), 4) AS first_val,
+                round(CAST(embedding[1] AS DOUBLE), 4) + 0.0 AS first_val,
                 round(list_sum(list_transform(embedding,
                       x -> CAST(x AS DOUBLE))), 4) AS vec_sum,
                 round(list_sum(list_transform(embedding[1:8],

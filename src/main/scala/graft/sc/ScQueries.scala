@@ -48,9 +48,9 @@ object ScQueries {
   def scScale(s: SparkSession, d: String): DataFrame =
     ScMatrix.scaleZ(ScMatrix.counts(s, d), CLIP)
       .select(col("id").as("vec_id"),
-        round(aggregate(col("vec"), lit(0.0), (a, x) => a + x), 3)
+        (round(aggregate(col("vec"), lit(0.0), (a, x) => a + x), 3) + lit(0.0))
           .as("row_checksum"),
-        round(array_max(col("vec")), 4).as("max_z"))
+        (round(array_max(col("vec")), 4) + lit(0.0)).as("max_z"))
       .orderBy("vec_id")
 
   /** R9 HVG: top-k genes by dispersion (var/mean) — Zheng17 core. */
@@ -127,8 +127,8 @@ object ScQueries {
                    CASE WHEN sigma = 0 THEN 0.0
                         ELSE least((val - mu) / sigma, 3.0) END AS zz
             FROM x JOIN st USING (pos))
-      SELECT vec_id, round(sum(zz), 3) AS row_checksum,
-             round(max(zz), 4) AS max_z
+      SELECT vec_id, round(sum(zz), 3) + 0.0 AS row_checksum,
+             round(max(zz), 4) + 0.0 AS max_z
       FROM z GROUP BY vec_id ORDER BY vec_id""",
     "q_sc_hvg_binned" -> s"""$COUNTS_CTE,
       x AS (SELECT vec_id, unnest(v) AS val,
