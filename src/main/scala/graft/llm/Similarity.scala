@@ -112,6 +112,61 @@ object Similarity {
       .filter(col("cosine") >= tau)
   }
 
+  // ------------------------------------------------- IVF (scale path 2) --
+
+  /** IVF (inverted-file) approximate nearest-neighbour top-k: cluster the
+    * corpus into nList KMeans cells (seeded — deterministic), then for each
+    * query vector search only the nProbe nearest cells. The other classic
+    * ANN scale shape next to LSH: candidate count ≈ n·nProbe/nList instead
+    * of n².
+    *
+    * Scale: centroids are a tiny broadcast literal (nList × dim doubles);
+    * cell assignment is a map-side argmin; the search join is an equi-join
+    * on cell id — linear shuffle. KMeans fit is MLlib's distributed
+    * Lloyd's; at 100 TB fit on a sample.
+    */
+  def ivfTopK(df: DataFrame, k: Int, nList: Int = 16, nProbe: Int = 4,
+              seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.linalg.{Vector => MlVector, Vectors}
+    val spark = df.sparkSession
+    val toVec = udf((a: Seq[Double]) => Vectors.dense(a.toArray))
+    val feats = df.withColumn("features", toVec(col("v")))
+    val model = new KMeans().setK(nList).setSeed(seed)
+      .setFeaturesCol("features").fit(feats)
+    val centroids = model.clusterCenters.map(_.toArray.toSeq).toSeq
+    val centLit = typedlit(centroids)
+    // distances to every centroid, once per row (nested HOF, one codegen)
+    val dists = transform(sequence(lit(0), lit(nList - 1)), c => {
+      val cent = element_at(centLit, c + 1)
+      aggregate(zip_with(col("v"), cent, (x, y) => (x - y) * (x - y)),
+        lit(0.0), _ + _)
+    })
+    val withCells = df.withColumn("__dists", dists)
+      .withColumn("cell",
+        array_position(col("__dists"), array_min(col("__dists"))).cast("int") - 1)
+      .withColumn("probe_cells",
+        slice(transform(array_sort(zip_with(col("__dists"),
+            sequence(lit(0), lit(nList - 1)),
+            (d, i) => struct(d.as("d"), i.as("i")))),
+          s => s.getField("i")), 1, nProbe))
+      .drop("__dists")
+    val index = withCells.select(col("id").as("id2"), col("v").as("v2"),
+      col("cell"))
+    val probes = withCells.select(col("id").as("id1"), col("v").as("v1"),
+      explode(col("probe_cells")).as("cell"))
+    GraftFunctions.register(spark)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id1").orderBy(col("cosine").desc, col("id2"))
+    probes.join(index, Seq("cell"))
+      .filter(col("id1") =!= col("id2"))
+      .select(col("id1"), col("id2"),
+        round(GraftFunctions.cosineSim(col("v1"), col("v2")), 4).as("cosine"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .drop("rk")
+  }
+
   /** LSH similarity pairs over the full embeddings table (no block bound —
     * this is the operator that scales). oracle:no (approximate). */
   def similarityLsh(s: SparkSession, d: String): DataFrame =
@@ -121,10 +176,20 @@ object Similarity {
       tau = 0.35)
       .orderBy("id1", "id2")
 
+  /** IVF ANN top-5 neighbours per vector (rows-only: KMeans cells are
+    * engine-specific; recall vs brute force gated in SimilaritySpec). */
+  def similarityIvf(s: SparkSession, d: String): DataFrame =
+    ivfTopK(
+      Tables.embeddings(s, d).select(col("vec_id").as("id"),
+        transform(col("embedding"), _.cast("double")).as("v")),
+      k = 5)
+      .orderBy("id1", "id2")
+
   val queries: Map[String, Q] = Map(
     "q_similarity_knn" -> similarityKnn _,
     "q_dedup_embedding" -> dedupEmbedding _,
     "q_similarity_lsh" -> similarityLsh _,
+    "q_similarity_ivf" -> similarityIvf _,
   )
 
   val oracle: Map[String, String] = Map(

@@ -134,6 +134,18 @@ object Relational {
       .agg(approx_count_distinct(col("user_id")).as("approx_users"))
       .orderBy("event_type")
 
+  /** Approximate percentiles (sketch-based, fixed accuracy) — the 100 TB
+    * companion to q_agg_stats' exact percentile: bounded-memory sketch per
+    * group, mergeable partials. Approximate by design: oracle:no. */
+  def aggApproxPercentile(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("p50"),
+        expr("approx_percentile(l_extendedprice, array(0.9, 0.99), 10000)")
+          .as("p90_p99"))
+      .orderBy("l_returnflag")
+
   /** Revenue by ROLLUP(region, nation): ExpandExec duplicates each row per
     * grouping set; partial agg keeps the shuffle bounded by group count. */
   def aggRollup(s: SparkSession, d: String): DataFrame =
@@ -180,6 +192,7 @@ object Relational {
     "q_agg_hash"            -> aggHash _,
     "q_agg_distinct"        -> aggDistinct _,
     "q_agg_approx_distinct" -> aggApproxDistinct _,
+    "q_agg_approx_percentile" -> aggApproxPercentile _,
     "q_agg_rollup"          -> aggRollup _,
     "q_agg_cube"            -> aggCube _,
     "q_agg_grouping_sets"   -> aggGroupingSets _,

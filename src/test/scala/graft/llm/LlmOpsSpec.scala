@@ -157,3 +157,41 @@ class MultimodalSpec extends SparkSpec {
     assert(!plan.contains("mapPartitions"), plan)
   }
 }
+
+class IvfSpec extends graft.SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("ivf top-k: high recall vs brute force on sf0.001 embeddings") {
+    val vecs = graft.tables.Tables.embeddings(spark, sf)
+      .filter($"vec_id" < 200)
+      .select($"vec_id".as("id"),
+        transform($"embedding", _.cast("double")).as("v"))
+    val ivf = Similarity.ivfTopK(vecs, k = 3, nList = 8, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute-force top-3 per query vector
+    graft.functions.GraftFunctions.register(spark)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id1").orderBy(col("cosine").desc, col("id2"))
+    val brute = vecs.select($"id".as("id1"), $"v".as("v1"))
+      .join(vecs.select($"id".as("id2"), $"v".as("v2")), $"id1" =!= $"id2")
+      .select($"id1", $"id2",
+        graft.functions.GraftFunctions.cosineSim($"v1", $"v2").as("cosine"))
+      .withColumn("rk", row_number().over(w)).filter($"rk" <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (ivf & brute).size.toDouble / brute.size
+    assert(recall >= 0.5, s"IVF recall $recall too low (nProbe=4/8 cells)")
+    // every query vector got exactly k results
+    assert(ivf.groupBy(_._1).forall(_._2.size == 3))
+  }
+
+  test("ivf is deterministic across runs (seeded kmeans)") {
+    val vecs = graft.tables.Tables.embeddings(spark, sf)
+      .filter($"vec_id" < 100)
+      .select($"vec_id".as("id"),
+        transform($"embedding", _.cast("double")).as("v"))
+    val a = Similarity.ivfTopK(vecs, k = 2).collect().map(_.toSeq).toSet
+    val b = Similarity.ivfTopK(vecs, k = 2).collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+}
