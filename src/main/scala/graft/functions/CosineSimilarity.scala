@@ -3,11 +3,11 @@ package graft.functions
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
-/** Native Catalyst expression: cosine similarity of two ARRAY<DOUBLE>
-  * columns with full whole-stage codegen (tight primitive loop, no
-  * per-element boxing or lambda dispatch).
+/** Native Catalyst expression: cosine similarity of two ARRAY<DOUBLE> or
+  * ARRAY<FLOAT> columns with full whole-stage codegen (one fused primitive
+  * loop, no per-element boxing or lambda dispatch).
   *
   * This is preference order (b) from SURVEY.md §4.2: the composed
   * higher-order-function formulation (Similarity.cosine — zip_with +
@@ -15,25 +15,37 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * chains per row; this expression does one fused loop. Registered for SQL
   * as `cosine_sim` via GraftFunctions / GraftExtensions.
   *
-  * Returns NULL on NULL input; NaN when either vector has zero norm
-  * (matches the HOF formulation's 0/0 behavior).
+  * Elements are read per the child's ACTUAL array element type — float
+  * arrays are never read through getDouble (that reads 8-byte slots over
+  * 4-byte data and silently returns garbage; `ExpectsInputTypes` is
+  * sql-private so the analyzer inserts no cast for externally-registered
+  * expressions). Unsupported element types throw at first evaluation /
+  * code generation. Returns NULL on NULL input rows; NaN when either
+  * vector has zero norm (rankers should null it — Similarity.safeCosine).
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  // inputs must be ARRAY<DOUBLE> (ExpectsInputTypes is sql-private; the
-  // Column wrapper and SQL registration sites guarantee the cast)
+  private def elemType(e: Expression): DataType = e.dataType match {
+    case ArrayType(t @ (DoubleType | FloatType), _) => t
+    case other => throw new IllegalArgumentException(
+      s"cosine_sim expects array<double> or array<float>, got $other")
+  }
+
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    val lDouble = elemType(left) == DoubleType
+    val rDouble = elemType(right) == DoubleType
     val n = math.min(x.numElements(), y.numElements())
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
     while (i < n) {
-      val xi = x.getDouble(i); val yi = y.getDouble(i)
+      val xi = if (lDouble) x.getDouble(i) else x.getFloat(i).toDouble
+      val yi = if (rDouble) y.getDouble(i) else y.getFloat(i).toDouble
       dot += xi * yi; nx += xi * xi; ny += yi * yi
       i += 1
     }
@@ -47,12 +59,15 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val dot = ctx.freshName("dot")
       val nx = ctx.freshName("nx")
       val ny = ctx.freshName("ny")
+      def get(arr: String, e: Expression) =
+        if (elemType(e) == DoubleType) s"$arr.getDouble($i)"
+        else s"(double) $arr.getFloat($i)"
       s"""
         int $n = java.lang.Math.min($a.numElements(), $b.numElements());
         double $dot = 0.0, $nx = 0.0, $ny = 0.0;
         for (int $i = 0; $i < $n; $i++) {
-          double x = $a.getDouble($i);
-          double y = $b.getDouble($i);
+          double x = ${get(a, left)};
+          double y = ${get(b, right)};
           $dot += x * y; $nx += x * x; $ny += y * y;
         }
         ${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));

@@ -39,19 +39,20 @@ object GraftFunctions {
     * sc-matrix median-of-row-sums use is one group of #cells values; at
     * 100 TB use percentile_approx or the built-in exact percentile
     * instead, which spill). */
-  object ExactMedian extends Aggregator[Double, Array[Double], Double] {
-    override def zero: Array[Double] = Array.empty
-    override def reduce(b: Array[Double], a: Double): Array[Double] = b :+ a
-    override def merge(b1: Array[Double], b2: Array[Double]): Array[Double] =
-      b1 ++ b2
-    override def finish(r: Array[Double]): Double = {
+  object ExactMedian extends Aggregator[Double, List[Double], Double] {
+    override def zero: List[Double] = Nil
+    // List prepend is O(1); the old Array :+ buffer was O(n) per row
+    override def reduce(b: List[Double], a: Double): List[Double] = a :: b
+    override def merge(b1: List[Double], b2: List[Double]): List[Double] =
+      b1 reverse_::: b2
+    override def finish(r: List[Double]): Double = {
       if (r.isEmpty) return Double.NaN
-      val s = r.sorted
+      val s = r.toArray.sorted
       val n = s.length
       if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
     }
-    override def bufferEncoder: Encoder[Array[Double]] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
+    override def bufferEncoder: Encoder[List[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[Double]]()
     override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
   }
 }

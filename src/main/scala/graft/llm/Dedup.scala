@@ -72,27 +72,37 @@ object Dedup {
     docs.select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
       .distinct()
 
-  /** Exact token-set Jaccard similarity pairs ≥ tau within a doc_id block —
-    * the ground-truth near-dup set the approximate methods are judged
-    * against. Relational formulation (explode → equi-join on token →
-    * count ratio) so the shuffle is keyed by token, not all-pairs. */
-  def dedupNgram(s: SparkSession, d: String): DataFrame = {
-    val tok = tokenSets(Tables.documents(s, d).filter(col("doc_id") < 100))
+  /** THE token-set Jaccard pair computation (single implementation —
+    * the ground truth all approximate dedup paths verify against, and the
+    * place the +1e-9 round-boundary epsilon lives). `cand` optionally
+    * restricts the pair space to pre-generated candidates (LSH). */
+  def jaccardPairs(tok: DataFrame, tau: Double,
+                   cand: Option[DataFrame] = None): DataFrame = {
     val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = tok.select(col("doc_id").as("id1"), col("t"))
-      .join(tok.select(col("doc_id").as("id2"), col("t")), Seq("t"))
-      .filter(col("id1") < col("id2"))
-      .groupBy("id1", "id2").agg(count(lit(1)).as("x"))
+    val left = tok.select(col("doc_id").as("id1"), col("t"))
+    val right = tok.select(col("doc_id").as("id2"), col("t"))
+    val inter = (cand match {
+      case None => left.join(right, Seq("t")).filter(col("id1") < col("id2"))
+      case Some(c) => left.join(c, Seq("id1")).join(right, Seq("id2", "t"))
+    }).groupBy("id1", "id2").agg(count(lit(1)).as("x"))
     inter
       .join(sizes.select(col("doc_id").as("id1"), col("n").as("n1")), Seq("id1"))
       .join(sizes.select(col("doc_id").as("id2"), col("n").as("n2")), Seq("id2"))
       .withColumn("jaccard",
         round(col("x").cast("double") / (col("n1") + col("n2") - col("x"))
           + lit(1e-9), 4))
-      .filter(col("jaccard") >= 0.95)
+      .filter(col("jaccard") >= tau)
       .select("id1", "id2", "jaccard")
-      .orderBy("id1", "id2")
   }
+
+  /** Exact token-set Jaccard similarity pairs ≥ tau within a doc_id block —
+    * the ground-truth near-dup set the approximate methods are judged
+    * against. Relational formulation (explode → equi-join on token →
+    * count ratio) so the shuffle is keyed by token, not all-pairs. */
+  def dedupNgram(s: SparkSession, d: String): DataFrame =
+    jaccardPairs(
+      tokenSets(Tables.documents(s, d).filter(col("doc_id") < 100)), 0.95)
+      .orderBy("id1", "id2")
 
   // -------------------------------------------------------- minhash lsh --
 
@@ -124,19 +134,7 @@ object Dedup {
       .filter(col("id1") < col("id2"))
       .select("id1", "id2").distinct()
     // exact verification on candidates only
-    val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = tok.select(col("doc_id").as("id1"), col("t"))
-      .join(cand, Seq("id1"))
-      .join(tok.select(col("doc_id").as("id2"), col("t")), Seq("id2", "t"))
-      .groupBy("id1", "id2").agg(count(lit(1)).as("x"))
-    inter
-      .join(sizes.select(col("doc_id").as("id1"), col("n").as("n1")), Seq("id1"))
-      .join(sizes.select(col("doc_id").as("id2"), col("n").as("n2")), Seq("id2"))
-      .withColumn("jaccard",
-        round(col("x").cast("double") / (col("n1") + col("n2") - col("x"))
-          + lit(1e-9), 4))
-      .filter(col("jaccard") >= tau)
-      .select("id1", "id2", "jaccard")
+    jaccardPairs(tok, tau, Some(cand))
   }
 
   /** MinHash-LSH near-dup pairs (verified). oracle:no — candidate recall
@@ -171,17 +169,8 @@ object Dedup {
       .withColumn("rep", min(col("doc_id"))
         .over(org.apache.spark.sql.expressions.Window.partitionBy(md5(col("text")))))
       .filter(col("doc_id") === col("rep")).drop("rep")
-    val tok = exactKept
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("t")).distinct()
-    val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val nearPairs = tok.select(col("doc_id").as("id1"), col("t"))
-      .join(tok.select(col("doc_id").as("id2"), col("t")), Seq("t"))
-      .filter(col("id1") < col("id2"))
-      .groupBy("id1", "id2").agg(count(lit(1)).as("x"))
-      .join(sizes.select(col("doc_id").as("id1"), col("n").as("n1")), Seq("id1"))
-      .join(sizes.select(col("doc_id").as("id2"), col("n").as("n2")), Seq("id2"))
-      .filter(round(col("x").cast("double") / (col("n1") + col("n2") - col("x"))
-        + lit(1e-9), 4) >= 0.95)
+    val tok = tokenSets(exactKept.select("doc_id", "text"))
+    val nearPairs = jaccardPairs(tok, 0.95)
       .select(col("id2").as("doc_id")).distinct()
     exactKept.join(nearPairs, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("lang"), col("n_tokens"),

@@ -28,6 +28,14 @@ object Similarity {
     dot / (na * nb)
   }
 
+  /** Cosine with zero-norm pairs mapped to NULL instead of NaN — Spark
+    * sorts NaN as the LARGEST double, so a single zero vector would
+    * otherwise win every descending top-k (NULLs sort last under desc). */
+  def safeCosine(a: Column, b: Column): Column = {
+    val c = GraftFunctions.cosineSim(a, b)
+    when(isnan(c), lit(null)).otherwise(c)
+  }
+
   /** embeddings as (id, v: array<double>). */
   private def vecs(s: SparkSession, d: String, maxId: Long): DataFrame =
     Tables.embeddings(s, d)
@@ -45,7 +53,7 @@ object Similarity {
       .join(e.select(col("id").as("id2"), col("v").as("v2")),
         col("id1") < col("id2"))
       .select(col("id1"), col("id2"),
-        GraftFunctions.cosineSim(col("v1"), col("v2")).as("cos0"))
+        safeCosine(col("v1"), col("v2")).as("cos0"))
     pairs.orderBy(col("cos0").desc, col("id1"), col("id2")).limit(10)
       .select(col("id1"), col("id2"), round(col("cos0"), 4).as("cosine"))
       .orderBy(col("cosine").desc, col("id1"), col("id2"))
@@ -59,7 +67,7 @@ object Similarity {
       .join(e.select(col("id").as("id2"), col("v").as("v2")),
         col("id1") < col("id2"))
       .select(col("id1"), col("id2"),
-        round(GraftFunctions.cosineSim(col("v1"), col("v2")), 4).as("cosine"))
+        round(safeCosine(col("v1"), col("v2")), 4).as("cosine"))
       .filter(col("cosine") >= 0.35)
       .orderBy("id1", "id2")
   }
@@ -108,7 +116,7 @@ object Similarity {
       .join(df.select(col("id").as("id1"), col("v").as("v1")), Seq("id1"))
       .join(df.select(col("id").as("id2"), col("v").as("v2")), Seq("id2"))
       .select(col("id1"), col("id2"),
-        round(GraftFunctions.cosineSim(col("v1"), col("v2")), 4).as("cosine"))
+        round(safeCosine(col("v1"), col("v2")), 4).as("cosine"))
       .filter(col("cosine") >= tau)
   }
 
@@ -161,7 +169,7 @@ object Similarity {
     probes.join(index, Seq("cell"))
       .filter(col("id1") =!= col("id2"))
       .select(col("id1"), col("id2"),
-        round(GraftFunctions.cosineSim(col("v1"), col("v2")), 4).as("cosine"))
+        round(safeCosine(col("v1"), col("v2")), 4).as("cosine"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .drop("rk")

@@ -91,8 +91,7 @@ object TextOps {
       .withColumn("t2", lead(col("t"), 2).over(wOrd))
       .filter(col("t2").isNotNull)
       .withColumn("g3", concat_ws(" ", col("t"), col("t1"), col("t2")))
-      .withColumn("h", conv(substring(md5(col("g3")), 1, 15), 16, 10)
-        .cast("long"))
+      .withColumn("h", Dedup.md5Hash60(col("g3")))
     val wFrame = wOrd.rowsBetween(Window.currentRow, 3)
     val fps = g3.withColumn("wmin", min(col("h")).over(wFrame))
       .groupBy("doc_id")

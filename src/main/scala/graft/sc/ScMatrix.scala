@@ -150,8 +150,14 @@ object ScMatrix {
     * semantics, where raw dispersion ranking would be confounded by the
     * mean-dispersion trend. Returns (pos, disp_norm) of selected genes. */
   def hvgZheng17(df: DataFrame, k: Int, nBins: Int = 20,
-                 tau: Double = 0.0): DataFrame = {
-    val binned = geneStats(df, tau)
+                 tau: Double = 0.0): DataFrame =
+    hvgZheng17FromStats(geneStats(df, tau), k, nBins)
+
+  /** Same ranking over an already-computed geneStats frame (lets callers
+    * reuse one stats pass for ranking AND projection). */
+  def hvgZheng17FromStats(stats: DataFrame, k: Int,
+                          nBins: Int = 20): DataFrame = {
+    val binned = stats
       .withColumn("bin", ntile(nBins).over(
         org.apache.spark.sql.expressions.Window.orderBy(col("mu"), col("pos"))))
     val binW = org.apache.spark.sql.expressions.Window.partitionBy("bin")
@@ -174,9 +180,11 @@ object ScMatrix {
   def projectHvg(df: DataFrame, k: Int, tau: Double = 0.0,
                  binned: Boolean = false): DataFrame = {
     val flags = if (binned) {
-      val keep = hvgZheng17(df, k, tau = tau)
+      // ONE stats pass shared by the ranking and the full pos list
+      val stats = geneStats(df, tau)
+      val keep = hvgZheng17FromStats(stats, k)
         .select(col("pos"), lit(true).as("hit"))
-      geneStats(df, tau).select(col("pos"))
+      stats.select(col("pos"))
         .join(keep, Seq("pos"), "left")
         .select(col("pos"), coalesce(col("hit"), lit(false)).as("keep"))
     } else {
@@ -198,7 +206,10 @@ object ScMatrix {
     val g = filterGenes(df, minCellsFrac = 0.0000001, tau = 0.0)
     // persist the normalized matrix: it feeds BOTH the HVG stats pass and
     // the projection — without this the whole upstream recipe re-runs per
-    // consumer (at cluster scale: MEMORY_AND_DISK, spills instead of OOM)
+    // consumer (at cluster scale: MEMORY_AND_DISK, spills instead of OOM).
+    // Lifecycle: the cache lives until the session drops it; callers doing
+    // many recipes in one session should unpersist via
+    // spark.sharedState.cacheManager.clearCache() between runs
     val n = normalizePerCell(g, None)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val h = projectHvg(n, nTopGenes, binned = true)

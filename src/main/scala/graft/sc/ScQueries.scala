@@ -112,7 +112,9 @@ object ScQueries {
       WHERE n_cells >= 0.617 * (SELECT count(*) FROM embeddings)
       ORDER BY pos1""",
     "q_sc_normalize_log1p" -> s"""$COUNTS_CTE,
-      sc AS (SELECT vec_id, v, 100.0 / list_sum(v) AS s FROM c),
+      sc AS (SELECT vec_id, v,
+                    CASE WHEN list_sum(v) = 0 THEN 1.0
+                         ELSE 100.0 / list_sum(v) END AS s FROM c),
       n AS (SELECT vec_id,
                    list_transform(v, x -> ln(1.0 + x * s)) AS y FROM sc)
       SELECT vec_id, round(list_sum(y), 4) AS row_checksum,

@@ -109,20 +109,21 @@ object Events {
             state.remove()
             Iterator.single(UserSession(uid, s.start_us, s.end_us, s.n))
           } else {
-            val incoming = rows.map(r => r._2.getTime * 1000L).toArray.sorted
-            val merged = state.getOption match {
-              case Some(open) => (Seq((open.start_us, open.end_us, open.n)),
-                incoming.dropWhile(_ <= open.end_us))
-              case None => (Seq.empty[(Long, Long, Int)], incoming)
-            }
-            // gap-split: fold timestamps into (start, end, count) runs
-            var runs = merged._1.toList
-            merged._2.foreach { t =>
+            // interval-merge the open session with ALL incoming events
+            // (late-but-within-watermark rows may fall inside or even
+            // before the open session — they extend/backfill it, never
+            // get dropped; Spark already filtered sub-watermark rows)
+            val points = rows.map(r => (r._2.getTime * 1000L, r._2.getTime * 1000L, 1))
+            val intervals = (state.getOption
+                .map(o => (o.start_us, o.end_us, o.n)).toSeq ++ points)
+              .sortBy(_._1)
+            var runs = List.empty[(Long, Long, Int)]
+            intervals.foreach { case (s0, e0, n0) =>
               runs match {
-                case (s0, e0, n0) :: rest if t - e0 < gapUs =>
-                  runs = (s0, math.max(e0, t), n0 + 1) :: rest
+                case (cs, ce, cn) :: rest if s0 - ce < gapUs =>
+                  runs = (cs, math.max(ce, e0), cn + n0) :: rest
                 case _ =>
-                  runs = (t, t, 1) :: runs
+                  runs = (s0, e0, n0) :: runs
               }
             }
             val ordered = runs.reverse

@@ -75,3 +75,38 @@ class StatefulSessionSpec extends SparkSpec {
     assert(got == batch, s"stream=$got batch=$batch")
   }
 }
+
+class LateEventSessionSpec extends graft.SparkSpec {
+  import spark.implicits._
+  implicit def sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+  import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+  import org.apache.spark.sql.streaming.OutputMode
+  import java.sql.Timestamp
+  private def t(s: String) = Timestamp.valueOf(s)
+
+  test("late-but-within-watermark event joins the open session (not dropped)") {
+    val ms = MemoryStream[(Long, Timestamp)]
+    val q = Events.statefulSessions(
+        ms.toDS().toDF("user_id", "ts")
+          .withWatermark("ts", "1 hour")          // generous watermark delay
+          .as[(Long, Timestamp)], gapMinutes = 10)
+      .toDF().writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("late_out").start()
+    // batch 1: open session [10:00, 10:05]
+    ms.addData((1L, t("2024-01-01 10:00:00")), (1L, t("2024-01-01 10:05:00")))
+    q.processAllAvailable()
+    // batch 2: a LATE event at 10:03 (within watermark) — must merge in
+    ms.addData((1L, t("2024-01-01 10:03:00")))
+    q.processAllAvailable()
+    // close the session via watermark + follow-up batch
+    ms.addData((9L, t("2024-01-02 00:00:00")))
+    q.processAllAvailable()
+    ms.addData((9L, t("2024-01-02 00:00:01")))
+    q.processAllAvailable()
+    q.stop()
+    val u1 = spark.table("late_out").as[Events.UserSession]
+      .collect().filter(_.user_id == 1L)
+    assert(u1.length == 1 && u1.head.n_events == 3,
+      s"late event lost: ${u1.mkString(",")}")
+  }
+}
