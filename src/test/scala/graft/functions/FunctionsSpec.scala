@@ -72,3 +72,48 @@ class FunctionsSpec extends SparkSpec {
     assert(math.abs(a - b) < 1e-9, s"$a vs $b")
   }
 }
+
+class CosineFloatArraySpec extends graft.SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("cosine_sim on raw ARRAY<FLOAT> equals the cast-to-double result") {
+    GraftFunctions.register(spark)
+    val e = graft.tables.Tables.embeddings(spark, sf).limit(50)
+    val viaFloat = e.select($"vec_id",
+      expr("cosine_sim(embedding, embedding)").as("c")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val viaDouble = e.select($"vec_id",
+      GraftFunctions.cosineSim(
+        transform($"embedding", _.cast("double")),
+        transform($"embedding", _.cast("double"))).as("c")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    viaFloat.foreach { case (id, c) =>
+      assert(math.abs(c - 1.0) < 1e-6, s"self-cosine of $id = $c")
+      assert(math.abs(c - viaDouble(id)) < 1e-6)
+    }
+  }
+
+  test("unsupported element types are rejected, not silently misread") {
+    GraftFunctions.register(spark)
+    val err = intercept[Exception] {
+      spark.sql("SELECT cosine_sim(array(1, 2), array(3, 4))").collect()
+    }
+    assert(err.getMessage.contains("cosine_sim") ||
+      err.getCause != null, err.getMessage)
+  }
+
+  test("zero-norm vectors never win a top-k (safeCosine NULLs NaN)") {
+    import graft.llm.Similarity
+    val vecs = (Seq((0L, Seq.fill(4)(0.0))) ++            // zero vector
+      (1L to 10L).map(i => (i, Seq(i.toDouble, 1.0, 0.0, 0.0))))
+      .toDF("id", "v")
+    GraftFunctions.register(spark)
+    val pairs = vecs.select($"id".as("id1"), $"v".as("v1"))
+      .join(vecs.select($"id".as("id2"), $"v".as("v2")), $"id1" < $"id2")
+      .select($"id1", $"id2", Similarity.safeCosine($"v1", $"v2").as("c"))
+      .orderBy($"c".desc_nulls_last).limit(5)
+      .collect()
+    assert(pairs.forall(r => r.getLong(0) != 0L && !r.isNullAt(2)))
+  }
+}
