@@ -145,6 +145,21 @@ object Dedup {
       numHashes = 32, bands = 16, tau = 0.95)
       .orderBy("id1", "id2")
 
+  /** Edit-distance near-dup pairs: levenshtein over a small doc block
+    * (classic DP is O(len²) per pair — strictly block-bounded; at scale,
+    * band by simhash/minhash first and verify survivors with this). */
+  def dedupEditDistance(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).filter(col("doc_id") < 50)
+      .select(col("doc_id"), col("text"))
+    docs.select(col("doc_id").as("id1"), col("text").as("t1"))
+      .join(docs.select(col("doc_id").as("id2"), col("text").as("t2")),
+        col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        levenshtein(col("t1"), col("t2")).as("edit_dist"))
+      .filter(col("edit_dist") <= 80)
+      .orderBy("id1", "id2")
+  }
+
   // ------------------------------------------- end-to-end cleaning pass --
 
   /** The composed training-data cleaning pipeline over documents:
@@ -185,6 +200,7 @@ object Dedup {
     "q_dedup_simhash" -> dedupSimhash _,
     "q_dedup_ngram"   -> dedupNgram _,
     "q_dedup_minhash" -> dedupMinhash _,
+    "q_dedup_editdist" -> dedupEditDistance _,
     "q_pipeline_docs" -> pipelineDocs _,
   )
 
@@ -224,6 +240,13 @@ object Dedup {
          FROM inter JOIN sizes s1 ON s1.doc_id = id1
                     JOIN sizes s2 ON s2.doc_id = id2
          WHERE round(CAST(x AS DOUBLE) / (s1.n + s2.n - x) + 1e-9, 4) >= 0.95
+         ORDER BY id1, id2""",
+    "q_dedup_editdist" ->
+      """SELECT a.doc_id AS id1, b.doc_id AS id2,
+                CAST(levenshtein(a.text, b.text) AS INT) AS edit_dist
+         FROM documents a JOIN documents b ON a.doc_id < b.doc_id
+         WHERE a.doc_id < 50 AND b.doc_id < 50
+           AND levenshtein(a.text, b.text) <= 80
          ORDER BY id1, id2""",
     "q_pipeline_docs" ->
       """WITH quality AS (

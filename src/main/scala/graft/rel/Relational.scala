@@ -146,6 +146,21 @@ object Relational {
           .as("p90_p99"))
       .orderBy("l_returnflag")
 
+  /** Pivot: revenue by nation × order-priority, priorities as columns.
+    * Explicit pivot values keep the schema static (no extra distinct scan)
+    * — required for a deterministic oracle and the right call at scale. */
+  def aggPivot(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .pivot("o_orderpriority", Seq("1-URGENT", "2-HIGH", "3-MEDIUM"))
+      .agg(round(sum(col("o_totalprice")), 2))
+      .withColumnRenamed("1-URGENT", "urgent")
+      .withColumnRenamed("2-HIGH", "high")
+      .withColumnRenamed("3-MEDIUM", "medium")
+      .orderBy("n_name")
+
   /** Revenue by ROLLUP(region, nation): ExpandExec duplicates each row per
     * grouping set; partial agg keeps the shuffle bounded by group count. */
   def aggRollup(s: SparkSession, d: String): DataFrame =
@@ -193,6 +208,7 @@ object Relational {
     "q_agg_distinct"        -> aggDistinct _,
     "q_agg_approx_distinct" -> aggApproxDistinct _,
     "q_agg_approx_percentile" -> aggApproxPercentile _,
+    "q_agg_pivot"           -> aggPivot _,
     "q_agg_rollup"          -> aggRollup _,
     "q_agg_cube"            -> aggCube _,
     "q_agg_grouping_sets"   -> aggGroupingSets _,
@@ -250,6 +266,17 @@ object Relational {
       """SELECT o_orderpriority, CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust,
                 CAST(COUNT(1) AS BIGINT) AS n_orders
          FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q_agg_pivot" ->
+      """SELECT n_name,
+                round(sum(CASE WHEN o_orderpriority = '1-URGENT'
+                          THEN o_totalprice END), 2) AS urgent,
+                round(sum(CASE WHEN o_orderpriority = '2-HIGH'
+                          THEN o_totalprice END), 2) AS high,
+                round(sum(CASE WHEN o_orderpriority = '3-MEDIUM'
+                          THEN o_totalprice END), 2) AS medium
+         FROM orders JOIN customer ON o_custkey = c_custkey
+                     JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name ORDER BY n_name""",
     "q_agg_rollup" ->
       """SELECT r_name, n_name, ROUND(SUM(o_totalprice), 2) AS revenue
          FROM orders JOIN customer ON o_custkey = c_custkey

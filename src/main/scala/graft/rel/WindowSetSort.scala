@@ -57,6 +57,21 @@ object WindowSetSort {
       .orderBy("user_id", "ts_us", "event_id")
   }
 
+  /** Distribution analytics per customer-order: ntile quartile,
+    * percent_rank, cume_dist over order totalprice within mktsegment. */
+  def windowDist(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select(
+        col("c_mktsegment"), col("o_orderkey"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"))
+      .orderBy("c_mktsegment", "o_orderkey")
+  }
+
   /** Top-10 orders by totalprice (orderkey tie-break) —
     * TakeOrderedAndProject, not a global sort. */
   def topK(s: SparkSession, d: String): DataFrame =
@@ -92,6 +107,7 @@ object WindowSetSort {
     "q_window_rank"        -> windowRank _,
     "q_window_running_sum" -> windowRunningSum _,
     "q_window_lag"         -> windowLag _,
+    "q_window_dist"        -> windowDist _,
     "q_topk"               -> topK _,
     "q_union_all"          -> unionAll _,
     "q_intersect"          -> intersectYears _,
@@ -121,6 +137,15 @@ object WindowSetSort {
                   (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
          FROM events
          ORDER BY user_id, ts_us, event_id""",
+    "q_window_dist" ->
+      """SELECT c_mktsegment, o_orderkey,
+                CAST(ntile(4) OVER w AS INT) AS quartile,
+                round(percent_rank() OVER w, 6) AS pct_rank,
+                round(cume_dist() OVER w, 6) AS cume
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         WINDOW w AS (PARTITION BY c_mktsegment
+                      ORDER BY o_totalprice, o_orderkey)
+         ORDER BY c_mktsegment, o_orderkey""",
     "q_topk" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
          ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
