@@ -140,3 +140,45 @@ class StreamingSpec extends SparkSpec {
     assert(counts == base.length * 2)
   }
 }
+
+/** Stream-stream interval join: purchases ⋈ signups of the same user where
+  * the purchase lands within 1 hour after the signup — both sides
+  * watermarked so join state is evicted once the interval can no longer
+  * match. The last major Structured Streaming surface (stateful two-input
+  * joins). */
+class StreamStreamJoinSpec extends graft.SparkSpec {
+  import spark.implicits._
+  implicit def sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+  import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+  import org.apache.spark.sql.streaming.OutputMode
+  import org.apache.spark.sql.functions._
+  import java.sql.Timestamp
+  private def t(s: String) = Timestamp.valueOf(s)
+
+  test("interval join matches within the window, drops outside it") {
+    val purchases = MemoryStream[(Long, Timestamp)]
+    val signups = MemoryStream[(Long, Timestamp)]
+    val p = purchases.toDS().toDF("user_id", "p_ts")
+      .withWatermark("p_ts", "10 minutes")
+    val sgn = signups.toDS().toDF("user_id", "s_ts")
+      .withWatermark("s_ts", "10 minutes")
+    val cond = p("user_id") === sgn("user_id") &&
+      col("p_ts") >= col("s_ts") &&
+      col("p_ts") <= col("s_ts") + expr("INTERVAL 1 HOUR")
+    val q = p.join(sgn, cond)
+      .select(p("user_id"), col("p_ts"), col("s_ts"))
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("ssj_out").start()
+    signups.addData((1L, t("2024-01-01 10:00:00")),
+      (2L, t("2024-01-01 10:00:00")))
+    purchases.addData(
+      (1L, t("2024-01-01 10:30:00")),   // in window -> match
+      (2L, t("2024-01-01 12:00:00")),   // 2h later -> no match
+      (3L, t("2024-01-01 10:15:00")))   // no signup -> no match
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ssj_out").collect()
+      .map(r => r.getLong(0)).toSet
+    assert(rows == Set(1L), s"got $rows")
+  }
+}
