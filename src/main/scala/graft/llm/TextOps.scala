@@ -130,14 +130,14 @@ object TextOps {
       .otherwise(best.getField("lang"))
   }
 
-  /** Language-ID distribution over the corpus (rows-only: the heuristic is
-    * not reasonably expressible in SQL; validated in TextOpsSpec on
-    * hand-written samples). */
+  /** Language-ID confusion matrix (predicted × labeled lang) over the
+    * corpus (rows-only: the heuristic is not reasonably expressible in
+    * SQL; validated in TextOpsSpec on hand-written samples). */
   def textLangId(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .select(langId(col("text")).as("predicted"))
-      .groupBy("predicted").agg(count(lit(1)).as("n"))
-      .orderBy("predicted")
+      .select(langId(col("text")).as("predicted"), col("lang").as("labeled"))
+      .groupBy("predicted", "labeled").agg(count(lit(1)).as("n"))
+      .orderBy("predicted", "labeled")
 
   // ------------------------------------------------------------- wiring --
 

@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Empty-input robustness: library operators must return empty results (or
+  * sane defaults), never throw, when fed zero rows — the behavior a
+  * partition-pruned 100 TB job hits constantly. */
+class EdgeCasesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val emptyMatrix = Seq.empty[(Long, Seq[Double])].toDF("id", "vec")
+  private val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+
+  test("sc-matrix ops on an empty matrix") {
+    assert(sc.ScMatrix.filterCells(emptyMatrix, 1, 0.0).count() == 0)
+    assert(sc.ScMatrix.geneStats(emptyMatrix, 0.0).count() == 0)
+    assert(sc.ScMatrix.normalizePerCell(emptyMatrix, Some(10.0)).count() == 0)
+    assert(sc.ScMatrix.log1p(emptyMatrix).count() == 0)
+    assert(sc.ScMatrix.scaleZ(emptyMatrix, 3.0).count() == 0)
+    assert(sc.ScMatrix.hvgTopK(emptyMatrix, 5).count() == 0)
+  }
+
+  test("dedup ops on an empty corpus") {
+    assert(llm.Dedup.simhash(emptyDocs).count() == 0)
+    assert(llm.Dedup.minHashPairs(emptyDocs, 8, 4, 0.5).count() == 0)
+    assert(llm.Dedup.jaccardPairs(
+      emptyDocs.select($"doc_id", lit("t").as("t")).limit(0), 0.5).count() == 0)
+  }
+
+  test("similarity ops on an empty vector set") {
+    val emptyVecs = Seq.empty[(Long, Seq[Double])].toDF("id", "v")
+    assert(llm.Similarity.lshPairs(emptyVecs, 0.5, dim = 4).count() == 0)
+  }
+
+  test("sessionization of an empty event set") {
+    val e = Seq.empty[(Long, java.sql.Timestamp, Double)]
+      .toDF("user_id", "ts", "value")
+    assert(stream.Events.sessionsBatch(e).count() == 0)
+    assert(stream.Events.tumbling(e.withColumn("event_type", lit("x")))
+      .count() == 0)
+  }
+}
