@@ -25,14 +25,30 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       val warm = once()
+      // Any failed run (warm-up OR timed) marks the query failed: a
+      // negative timed run must not be masked by the median of the
+      // surviving positives.
       val t = if (warm < 0) -1.0
-        else Seq(once(), once(), once()).sorted.apply(1)
+        else {
+          val runs = Seq(once(), once(), once())
+          if (runs.exists(_ < 0)) -1.0 else runs.sorted.apply(1)
+        }
       name -> t
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.filter(_ >= 0).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Belt and braces for the driver's parser: the JSON line goes to stdout
+    // (bare — build.sbt sets run/outputStrategy := StdoutOutput so sbt does
+    // not prefix it with "[info] ") AND to a file for machine consumption.
+    println(json)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_OUT.json")
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+        (json + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () } // file write is best-effort
     spark.stop()
   }
 }

@@ -59,6 +59,11 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val dot = ctx.freshName("dot")
       val nx = ctx.freshName("nx")
       val ny = ctx.freshName("ny")
+      // x/y must be fresh too: a hardcoded name that shadows an enclosing
+      // generated-scope local is a Java compile error → whole-stage
+      // fallback to interpreted mode
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
       def get(arr: String, e: Expression) =
         if (elemType(e) == DoubleType) s"$arr.getDouble($i)"
         else s"(double) $arr.getFloat($i)"
@@ -66,9 +71,9 @@ case class CosineSimilarity(left: Expression, right: Expression)
         int $n = java.lang.Math.min($a.numElements(), $b.numElements());
         double $dot = 0.0, $nx = 0.0, $ny = 0.0;
         for (int $i = 0; $i < $n; $i++) {
-          double x = ${get(a, left)};
-          double y = ${get(b, right)};
-          $dot += x * y; $nx += x * x; $ny += y * y;
+          double $x = ${get(a, left)};
+          double $y = ${get(b, right)};
+          $dot += $x * $y; $nx += $x * $x; $ny += $y * $y;
         }
         ${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
       """

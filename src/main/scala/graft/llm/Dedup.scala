@@ -106,12 +106,16 @@ object Dedup {
 
   // -------------------------------------------------------- minhash lsh --
 
-  /** MinHash signatures (numHashes permutations via seeded xxhash64) +
-    * LSH banding → candidate pairs → exact Jaccard verification ≥ tau.
-    * The scalable near-dup path: no all-pairs anywhere — candidates come
-    * from equality buckets on (band_id, band_hash). */
-  def minHashPairs(docs: DataFrame, numHashes: Int, bands: Int,
-                   tau: Double): DataFrame = {
+  /** LSH candidate pairs only (no verification): MinHash signatures →
+    * banding → equality buckets → intra-bucket pairs. Buckets larger than
+    * `maxBucket` are dropped whole: a degenerate bucket (hot band slice)
+    * is otherwise quadratic in its size, and a genuine near-dup pair that
+    * loses one band still surfaces through its other bands-1 chances —
+    * bounded worst case (≤ maxBucket² pairs per bucket) for negligible
+    * recall loss. Exact duplicates should be removed BEFORE this stage
+    * (they collide on every band by construction). */
+  def minHashCandidates(docs: DataFrame, numHashes: Int, bands: Int,
+                        maxBucket: Int = 256): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     val tok = tokenSets(docs)
@@ -128,11 +132,26 @@ object Dedup {
     val buckets = sig.select(col("doc_id"),
         explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
-    val cand = buckets.select(col("doc_id").as("id1"), col("band"), col("bh"))
-      .join(buckets.select(col("doc_id").as("id2"), col("band"), col("bh")),
+    val sized = buckets
+      .withColumn("bn", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")))
+      .filter(col("bn") <= maxBucket)
+      .drop("bn")
+    sized.select(col("doc_id").as("id1"), col("band"), col("bh"))
+      .join(sized.select(col("doc_id").as("id2"), col("band"), col("bh")),
         Seq("band", "bh"))
       .filter(col("id1") < col("id2"))
       .select("id1", "id2").distinct()
+  }
+
+  /** MinHash signatures (numHashes permutations via seeded xxhash64) +
+    * LSH banding → candidate pairs → exact Jaccard verification ≥ tau.
+    * The scalable near-dup path: no all-pairs anywhere — candidates come
+    * from equality buckets on (band_id, band_hash). */
+  def minHashPairs(docs: DataFrame, numHashes: Int, bands: Int,
+                   tau: Double, maxBucket: Int = 256): DataFrame = {
+    val tok = tokenSets(docs)
+    val cand = minHashCandidates(docs, numHashes, bands, maxBucket)
     // exact verification on candidates only
     jaccardPairs(tok, tau, Some(cand))
   }
@@ -185,11 +204,23 @@ object Dedup {
         .over(org.apache.spark.sql.expressions.Window.partitionBy(md5(col("text")))))
       .filter(col("doc_id") === col("rep")).drop("rep")
     val tok = tokenSets(exactKept.select("doc_id", "text"))
-    val nearPairs = jaccardPairs(tok, 0.95)
+    // The near-dup verify stage consumes LSH candidates — the 100 TB path:
+    // candidate generation is linear keyed shuffles, never the raw
+    // token-equi-join (quadratic in docs-per-token on a hot token). At
+    // tau=0.95 with 16 bands × 2 rows, candidate recall is
+    // 1-(1-0.95²)^16 ≈ 1-1.6e-16, so the verified output equals the exact
+    // formulation (the DuckDB oracle keeps the exact pair SQL — it cannot
+    // reproduce xxhash64) — PipelineLshSpec asserts that equality.
+    val cand = minHashCandidates(exactKept.select("doc_id", "text"),
+      numHashes = 32, bands = 16)
+    val nearPairs = jaccardPairs(tok, 0.95, Some(cand))
       .select(col("id2").as("doc_id")).distinct()
     exactKept.join(nearPairs, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("lang"), col("n_tokens"),
-        round(col("common_ratio"), 4).as("common_ratio"))
+        // +1e-9 round-boundary epsilon, same convention as jaccardPairs /
+        // textQuality (exact-rational ratios land on .00005 boundaries and
+        // Spark/DuckDB round them apart)
+        round(col("common_ratio") + lit(1e-9), 4).as("common_ratio"))
       .orderBy("doc_id")
   }
 
@@ -276,7 +307,8 @@ object Dedup {
            JOIN sizes s2 ON s2.doc_id = b.id2
            WHERE round(CAST(x AS DOUBLE) / (s1.n + s2.n - x) + 1e-9, 4)
                  >= 0.95)
-         SELECT doc_id, lang, n_tokens, round(common_ratio, 4) AS common_ratio
+         SELECT doc_id, lang, n_tokens,
+                round(common_ratio + 1e-9, 4) AS common_ratio
          FROM exact
          WHERE doc_id NOT IN (SELECT doc_id FROM near)
          ORDER BY doc_id""",

@@ -142,8 +142,8 @@ object Relational {
       .groupBy(col("l_returnflag"))
       .agg(
         expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("p50"),
-        expr("approx_percentile(l_extendedprice, array(0.9, 0.99), 10000)")
-          .as("p90_p99"))
+        expr("approx_percentile(l_extendedprice, 0.9, 10000)").as("p90"),
+        expr("approx_percentile(l_extendedprice, 0.99, 10000)").as("p99"))
       .orderBy("l_returnflag")
 
   /** Pivot: revenue by nation × order-priority, priorities as columns.

@@ -76,20 +76,33 @@ object Events {
   /** A closed user session. */
   case class UserSession(user_id: Long, start_us: Long, end_us: Long,
                          n_events: Int)
-  /** In-flight session state (public: Catalyst's encoder codegen must be
+  /** One still-open session run (public: Catalyst's encoder codegen must be
     * able to construct it from generated code). */
   case class OpenSession(start_us: Long, end_us: Long, n: Int)
+  /** Per-key state: ALL runs the watermark hasn't sealed yet — more than
+    * one can be open when a single batch carries several gap-separated
+    * bursts that the watermark still trails. */
+  case class SessionState(runs: List[OpenSession])
+
+  /** Event-time micros from a java.sql.Timestamp — millis + the nanos
+    * field, matching sessionsBatch's `unix_micros` exactly (getTime alone
+    * truncates sub-millisecond precision and would shift boundaries). */
+  private def tsMicros(ts: java.sql.Timestamp): Long =
+    ts.getTime / 1000L * 1000000L + ts.getNanos / 1000L
 
   /** Stateful streaming sessionization via flatMapGroupsWithState +
     * EventTimeTimeout — append-mode emission of CLOSED sessions only (the
     * control `session_window` doesn't give you: custom state, custom
     * emission timing, per-key timeout eviction).
     *
-    * Within a batch, rows are sorted and gap-split: all but the trailing
-    * session emit immediately; the trailing session stays in state with an
-    * event-time timeout at end+gap, so it closes exactly when the
-    * watermark proves no earlier event can still arrive. State per key is
-    * one OpenSession — O(#active users), watermark-bounded.
+    * Each batch interval-merges the incoming events with every open run.
+    * A run is emitted only once `end_us + gap <= watermark` — the
+    * watermark proof that no in-order-or-late event can still extend or
+    * merge with it (emitting earlier would split sessions whenever a
+    * late-but-within-watermark event lands in the emitted run's gap
+    * window). Unsealed runs stay in state with the event-time timeout at
+    * the EARLIEST unsealed run's end+gap. State per key is O(open runs),
+    * watermark-bounded.
     *
     * Input: (user_id, ts) with a watermark already applied on ts.
     */
@@ -100,39 +113,47 @@ object Events {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val gapUs = gapMinutes * 60L * 1000000L
     events.groupByKey(_._1)
-      .flatMapGroupsWithState[OpenSession, UserSession](
+      .flatMapGroupsWithState[SessionState, UserSession](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (uid: Long, rows: Iterator[(Long, java.sql.Timestamp)],
-         state: GroupState[OpenSession]) =>
-          if (state.hasTimedOut) {
-            val s = state.get
-            state.remove()
-            Iterator.single(UserSession(uid, s.start_us, s.end_us, s.n))
-          } else {
-            // interval-merge the open session with ALL incoming events
-            // (late-but-within-watermark rows may fall inside or even
-            // before the open session — they extend/backfill it, never
-            // get dropped; Spark already filtered sub-watermark rows)
-            val points = rows.map(r => (r._2.getTime * 1000L, r._2.getTime * 1000L, 1))
-            val intervals = (state.getOption
-                .map(o => (o.start_us, o.end_us, o.n)).toSeq ++ points)
-              .sortBy(_._1)
-            var runs = List.empty[(Long, Long, Int)]
-            intervals.foreach { case (s0, e0, n0) =>
-              runs match {
-                case (cs, ce, cn) :: rest if s0 - ce < gapUs =>
-                  runs = (cs, math.max(ce, e0), cn + n0) :: rest
-                case _ =>
-                  runs = (s0, e0, n0) :: runs
+         state: GroupState[SessionState]) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val prior = state.getOption.map(_.runs).getOrElse(Nil)
+          val merged: List[OpenSession] =
+            if (state.hasTimedOut) prior
+            else {
+              // interval-merge open runs with ALL incoming events
+              // (late-but-within-watermark rows may fall inside or even
+              // before an open run — they extend/backfill it, never get
+              // dropped; Spark already filtered sub-watermark rows)
+              val points = rows.map { r =>
+                val us = tsMicros(r._2); (us, us, 1)
               }
+              val intervals =
+                (prior.map(o => (o.start_us, o.end_us, o.n)) ++ points)
+                  .sortBy(_._1)
+              var runs = List.empty[(Long, Long, Int)]
+              intervals.foreach { case (s0, e0, n0) =>
+                runs match {
+                  case (cs, ce, cn) :: rest if s0 - ce < gapUs =>
+                    runs = (cs, math.max(ce, e0), cn + n0) :: rest
+                  case _ =>
+                    runs = (s0, e0, n0) :: runs
+                }
+              }
+              runs.reverse.map(r => OpenSession(r._1, r._2, r._3))
             }
-            val ordered = runs.reverse
-            val closed = ordered.dropRight(1)
-            val open = ordered.last
-            state.update(OpenSession(open._1, open._2, open._3))
-            state.setTimeoutTimestamp((open._2 + gapUs) / 1000L)
-            closed.iterator.map(c => UserSession(uid, c._1, c._2, c._3))
+          val (closed, open) = merged.partition(_.end_us + gapUs <= wmUs)
+          if (open.isEmpty) {
+            if (state.exists) state.remove()
+          } else {
+            state.update(SessionState(open))
+            // ceiling-to-ms keeps the timeout strictly after the current
+            // watermark (Spark rejects timeouts at/before the watermark)
+            state.setTimeoutTimestamp(
+              (open.map(_.end_us).min + gapUs + 999L) / 1000L)
           }
+          closed.iterator.map(c => UserSession(uid, c.start_us, c.end_us, c.n))
       }
   }
 

@@ -22,8 +22,12 @@ class StatefulSessionSpec extends SparkSpec {
       .writeStream.outputMode(OutputMode.Append)
       .format("memory").queryName("ss_out").start()
 
-    // batch 1: two sessions for user 1 in ONE batch (gap 30m) — the first
-    // closes immediately, the second stays open
+    // batch 1: two sessions for user 1 in ONE batch (gap 30m). The data
+    // batch itself emits nothing (watermark still at epoch — neither run
+    // is provably closed), but processAllAvailable then runs Spark's
+    // no-data micro-batch with the advanced watermark (10:40, 0s delay):
+    // the first run (sealed at 10:05+10m = 10:15 <= 10:40) times out and
+    // emits watermark-justified; the second (sealed 10:50 > 10:40) stays.
     ms.addData((1L, t("2024-01-01 10:00:00")), (1L, t("2024-01-01 10:05:00")),
       (1L, t("2024-01-01 10:40:00")))
     q.processAllAvailable()
@@ -108,5 +112,38 @@ class LateEventSessionSpec extends graft.SparkSpec {
       .collect().filter(_.user_id == 1L)
     assert(u1.length == 1 && u1.head.n_events == 3,
       s"late event lost: ${u1.mkString(",")}")
+  }
+
+  test("late event merges with the EARLIER of two in-batch sessions") {
+    // Round-1 emitted every non-trailing run immediately; with a watermark
+    // delay > 0 a late event landing near the earlier run then produced a
+    // split/spurious session. Now the earlier run must wait in state until
+    // the watermark seals it.
+    val ms = MemoryStream[(Long, Timestamp)]
+    val q = Events.statefulSessions(
+        ms.toDS().toDF("user_id", "ts")
+          .withWatermark("ts", "1 hour")
+          .as[(Long, Timestamp)], gapMinutes = 10)
+      .toDF().writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("late2_out").start()
+    // batch 1: TWO gap-separated runs for user 1 in one batch
+    ms.addData((1L, t("2024-01-01 10:00:00")), (1L, t("2024-01-01 10:05:00")),
+      (1L, t("2024-01-01 10:40:00")))
+    q.processAllAvailable()
+    // batch 2: late 10:12 (within the 1h watermark) — extends the FIRST
+    // run to [10:00, 10:12], still 28m away from 10:40
+    ms.addData((1L, t("2024-01-01 10:12:00")))
+    q.processAllAvailable()
+    // advance the watermark far past both, then let timeouts fire
+    ms.addData((9L, t("2024-01-02 00:00:00")))
+    q.processAllAvailable()
+    ms.addData((9L, t("2024-01-02 00:00:01")))
+    q.processAllAvailable()
+    q.stop()
+    val u1 = spark.table("late2_out").as[Events.UserSession]
+      .collect().filter(_.user_id == 1L).sortBy(_.start_us)
+    assert(u1.map(_.n_events).toSeq == Seq(3, 1),
+      s"split/merge wrong: ${u1.mkString(",")}")
+    assert(u1.head.end_us == t("2024-01-01 10:12:00").getTime * 1000)
   }
 }
