@@ -43,9 +43,21 @@ object ScalarFuncs {
       .orderBy("o_orderkey")
 
   /** round/abs/sqrt/pow/ln over lineitem prices. Per-row IEEE-double math —
-    * deterministic on both engines; rounded at 4dp. */
+    * deterministic on both engines; rounded at 4dp.
+    *
+    * Shape matters: sort FIRST on the narrow raw columns, project the
+    * computed columns AFTER. With project-then-sort, the range
+    * partitioner's sample pass re-executes the whole projection and the
+    * shuffle carries it again — Spark's `round` is a per-row BigDecimal
+    * setScale (3 allocs/row here), so the double execution dominated
+    * (round-1 bench: 8.4 s; this shape: ~0.3 s at sf0.1). Sort stays on
+    * 5 narrow columns; the scalar map runs once, post-shuffle, ordering
+    * preserved by the projection. */
   def mathFuncs(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice",
+        "l_discount", "l_quantity")
+      .orderBy("l_orderkey", "l_linenumber")
       .select(
         col("l_orderkey"), col("l_linenumber"),
         round(col("l_extendedprice"), 1).as("price_r1"),
@@ -53,7 +65,6 @@ object ScalarFuncs {
         round(sqrt(col("l_extendedprice")), 4).as("price_sqrt"),
         round(pow(col("l_quantity"), 2.0), 2).as("qty_sq"),
         round(log(col("l_extendedprice") + lit(1.0)), 4).as("price_ln1p"))
-      .orderBy("l_orderkey", "l_linenumber")
 
   /** size/element_at/slice + higher-order aggregate over the embedding
     * array — the array surface the sc-matrix ops build on. */
