@@ -92,7 +92,8 @@ object Similarity {
     * (id1,id2) ONLY, with vectors re-joined afterwards — distinct over the
     * raw array columns forced array-wide shuffle + compare. */
   def lshPairs(df: DataFrame, tau: Double, dim: Int = 64, tables: Int = 8,
-               planes: Int = 12, seed: Long = 42L): DataFrame = {
+               planes: Int = 12, seed: Long = 42L,
+               maxBucket: Int = 4096): DataFrame = {
     val hp = hyperplanes(tables, planes, dim, seed)
     val hpLit = typedlit(hp) // array<array<array<double>>> constant
     // bucket of table t = sign bits of the t-th plane block, packed to long
@@ -106,8 +107,17 @@ object Similarity {
       }))
     val buckets = df
       .select(col("id"), posexplode(bucketsArr).as(Seq("tbl", "bucket")))
-    val cand = buckets.select(col("id").as("id1"), col("tbl"), col("bucket"))
-      .join(buckets.select(col("id").as("id2"), col("tbl"), col("bucket")),
+    // degenerate-bucket guard (same rationale as Dedup.minHashCandidates):
+    // a hot bucket — e.g. a mass of near-identical vectors — makes the
+    // self-join quadratic in its size; drop it whole, pairs it contained
+    // still have tables-1 other chances to collide
+    val sized = buckets
+      .withColumn("bn", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("tbl", "bucket")))
+      .filter(col("bn") <= maxBucket)
+      .drop("bn")
+    val cand = sized.select(col("id").as("id1"), col("tbl"), col("bucket"))
+      .join(sized.select(col("id").as("id2"), col("tbl"), col("bucket")),
         Seq("tbl", "bucket"))
       .filter(col("id1") < col("id2"))
       .select("id1", "id2").distinct()
@@ -130,18 +140,25 @@ object Similarity {
     *
     * Scale: centroids are a tiny broadcast literal (nList × dim doubles);
     * cell assignment is a map-side argmin; the search join is an equi-join
-    * on cell id — linear shuffle. KMeans fit is MLlib's distributed
-    * Lloyd's; at 100 TB fit on a sample.
+    * on cell id — linear shuffle. KMeans fits on a seeded SAMPLE
+    * (`fitFraction`) — Lloyd's over the full corpus is the scale-killer,
+    * and centroid quality converges long before the full data size; cell
+    * ASSIGNMENT still covers every row. Recall vs brute force is gated in
+    * SimilaritySpec.
     */
   def ivfTopK(df: DataFrame, k: Int, nList: Int = 16, nProbe: Int = 4,
-              seed: Long = 42L): DataFrame = {
+              seed: Long = 42L, fitFraction: Double = 0.5): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.linalg.{Vector => MlVector, Vectors}
+    import org.apache.spark.ml.functions.array_to_vector
     val spark = df.sparkSession
-    val toVec = udf((a: Seq[Double]) => Vectors.dense(a.toArray))
-    val feats = df.withColumn("features", toVec(col("v")))
+    val feats = df.withColumn("features", array_to_vector(col("v")))
+    // coarse-quantizer fit: random init (k-means|| costs ~2× in extra
+    // passes and buys nothing for an ANN cell map) + bounded iterations —
+    // cell-assignment quality converges fast and recall is what's gated
     val model = new KMeans().setK(nList).setSeed(seed)
-      .setFeaturesCol("features").fit(feats)
+      .setInitMode("random").setMaxIter(10)
+      .setFeaturesCol("features")
+      .fit(feats.sample(withReplacement = false, fitFraction, seed))
     val centroids = model.clusterCenters.map(_.toArray.toSeq).toSeq
     val centLit = typedlit(centroids)
     // distances to every centroid, once per row (nested HOF, one codegen)

@@ -1,7 +1,7 @@
 package graft.sc
 
 import org.apache.spark.ml.feature.PCA
-import org.apache.spark.ml.linalg.{Vector, Vectors}
+import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -19,17 +19,16 @@ import org.apache.spark.sql.functions._
 object Pca {
   type Q = (SparkSession, String) => DataFrame
 
-  /** (id, vec ARRAY<DOUBLE>) → (id, pc ARRAY<DOUBLE>) with k components. */
+  /** (id, vec ARRAY<DOUBLE>) → (id, pc ARRAY<DOUBLE>) with k components.
+    * Array↔Vector conversion uses MLlib's built-in `array_to_vector` /
+    * `vector_to_array` expressions (no boxing Scala UDF — the hand-rolled
+    * udf boxed every element of every row). */
   def project(df: DataFrame, k: Int): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val toVec = udf((a: Seq[Double]) => Vectors.dense(a.toArray))
-    val withFeatures = df.withColumn("features", toVec(col("vec")))
+    val withFeatures = df.withColumn("features", array_to_vector(col("vec")))
     val model = new PCA().setInputCol("features").setOutputCol("pc_vec")
       .setK(k).fit(withFeatures)
-    val toArr = udf((v: Vector) => v.toArray)
     model.transform(withFeatures)
-      .withColumn("pc", toArr(col("pc_vec")))
+      .withColumn("pc", vector_to_array(col("pc_vec")))
       .select(col("id"), col("pc"))
   }
 
