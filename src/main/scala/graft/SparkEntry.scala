@@ -18,7 +18,8 @@ object SparkEntry {
     rel.Relational.queries ++ rel.WindowSetSort.queries ++
       rel.ScalarFuncs.queries ++ rel.AsOf.queries ++ sc.ScQueries.queries ++
       llm.TextOps.queries ++ llm.Dedup.queries ++ llm.Similarity.queries ++
-      llm.Multimodal.queries ++ stream.Events.queries ++ sc.Pca.queries
+      llm.Multimodal.queries ++ stream.Events.queries ++ sc.Pca.queries ++
+      zarr.ZarrQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -27,5 +28,6 @@ object SparkEntry {
     rel.Relational.oracle ++ rel.WindowSetSort.oracle ++
       rel.ScalarFuncs.oracle ++ rel.AsOf.oracle ++ sc.ScQueries.oracle ++
       llm.TextOps.oracle ++ llm.Dedup.oracle ++ llm.Similarity.oracle ++
-      llm.Multimodal.oracle ++ stream.Events.oracle ++ sc.Pca.oracle
+      llm.Multimodal.oracle ++ stream.Events.oracle ++ sc.Pca.oracle ++
+      zarr.ZarrQueries.oracle
 }

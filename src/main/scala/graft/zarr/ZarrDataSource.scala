@@ -1,0 +1,205 @@
+package graft.zarr
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSource V2 read path for 2-D Zarr v2 arrays — the reference's
+  * storage layer re-expressed Spark-first (SURVEY.md §7.4; reference
+  * `zarr_spark.py::get_chunk_indices/read_zarr_chunk` [recalled:high]:
+  * 1 chunk = 1 RDD partition; here 1 ROW-chunk band = 1 InputPartition
+  * and the reader assembles full rows across that band's column chunks).
+  *
+  * Surface: `spark.read.format("zarr").load(dir)` →
+  * `(row_id BIGINT, vec ARRAY<FLOAT|DOUBLE>)` (element type from the
+  * array's dtype).
+  *
+  * Scale design:
+  *  - the chunk grid IS the partitioning: no listing job, no sampling —
+  *    `rowChunkCount` partitions, each reading its band's column chunks
+  *    sequentially (zarr chunks are the unit of I/O+decompression exactly
+  *    like parquet row groups);
+  *  - CHUNK PRUNING: row_id range predicates (=, <, <=, >, >=) are pushed
+  *    down, clamp the band range, and non-intersecting bands are never
+  *    planned — the DSv2 twin of parquet min/max row-group skipping;
+  *  - COLUMN PRUNING: a row_id-only projection (counts, id joins) never
+  *    reads or decompresses chunk bytes at all.
+  */
+class ZarrDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "zarr"
+  override def supportsExternalMetadata(): Boolean = false
+
+  private def pathOf(options: CaseInsensitiveStringMap): String = {
+    val p = options.get("path")
+    require(p != null, "zarr source requires a path: .load(<dir>)")
+    p
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    ZarrTable.schemaFor(ZarrIO.readMeta(pathOf(options)))
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: java.util.Map[String, String]): Table =
+    new ZarrTable(pathOf(new CaseInsensitiveStringMap(properties)))
+}
+
+object ZarrTable {
+  def elementType(meta: ZarrMeta): DataType =
+    if (meta.dtype == "<f4") FloatType else DoubleType
+  def schemaFor(meta: ZarrMeta): StructType = StructType(Seq(
+    StructField("row_id", LongType, nullable = false),
+    StructField("vec", ArrayType(elementType(meta), containsNull = false),
+      nullable = false)))
+}
+
+class ZarrTable(path: String) extends Table with SupportsRead {
+  private lazy val meta = ZarrIO.readMeta(path)
+  override def name(): String = s"zarr:`$path`"
+  override def schema(): StructType = ZarrTable.schemaFor(meta)
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ZarrScanBuilder(path, meta)
+}
+
+class ZarrScanBuilder(path: String, meta: ZarrMeta)
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = ZarrTable.schemaFor(meta)
+  private var lo: Long = 0L
+  private var hi: Long = meta.rows - 1
+  private var pushed: Array[Filter] = Array.empty
+
+  /** row_id range bounds a filter implies, if the source can apply it
+    * exactly (bounds are applied per-row in the reader, not just per
+    * chunk, so accepted filters are FULLY handled here). */
+  private def boundsOf(f: Filter): Option[(Long, Long)] = f match {
+    case EqualTo("row_id", v: Number) =>
+      Some((v.longValue(), v.longValue()))
+    case GreaterThan("row_id", v: Number) =>
+      Some((v.longValue() + 1, Long.MaxValue))
+    case GreaterThanOrEqual("row_id", v: Number) =>
+      Some((v.longValue(), Long.MaxValue))
+    case LessThan("row_id", v: Number) =>
+      Some((Long.MinValue, v.longValue() - 1))
+    case LessThanOrEqual("row_id", v: Number) =>
+      Some((Long.MinValue, v.longValue()))
+    case IsNotNull("row_id") => Some((Long.MinValue, Long.MaxValue))
+    case _ => None
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (sup, unsup) = filters.partition(boundsOf(_).isDefined)
+    sup.foreach { f =>
+      val (l, h) = boundsOf(f).get
+      lo = math.max(lo, l); hi = math.min(hi, h)
+    }
+    pushed = sup
+    unsup
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def pruneColumns(s: StructType): Unit = required = s
+  override def build(): Scan = new ZarrScan(path, meta, required, lo, hi)
+}
+
+class ZarrScan(path: String, meta: ZarrMeta, required: StructType,
+               lo: Long, hi: Long) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"ZarrScan path=$path rows=[$lo,$hi] cols=${required.fieldNames.mkString(",")}"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    if (lo > hi || meta.rows == 0) return Array.empty
+    val first = math.max(lo, 0L) / meta.chunkRows
+    val last = math.min(hi, meta.rows - 1) / meta.chunkRows
+    (first to last).map(i => ZarrInputPartition(path, meta, i, lo, hi)
+      : InputPartition).toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ZarrReaderFactory(required)
+}
+
+/** One row-chunk band. Carries everything the executor needs. */
+case class ZarrInputPartition(path: String, meta: ZarrMeta, rowChunk: Long,
+                              lo: Long, hi: Long) extends InputPartition
+
+class ZarrReaderFactory(required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new ZarrPartitionReader(p.asInstanceOf[ZarrInputPartition], required)
+}
+
+class ZarrPartitionReader(p: ZarrInputPartition, required: StructType)
+    extends PartitionReader[InternalRow] {
+  private val meta = p.meta
+  private val needVec = required.fieldNames.contains("vec")
+  private val floatElems = ZarrTable.elementType(meta) == FloatType
+  private val bandStart = p.rowChunk * meta.chunkRows
+  // clamp the band to the array AND the pushed row_id bounds
+  private var row = math.max(bandStart, p.lo)
+  private val rowEnd =
+    math.min(math.min(bandStart + meta.chunkRows, meta.rows), p.hi + 1)
+  // column chunks of this band, loaded lazily only when vec is projected
+  private lazy val colChunks: Array[Array[Double]] =
+    (0 until meta.colChunkCount)
+      .map(j => ZarrIO.readChunk(p.path, meta, p.rowChunk, j)).toArray
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    if (row >= rowEnd) return false
+    val values = new Array[Any](required.length)
+    var f = 0
+    while (f < required.length) {
+      values(f) = required.fields(f).name match {
+        case "row_id" => row
+        case "vec" => vecFor((row - bandStart).toInt)
+        case other => throw new IllegalStateException(s"unknown column $other")
+      }
+      f += 1
+    }
+    current = new GenericInternalRow(values)
+    row += 1
+    true
+  }
+
+  private def vecFor(r: Int): GenericArrayData = {
+    if (!needVec) return null
+    if (floatElems) {
+      val out = new Array[Float](meta.cols)
+      assemble(r, (k, v) => out(k) = v.toFloat)
+      new GenericArrayData(out)
+    } else {
+      val out = new Array[Double](meta.cols)
+      assemble(r, (k, v) => out(k) = v)
+      new GenericArrayData(out)
+    }
+  }
+
+  /** Stitch row r of the band across its column chunks (each chunk is
+    * C-order chunkRows×chunkCols, edge chunks padded). */
+  private def assemble(r: Int, put: (Int, Double) => Unit): Unit = {
+    var j = 0
+    while (j < meta.colChunkCount) {
+      val chunk = colChunks(j)
+      val colStart = j * meta.chunkCols
+      val width = math.min(meta.chunkCols, meta.cols - colStart)
+      var c = 0
+      while (c < width) {
+        put(colStart + c, chunk(r * meta.chunkCols + c))
+        c += 1
+      }
+      j += 1
+    }
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}

@@ -1,0 +1,125 @@
+package graft.zarr
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.tables.Tables
+
+/** Zarr write sink (R2) + parquet→zarr converter (R3's shape) + the
+  * oracle'd scan queries.
+  *
+  * The distributed writer mirrors the reference's `write_chunk` pattern
+  * [recalled, SURVEY.md §2A R2]: each executor writes the chunk files of
+  * its own row band — no driver collect of matrix data. Bands are formed
+  * by an equi-shuffle on `id div chunkRows` (one shuffle, same key the
+  * read path partitions by). Chunk files land on a filesystem path that
+  * must be shared in a real cluster (object store / NFS); local[*] here.
+  */
+object ZarrSink {
+
+  /** Write (id, vec ARRAY<DOUBLE>) as a zarr f8 array of shape (n, dim).
+    * ids must be 0..n-1 (the row index — the AnnData X row convention).
+    * Single column chunk per band: the distributed writer's unit of work
+    * is the row band, matching the read path. */
+  def writeMatrix(df: DataFrame, path: String, dim: Int,
+                  chunkRows: Int = 128, zlib: Boolean = true): ZarrMeta = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val n = df.count()
+    val meta = ZarrMeta(rows = n, cols = dim, chunkRows = chunkRows,
+      chunkCols = dim, dtype = "<f8",
+      compressor = if (zlib) Some("zlib") else None, fillValue = 0.0)
+    ZarrIO.writeMeta(path, meta)
+    val written = df.select(col("id").cast("long"), col("vec"))
+      .as[(Long, Seq[Double])]
+      .groupByKey(_._1 / chunkRows)
+      .mapGroups { (band: Long, rows: Iterator[(Long, Seq[Double])]) =>
+        val buf = Array.fill(chunkRows * dim)(0.0) // fill-value padding
+        var count = 0
+        rows.foreach { case (id, vec) =>
+          val r = (id - band * chunkRows).toInt
+          var c = 0
+          while (c < dim) { buf(r * dim + c) = vec(c); c += 1 }
+          count += 1
+        }
+        ZarrIO.writeChunk(path, meta, band, 0, buf)
+        count
+      }
+      .reduce(_ + _)
+    require(written == n, s"zarr write: $written of $n rows written")
+    meta
+  }
+}
+
+object ZarrQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** One-time parquet→zarr conversion of the sf dir's embeddings table
+    * (vec_id is 0..n-1 by construction — verified at convert time).
+    * Cached per sf dir under java.io.tmpdir; marker file makes it safe
+    * across suites in one JVM and across reruns. */
+  def fixture(s: SparkSession, sfDir: String): String = synchronized {
+    val key = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    val root = new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"graft_zarr$key")
+    val dir = new java.io.File(root, "embeddings.zarr")
+    val marker = new java.io.File(root, "_DONE")
+    if (marker.exists()) return dir.toString
+    root.mkdirs()
+    val emb = Tables.embeddings(s, sfDir)
+      .select(col("vec_id").as("id"),
+        transform(col("embedding"), _.cast("double")).as("vec"))
+    val n = emb.count()
+    val distinctMax = emb.agg(max(col("id"))).head().getLong(0)
+    require(distinctMax == n - 1, s"vec_id not 0..n-1 (n=$n max=$distinctMax)")
+    ZarrSink.writeMatrix(emb, dir.toString, dim = 64, chunkRows = 128)
+    new java.io.FileOutputStream(marker).close()
+    dir.toString
+  }
+
+  /** Full scan through the zarr DSv2 source; hash-checked against DuckDB
+    * reading the parquet TWIN of the same data — proving the chunk
+    * read/decompress/assemble path is byte-faithful. float→double cast is
+    * exact, so checksums agree at 4dp like q_array_funcs. */
+  def zarrScan(s: SparkSession, d: String): DataFrame = {
+    val p = fixture(s, d)
+    s.read.format("zarr").load(p)
+      .select(col("row_id"),
+        round(aggregate(col("vec"), lit(0.0), (a, x) => a + x), 4)
+          .as("checksum"),
+        size(col("vec")).as("dim"))
+      .orderBy("row_id")
+  }
+
+  /** Range scan: the row_id predicate is pushed into the source and
+    * prunes row-chunk bands from the plan (ZarrSpec asserts the partition
+    * count drops); same oracle twin, WHERE'd identically. */
+  def zarrPruned(s: SparkSession, d: String): DataFrame = {
+    val p = fixture(s, d)
+    s.read.format("zarr").load(p)
+      .filter(col("row_id") >= 100 && col("row_id") < 300)
+      .select(col("row_id"),
+        round(aggregate(col("vec"), lit(0.0), (a, x) => a + x), 4)
+          .as("checksum"))
+      .orderBy("row_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_zarr_scan"   -> zarrScan _,
+    "q_zarr_pruned" -> zarrPruned _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_zarr_scan" ->
+      """SELECT CAST(vec_id AS BIGINT) AS row_id,
+                round(list_sum(list_transform(embedding,
+                      x -> CAST(x AS DOUBLE))), 4) AS checksum,
+                CAST(len(embedding) AS INT) AS dim
+         FROM embeddings ORDER BY row_id""",
+    "q_zarr_pruned" ->
+      """SELECT CAST(vec_id AS BIGINT) AS row_id,
+                round(list_sum(list_transform(embedding,
+                      x -> CAST(x AS DOUBLE))), 4) AS checksum
+         FROM embeddings WHERE vec_id >= 100 AND vec_id < 300
+         ORDER BY row_id""",
+  )
+}
