@@ -97,7 +97,44 @@ object ScQueries {
         size(col("vec")).as("n_genes"))
       .orderBy("vec_id")
 
+  /** AnnData obs/var alignment through projection (reference
+    * `anndata_spark.py` carries per-gene `var` metadata through every
+    * filter [recalled:high]): a `var` table keyed by gene position must
+    * survive HVG projection even though projection REINDEXES positions.
+    * The query computes column checksums FROM THE PROJECTED MATRIX (new
+    * positions) and joins them back to gene metadata via the
+    * old→new position mapping; the oracle computes the same checksums
+    * from the ORIGINAL matrix at the original positions — they can only
+    * hash-match if the mapping is exactly right. The var table itself is
+    * derived deterministically (the testbed ships no gene metadata file;
+    * in AnnData `var` is any per-gene frame keyed by position). */
+  def scVarAlignment(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = ScMatrix.counts(s, d)
+    val varTable = s.range(0, 64).select(
+      col("id").cast("int").as("pos"),
+      concat(lit("g"), lpad(col("id").cast("string"), 3, "0")).as("gene_name"))
+    val keep = ScMatrix.hvgTopK(counts, HVG_K) // (pos, disp)
+    // post-projection index of a kept gene = its rank among kept positions
+    // (array `filter` preserves order — exactly projectGenes' reindexing);
+    // k-row frame, the single-partition window is bounded by construction
+    val mapping = keep.withColumn("new_pos",
+      row_number().over(Window.orderBy("pos")))
+    val projected = ScMatrix.projectHvg(counts, HVG_K)
+    val projStats = projected
+      .select(posexplode(col("vec")).as(Seq("p", "x")))
+      .groupBy("p").agg(round(sum(col("x")), 3).as("col_checksum"))
+      .select((col("p") + 1).cast("int").as("new_pos"), col("col_checksum"))
+    mapping.join(broadcast(varTable), Seq("pos"))
+      .join(projStats, Seq("new_pos"))
+      .select(col("new_pos"), (col("pos") + 1).cast("int").as("pos1"),
+        col("gene_name"), col("col_checksum"),
+        round(col("disp"), 6).as("disp"))
+      .orderBy("new_pos")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_sc_var_alignment"   -> scVarAlignment _,
     "q_sc_filter_cells"    -> scFilterCells _,
     "q_sc_filter_genes"    -> scFilterGenes _,
     "q_sc_normalize_log1p" -> scNormalizeLog1p _,
@@ -114,6 +151,24 @@ object ScQueries {
                   FROM embeddings)"""
 
   val oracle: Map[String, String] = Map(
+    // checksums here come from the ORIGINAL matrix at the original gene
+    // positions; the Spark side computes them from the PROJECTED matrix
+    // at the new positions — hash equality proves the alignment mapping
+    "q_sc_var_alignment" -> s"""$COUNTS_CTE,
+      x AS (SELECT vec_id, unnest(v) AS val,
+                   generate_subscripts(v, 1) AS pos FROM c),
+      st AS (SELECT pos, var_pop(val) / avg(val) AS disp0,
+                    round(sum(val), 3) AS col_checksum
+             FROM x GROUP BY pos),
+      top AS (SELECT pos, disp0, col_checksum FROM st
+              ORDER BY disp0 DESC, pos LIMIT 16),
+      m AS (SELECT pos, disp0, col_checksum,
+                   CAST(row_number() OVER (ORDER BY pos) AS INT) AS new_pos
+            FROM top)
+      SELECT new_pos, CAST(pos AS INT) AS pos1,
+             'g' || lpad(CAST(pos - 1 AS VARCHAR), 3, '0') AS gene_name,
+             col_checksum, round(disp0, 6) AS disp
+      FROM m ORDER BY new_pos""",
     "q_sc_filter_cells" -> s"""$COUNTS_CTE
       SELECT vec_id, n_genes FROM (
         SELECT vec_id,

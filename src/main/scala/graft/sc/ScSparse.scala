@@ -1,0 +1,160 @@
+package graft.sc
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sparse single-cell matrix ops — reference R12 (SURVEY.md §2A: scipy CSR
+  * blocks, `densify()` before dense-only compute [recalled:med]).
+  *
+  * Representation: long-form COO `(id BIGINT, pos INT, val DOUBLE)`, only
+  * nonzero entries present. This is the Spark-native sparse encoding: it
+  * shuffles/aggregates by (id) or (pos) with data volume O(nnz) instead of
+  * O(cells × genes) — at 90% zeros (typical scRNA-seq) that is 10× less
+  * I/O than the dense ARRAY<DOUBLE> rows, and every op below is a plain
+  * keyed aggregation/join Catalyst already knows how to scale.
+  *
+  * Semantics contract: each op is the EXACT equal of its dense ScMatrix
+  * twin (SparseSpec property-checks equality on random sparse matrices).
+  * Ops that preserve sparsity (filter, normalize — x·s, log1p — f(0)=0)
+  * stay in COO; `scaleZ` inherently densifies (z-score of a zero entry is
+  * -mu/sigma ≠ 0), so the sparse path computes the per-gene stats over
+  * implicit zeros and hands off to the dense twin — the same
+  * densify-before-scale the reference does.
+  */
+object ScSparse {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Dense (id, vec) → COO, dropping exact zeros. */
+  def toSparse(dense: DataFrame): DataFrame =
+    dense.select(col("id"), posexplode(col("vec")).as(Seq("pos", "val")))
+      .filter(col("val") =!= 0.0)
+
+  /** COO → dense (id, vec) with explicit dim; missing entries are 0. The
+    * per-row array is rebuilt by a deterministic pos-sorted fold. `cells`
+    * supplies rows with NO nonzero entries (they exist in real matrices). */
+  def toDense(sp: DataFrame, dim: Int, cells: DataFrame): DataFrame = {
+    val packed = sp.groupBy("id")
+      .agg(sort_array(collect_list(struct(col("pos"), col("val")))).as("pv"))
+    cells.select(col("id")).join(packed, Seq("id"), "left")
+      .select(col("id"),
+        // scatter nonzeros into a zero array: for each target index i,
+        // take the entry with pos == i if present
+        transform(sequence(lit(0), lit(dim - 1)), i =>
+          coalesce(
+            element_at(map_from_entries(
+              coalesce(col("pv"),
+                array().cast("array<struct<pos:int,val:double>>"))),
+              i.cast("int")),
+            lit(0.0))).as("vec"))
+  }
+
+  /** filter_cells on COO: per-id expressed count over nonzeros only —
+    * zeros can never pass tau ≥ 0, so nnz rows are sufficient. */
+  def filterCellsSparse(sp: DataFrame, minGenes: Int, tau: Double): DataFrame =
+    sp.groupBy("id")
+      .agg(count(when(col("val") > tau, 1)).as("n_genes"))
+      .filter(col("n_genes") >= minGenes)
+
+  /** filter_genes on COO: per-pos expressed-cell counts; keeps the COO
+    * rows of surviving genes (left-semi — no row multiplication). */
+  def filterGenesSparse(sp: DataFrame, minCells: Long, tau: Double)
+      : (DataFrame, DataFrame) = {
+    val stats = sp.groupBy("pos")
+      .agg(count(when(col("val") > tau, 1)).as("n_cells"))
+    val keep = stats.filter(col("n_cells") >= minCells)
+    (sp.join(keep.select("pos"), Seq("pos"), "left_semi"), keep)
+  }
+
+  /** normalize_per_cell on COO: row sums need only the nonzeros; scaling
+    * multiplies, so zeros stay zero and the result stays COO. */
+  def normalizePerCellSparse(sp: DataFrame, target: Double): DataFrame = {
+    val sums = sp.groupBy("id").agg(sum(col("val")).as("row_sum"))
+    sp.join(sums, Seq("id"))
+      .withColumn("val",
+        when(col("row_sum") === 0.0, col("val"))
+          .otherwise(col("val") * (lit(target) / col("row_sum"))))
+      .drop("row_sum")
+  }
+
+  /** log1p on COO: ln(1+0) = 0, sparsity preserved. */
+  def log1pSparse(sp: DataFrame): DataFrame =
+    sp.withColumn("val", org.apache.spark.sql.functions.log1p(col("val")))
+
+  /** Per-gene mean/std over the FULL matrix (implicit zeros included):
+    * mu = Σval/N, var = Σval²/N − mu² — the COO form of the dense
+    * geneStats, with N = total cell count passed in (zeros contribute to
+    * N but not to the sums). */
+  def geneStatsSparse(sp: DataFrame, nCells: Long): DataFrame =
+    sp.groupBy("pos")
+      .agg(sum(col("val")).as("s1"), sum(col("val") * col("val")).as("s2"))
+      .select(col("pos"),
+        (col("s1") / nCells).as("mu"),
+        sqrt(greatest(col("s2") / nCells
+          - pow(col("s1") / nCells, 2.0), lit(0.0))).as("sigma"))
+
+  // ------------------------------------------------------------- queries --
+
+  private val TAU = 0.05
+  private val MIN_CELLS_FRAC = 0.617
+  private val NORM_TARGET = 100.0
+
+  private def coo(s: SparkSession, d: String): DataFrame =
+    toSparse(ScMatrix.counts(s, d))
+
+  /** Sparse-path filter_genes — output identical to the dense
+    * q_sc_filter_genes (same oracle SQL). */
+  def scFilterGenesSparse(s: SparkSession, d: String): DataFrame = {
+    val df = ScMatrix.counts(s, d)
+    val total = df.count()
+    val (_, keep) = filterGenesSparse(coo(s, d),
+      math.ceil(total * MIN_CELLS_FRAC).toLong, TAU)
+    keep.select((col("pos") + 1).cast("int").as("pos1"), col("n_cells"))
+      .orderBy("pos1")
+  }
+
+  /** Sparse-path normalize+log1p row checksums. The fold is pos-sorted so
+    * partial sums are bit-identical to the dense left-fold (adding the
+    * skipped zeros changes nothing: x + 0.0 == x for x ≥ 0). */
+  def scNormalizeSparse(s: SparkSession, d: String): DataFrame =
+    log1pSparse(normalizePerCellSparse(coo(s, d), NORM_TARGET))
+      .groupBy("id")
+      .agg(sort_array(collect_list(struct(col("pos"), col("val")))).as("pv"))
+      .select(col("id").as("vec_id"),
+        round(aggregate(col("pv"), lit(0.0),
+          (a, e) => a + e.getField("val")), 4).as("row_checksum"))
+      .orderBy("vec_id")
+
+  val queries: Map[String, Q] = Map(
+    "q_sc_filter_genes_sparse" -> scFilterGenesSparse _,
+    "q_sc_normalize_sparse"    -> scNormalizeSparse _,
+  )
+
+  private val COUNTS_CTE =
+    """WITH c AS (SELECT vec_id,
+                         list_transform(embedding,
+                           x -> abs(CAST(x AS DOUBLE))) AS v
+                  FROM embeddings)"""
+
+  val oracle: Map[String, String] = Map(
+    // identical to the dense q_sc_filter_genes oracle — the sparse path
+    // must produce the same gene set and counts
+    "q_sc_filter_genes_sparse" -> s"""$COUNTS_CTE,
+      x AS (SELECT vec_id, unnest(v) AS val,
+                   generate_subscripts(v, 1) AS pos FROM c),
+      st AS (SELECT pos,
+                    count(*) FILTER (WHERE val > 0.05) AS n_cells
+             FROM x GROUP BY pos)
+      SELECT CAST(pos AS INT) AS pos1, CAST(n_cells AS BIGINT) AS n_cells
+      FROM st
+      WHERE n_cells >= ceil(0.617 * (SELECT count(*) FROM embeddings))
+      ORDER BY pos1""",
+    "q_sc_normalize_sparse" -> s"""$COUNTS_CTE,
+      sc AS (SELECT vec_id, v,
+                    CASE WHEN list_sum(v) = 0 THEN 1.0
+                         ELSE 100.0 / list_sum(v) END AS s FROM c),
+      n AS (SELECT vec_id,
+                   list_transform(v, x -> ln(1.0 + x * s)) AS y FROM sc)
+      SELECT vec_id, round(list_sum(y), 4) AS row_checksum
+      FROM n ORDER BY vec_id""",
+  )
+}
