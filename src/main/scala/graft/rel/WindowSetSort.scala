@@ -58,7 +58,14 @@ object WindowSetSort {
   }
 
   /** Distribution analytics per customer-order: ntile quartile,
-    * percent_rank, cume_dist over order totalprice within mktsegment. */
+    * percent_rank, cume_dist over order totalprice within mktsegment.
+    *
+    * BOUNDED BY DESIGN: c_mktsegment has 5 values, so this window funnels
+    * every row through 5 reducers — it is the faithful one-window
+    * formulation and acceptable only while per-segment row counts fit a
+    * reducer. The scale path is windowDist2Pass below (identical output,
+    * parallelism segments × price-buckets); q_window_dist_2pass proves
+    * them equal against the same oracle. */
   def windowDist(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("c_mktsegment"))
       .orderBy(col("o_totalprice"), col("o_orderkey"))
@@ -69,6 +76,58 @@ object WindowSetSort {
         ntile(4).over(w).as("quartile"),
         round(percent_rank().over(w), 6).as("pct_rank"),
         round(cume_dist().over(w), 6).as("cume"))
+      .orderBy("c_mktsegment", "o_orderkey")
+  }
+
+  /** The 100 TB formulation of windowDist: distributed ranking via a
+    * coarse histogram prefix + a fine within-bucket window.
+    *
+    * Pass 1 aggregates per-(segment, price-bucket) counts (tiny frame);
+    * a window over THAT frame yields each bucket's global offset
+    * (`below`) and segment total (broadcast back). Pass 2 ranks rows only
+    * WITHIN (segment, bucket) — parallelism is segments × buckets instead
+    * of |segments| reducers, and no reducer ever sorts more than one
+    * bucket. The global rank is below + within-bucket row_number; ntile /
+    * percent_rank / cume_dist are closed-form in (rank, n) because the
+    * (price, orderkey) order is total:
+    *   ntile(4): first n%4 tiles get ⌈n/4⌉ rows (SQL-standard fill),
+    *   percent_rank = (r−1)/(n−1), cume_dist = r/n. */
+  def windowDist2Pass(s: SparkSession, d: String): DataFrame = {
+    val rows = Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("bkt", floor(col("o_totalprice") / 10000).cast("long"))
+    val hist = rows.groupBy("c_mktsegment", "bkt").agg(count(lit(1)).as("cnt"))
+    val wb = Window.partitionBy("c_mktsegment").orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = hist
+      .withColumn("below", coalesce(sum(col("cnt")).over(wb), lit(0L)))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy("c_mktsegment")))
+      .select("c_mktsegment", "bkt", "below", "n")
+    val wf = Window.partitionBy("c_mktsegment", "bkt")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val base = col("n") - col("n") % 4 // 4*(n div 4) — avoids int casts
+    val ranked = rows
+      .withColumn("r_in_b", row_number().over(wf))
+      .join(broadcast(offsets), Seq("c_mktsegment", "bkt"))
+      .withColumn("r", col("below") + col("r_in_b"))
+    val bp = base / 4 // rows per small tile (exact integer-valued double)
+    val bigTiles = col("n") % 4 // tiles that get one extra row
+    val cap = bigTiles * (bp + 1) // rows covered by the big tiles
+    // Spark `/` is double division even on longs — floor() restores the
+    // integer quotient (exact: all values are far below 2^53)
+    ranked
+      .select(
+        col("c_mktsegment"), col("o_orderkey"),
+        when(col("r") <= cap,
+            floor((col("r") + bp) / (bp + 1)).cast("int"))
+          .otherwise(
+            (bigTiles + floor((col("r") - cap + bp - 1) / bp)).cast("int"))
+          .as("quartile"),
+        when(col("n") === 1, lit(0.0))
+          .otherwise(round((col("r") - 1).cast("double") / (col("n") - 1), 6))
+          .as("pct_rank"),
+        round(col("r").cast("double") / col("n"), 6).as("cume"))
       .orderBy("c_mktsegment", "o_orderkey")
   }
 
@@ -108,6 +167,7 @@ object WindowSetSort {
     "q_window_running_sum" -> windowRunningSum _,
     "q_window_lag"         -> windowLag _,
     "q_window_dist"        -> windowDist _,
+    "q_window_dist_2pass"  -> windowDist2Pass _,
     "q_topk"               -> topK _,
     "q_union_all"          -> unionAll _,
     "q_intersect"          -> intersectYears _,
@@ -138,6 +198,16 @@ object WindowSetSort {
          FROM events
          ORDER BY user_id, ts_us, event_id""",
     "q_window_dist" ->
+      """SELECT c_mktsegment, o_orderkey,
+                CAST(ntile(4) OVER w AS INT) AS quartile,
+                round(percent_rank() OVER w, 6) AS pct_rank,
+                round(cume_dist() OVER w, 6) AS cume
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         WINDOW w AS (PARTITION BY c_mktsegment
+                      ORDER BY o_totalprice, o_orderkey)
+         ORDER BY c_mktsegment, o_orderkey""",
+    // same oracle as q_window_dist — the two formulations must be equal
+    "q_window_dist_2pass" ->
       """SELECT c_mktsegment, o_orderkey,
                 CAST(ntile(4) OVER w AS INT) AS quartile,
                 round(percent_rank() OVER w, 6) AS pct_rank,

@@ -24,7 +24,12 @@ object Pca {
     * `vector_to_array` expressions (no boxing Scala UDF — the hand-rolled
     * udf boxed every element of every row). */
   def project(df: DataFrame, k: Int): DataFrame = {
+    // persist: BOTH the Gramian fit and the score transform consume this
+    // frame — without the cache the entire upstream pipeline (recipe:
+    // 6 stages) executes twice per run. Lifecycle follows the session
+    // cache (Bench clears it between queries).
     val withFeatures = df.withColumn("features", array_to_vector(col("vec")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val model = new PCA().setInputCol("features").setOutputCol("pc_vec")
       .setK(k).fit(withFeatures)
     model.transform(withFeatures)
