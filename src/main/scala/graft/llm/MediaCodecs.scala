@@ -1,0 +1,142 @@
+package graft.llm
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** Pure-JVM media codecs for the multimodal pipeline: PPM P6 (binary RGB
+  * image) and WAV PCM16 (RIFF audio) — both public, header+raw-payload
+  * formats decodable without native libraries, which is exactly what this
+  * container offers. These make the decode stage REAL for two of the four
+  * media formats; compressed formats (jpeg/mp4) keep the documented
+  * deterministic stub.
+  */
+object MediaCodecs {
+
+  // ------------------------------------------------------------ PPM P6 --
+
+  /** Encode w×h RGB bytes (r,g,b interleaved, len = 3wh) as PPM P6. */
+  def encodePpm(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length == 3 * w * h, s"rgb length ${rgb.length} != 3*$w*$h")
+    val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + rgb.length)
+    System.arraycopy(header, 0, out, 0, header.length)
+    System.arraycopy(rgb, 0, out, header.length, rgb.length)
+    out
+  }
+
+  /** Decode PPM P6 → (w, h, grayscale luma in [0,1], Rec.601 weights).
+    * Handles the format's token grammar: '#' comments and arbitrary
+    * whitespace between the magic, dims, and maxval tokens. */
+  def decodePpm(bytes: Array[Byte]): (Int, Int, Array[Float]) = {
+    var i = 0
+    def skipWs(): Unit = {
+      var go = true
+      while (go && i < bytes.length) {
+        val c = bytes(i).toChar
+        if (c == '#') { while (i < bytes.length && bytes(i) != '\n') i += 1 }
+        else if (c.isWhitespace) i += 1
+        else go = false
+      }
+    }
+    def token(): String = {
+      skipWs()
+      val start = i
+      while (i < bytes.length && !bytes(i).toChar.isWhitespace) i += 1
+      new String(bytes, start, i - start, "US-ASCII")
+    }
+    require(token() == "P6", "not a PPM P6 payload")
+    val w = token().toInt
+    val h = token().toInt
+    val maxval = token().toInt
+    require(maxval == 255, s"unsupported PPM maxval $maxval")
+    i += 1 // exactly one whitespace byte after maxval, per spec
+    val n = w * h
+    require(bytes.length - i >= 3 * n, "truncated PPM payload")
+    val px = new Array[Float](n)
+    var k = 0
+    while (k < n) {
+      val r = bytes(i + 3 * k) & 0xff
+      val g = bytes(i + 3 * k + 1) & 0xff
+      val b = bytes(i + 3 * k + 2) & 0xff
+      px(k) = (0.299f * r + 0.587f * g + 0.114f * b) / 255.0f
+      k += 1
+    }
+    (w, h, px)
+  }
+
+  // --------------------------------------------------------- WAV PCM16 --
+
+  /** Encode mono 16-bit PCM samples as a minimal RIFF/WAVE file. */
+  def encodeWav(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val buf = ByteBuffer.allocate(44 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(1) // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2) // byte rate
+      .putShort(2) // block align
+      .putShort(16) // bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(buf.putShort)
+    buf.array()
+  }
+
+  /** Decode RIFF/WAVE mono PCM16 → (sampleRate, samples in [-1,1]).
+    * Walks the chunk list (extra chunks like LIST are legal) to find
+    * `fmt ` and `data`. */
+  def decodeWav(bytes: Array[Byte]): (Int, Array[Float]) = {
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    def tag(): String = {
+      val b = new Array[Byte](4); buf.get(b); new String(b, "US-ASCII")
+    }
+    require(tag() == "RIFF", "not a RIFF payload")
+    buf.getInt // riff size
+    require(tag() == "WAVE", "not a WAVE payload")
+    var sampleRate = -1
+    var samples: Array[Float] = null
+    while (buf.remaining() >= 8 && (sampleRate < 0 || samples == null)) {
+      val id = tag()
+      val size = buf.getInt
+      val next = buf.position() + size + (size & 1) // chunks are word-aligned
+      id match {
+        case "fmt " =>
+          val fmt = buf.getShort
+          val channels = buf.getShort
+          require(fmt == 1 && channels == 1,
+            s"only mono PCM supported (fmt=$fmt ch=$channels)")
+          sampleRate = buf.getInt
+          buf.getInt; buf.getShort
+          require(buf.getShort == 16, "only 16-bit PCM supported")
+        case "data" =>
+          val n = size / 2
+          samples = new Array[Float](n)
+          var k = 0
+          while (k < n) { samples(k) = buf.getShort / 32768.0f; k += 1 }
+        case _ => // skip LIST/fact/...
+      }
+      buf.position(math.min(next, bytes.length))
+    }
+    require(sampleRate > 0 && samples != null, "missing fmt/data chunk")
+    (sampleRate, samples)
+  }
+
+  /** 1-D mean pooling for audio: k equal windows of the sample stream. */
+  def poolAudio(samples: Array[Float], k: Int): Array[Float] = {
+    if (samples.isEmpty) return new Array[Float](k)
+    val out = new Array[Float](k)
+    val width = math.max(1, samples.length / k)
+    var w = 0
+    while (w < k) {
+      val from = w * width
+      val until = if (w == k - 1) samples.length
+        else math.min(samples.length, from + width)
+      var sum = 0.0f; var i = from
+      while (i < until) { sum += samples(i); i += 1 }
+      out(w) = if (until > from) sum / (until - from) else 0.0f
+      w += 1
+    }
+    out
+  }
+}

@@ -8,19 +8,22 @@ import graft.tables.Tables
   * with typed metadata, plus decode → feature-extract → resize /
   * frame-sample stages.
   *
-  * The actual codec step is STUBBED with a deterministic fake (this
-  * container has no image/audio libraries — see builder brief):
-  * `decodeStub` maps bytes → "pixels" reproducibly so the Spark-side
-  * contract — schema, batch shape, partition-wise execution, null
-  * handling — is real and tested end-to-end. Swapping in a real codec
-  * changes only the function body.
+  * Round 2: the decode stage is REAL for the two formats a bare JVM can
+  * decode — PPM P6 images and WAV PCM16 audio (MediaCodecs; header parse
+  * + raw payload, no native libs). The media fixture writes genuine
+  * PPM/WAV bytes and the pipeline decodes them back; golden tests pin
+  * exact pixel/sample values. Compressed formats (jpeg/mp4) keep the
+  * documented deterministic stub — this container ships no image/audio
+  * libraries (builder brief), and swapping the stub for a real codec
+  * changes only that function body.
   *
   * Scale design: decode runs as Dataset.mapPartitions — one JVM-side
   * batch iterator per input split (the Scala analogue of mapInPandas
   * batches), so codec setup cost amortizes per-partition, not per-row,
   * and no shuffle is introduced: media rows stay where the scan put
-  * them. Metadata-only predicates (format, width, …) are ordinary
-  * columns → pushed to the parquet scan without touching bytes.
+  * them. The media table is PARQUET with the payload as a binary column,
+  * so metadata-only predicates (format, width, …) push down to the scan
+  * without touching bytes (asserted in MultimodalSpec).
   */
 object Multimodal {
   type Q = (SparkSession, String) => DataFrame
@@ -33,22 +36,53 @@ object Multimodal {
   case class MediaFeatures(id: Long, format: String, n_frames: Int,
                            features: Array[Float])
 
-  /** Deterministic synthetic media table derived from documents: payload =
-    * UTF-8 bytes of the text, metadata derived from doc_id. Stands in for
-    * a real (id, bytes, meta) media lake table. */
-  def syntheticMedia(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d).select(
-      col("doc_id").as("id"),
-      element_at(typedlit(Seq("png", "jpeg", "wav", "mp4")),
-        (col("doc_id") % 4 + 1).cast("int")).as("format"),
-      (col("doc_id") % 64 + 16).cast("int").as("width"),
-      (col("doc_id") % 32 + 16).cast("int").as("height"),
-      when(col("doc_id") % 4 === 3, (col("doc_id") % 30 + 2).cast("int"))
-        .otherwise(lit(1)).as("n_frames"),
-      encode(col("text"), "UTF-8").as("payload"))
+  /** One-time media-lake fixture: payloads derived deterministically from
+    * documents — REAL PPM/WAV encodings for ppm/wav rows, raw UTF-8 text
+    * bytes for the stub formats. Written as parquet so the read path is
+    * an ordinary binary-column scan. */
+  def mediaFixture(s: SparkSession, sfDir: String): String = synchronized {
+    val key = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    val root = new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"graft_media$key")
+    val dir = new java.io.File(root, "media.parquet")
+    val marker = new java.io.File(root, "_DONE")
+    if (marker.exists()) return dir.toString
+    root.mkdirs()
+    import s.implicits._
+    val media = Tables.documents(s, sfDir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) => mkRow(id, text) }
+    media.write.mode("overwrite").parquet(dir.toString)
+    new java.io.FileOutputStream(marker).close()
+    dir.toString
+  }
 
-  /** STUB codec: bytes → w×h float "pixels", deterministic (payload bytes
-    * cycled and normalized). Replace with a real decoder off-container. */
+  /** Deterministic row synthesis (driver of the fixture above). */
+  def mkRow(id: Long, text: String): MediaRow = {
+    val fmt = Seq("ppm", "jpeg", "wav", "mp4")((id % 4).toInt)
+    val w = (id % 64 + 16).toInt
+    val h = (id % 32 + 16).toInt
+    val nFrames = if (fmt == "mp4") (id % 30 + 2).toInt else 1
+    val bytes = text.getBytes("UTF-8")
+    def cycled(n: Int): Array[Byte] =
+      Array.tabulate(n)(i => bytes(i % bytes.length))
+    val payload = fmt match {
+      case "ppm" => MediaCodecs.encodePpm(w, h, cycled(3 * w * h))
+      case "wav" => MediaCodecs.encodeWav(8000,
+        Array.tabulate(w * h)(i =>
+          (((bytes(i % bytes.length) & 0xff) - 128) * 256).toShort))
+      case _ => bytes
+    }
+    MediaRow(id, fmt, w, h, nFrames, payload)
+  }
+
+  /** The media lake table: binary payload + typed metadata columns,
+    * served from parquet (metadata predicates push down to the scan). */
+  def syntheticMedia(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(mediaFixture(s, d))
+
+  /** STUB codec for compressed formats: bytes → w×h float "pixels",
+    * deterministic (payload bytes cycled and normalized). */
   def decodeStub(payload: Array[Byte], w: Int, h: Int): Array[Float] = {
     val n = w * h
     val out = new Array[Float](n)
@@ -95,27 +129,43 @@ object Multimodal {
     0 until nFrames by stride
 
   /** decode → resize → (frame-sample for video) as a partition-wise typed
-    * pipeline. Batch shape: iterator-in/iterator-out per partition. */
+    * pipeline. Batch shape: iterator-in/iterator-out per partition;
+    * ppm/wav rows go through the REAL decoders. */
   def extractFeatures(media: Dataset[MediaRow], poolFactor: Int = 4)
       : Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      // per-partition "codec init" happens here (stub: nothing to open)
+      // per-partition "codec init" happens here (these codecs: nothing
+      // to open; a libav/libjpeg binding would init its context once)
       rows.map { m =>
-        val frames = sampleFrames(m.n_frames, stride = 2)
-        val feats = frames.toArray.flatMap { f =>
-          val px = decodeStub(m.payload ++ BigInt(f).toByteArray,
-            m.width, m.height)
-          meanPool(px, m.width, m.height, poolFactor)
+        m.format match {
+          case "ppm" =>
+            val (w, h, px) = MediaCodecs.decodePpm(m.payload)
+            MediaFeatures(m.id, m.format, 1, meanPool(px, w, h, poolFactor))
+          case "wav" =>
+            val (_, samples) = MediaCodecs.decodeWav(m.payload)
+            MediaFeatures(m.id, m.format, 1,
+              MediaCodecs.poolAudio(samples, 16))
+          case "mp4" =>
+            val frames = sampleFrames(m.n_frames, stride = 2)
+            val feats = frames.toArray.flatMap { f =>
+              val px = decodeStub(m.payload ++ BigInt(f).toByteArray,
+                m.width, m.height)
+              meanPool(px, m.width, m.height, poolFactor)
+            }
+            MediaFeatures(m.id, m.format, frames.size, feats)
+          case _ => // jpeg: stub (no JVM-only decoder exists)
+            val px = decodeStub(m.payload, m.width, m.height)
+            MediaFeatures(m.id, m.format, 1,
+              meanPool(px, m.width, m.height, poolFactor))
         }
-        MediaFeatures(m.id, m.format, frames.size, feats)
       }
     }
   }
 
-  /** Rows-only query: full multimodal pipeline over synthetic media —
-    * schema + batch plumbing exercised end-to-end; per-row feature
-    * checksum makes regressions visible in the dump. */
+  /** Rows-only query: full multimodal pipeline over the media lake —
+    * schema + batch plumbing + real ppm/wav decode exercised end-to-end;
+    * per-row feature checksum makes regressions visible in the dump. */
   def multimodalFeatures(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val media = syntheticMedia(s, d).as[MediaRow]

@@ -153,8 +153,88 @@ class MultimodalSpec extends SparkSpec {
 
   test("metadata predicates stay pushable (no decode in the plan)") {
     val plan = formattedPlan(
-      Multimodal.syntheticMedia(spark, sf).filter($"format" === "png"))
+      Multimodal.syntheticMedia(spark, sf).filter($"format" === "ppm"))
     assert(!plan.contains("mapPartitions"), plan)
+    // parquet-backed media lake: the format predicate reaches the scan
+    assert(plan.contains("PushedFilters") && plan.contains("format"), plan)
+  }
+
+  test("real ppm/wav rows decode actual bytes (not the stub)") {
+    val media = Multimodal.syntheticMedia(spark, sf)
+      .as[Multimodal.MediaRow]
+    val feats = Multimodal.extractFeatures(media)
+      .collect().map(f => f.id -> f).toMap
+    val rows = media.collect().map(r => r.id -> r).toMap
+    val ppm = rows.values.filter(_.format == "ppm").take(3)
+    assert(ppm.nonEmpty)
+    ppm.foreach { m =>
+      val (w, h, px) = MediaCodecs.decodePpm(m.payload)
+      assert((w, h) == (m.width, m.height))
+      val expect = Multimodal.meanPool(px, w, h, 4)
+      assert(feats(m.id).features.sameElements(expect))
+    }
+    val wav = rows.values.filter(_.format == "wav").take(3)
+    assert(wav.nonEmpty)
+    wav.foreach { m =>
+      val (rate, samples) = MediaCodecs.decodeWav(m.payload)
+      assert(rate == 8000 && samples.length == m.width * m.height)
+      assert(feats(m.id).features.sameElements(
+        MediaCodecs.poolAudio(samples, 16)))
+    }
+  }
+}
+
+class MediaCodecsSpec extends SparkSpec {
+  test("ppm round trip: golden 2x2 image decodes to exact luma") {
+    val rgb = Array[Byte](
+      255.toByte, 0, 0,   0, 255.toByte, 0, // red, green
+      0, 0, 255.toByte,   255.toByte, 255.toByte, 255.toByte) // blue, white
+    val bytes = MediaCodecs.encodePpm(2, 2, rgb)
+    val (w, h, px) = MediaCodecs.decodePpm(bytes)
+    assert((w, h) == (2, 2))
+    assert(math.abs(px(0) - 0.299f) < 1e-6) // pure red
+    assert(math.abs(px(1) - 0.587f) < 1e-6) // pure green
+    assert(math.abs(px(2) - 0.114f) < 1e-6) // pure blue
+    assert(math.abs(px(3) - 1.0f) < 1e-6)   // white
+  }
+
+  test("ppm header grammar: comments and extra whitespace") {
+    val rgb = Array[Byte](10, 20, 30)
+    val withComments = ("P6\n# a comment\n1\t1 # trailing\n255\n")
+      .getBytes("US-ASCII") ++ rgb
+    val (w, h, px) = MediaCodecs.decodePpm(withComments)
+    assert((w, h) == (1, 1) && px.length == 1)
+  }
+
+  test("wav round trip: PCM16 samples come back exact") {
+    val samples = Array[Short](0, 16384, -16384, 32767, -32768, 123)
+    val bytes = MediaCodecs.encodeWav(44100, samples)
+    val (rate, back) = MediaCodecs.decodeWav(bytes)
+    assert(rate == 44100)
+    assert(back.length == samples.length)
+    samples.zip(back).foreach { case (s, f) =>
+      assert(f == s / 32768.0f)
+    }
+  }
+
+  test("wav chunk walk skips unknown chunks") {
+    val base = MediaCodecs.encodeWav(8000, Array[Short](100, -100))
+    // splice a LIST chunk between WAVE and fmt
+    val list = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](4, 0, 0, 0) ++ "INFO".getBytes("US-ASCII")
+    val spliced = base.slice(0, 12) ++ list ++ base.drop(12)
+    // fix RIFF size
+    val bb = java.nio.ByteBuffer.wrap(spliced)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(4, spliced.length - 8)
+    val (rate, back) = MediaCodecs.decodeWav(spliced)
+    assert(rate == 8000 && back.length == 2)
+  }
+
+  test("audio pooling: k windows of mean energy") {
+    val pooled = MediaCodecs.poolAudio(
+      Array(1f, 1f, 3f, 3f, 5f, 5f, 7f, 7f), 4)
+    assert(pooled.toSeq == Seq(1f, 3f, 5f, 7f))
   }
 }
 
