@@ -29,9 +29,14 @@ object ScalarFuncs {
         size(split(col("p_name"), " ")).as("n_words"))
       .orderBy("p_partkey")
 
-  /** year/quarter/month/date_trunc/datediff over orders. */
+  /** year/quarter/month/date_trunc/datediff over orders. Sort-first shape
+    * (the q_math_funcs lesson, PERF.md): the range sort runs on the two
+    * raw columns and the datetime projection happens once, after the
+    * shuffle — never in the partitioner's sample pass. */
   def dateFuncs(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
+      .select("o_orderkey", "o_orderdate")
+      .orderBy("o_orderkey")
       .select(
         col("o_orderkey"),
         year(col("o_orderdate")).as("yr"),
@@ -40,7 +45,6 @@ object ScalarFuncs {
         unix_micros(date_trunc("month", col("o_orderdate"))).as("month_start_us"),
         datediff(col("o_orderdate"),
           to_timestamp(lit("1995-01-01 00:00:00"))).as("days_since_95"))
-      .orderBy("o_orderkey")
 
   /** round/abs/sqrt/pow/ln over lineitem prices. Per-row IEEE-double math —
     * deterministic on both engines; rounded at 4dp.
