@@ -19,7 +19,8 @@ object SparkEntry {
       rel.ScalarFuncs.queries ++ rel.AsOf.queries ++ sc.ScQueries.queries ++
       llm.TextOps.queries ++ llm.Dedup.queries ++ llm.Similarity.queries ++
       llm.Multimodal.queries ++ stream.Events.queries ++ sc.Pca.queries ++
-      zarr.ZarrQueries.queries ++ sc.ScSparse.queries ++ sc.MtxQueries.queries
+      zarr.ZarrQueries.queries ++ sc.ScSparse.queries ++ sc.MtxQueries.queries ++
+      rel.Skew.queries ++ rel.TypedOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -29,5 +30,6 @@ object SparkEntry {
       rel.ScalarFuncs.oracle ++ rel.AsOf.oracle ++ sc.ScQueries.oracle ++
       llm.TextOps.oracle ++ llm.Dedup.oracle ++ llm.Similarity.oracle ++
       llm.Multimodal.oracle ++ stream.Events.oracle ++ sc.Pca.oracle ++
-      zarr.ZarrQueries.oracle ++ sc.ScSparse.oracle ++ sc.MtxQueries.oracle
+      zarr.ZarrQueries.oracle ++ sc.ScSparse.oracle ++ sc.MtxQueries.oracle ++
+      rel.Skew.oracle ++ rel.TypedOps.oracle
 }

@@ -1,7 +1,8 @@
 package graft.rel
 
-import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.tables.Tables
 
 /** Skew-handling utilities. AQE's skew-join splitting covers sort-merge
   * joins at runtime; explicit salting remains the tool of choice when one
@@ -40,4 +41,49 @@ object Skew {
       .agg(count(lit(1)).as("__partial"))
       .groupBy(col(key))
       .agg(sum(col("__partial")).as("n"))
+
+  // ------------------------------------------------------------- queries --
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Salted shuffle join, oracle'd against the PLAIN join SQL — the salt is
+    * an execution-strategy detail that must be row-invisible, and the hash
+    * match proves it. Probe = orders (big side), build = customer
+    * replicated ×8; the downstream aggregate collapses the result so the
+    * oracle stays small. */
+  def joinSalted(s: SparkSession, d: String): DataFrame = {
+    val probe = Tables.orders(s, d)
+    val build = Tables.customer(s, d)
+      .withColumnRenamed("c_custkey", "o_custkey")
+      .select(col("o_custkey"), col("c_mktsegment"))
+    saltedJoin(probe, build, "o_custkey", salts = 8)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("revenue"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Two-phase salted aggregation on the 3-value l_returnflag — exactly the
+    * hot-key shape where a plain groupBy funnels 600 k rows into 3
+    * reducers; the salt caps any reducer at ~rows/16. Oracle = the plain
+    * GROUP BY count. */
+  def aggSalted(s: SparkSession, d: String): DataFrame =
+    saltedCount(Tables.lineitem(s, d), "l_returnflag", salts = 16)
+      .orderBy("l_returnflag")
+
+  val queries: Map[String, Q] = Map(
+    "q_join_salted" -> joinSalted _,
+    "q_agg_salted"  -> aggSalted _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_join_salted" ->
+      """SELECT c_mktsegment, CAST(count(1) AS BIGINT) AS n_orders,
+                round(sum(o_totalprice), 2) AS revenue
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q_agg_salted" ->
+      """SELECT l_returnflag, CAST(count(1) AS BIGINT) AS n
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+  )
 }

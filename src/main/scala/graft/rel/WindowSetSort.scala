@@ -131,6 +131,23 @@ object WindowSetSort {
       .orderBy("c_mktsegment", "o_orderkey")
   }
 
+  /** RANGE-frame window: per-customer 30-day trailing average order value.
+    * The frame is value-based (all orders whose date lies within 30 days
+    * before this one), not row-count-based — the moving-aggregate shape
+    * rows frames can't express. Order-by must be numeric for a numeric
+    * range, so dates become integer days since an epoch on BOTH engines;
+    * the frame's CONTENT is then purely value-determined, making the
+    * average deterministic regardless of intra-day row order. */
+  def windowRange(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("day"))
+      .rangeBetween(-30, Window.currentRow)
+    Tables.orders(s, d)
+      .withColumn("day", datediff(col("o_orderdate"), lit("1992-01-01")))
+      .withColumn("avg_30d", round(avg(col("o_totalprice")).over(w) + lit(1e-9), 2))
+      .select(col("o_custkey"), col("o_orderkey"), col("avg_30d"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   /** Top-10 orders by totalprice (orderkey tie-break) —
     * TakeOrderedAndProject, not a global sort. */
   def topK(s: SparkSession, d: String): DataFrame =
@@ -168,6 +185,7 @@ object WindowSetSort {
     "q_window_lag"         -> windowLag _,
     "q_window_dist"        -> windowDist _,
     "q_window_dist_2pass"  -> windowDist2Pass _,
+    "q_window_range"       -> windowRange _,
     "q_topk"               -> topK _,
     "q_union_all"          -> unionAll _,
     "q_intersect"          -> intersectYears _,
@@ -216,6 +234,15 @@ object WindowSetSort {
          WINDOW w AS (PARTITION BY c_mktsegment
                       ORDER BY o_totalprice, o_orderkey)
          ORDER BY c_mktsegment, o_orderkey""",
+    "q_window_range" ->
+      """SELECT o_custkey, o_orderkey,
+                round(avg(o_totalprice) OVER (
+                    PARTITION BY o_custkey
+                    ORDER BY date_diff('day', DATE '1992-01-01', o_orderdate)
+                    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) + 1e-9, 2)
+                  AS avg_30d
+         FROM orders
+         ORDER BY o_custkey, o_orderkey""",
     "q_topk" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
          ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",

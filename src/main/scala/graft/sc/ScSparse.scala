@@ -124,9 +124,46 @@ object ScSparse {
           (a, e) => a + e.getField("val")), 4).as("row_checksum"))
       .orderBy("vec_id")
 
+  /** Sparse-path scale (R12 `densify`): z-scoring a zero entry gives
+    * -mu/sigma ≠ 0, so the op inherently densifies — exactly the
+    * reference's densify-before-scale. The COO matrix round-trips through
+    * `toDense` (pos-sorted scatter, bit-identical) and hands off to the
+    * dense scaleZ; output and oracle are identical to q_sc_scale, so the
+    * hash match proves toSparse∘toDense is lossless. */
+  def scScaleSparse(s: SparkSession, d: String): DataFrame = {
+    val cells = ScMatrix.counts(s, d).select(col("id"))
+    val dense = toDense(coo(s, d), dim = 64, cells = cells)
+    ScMatrix.scaleZ(dense, maxValue = 3.0)
+      .select(col("id").as("vec_id"),
+        (round(aggregate(col("vec"), lit(0.0), (a, x) => a + x), 3) + lit(0.0))
+          .as("row_checksum"),
+        (round(array_max(col("vec")), 4) + lit(0.0)).as("max_z"))
+      .orderBy("vec_id")
+  }
+
+  /** Sparse-path HVG: dispersion from the O(nnz) moment sums (mu = s1/N,
+    * var = s2/N − mu²) — zeros contribute to N but not to the sums, so no
+    * densify is ever needed. Same top-k projection as the dense
+    * q_sc_hvg_topk; own oracle (same SQL text) because the moment-sum
+    * variance and DuckDB's var_pop must agree at 6dp for the match. */
+  def scHvgSparse(s: SparkSession, d: String): DataFrame = {
+    val n = ScMatrix.counts(s, d).count()
+    geneStatsSparse(coo(s, d), n)
+      .select(col("pos"),
+        when(col("mu") === 0.0, lit(null))
+          .otherwise(col("sigma") * col("sigma") / col("mu")).as("disp"))
+      .orderBy(col("disp").desc, col("pos"))
+      .limit(16)
+      .select((col("pos") + 1).cast("int").as("pos1"),
+        round(col("disp"), 6).as("disp"))
+      .orderBy(col("disp").desc, col("pos1"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_sc_filter_genes_sparse" -> scFilterGenesSparse _,
     "q_sc_normalize_sparse"    -> scNormalizeSparse _,
+    "q_sc_scale_sparse"        -> scScaleSparse _,
+    "q_sc_hvg_sparse"          -> scHvgSparse _,
   )
 
   private val COUNTS_CTE =
@@ -156,5 +193,30 @@ object ScSparse {
                    list_transform(v, x -> ln(1.0 + x * s)) AS y FROM sc)
       SELECT vec_id, round(list_sum(y), 4) AS row_checksum
       FROM n ORDER BY vec_id""",
+    // identical to the dense q_sc_scale oracle — the sparse densify path
+    // must reproduce the dense z-scores bit-for-bit at the rounding
+    "q_sc_scale_sparse" -> s"""$COUNTS_CTE,
+      x AS (SELECT vec_id, unnest(v) AS val,
+                   generate_subscripts(v, 1) AS pos FROM c),
+      st AS (SELECT pos, avg(val) AS mu, stddev_pop(val) AS sigma
+             FROM x GROUP BY pos),
+      z AS (SELECT vec_id,
+                   CASE WHEN sigma = 0 THEN 0.0
+                        ELSE least((val - mu) / sigma, 3.0) END AS zz
+            FROM x JOIN st USING (pos))
+      SELECT vec_id, round(sum(zz), 3) + 0.0 AS row_checksum,
+             round(max(zz), 4) + 0.0 AS max_z
+      FROM z GROUP BY vec_id ORDER BY vec_id""",
+    // identical to the dense q_sc_hvg_topk oracle — dispersion from COO
+    // moment sums must agree with var_pop/avg at 6dp
+    "q_sc_hvg_sparse" -> s"""$COUNTS_CTE,
+      x AS (SELECT vec_id, unnest(v) AS val,
+                   generate_subscripts(v, 1) AS pos FROM c),
+      st AS (SELECT pos, var_pop(val) / avg(val) AS disp0
+             FROM x GROUP BY pos)
+      SELECT pos1, disp FROM (
+        SELECT CAST(pos AS INT) AS pos1, round(disp0, 6) AS disp, disp0
+        FROM st ORDER BY disp0 DESC, pos LIMIT 16)
+      ORDER BY disp DESC, pos1""",
   )
 }

@@ -157,6 +157,47 @@ object Events {
       }
   }
 
+  /** The matched (signup, purchase) pairs — the shape a streaming
+    * two-input join emits in append mode. Both inputs may come from the
+    * same watermarked stream (a filtered self-join) or two sources. */
+  def intervalJoinPairs(signups: DataFrame, purchases: DataFrame): DataFrame =
+    signups.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("p_ts") >= col("s_ts") &&
+          col("p_ts") < col("s_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("signup_id"), col("user_id"), col("p_ts"), col("value"))
+
+  /** Stream-stream interval join (batch twin): for each signup, the
+    * purchases by the same user within 1 hour AFTER it. Written once as a
+    * DataFrame transform; StreamStreamJoinSpec drives the identical join
+    * condition through watermarked MemoryStreams — the watermark bound
+    * on (p_ts - s_ts) is what lets streaming evict join state.
+    *
+    * Scale: equi-join on user_id (one shuffle) with the time-range
+    * predicate evaluated as a post-join filter inside the same SMJ —
+    * no cartesian, no broadcast of an unbounded side. */
+  def intervalJoin(events: DataFrame): DataFrame = {
+    val signups = events.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("event_id").as("signup_id"),
+        col("ts").as("s_ts"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("value"))
+    intervalJoinPairs(signups, purchases)
+      .groupBy(col("signup_id"), col("user_id"))
+      .agg(count(lit(1)).as("n_purchases"),
+        round(sum(col("value")), 4).as("purchase_value"))
+  }
+
+  /** Streaming exact-dedup (batch twin): the distinct key set. The
+    * streaming form is `dropDuplicates(keys)` with a watermark so seen-key
+    * state is evicted; StreamingDedupSpec proves the streamed set equals
+    * this batch distinct. Emitting only the keys keeps the result
+    * deterministic under both executions (which PHYSICAL row survives a
+    * duplicate group is arrival-order-dependent; the key set is not). */
+  def dedupKeys(events: DataFrame): DataFrame =
+    events.select(col("user_id"), col("event_type")).distinct()
+
   // ------------------------------------------------------------- queries --
 
   def streamTumbling(s: SparkSession, d: String): DataFrame =
@@ -172,10 +213,20 @@ object Events {
       .select("user_id", "session_start_us", "n_events", "duration_us")
       .orderBy("user_id", "session_start_us")
 
+  def streamJoin(s: SparkSession, d: String): DataFrame =
+    intervalJoin(Tables.events(s, d))
+      .orderBy("signup_id")
+
+  def streamDedup(s: SparkSession, d: String): DataFrame =
+    dedupKeys(Tables.events(s, d))
+      .orderBy("user_id", "event_type")
+
   val queries: Map[String, Q] = Map(
     "q_stream_tumbling" -> streamTumbling _,
     "q_stream_sliding"  -> streamSliding _,
     "q_stream_session"  -> streamSession _,
+    "q_stream_join"     -> streamJoin _,
+    "q_stream_dedup"    -> streamDedup _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -218,5 +269,21 @@ object Events {
                 max(ts_us) - min(ts_us) AS duration_us
          FROM numbered GROUP BY user_id, session_id
          ORDER BY user_id, session_start_us""",
+    "q_stream_join" ->
+      """WITH s AS (SELECT user_id, event_id AS signup_id, ts AS s_ts
+                    FROM events WHERE event_type = 'signup'),
+           p AS (SELECT user_id, ts AS p_ts, value
+                 FROM events WHERE event_type = 'purchase')
+         SELECT s.signup_id, s.user_id,
+                CAST(count(1) AS BIGINT) AS n_purchases,
+                round(sum(p.value), 4) AS purchase_value
+         FROM s JOIN p ON s.user_id = p.user_id
+              AND p.p_ts >= s.s_ts
+              AND p.p_ts < s.s_ts + INTERVAL 1 HOUR
+         GROUP BY s.signup_id, s.user_id
+         ORDER BY signup_id""",
+    "q_stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+         ORDER BY user_id, event_type""",
   )
 }

@@ -103,9 +103,31 @@ object ZarrQueries {
       .orderBy("row_id")
   }
 
+  /** The reference's full lifecycle in one query: Zarr store → scan →
+    * normalize_per_cell → log1p → per-cell checksum (the fused
+    * formulation from ScQueries.scNormalizeLog1p, fed by the zarr source
+    * instead of parquet). The oracle computes the same pipeline in DuckDB
+    * from the parquet twin — a hash match proves preprocessing results
+    * are source-format-independent end to end. */
+  def zarrPipeline(s: SparkSession, d: String): DataFrame = {
+    val p = fixture(s, d)
+    val absX = (x: org.apache.spark.sql.Column) => abs(x)
+    s.read.format("zarr").load(p)
+      .select(col("row_id").as("vec_id"), col("vec"),
+        aggregate(col("vec"), lit(0.0), (a, x) => a + absX(x)).as("row_sum"))
+      .select(col("vec_id"), col("vec"),
+        when(col("row_sum") === 0.0, lit(1.0))
+          .otherwise(lit(100.0) / col("row_sum")).as("sc"))
+      .select(col("vec_id"),
+        round(aggregate(col("vec"), lit(0.0),
+          (a, x) => a + log1p(absX(x) * col("sc"))), 4).as("row_checksum"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, Q] = Map(
-    "q_zarr_scan"   -> zarrScan _,
-    "q_zarr_pruned" -> zarrPruned _,
+    "q_zarr_scan"     -> zarrScan _,
+    "q_zarr_pruned"   -> zarrPruned _,
+    "q_zarr_pipeline" -> zarrPipeline _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -121,5 +143,19 @@ object ZarrQueries {
                       x -> CAST(x AS DOUBLE))), 4) AS checksum
          FROM embeddings WHERE vec_id >= 100 AND vec_id < 300
          ORDER BY row_id""",
+    // same pipeline as q_sc_normalize_log1p's oracle, vec from the parquet
+    // twin of the zarr store
+    "q_zarr_pipeline" ->
+      """WITH c AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
+                           list_transform(embedding,
+                             x -> abs(CAST(x AS DOUBLE))) AS v
+                    FROM embeddings),
+         sc AS (SELECT vec_id, v,
+                       CASE WHEN list_sum(v) = 0 THEN 1.0
+                            ELSE 100.0 / list_sum(v) END AS s FROM c),
+         n AS (SELECT vec_id,
+                      list_transform(v, x -> ln(1.0 + x * s)) AS y FROM sc)
+         SELECT vec_id, round(list_sum(y), 4) AS row_checksum
+         FROM n ORDER BY vec_id""",
   )
 }

@@ -121,4 +121,17 @@ class SparseSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(sparseNorm == denseNorm)
   }
+
+  test("scale via sparse densify == dense scale, HVG from COO moments == dense HVG") {
+    val sparseScale = ScSparse.scScaleSparse(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
+    val denseScale = ScQueries.queries("q_sc_scale")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
+    assert(sparseScale == denseScale)
+    val sparseHvg = ScSparse.scHvgSparse(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getDouble(1))).toSeq
+    val denseHvg = ScQueries.queries("q_sc_hvg_topk")(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getDouble(1))).toSeq
+    assert(sparseHvg == denseHvg)
+  }
 }

@@ -181,4 +181,70 @@ class StreamStreamJoinSpec extends graft.SparkSpec {
       .map(r => r.getLong(0)).toSet
     assert(rows == Set(1L), s"got $rows")
   }
+
+  test("streamed self-join pairs == Events.intervalJoinPairs batch twin") {
+    val evs = Seq(
+      Ev(10, t("2024-01-01 10:00:00"), 1, "signup", 0.0),
+      Ev(11, t("2024-01-01 10:30:00"), 1, "purchase", 5.0),  // in window
+      Ev(12, t("2024-01-01 10:59:59"), 1, "purchase", 7.0),  // in window
+      Ev(13, t("2024-01-01 11:00:00"), 1, "purchase", 9.0),  // p_ts == s_ts+1h → out
+      Ev(14, t("2024-01-01 10:10:00"), 2, "signup", 0.0),
+      Ev(15, t("2024-01-01 10:05:00"), 2, "purchase", 3.0),  // before signup → out
+      Ev(16, t("2024-01-01 12:00:00"), 3, "purchase", 4.0))  // no signup → out
+    val ms = MemoryStream[Ev]
+    ms.addData(evs: _*)
+    val wm = ms.toDF().withWatermark("ts", "10 minutes")
+    val sgn = wm.filter($"event_type" === "signup")
+      .select($"user_id", $"event_id".as("signup_id"), $"ts".as("s_ts"))
+    val pur = wm.filter($"event_type" === "purchase")
+      .select($"user_id".as("p_user"), $"ts".as("p_ts"), $"value")
+    val q = Events.intervalJoinPairs(sgn, pur)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("ssj_twin_out").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ssj_twin_out").collect().map(_.toSeq).toSet
+    val bs = evs.toDF().filter($"event_type" === "signup")
+      .select($"user_id", $"event_id".as("signup_id"), $"ts".as("s_ts"))
+    val bp = evs.toDF().filter($"event_type" === "purchase")
+      .select($"user_id".as("p_user"), $"ts".as("p_ts"), $"value")
+    val want = Events.intervalJoinPairs(bs, bp).collect().map(_.toSeq).toSet
+    assert(got == want && want.map(_.head).contains(10L), s"got $got")
+    assert(want.size == 2, s"boundary semantics drifted: $want")
+  }
+}
+
+/** Streaming exact dedup: dropDuplicates keeps per-key state and emits the
+  * first arrival; dropDuplicatesWithinWatermark bounds that state by the
+  * watermark — the form a 100 TB infinite-stream dedup must use. The
+  * batch twin (distinct key set) is the q_stream_dedup oracle. */
+class StreamingDedupSpec extends graft.SparkSpec {
+  import spark.implicits._
+  implicit def sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+  private def t(s: String) = Timestamp.valueOf(s)
+
+  private val evs = Seq(
+    Ev(1, t("2024-01-01 10:00:00"), 1, "click", 1.0),
+    Ev(2, t("2024-01-01 10:01:00"), 1, "click", 2.0),   // dup key
+    Ev(3, t("2024-01-01 10:02:00"), 1, "view", 3.0),
+    Ev(4, t("2024-01-01 10:03:00"), 2, "click", 4.0),
+    Ev(5, t("2024-01-01 10:04:00"), 2, "click", 5.0))   // dup key
+
+  test("streaming dropDuplicates emits exactly the batch-distinct key set") {
+    val ms = MemoryStream[Ev]
+    ms.addData(evs.take(2): _*)   // duplicate split across two batches
+    ms.addData(evs.drop(2): _*)
+    val q = ms.toDF().withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select("user_id", "event_type")
+      .writeStream.outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .format("memory").queryName("dedup_out").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("dedup_out").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val want = Events.dedupKeys(evs.toDF()).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == want && want.size == 3, s"got $got want $want")
+  }
 }
