@@ -224,9 +224,28 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Keep-latest compaction: the upsert-resolution dedup (CDC/changelog
+    * semantics — many versions per key, only the newest survives). One
+    * window shuffle on the key; at 100 TB this is the standard
+    * log-compaction pass before publishing a snapshot. Total order via
+    * (ts_us, event_id) tie-break so the survivor is deterministic. */
+  def dedupLatest(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+    graft.tables.Tables.events(s, d)
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        col("event_type"), col("value"))
+      .orderBy("user_id")
+  }
+
   // ------------------------------------------------------------- wiring --
 
   val queries: Map[String, Q] = Map(
+    "q_dedup_latest"  -> dedupLatest _,
     "q_dedup_exact"   -> dedupExact _,
     "q_dedup_simhash" -> dedupSimhash _,
     "q_dedup_ngram"   -> dedupNgram _,
@@ -236,6 +255,13 @@ object Dedup {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_dedup_latest" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value
+         FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                 ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+               FROM events)
+         WHERE rn = 1
+         ORDER BY user_id""",
     "q_dedup_exact" ->
       """SELECT md5(text) AS text_md5, CAST(min(doc_id) AS BIGINT) AS rep_id,
                 CAST(count(1) AS BIGINT) AS n_copies
