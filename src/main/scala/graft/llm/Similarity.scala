@@ -147,18 +147,27 @@ object Similarity {
     * SimilaritySpec.
     */
   def ivfTopK(df: DataFrame, k: Int, nList: Int = 16, nProbe: Int = 4,
-              seed: Long = 42L, fitFraction: Double = 0.5): DataFrame = {
+              seed: Long = 42L, fitFraction: Double = 0.5,
+              maxFitRows: Int = 10000): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val spark = df.sparkSession
     val feats = df.withColumn("features", array_to_vector(col("v")))
     // coarse-quantizer fit: random init (k-means|| costs ~2× in extra
     // passes and buys nothing for an ANN cell map) + bounded iterations —
-    // cell-assignment quality converges fast and recall is what's gated
+    // cell-assignment quality converges fast and recall is what's gated.
+    // The fit set is ROW-capped, not just fraction-sampled: a coarse
+    // quantizer needs ~100s of points per cell, so at 100 TB the fit input
+    // is a bounded few-partition frame, and each Lloyd pass is a tiny job
+    // instead of a full-cluster sweep. Cached across the ~10 passes.
+    val fitSet = feats.sample(withReplacement = false, fitFraction, seed)
+      .limit(maxFitRows)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val model = new KMeans().setK(nList).setSeed(seed)
-      .setInitMode("random").setMaxIter(10)
+      .setInitMode("random").setMaxIter(6)
       .setFeaturesCol("features")
-      .fit(feats.sample(withReplacement = false, fitFraction, seed))
+      .fit(fitSet)
+    fitSet.unpersist(false)
     val centroids = model.clusterCenters.map(_.toArray.toSeq).toSeq
     val centLit = typedlit(centroids)
     // distances to every centroid, once per row (nested HOF, one codegen)
