@@ -177,8 +177,67 @@ object Multimodal {
       .orderBy("id")
   }
 
+  /** One-time raw-file fixture: the ppm rows of the media lake written as
+    * REAL .ppm files in a directory — the object-store layout media
+    * actually arrives in before any table exists. Files are written
+    * executor-side (foreachPartition), no driver collect. */
+  def fileFixture(s: SparkSession, sfDir: String): String = synchronized {
+    val key = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    val root = new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"graft_mediafiles$key")
+    val dir = new java.io.File(root, "ppm")
+    val marker = new java.io.File(root, "_DONE")
+    if (marker.exists()) return dir.toString
+    dir.mkdirs()
+    import s.implicits._
+    val dirPath = dir.toString
+    syntheticMedia(s, sfDir).as[MediaRow]
+      .filter(col("format") === "ppm")
+      .foreachPartition { rows: Iterator[MediaRow] =>
+        rows.foreach { m =>
+          val f = new java.io.File(dirPath, f"img_${m.id}%06d.ppm")
+          val out = new java.io.FileOutputStream(f)
+          try out.write(m.payload) finally out.close()
+        }
+      }
+    new java.io.FileOutputStream(marker).close()
+    dir.toString
+  }
+
+  /** Raw-media ingest through Spark's `binaryFile` source: directory of
+    * .ppm files → (path, content) rows → header-parsed decode → pooled
+    * features. This is the day-one shape of a media lake (files on an
+    * object store, no table yet); one file = one row, metadata predicates
+    * (path, length, modificationTime) prune without reading bytes.
+    * MultimodalSpec proves the decoded features equal the parquet-lake
+    * path for the same ids — ingest route must not change results. */
+  def multimodalBinaryFiles(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dir = fileFixture(s, d)
+    s.read.format("binaryFile")
+      .option("pathGlobFilter", "*.ppm").load(dir)
+      .select(
+        regexp_extract(col("path"), "img_(\\d+)\\.ppm$", 1)
+          .cast("long").as("id"),
+        col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val (w, h, px) = MediaCodecs.decodePpm(bytes)
+          MediaFeatures(id, "ppm", 1, meanPool(px, w, h, 4))
+        }
+      }
+      .toDF()
+      .select(col("id"), col("n_frames"),
+        size(col("features")).as("n_features"),
+        round(aggregate(col("features"), lit(0.0),
+          (a, x) => a + x.cast("double")), 2).as("checksum"))
+      .orderBy("id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_multimodal_features" -> multimodalFeatures _,
+    "q_multimodal_binfile"  -> multimodalBinaryFiles _,
   )
   val oracle: Map[String, String] = Map.empty
 }

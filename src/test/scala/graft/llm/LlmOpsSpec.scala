@@ -182,6 +182,17 @@ class MultimodalSpec extends SparkSpec {
         MediaCodecs.poolAudio(samples, 16)))
     }
   }
+
+  test("binaryFile ingest route decodes to the same features as the lake") {
+    val viaFiles = Multimodal.multimodalBinaryFiles(spark, sf)
+      .select("id", "checksum")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val viaLake = Multimodal.multimodalFeatures(spark, sf)
+      .filter($"format" === "ppm").select("id", "checksum")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(viaFiles.nonEmpty && viaFiles == viaLake,
+      s"files=${viaFiles.size} lake=${viaLake.size}")
+  }
 }
 
 class MediaCodecsSpec extends SparkSpec {
