@@ -100,6 +100,39 @@ object TextOps {
     canonical.join(fps, Seq("doc_id")).orderBy("doc_id")
   }
 
+  /** Per-document top TF-IDF token — the corpus-weighted keyword extract
+    * (tf = in-doc frequency, idf = ln(N/df)). Three keyed aggregations
+    * (term counts, document frequencies, per-doc top-1 window) — each a
+    * partial+final hash agg or a keyed window, all linear shuffles; the
+    * doc-count scalar joins in as a broadcast literal, never a driver
+    * round-trip in the per-row path. Ranking uses the ROUNDED score (both
+    * engines round identically before ordering) with a token tie-break so
+    * top-1 is total-order deterministic. */
+  def textTfidf(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+    val docLen = docs.select(col("doc_id"),
+      size(tokens(col("text"))).cast("double").as("nt"))
+    val tf = tok.groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+    val dfreq = tok.select("doc_id", "t").distinct()
+      .groupBy("t").agg(count(lit(1)).as("dfc"))
+    val scored = tf
+      .join(docLen, Seq("doc_id"))
+      .join(dfreq, Seq("t"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("t"),
+        round(col("c").cast("double") / col("nt")
+          * log(col("n_docs").cast("double") / col("dfc")) + lit(1e-9), 6)
+          .as("tfidf"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tfidf").desc, col("t").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("t").as("top_token"), col("tfidf"))
+      .orderBy("doc_id")
+  }
+
   // -------------------------------------------------------- language ID --
 
   /** Marker tokens per language for the n-gram/stopword language-ID
@@ -147,9 +180,26 @@ object TextOps {
     "q_text_quality"     -> textQuality _,
     "q_text_fingerprint" -> textFingerprint _,
     "q_text_langid"      -> textLangId _,
+    "q_text_tfidf"       -> textTfidf _,
   )
 
   val oracle: Map[String, String] = Map(
+    "q_text_tfidf" ->
+      """WITH tok AS (SELECT doc_id, unnest(str_split(text, ' ')) AS t
+                      FROM documents),
+         n AS (SELECT doc_id, CAST(len(str_split(text, ' ')) AS DOUBLE) AS nt
+               FROM documents),
+         tf AS (SELECT doc_id, t, count(1) AS c FROM tok GROUP BY doc_id, t),
+         df AS (SELECT t, count(DISTINCT doc_id) AS dfc FROM tok GROUP BY t),
+         nd AS (SELECT CAST(count(1) AS DOUBLE) AS n_docs FROM documents),
+         sc AS (SELECT tf.doc_id, tf.t,
+                       round(CAST(tf.c AS DOUBLE) / n.nt
+                             * ln(nd.n_docs / df.dfc) + 1e-9, 6) AS tfidf
+                FROM tf JOIN n USING (doc_id) JOIN df USING (t) CROSS JOIN nd),
+         r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                         ORDER BY tfidf DESC, t) AS rn FROM sc)
+         SELECT doc_id, t AS top_token, tfidf FROM r WHERE rn = 1
+         ORDER BY doc_id""",
     "q_text_tokenize" ->
       """SELECT token, CAST(COUNT(1) AS BIGINT) AS n
          FROM (SELECT unnest(str_split(text, ' ')) AS token FROM documents)

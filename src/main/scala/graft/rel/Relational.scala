@@ -196,7 +196,39 @@ object Relational {
 
   // ------------------------------------------------------------- wiring --
 
+  /** The pure-SQL entry point: the engine's tables registered as temp
+    * views, the query authored as ANSI SQL through `spark.sql` — the
+    * route a BI tool or SQL-only user takes. TPC-H Q3 shape (3-table
+    * join, selective date/segment predicates, grouped revenue). Catalyst
+    * plans it identically to the DataFrame form: customer broadcast,
+    * shipdate/orderdate predicates pushed to the scans. The HAVING
+    * threshold keeps the output set deterministic (no float-ordered
+    * LIMIT). */
+  def sqlTpchQ3(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d).createOrReplaceTempView("customer")
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+    // +1e-6 round-boundary epsilon on the revenue sum (the 32ef5a9
+    // convention, sized up for ~1e5-magnitude money sums whose cross-engine
+    // float-order difference can reach ~1e-8): sums of PRODUCTS land on
+    // .005 boundaries where Spark and DuckDB round apart — observed at
+    // sf0.1 (287075.905 → .91 vs .9)
+    s.sql("""
+      SELECT o_orderkey,
+             round(sum(l_extendedprice * (1 - l_discount)) + 1e-6, 2) AS revenue
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+        AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+      GROUP BY o_orderkey
+      HAVING sum(l_extendedprice * (1 - l_discount)) > 100000
+      ORDER BY o_orderkey""")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_sql_tpch_q3"   -> sqlTpchQ3 _,
     "q_scan_project_filter" -> scanProjectFilter _,
     "q_join_broadcast"      -> joinBroadcast _,
     "q_join_shuffle"        -> joinShuffle _,
@@ -217,6 +249,18 @@ object Relational {
   /** DuckDB 1.0.0 oracle SQL — column names/aliases must match the Spark
     * side exactly (driver sorts columns by name before hashing). */
   val oracle: Map[String, String] = Map(
+    "q_sql_tpch_q3" ->
+      """SELECT o_orderkey,
+                round(sum(l_extendedprice * (1 - l_discount)) + 1e-6, 2) AS revenue
+         FROM customer
+         JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON l_orderkey = o_orderkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+           AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+         GROUP BY o_orderkey
+         HAVING sum(l_extendedprice * (1 - l_discount)) > 100000
+         ORDER BY o_orderkey""",
     "q_scan_project_filter" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
          FROM lineitem WHERE l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
