@@ -9,20 +9,29 @@ import java.util.zip.{Deflater, DeflaterOutputStream, Inflater}
   * https://zarr.readthedocs.io/en/stable/spec/v2.html — the storage format
   * of the reference's `zarr_spark.py` chunk readers [recalled, SURVEY.md
   * §2A R1/R2]; the mount was empty so semantics anchor on the published
-  * spec). Scope: 2-D arrays, C order, little-endian f4/f8, compressor
-  * `zlib` or none — what the reference's expression-matrix use case needs.
+  * spec). Scope: 2-D arrays, C order, little-endian f4/f8/i2/i4/i8,
+  * compressor `zlib` or none — normalized (float) and raw-count (int)
+  * expression matrices.
   */
 case class ZarrMeta(rows: Long, cols: Int, chunkRows: Int, chunkCols: Int,
                     dtype: String, compressor: Option[String],
                     fillValue: Double) {
-  require(dtype == "<f4" || dtype == "<f8",
-    s"unsupported zarr dtype $dtype (supported: <f4, <f8)")
-  def bytesPerElem: Int = if (dtype == "<f4") 4 else 8
+  require(ZarrIO.BytesPerElem.contains(dtype),
+    s"unsupported zarr dtype $dtype " +
+      s"(supported: ${ZarrIO.BytesPerElem.keys.mkString(", ")})")
+  def bytesPerElem: Int = ZarrIO.BytesPerElem(dtype)
   def rowChunkCount: Int = (((rows + chunkRows - 1) / chunkRows)).toInt
   def colChunkCount: Int = (cols + chunkCols - 1) / chunkCols
 }
 
 object ZarrIO {
+
+  /** Little-endian element widths. Floats are the reference's normalized
+    * matrices; ints are what raw scRNA-seq COUNT matrices ship as (10x
+    * writes int32) — values surface as exact doubles (i8 beyond 2^53
+    * would lose precision; counts never approach it). */
+  val BytesPerElem: Map[String, Int] =
+    Map("<f4" -> 4, "<f8" -> 8, "<i2" -> 2, "<i4" -> 4, "<i8" -> 8)
 
   /** Parse `<path>/.zarray` (Jackson ships with Spark). */
   def readMeta(path: String): ZarrMeta = {
@@ -84,12 +93,22 @@ object ZarrIO {
     }
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     val out = new Array[Double](n)
-    if (meta.dtype == "<f4") {
-      val fb = buf.asFloatBuffer(); var k = 0
-      while (k < n) { out(k) = fb.get(k).toDouble; k += 1 }
-    } else {
-      val db = buf.asDoubleBuffer(); var k = 0
-      while (k < n) { out(k) = db.get(k); k += 1 }
+    meta.dtype match {
+      case "<f4" =>
+        val fb = buf.asFloatBuffer(); var k = 0
+        while (k < n) { out(k) = fb.get(k).toDouble; k += 1 }
+      case "<f8" =>
+        val db = buf.asDoubleBuffer(); var k = 0
+        while (k < n) { out(k) = db.get(k); k += 1 }
+      case "<i2" =>
+        val sb = buf.asShortBuffer(); var k = 0
+        while (k < n) { out(k) = sb.get(k).toDouble; k += 1 }
+      case "<i4" =>
+        val ib = buf.asIntBuffer(); var k = 0
+        while (k < n) { out(k) = ib.get(k).toDouble; k += 1 }
+      case "<i8" =>
+        val lb = buf.asLongBuffer(); var k = 0
+        while (k < n) { out(k) = lb.get(k).toDouble; k += 1 }
     }
     out
   }
@@ -102,8 +121,13 @@ object ZarrIO {
         s"${meta.chunkRows}x${meta.chunkCols} chunk")
     val buf = ByteBuffer.allocate(values.length * meta.bytesPerElem)
       .order(ByteOrder.LITTLE_ENDIAN)
-    if (meta.dtype == "<f4") values.foreach(v => buf.putFloat(v.toFloat))
-    else values.foreach(buf.putDouble)
+    meta.dtype match {
+      case "<f4" => values.foreach(v => buf.putFloat(v.toFloat))
+      case "<f8" => values.foreach(buf.putDouble)
+      case "<i2" => values.foreach(v => buf.putShort(v.toShort))
+      case "<i4" => values.foreach(v => buf.putInt(v.toInt))
+      case "<i8" => values.foreach(v => buf.putLong(v.toLong))
+    }
     val bytes = buf.array()
     val out = meta.compressor match {
       case Some("zlib") => deflate(bytes)

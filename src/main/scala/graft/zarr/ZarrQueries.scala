@@ -16,17 +16,20 @@ import graft.tables.Tables
   */
 object ZarrSink {
 
-  /** Write (id, vec ARRAY<DOUBLE>) as a zarr f8 array of shape (n, dim).
-    * ids must be 0..n-1 (the row index — the AnnData X row convention).
-    * Single column chunk per band: the distributed writer's unit of work
-    * is the row band, matching the read path. */
+  /** Write (id, vec ARRAY<DOUBLE>) as a zarr array of shape (n, dim) —
+    * dtype `<f8` by default, any supported dtype on request (int dtypes
+    * for raw-count matrices). ids must be 0..n-1 (the row index — the
+    * AnnData X row convention). Single column chunk per band: the
+    * distributed writer's unit of work is the row band, matching the
+    * read path. */
   def writeMatrix(df: DataFrame, path: String, dim: Int,
-                  chunkRows: Int = 128, zlib: Boolean = true): ZarrMeta = {
+                  chunkRows: Int = 128, zlib: Boolean = true,
+                  dtype: String = "<f8"): ZarrMeta = {
     val spark = df.sparkSession
     import spark.implicits._
     val n = df.count()
     val meta = ZarrMeta(rows = n, cols = dim, chunkRows = chunkRows,
-      chunkCols = dim, dtype = "<f8",
+      chunkCols = dim, dtype = dtype,
       compressor = if (zlib) Some("zlib") else None, fillValue = 0.0)
     ZarrIO.writeMeta(path, meta)
     val written = df.select(col("id").cast("long"), col("vec"))

@@ -103,6 +103,26 @@ class ZarrSpec extends SparkSpec {
     assert(got(2L) == Seq(7.75f, 8.5f))
   }
 
+  test("int dtypes (raw-count matrices) round-trip exactly") {
+    for ((dt, vals) <- Seq(
+        "<i2" -> Array(7.0, -3.0, 32767.0, 0.0),
+        "<i4" -> Array(1.0, 2147483647.0, -12.0, 0.0),
+        "<i8" -> Array(4503599627370496.0, -9.0, 3.0, 0.0))) {
+      val meta = ZarrMeta(rows = 2, cols = 2, chunkRows = 2, chunkCols = 2,
+        dtype = dt, compressor = Some("zlib"), fillValue = 0.0)
+      val path = tmpDir("int")
+      ZarrIO.writeMeta(path, meta)
+      ZarrIO.writeChunk(path, meta, 0, 0, vals)
+      // IO-level round trip is bit-exact
+      assert(ZarrIO.readChunk(path, meta, 0, 0).toSeq == vals.toSeq, dt)
+      // and the DSv2 read surfaces exact integer-valued doubles
+      val got = spark.read.format("zarr").load(path)
+        .select(col("row_id"), col("vec")).as[(Long, Seq[Double])]
+        .collect().toMap
+      assert(got(0L) == vals.take(2).toSeq && got(1L) == vals.drop(2).toSeq, dt)
+    }
+  }
+
   test("q_zarr_scan matches the parquet twin computed in Spark") {
     val viaZarr = ZarrQueries.zarrScan(spark, sf).collect().toSeq
     val viaParquet = graft.tables.Tables.embeddings(spark, sf)
