@@ -40,22 +40,14 @@ object Multimodal {
     * documents — REAL PPM/WAV encodings for ppm/wav rows, raw UTF-8 text
     * bytes for the stub formats. Written as parquet so the read path is
     * an ordinary binary-column scan. */
-  def mediaFixture(s: SparkSession, sfDir: String): String = synchronized {
-    val key = sfDir.replaceAll("[^A-Za-z0-9]", "_")
-    val root = new java.io.File(
-      System.getProperty("java.io.tmpdir"), s"graft_media$key")
-    val dir = new java.io.File(root, "media.parquet")
-    val marker = new java.io.File(root, "_DONE")
-    if (marker.exists()) return dir.toString
-    root.mkdirs()
-    import s.implicits._
-    val media = Tables.documents(s, sfDir)
-      .select(col("doc_id"), col("text")).as[(Long, String)]
-      .map { case (id, text) => mkRow(id, text) }
-    media.write.mode("overwrite").parquet(dir.toString)
-    new java.io.FileOutputStream(marker).close()
-    dir.toString
-  }
+  def mediaFixture(s: SparkSession, sfDir: String): String =
+    graft.tables.Fixtures.cached("media", "media.parquet", sfDir) { dir =>
+      import s.implicits._
+      Tables.documents(s, sfDir)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) => mkRow(id, text) }
+        .write.mode("overwrite").parquet(dir.toString)
+    }()
 
   /** Deterministic row synthesis (driver of the fixture above). */
   def mkRow(id: Long, text: String): MediaRow = {
@@ -128,10 +120,22 @@ object Multimodal {
   def sampleFrames(nFrames: Int, stride: Int): Seq[Int] =
     0 until nFrames by stride
 
+  val DefaultPoolFactor = 4
+
+  /** Shared ppm → pooled-features kernel: single source of truth for BOTH
+    * ingest routes (parquet media lake and binaryFile directory), so the
+    * MultimodalSpec equality between them can't be satisfied by two
+    * coincidentally-equal copies. */
+  def ppmFeatures(id: Long, bytes: Array[Byte], poolFactor: Int): MediaFeatures = {
+    val (w, h, px) = MediaCodecs.decodePpm(bytes)
+    MediaFeatures(id, "ppm", 1, meanPool(px, w, h, poolFactor))
+  }
+
   /** decode → resize → (frame-sample for video) as a partition-wise typed
     * pipeline. Batch shape: iterator-in/iterator-out per partition;
     * ppm/wav rows go through the REAL decoders. */
-  def extractFeatures(media: Dataset[MediaRow], poolFactor: Int = 4)
+  def extractFeatures(media: Dataset[MediaRow],
+                      poolFactor: Int = DefaultPoolFactor)
       : Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
@@ -140,8 +144,7 @@ object Multimodal {
       rows.map { m =>
         m.format match {
           case "ppm" =>
-            val (w, h, px) = MediaCodecs.decodePpm(m.payload)
-            MediaFeatures(m.id, m.format, 1, meanPool(px, w, h, poolFactor))
+            ppmFeatures(m.id, m.payload, poolFactor)
           case "wav" =>
             val (_, samples) = MediaCodecs.decodeWav(m.payload)
             MediaFeatures(m.id, m.format, 1,
@@ -180,29 +183,25 @@ object Multimodal {
   /** One-time raw-file fixture: the ppm rows of the media lake written as
     * REAL .ppm files in a directory — the object-store layout media
     * actually arrives in before any table exists. Files are written
-    * executor-side (foreachPartition), no driver collect. */
-  def fileFixture(s: SparkSession, sfDir: String): String = synchronized {
-    val key = sfDir.replaceAll("[^A-Za-z0-9]", "_")
-    val root = new java.io.File(
-      System.getProperty("java.io.tmpdir"), s"graft_mediafiles$key")
-    val dir = new java.io.File(root, "ppm")
-    val marker = new java.io.File(root, "_DONE")
-    if (marker.exists()) return dir.toString
-    dir.mkdirs()
-    import s.implicits._
-    val dirPath = dir.toString
-    syntheticMedia(s, sfDir).as[MediaRow]
-      .filter(col("format") === "ppm")
-      .foreachPartition { rows: Iterator[MediaRow] =>
-        rows.foreach { m =>
-          val f = new java.io.File(dirPath, f"img_${m.id}%06d.ppm")
-          val out = new java.io.FileOutputStream(f)
-          try out.write(m.payload) finally out.close()
+    * executor-side (foreachPartition) onto the filesystem local[*] shares
+    * with the driver (Fixtures.cached documents the local-mode contract);
+    * the post-build check fails loudly — and skips the cache marker — if
+    * the directory came up empty. */
+  def fileFixture(s: SparkSession, sfDir: String): String =
+    graft.tables.Fixtures.cached("mediafiles", "ppm", sfDir) { dir =>
+      dir.mkdirs()
+      import s.implicits._
+      val dirPath = dir.toString
+      syntheticMedia(s, sfDir).as[MediaRow]
+        .filter(col("format") === "ppm")
+        .foreachPartition { rows: Iterator[MediaRow] =>
+          rows.foreach { m =>
+            val f = new java.io.File(dirPath, f"img_${m.id}%06d.ppm")
+            val out = new java.io.FileOutputStream(f)
+            try out.write(m.payload) finally out.close()
+          }
         }
-      }
-    new java.io.FileOutputStream(marker).close()
-    dir.toString
-  }
+    } { dir => Option(dir.listFiles()).exists(_.nonEmpty) }
 
   /** Raw-media ingest through Spark's `binaryFile` source: directory of
     * .ppm files → (path, content) rows → header-parsed decode → pooled
@@ -223,8 +222,7 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.map { case (id, bytes) =>
-          val (w, h, px) = MediaCodecs.decodePpm(bytes)
-          MediaFeatures(id, "ppm", 1, meanPool(px, w, h, 4))
+          ppmFeatures(id, bytes, DefaultPoolFactor)
         }
       }
       .toDF()

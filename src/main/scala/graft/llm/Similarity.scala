@@ -158,10 +158,18 @@ object Similarity {
     // cell-assignment quality converges fast and recall is what's gated.
     // The fit set is ROW-capped, not just fraction-sampled: a coarse
     // quantizer needs ~100s of points per cell, so at 100 TB the fit input
-    // is a bounded few-partition frame, and each Lloyd pass is a tiny job
-    // instead of a full-cluster sweep. Cached across the ~10 passes.
-    val fitSet = feats.sample(withReplacement = false, fitFraction, seed)
-      .limit(maxFitRows)
+    // is a bounded single-partition frame, and each Lloyd pass is a tiny
+    // job instead of a full-cluster sweep. The cap shrinks the SAMPLING
+    // FRACTION (still uniform over the whole corpus) rather than
+    // `limit`-ing the sample, which would keep whichever rows the earliest
+    // partitions produced — a subspace when values correlate with layout.
+    val total = df.count()
+    val effFraction =
+      math.min(fitFraction, maxFitRows.toDouble / math.max(1L, total))
+    // repartition (not coalesce): coalesce(1) would drag the whole scan
+    // into one task; a shuffle after the sample moves only the ≤cap rows
+    val fitSet = feats.sample(withReplacement = false, effFraction, seed)
+      .repartition(1)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val model = new KMeans().setK(nList).setSeed(seed)
       .setInitMode("random").setMaxIter(6)

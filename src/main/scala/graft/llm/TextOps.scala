@@ -112,9 +112,11 @@ object TextOps {
     val docs = Tables.documents(s, d)
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
-    val docLen = docs.select(col("doc_id"),
-      size(tokens(col("text"))).cast("double").as("nt"))
     val tf = tok.groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+    // per-doc token count falls out of the tf aggregate — no third
+    // tokenization pass over the corpus
+    val docLen = tf.groupBy("doc_id")
+      .agg(sum(col("c")).cast("double").as("nt"))
     val dfreq = tok.select("doc_id", "t").distinct()
       .groupBy("t").agg(count(lit(1)).as("dfc"))
     val scored = tf

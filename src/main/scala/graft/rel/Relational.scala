@@ -223,7 +223,7 @@ object Relational {
         AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
         AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
       GROUP BY o_orderkey
-      HAVING sum(l_extendedprice * (1 - l_discount)) > 100000
+      HAVING round(sum(l_extendedprice * (1 - l_discount)) + 1e-6, 2) > 100000
       ORDER BY o_orderkey""")
   }
 
@@ -259,7 +259,7 @@ object Relational {
            AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
            AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
          GROUP BY o_orderkey
-         HAVING sum(l_extendedprice * (1 - l_discount)) > 100000
+         HAVING round(sum(l_extendedprice * (1 - l_discount)) + 1e-6, 2) > 100000
          ORDER BY o_orderkey""",
     "q_scan_project_filter" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice

@@ -21,10 +21,12 @@ import graft.tables.Tables
 object TypedOps {
   import Relational.Q
 
-  /** One order, as read from the orders table (field names match columns
-    * so the Encoder binds by name). */
+  /** One order, day pre-computed RELATIONALLY (`datediff` under the
+    * session's UTC timezone) before the typed boundary — the group
+    * function never touches timestamp/timezone conversion, so its day
+    * arithmetic cannot drift from the oracle's `date_diff('day', …)`. */
   case class OrderRow(o_custkey: Long, o_orderkey: Long,
-                      o_orderdate: java.sql.Timestamp, o_totalprice: Double)
+                      day: Int, o_totalprice: Double)
 
   /** Per-customer history stats: order count, the longest gap in days
     * between consecutive orders (NULL with fewer than 2 orders), total
@@ -32,25 +34,22 @@ object TypedOps {
   case class CustStats(o_custkey: Long, n_orders: Int,
                        max_gap_days: Option[Int], total_spend: Double)
 
-  /** Gap days = calendar-date difference of the wall-clock dates, the same
-    * day-boundary count `datediff`/DuckDB `date_diff('day', …)` use. */
-  private def dayOf(ts: java.sql.Timestamp): Long =
-    ts.toLocalDateTime.toLocalDate.toEpochDay
-
   def custStats(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.orders(s, d)
-      .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+      .select(col("o_custkey"), col("o_orderkey"),
+        datediff(col("o_orderdate"), lit("1992-01-01")).as("day"),
+        col("o_totalprice"))
       .as[OrderRow]
       .groupByKey(_.o_custkey)
       .flatMapGroups { (cust: Long, rows: Iterator[OrderRow]) =>
-        val sorted = rows.toArray.sortBy(r => (dayOf(r.o_orderdate), r.o_orderkey))
+        val sorted = rows.toArray.sortBy(r => (r.day, r.o_orderkey))
         var maxGap = -1L
         var spend = 0.0
         var i = 0
         while (i < sorted.length) {
           if (i > 0) {
-            val gap = dayOf(sorted(i).o_orderdate) - dayOf(sorted(i - 1).o_orderdate)
+            val gap = (sorted(i).day - sorted(i - 1).day).toLong
             if (gap > maxGap) maxGap = gap
           }
           spend += sorted(i).o_totalprice

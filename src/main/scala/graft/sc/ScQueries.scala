@@ -46,21 +46,36 @@ object ScQueries {
     * The composed operators remain the API (q_sc_recipe, ScMatrixSpec);
     * this is what a perf-conscious caller should write for a reduction
     * over a transformed matrix. */
-  def scNormalizeLog1p(s: SparkSession, d: String): DataFrame = {
-    val absX = (x: Column) => abs(x.cast("double"))
-    graft.tables.Tables.embeddings(s, d)
-      .select(col("vec_id"), col("embedding"),
-        aggregate(col("embedding"), lit(0.0), (a, x) => a + absX(x))
+  def scNormalizeLog1p(s: SparkSession, d: String): DataFrame =
+    fusedNormalizeLog1p(
+      graft.tables.Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").as("vec")),
+      absX = x => abs(x.cast("double")), firstVal = true)
+
+  /** The fused normalize_per_cell→log1p checksum pipeline over a
+    * (vec_id, vec) frame — SHARED by the parquet route above and the zarr
+    * route (ZarrQueries.zarrPipeline), so "preprocessing results are
+    * source-format-independent" is enforced by one implementation, not
+    * two copies. `absX` adapts the element type (float embedding vs
+    * already-double zarr vec); both folds apply it in place, never
+    * materializing an intermediate array. */
+  def fusedNormalizeLog1p(df: DataFrame, absX: Column => Column,
+                          firstVal: Boolean): DataFrame = {
+    val scaled = df
+      .select(col("vec_id"), col("vec"),
+        aggregate(col("vec"), lit(0.0), (a, x) => a + absX(x))
           .as("row_sum"))
-      .select(col("vec_id"), col("embedding"),
+      .select(col("vec_id"), col("vec"),
         when(col("row_sum") === 0.0, lit(1.0))
           .otherwise(lit(NORM_TARGET) / col("row_sum")).as("sc"))
-      .select(col("vec_id"),
-        round(aggregate(col("embedding"), lit(0.0),
-          (a, x) => a + log1p(absX(x) * col("sc"))), 4).as("row_checksum"),
-        round(log1p(absX(element_at(col("embedding"), 1)) * col("sc")), 4)
+    val checksum = round(aggregate(col("vec"), lit(0.0),
+      (a, x) => a + log1p(absX(x) * col("sc"))), 4).as("row_checksum")
+    val out =
+      if (firstVal) scaled.select(col("vec_id"), checksum,
+        round(log1p(absX(element_at(col("vec"), 1)) * col("sc")), 4)
           .as("first_val"))
-      .orderBy("vec_id")
+      else scaled.select(col("vec_id"), checksum)
+    out.orderBy("vec_id")
   }
 
   /** R8 scale: per-gene z-score clipped at CLIP; row checksum + row max. */

@@ -101,6 +101,11 @@ object ScSparse {
   private def coo(s: SparkSession, d: String): DataFrame =
     toSparse(ScMatrix.counts(s, d))
 
+  /** Matrix width, read from the data (a hard-coded dim would silently
+    * DROP entries with pos >= dim in toDense's scatter). */
+  private def dimOf(s: SparkSession, d: String): Int =
+    ScMatrix.counts(s, d).select(max(size(col("vec")))).head().getInt(0)
+
   /** Sparse-path filter_genes — output identical to the dense
     * q_sc_filter_genes (same oracle SQL). */
   def scFilterGenesSparse(s: SparkSession, d: String): DataFrame = {
@@ -132,7 +137,7 @@ object ScSparse {
     * hash match proves toSparse∘toDense is lossless. */
   def scScaleSparse(s: SparkSession, d: String): DataFrame = {
     val cells = ScMatrix.counts(s, d).select(col("id"))
-    val dense = toDense(coo(s, d), dim = 64, cells = cells)
+    val dense = toDense(coo(s, d), dim = dimOf(s, d), cells = cells)
     ScMatrix.scaleZ(dense, maxValue = 3.0)
       .select(col("id").as("vec_id"),
         (round(aggregate(col("vec"), lit(0.0), (a, x) => a + x), 3) + lit(0.0))
@@ -143,14 +148,19 @@ object ScSparse {
 
   /** Sparse-path HVG: dispersion from the O(nnz) moment sums (mu = s1/N,
     * var = s2/N − mu²) — zeros contribute to N but not to the sums, so no
-    * densify is ever needed. Same top-k projection as the dense
-    * q_sc_hvg_topk; own oracle (same SQL text) because the moment-sum
-    * variance and DuckDB's var_pop must agree at 6dp for the match. */
+    * densify is ever needed. Genes with NO nonzero entry are absent from
+    * the COO aggregate; the dense twin emits them as NULL-dispersion rows,
+    * so a full position frame left-joins the stats back in (null disp
+    * sorts last, exactly like the dense path). Same top-k projection and
+    * oracle SQL as q_sc_hvg_topk. */
   def scHvgSparse(s: SparkSession, d: String): DataFrame = {
     val n = ScMatrix.counts(s, d).count()
-    geneStatsSparse(coo(s, d), n)
+    val stats = geneStatsSparse(coo(s, d), n)
+    val allPos = s.range(0, dimOf(s, d).toLong)
+      .select(col("id").cast("int").as("pos"))
+    allPos.join(stats, Seq("pos"), "left")
       .select(col("pos"),
-        when(col("mu") === 0.0, lit(null))
+        when(col("mu").isNull || col("mu") === 0.0, lit(null))
           .otherwise(col("sigma") * col("sigma") / col("mu")).as("disp"))
       .orderBy(col("disp").desc, col("pos"))
       .limit(16)

@@ -18,20 +18,12 @@ object Partitioned {
   type Q = (SparkSession, String) => DataFrame
 
   /** One-time partitioned rewrite of the sf dir's orders table. */
-  def fixture(s: SparkSession, sfDir: String): String = synchronized {
-    val key = sfDir.replaceAll("[^A-Za-z0-9]", "_")
-    val root = new java.io.File(
-      System.getProperty("java.io.tmpdir"), s"graft_part$key")
-    val dir = new java.io.File(root, "orders_by_year")
-    val marker = new java.io.File(root, "_DONE")
-    if (marker.exists()) return dir.toString
-    root.mkdirs()
-    Tables.orders(s, sfDir)
-      .withColumn("yr", year(col("o_orderdate")))
-      .write.mode("overwrite").partitionBy("yr").parquet(dir.toString)
-    new java.io.FileOutputStream(marker).close()
-    dir.toString
-  }
+  def fixture(s: SparkSession, sfDir: String): String =
+    Fixtures.cached("part", "orders_by_year", sfDir) { dir =>
+      Tables.orders(s, sfDir)
+        .withColumn("yr", year(col("o_orderdate")))
+        .write.mode("overwrite").partitionBy("yr").parquet(dir.toString)
+    }()
 
   /** Monthly order counts + revenue for one year, read through the
     * partitioned layout — the planner prunes every other year's

@@ -58,26 +58,17 @@ object ZarrQueries {
 
   /** One-time parquet→zarr conversion of the sf dir's embeddings table
     * (vec_id is 0..n-1 by construction — verified at convert time).
-    * Cached per sf dir under java.io.tmpdir; marker file makes it safe
-    * across suites in one JVM and across reruns. */
-  def fixture(s: SparkSession, sfDir: String): String = synchronized {
-    val key = sfDir.replaceAll("[^A-Za-z0-9]", "_")
-    val root = new java.io.File(
-      System.getProperty("java.io.tmpdir"), s"graft_zarr$key")
-    val dir = new java.io.File(root, "embeddings.zarr")
-    val marker = new java.io.File(root, "_DONE")
-    if (marker.exists()) return dir.toString
-    root.mkdirs()
-    val emb = Tables.embeddings(s, sfDir)
-      .select(col("vec_id").as("id"),
-        transform(col("embedding"), _.cast("double")).as("vec"))
-    val n = emb.count()
-    val distinctMax = emb.agg(max(col("id"))).head().getLong(0)
-    require(distinctMax == n - 1, s"vec_id not 0..n-1 (n=$n max=$distinctMax)")
-    ZarrSink.writeMatrix(emb, dir.toString, dim = 64, chunkRows = 128)
-    new java.io.FileOutputStream(marker).close()
-    dir.toString
-  }
+    * Cached per sf dir via Fixtures.cached. */
+  def fixture(s: SparkSession, sfDir: String): String =
+    graft.tables.Fixtures.cached("zarr", "embeddings.zarr", sfDir) { dir =>
+      val emb = Tables.embeddings(s, sfDir)
+        .select(col("vec_id").as("id"),
+          transform(col("embedding"), _.cast("double")).as("vec"))
+      val n = emb.count()
+      val distinctMax = emb.agg(max(col("id"))).head().getLong(0)
+      require(distinctMax == n - 1, s"vec_id not 0..n-1 (n=$n max=$distinctMax)")
+      ZarrSink.writeMatrix(emb, dir.toString, dim = 64, chunkRows = 128)
+    }()
 
   /** Full scan through the zarr DSv2 source; hash-checked against DuckDB
     * reading the parquet TWIN of the same data — proving the chunk
@@ -107,25 +98,16 @@ object ZarrQueries {
   }
 
   /** The reference's full lifecycle in one query: Zarr store → scan →
-    * normalize_per_cell → log1p → per-cell checksum (the fused
-    * formulation from ScQueries.scNormalizeLog1p, fed by the zarr source
-    * instead of parquet). The oracle computes the same pipeline in DuckDB
-    * from the parquet twin — a hash match proves preprocessing results
-    * are source-format-independent end to end. */
-  def zarrPipeline(s: SparkSession, d: String): DataFrame = {
-    val p = fixture(s, d)
-    val absX = (x: org.apache.spark.sql.Column) => abs(x)
-    s.read.format("zarr").load(p)
-      .select(col("row_id").as("vec_id"), col("vec"),
-        aggregate(col("vec"), lit(0.0), (a, x) => a + absX(x)).as("row_sum"))
-      .select(col("vec_id"), col("vec"),
-        when(col("row_sum") === 0.0, lit(1.0))
-          .otherwise(lit(100.0) / col("row_sum")).as("sc"))
-      .select(col("vec_id"),
-        round(aggregate(col("vec"), lit(0.0),
-          (a, x) => a + log1p(absX(x) * col("sc"))), 4).as("row_checksum"))
-      .orderBy("vec_id")
-  }
+    * normalize_per_cell → log1p → per-cell checksum, running the SAME
+    * fused implementation the parquet route uses
+    * (ScQueries.fusedNormalizeLog1p). The oracle computes the pipeline in
+    * DuckDB from the parquet twin — a hash match proves preprocessing
+    * results are source-format-independent end to end. */
+  def zarrPipeline(s: SparkSession, d: String): DataFrame =
+    graft.sc.ScQueries.fusedNormalizeLog1p(
+      s.read.format("zarr").load(fixture(s, d))
+        .select(col("row_id").as("vec_id"), col("vec")),
+      absX = abs, firstVal = false)
 
   val queries: Map[String, Q] = Map(
     "q_zarr_scan"     -> zarrScan _,
