@@ -153,17 +153,24 @@ object ScSparse {
     * so a full position frame left-joins the stats back in (null disp
     * sorts last, exactly like the dense path). Same top-k projection and
     * oracle SQL as q_sc_hvg_topk. */
-  def scHvgSparse(s: SparkSession, d: String): DataFrame = {
-    val n = ScMatrix.counts(s, d).count()
-    val stats = geneStatsSparse(coo(s, d), n)
-    val allPos = s.range(0, dimOf(s, d).toLong)
-      .select(col("id").cast("int").as("pos"))
+  /** Top-k gene positions by dispersion from a COO matrix — the sparse
+    * twin of ScMatrix.hvgTopK, returning (pos, disp) with disp NULL for
+    * unexpressed (mu=0 or fully-zero) genes, exactly like the dense path. */
+  def hvgSparse(s: SparkSession, sp: DataFrame, nCells: Long, dim: Int,
+                k: Int): DataFrame = {
+    val stats = geneStatsSparse(sp, nCells)
+    val allPos = s.range(0, dim.toLong).select(col("id").cast("int").as("pos"))
     allPos.join(stats, Seq("pos"), "left")
       .select(col("pos"),
         when(col("mu").isNull || col("mu") === 0.0, lit(null))
           .otherwise(col("sigma") * col("sigma") / col("mu")).as("disp"))
       .orderBy(col("disp").desc, col("pos"))
-      .limit(16)
+      .limit(k)
+  }
+
+  def scHvgSparse(s: SparkSession, d: String): DataFrame = {
+    val n = ScMatrix.counts(s, d).count()
+    hvgSparse(s, coo(s, d), n, dimOf(s, d), k = 16)
       .select((col("pos") + 1).cast("int").as("pos1"),
         round(col("disp"), 6).as("disp"))
       .orderBy(col("disp").desc, col("pos1"))

@@ -32,6 +32,28 @@ class EdgeCasesSpec extends SparkSpec {
     assert(llm.Similarity.lshPairs(emptyVecs, 0.5, dim = 4).count() == 0)
   }
 
+  test("round-2 operators on empty / no-match inputs") {
+    // salted join with an empty build side: no matches, no throw
+    val probe = Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v")
+    val emptyBuild = Seq.empty[(Long, String)].toDF("k", "name")
+    assert(rel.Skew.saltedJoin(probe, emptyBuild, "k", 4).count() == 0)
+    assert(rel.Skew.saltedCount(probe.limit(0), "k", 4).count() == 0)
+    // interval join with no overlapping pairs
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    val later = java.sql.Timestamp.valueOf("2024-01-02 10:00:00")
+    val sgn = Seq((1L, 100L, ts)).toDF("user_id", "signup_id", "s_ts")
+    val pur = Seq((1L, later, 5.0)).toDF("p_user", "p_ts", "value")
+    assert(stream.Events.intervalJoinPairs(sgn, pur).count() == 0)
+    // dedup keys of an empty stream; keep-latest via empty window input
+    assert(stream.Events.dedupKeys(
+      Seq.empty[(Long, String)].toDF("user_id", "event_type")).count() == 0)
+    // sparse ops on an empty COO frame (dim inferred elsewhere)
+    val emptyCoo = Seq.empty[(Long, Int, Double)].toDF("id", "pos", "val")
+    assert(sc.ScSparse.geneStatsSparse(emptyCoo, 0).count() == 0)
+    assert(sc.ScSparse.hvgSparse(spark, emptyCoo, 0, 4, 4)
+      .collect().forall(_.isNullAt(1)))  // all-NULL dispersion padding rows
+  }
+
   test("sessionization of an empty event set") {
     val e = Seq.empty[(Long, java.sql.Timestamp, Double)]
       .toDF("user_id", "ts", "value")

@@ -122,6 +122,33 @@ class SparseSpec extends SparkSpec {
     assert(sparseNorm == denseNorm)
   }
 
+  test("hvgSparse pads all-zero genes as NULL-dispersion rows like the dense twin") {
+    import spark.implicits._
+    // 3 cells × 4 genes; gene 2 is all-zero (absent from the COO entirely)
+    val dense = Seq(
+      (0L, Seq(1.0, 5.0, 0.0, 2.0)),
+      (1L, Seq(2.0, 1.0, 0.0, 2.0)),
+      (2L, Seq(3.0, 9.0, 0.0, 2.0))).toDF("id", "vec")
+    val sp = ScSparse.toSparse(dense)
+    val got = ScSparse.hvgSparse(spark, sp, nCells = 3, dim = 4, k = 4)
+      .collect().map(r =>
+        (r.getInt(0), if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+    val want = ScMatrix.hvgTopK(dense, k = 4)
+      .collect().map(r =>
+        (r.getInt(0), if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+    assert(got.map(_._1).toSeq == want.map(_._1).toSeq, s"got ${got.toSeq}")
+    got.zip(want).foreach { case ((_, g), (_, w)) =>
+      (g, w) match {
+        case (Some(a), Some(b)) => assert(math.abs(a - b) < 1e-9)
+        case (None, None)       => // all-zero gene: NULL on both paths
+        case other              => fail(s"disp mismatch: $other")
+      }
+    }
+    // gene 2 (all-zero) and gene 3 (zero variance -> disp 0) sort last;
+    // the NULL row is last of all
+    assert(got.last._1 == 2 && got.last._2.isEmpty)
+  }
+
   test("scale via sparse densify == dense scale, HVG from COO moments == dense HVG") {
     val sparseScale = ScSparse.scScaleSparse(spark, sf)
       .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
