@@ -86,4 +86,32 @@ object DifferentialProperties extends Properties("graft.diff") {
         .select("k", "payload", "name").collect().map(_.toSeq).toSet
       plain == salted
     }
+
+  // ---- interval join vs in-memory model --------------------------------
+
+  /** Seconds-granularity events over a ~3-hour span so the 1-hour window
+    * boundary ([s, s+1h): inclusive start, EXCLUSIVE end) gets hit. */
+  private val ijGen: Gen[(List[(Long, Long)], List[(Long, Long)])] = for {
+    signups <- Gen.listOf(Gen.zip(Gen.choose(0L, 3L), Gen.choose(0L, 10800L)))
+    purchases <- Gen.listOf(Gen.zip(Gen.choose(0L, 3L), Gen.choose(0L, 10800L)))
+  } yield (signups.distinct, purchases.distinct)
+
+  property("intervalJoinPairs == per-signup [s, s+1h) window model") =
+    forAll(ijGen) { case (signups, purchases) =>
+      def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+      val sgn = signups.zipWithIndex
+        .map { case ((u, t), i) => (u, i.toLong, ts(t)) }
+        .toDF("user_id", "signup_id", "s_ts")
+      val pur = purchases.map { case (u, t) => (u, ts(t), 1.0) }
+        .toDF("p_user", "p_ts", "value")
+      val got = graft.stream.Events.intervalJoinPairs(sgn, pur)
+        .select("signup_id", "p_ts")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime)).toSet
+      val want = (for {
+        ((su, st), i) <- signups.zipWithIndex
+        (pu, pt) <- purchases
+        if pu == su && pt >= st && pt < st + 3600L
+      } yield (i.toLong, pt * 1000L)).toSet
+      got == want
+    }
 }
