@@ -176,11 +176,36 @@ object ScSparse {
       .orderBy(col("disp").desc, col("pos1"))
   }
 
+  /** The composed sparse pipeline: filter_genes → normalize_per_cell →
+    * log1p, ALL in COO form — the preprocessing chain a 90%-zeros matrix
+    * should run without ever densifying (data volume stays O(nnz) through
+    * every stage; three keyed shuffles total). Cells whose kept entries
+    * are all zero would vanish from the COO; the final left-join against
+    * the cell frame restores them with a 0 checksum, matching the
+    * dense/oracle semantics. */
+  def scPipelineSparse(s: SparkSession, d: String): DataFrame = {
+    val cells = ScMatrix.counts(s, d).select(col("id"))
+    val n = cells.count()
+    val (kept, _) = filterGenesSparse(coo(s, d),
+      math.ceil(n * MIN_CELLS_FRAC).toLong, TAU)
+    val checksums = log1pSparse(normalizePerCellSparse(kept, NORM_TARGET))
+      .groupBy("id")
+      .agg(sort_array(collect_list(struct(col("pos"), col("val")))).as("pv"))
+      .select(col("id"),
+        round(aggregate(col("pv"), lit(0.0),
+          (a, e) => a + e.getField("val")), 4).as("row_checksum"))
+    cells.join(checksums, Seq("id"), "left")
+      .select(col("id").as("vec_id"),
+        coalesce(col("row_checksum"), lit(0.0)).as("row_checksum"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_sc_filter_genes_sparse" -> scFilterGenesSparse _,
     "q_sc_normalize_sparse"    -> scNormalizeSparse _,
     "q_sc_scale_sparse"        -> scScaleSparse _,
     "q_sc_hvg_sparse"          -> scHvgSparse _,
+    "q_sc_pipeline_sparse"     -> scPipelineSparse _,
   )
 
   private val COUNTS_CTE =
@@ -224,6 +249,22 @@ object ScSparse {
       SELECT vec_id, round(sum(zz), 3) + 0.0 AS row_checksum,
              round(max(zz), 4) + 0.0 AS max_z
       FROM z GROUP BY vec_id ORDER BY vec_id""",
+    "q_sc_pipeline_sparse" -> s"""$COUNTS_CTE,
+      x AS (SELECT vec_id, unnest(v) AS val,
+                   generate_subscripts(v, 1) AS pos FROM c),
+      st AS (SELECT pos,
+                    count(*) FILTER (WHERE val > 0.05) AS n_cells
+             FROM x GROUP BY pos),
+      keep AS (SELECT pos FROM st
+               WHERE n_cells >= 0.617 * (SELECT count(*) FROM embeddings)),
+      fx AS (SELECT vec_id, x.pos, val FROM x JOIN keep USING (pos)),
+      s AS (SELECT vec_id, sum(val) AS rs FROM fx GROUP BY vec_id),
+      ny AS (SELECT fx.vec_id,
+                    ln(1.0 + val * CASE WHEN rs = 0 THEN 1.0
+                                        ELSE 100.0 / rs END) AS y
+             FROM fx JOIN s USING (vec_id))
+      SELECT vec_id, round(sum(y), 4) AS row_checksum
+      FROM ny GROUP BY vec_id ORDER BY vec_id""",
     // identical to the dense q_sc_hvg_topk oracle — dispersion from COO
     // moment sums must agree with var_pop/avg at 6dp
     "q_sc_hvg_sparse" -> s"""$COUNTS_CTE,
