@@ -224,6 +224,66 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Connected components over an undirected pair graph by iterative
+    * min-label propagation — the stage that turns PAIRWISE near-dup
+    * matches into duplicate CLUSTERS (one canonical representative per
+    * component, the min node id). A pair list alone under-deletes:
+    * (a,b), (b,c) are two pairs but ONE cluster {a,b,c}.
+    *
+    * Execution: a driver-controlled loop of keyed DataFrame joins —
+    * iteration control lives on the driver (a scalar convergence check
+    * per round), ALL data movement stays distributed. Each round is one
+    * shuffle join + one min-aggregate; rounds needed = component
+    * diameter, which for dedup clusters is tiny (near-cliques). At
+    * 100 TB with adversarial long-chain graphs you'd add the
+    * large-star/small-star contraction (Kiveris et al.) to halve the
+    * diameter per round; the propagation core below is unchanged.
+    *
+    * Each round's labels are EAGERLY localCheckpoint'ed: iterative plans
+    * double in size per round if only persisted (persist caches data, not
+    * the logical plan — analysis time then grows exponentially with the
+    * diameter); checkpointing resets the plan to a scan of the cached
+    * blocks. On a cluster with executor loss concerns, swap for reliable
+    * `checkpoint` on a shared dir — same call shape. */
+  def connectedComponents(edges: DataFrame, nodes: DataFrame,
+                          maxIter: Int = 25): DataFrame = {
+    val sym = edges.select(col("id1").as("src"), col("id2").as("dst"))
+      .unionAll(edges.select(col("id2").as("src"), col("id1").as("dst")))
+    var labels = nodes.select(col("node"), col("node").as("label"))
+      .localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val prop = sym.join(labels, sym("dst") === labels("node"))
+        .select(sym("src").as("node"), col("label"))
+      val next = labels.unionAll(prop)
+        .groupBy("node").agg(min(col("label")).as("label"))
+        .localCheckpoint(true)
+      val changed = labels.as("o")
+        .join(next.as("n"), Seq("node"))
+        .filter(col("o.label") =!= col("n.label")).count()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    require(converged, s"connectedComponents: no fixpoint in $maxIter rounds")
+    labels
+  }
+
+  /** Near-dup clusters on the bounded doc block: exact Jaccard pairs →
+    * connected components → (doc_id, cluster_rep). Singletons keep
+    * themselves as representative, so the output is total over the block
+    * and deterministic. */
+  def dedupClusters(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).filter(col("doc_id") < 100)
+    val pairs = jaccardPairs(tokenSets(docs.select("doc_id", "text")), 0.95)
+      .select("id1", "id2")
+    val nodes = docs.select(col("doc_id").as("node"))
+    connectedComponents(pairs, nodes)
+      .select(col("node").as("doc_id"), col("label").as("cluster_rep"))
+      .orderBy("doc_id")
+  }
+
   /** Keep-latest compaction: the upsert-resolution dedup (CDC/changelog
     * semantics — many versions per key, only the newest survives). One
     * window shuffle on the key; at 100 TB this is the standard
@@ -245,6 +305,7 @@ object Dedup {
   // ------------------------------------------------------------- wiring --
 
   val queries: Map[String, Q] = Map(
+    "q_dedup_clusters" -> dedupClusters _,
     "q_dedup_latest"  -> dedupLatest _,
     "q_dedup_exact"   -> dedupExact _,
     "q_dedup_simhash" -> dedupSimhash _,
@@ -255,6 +316,33 @@ object Dedup {
   )
 
   val oracle: Map[String, String] = Map(
+    // connected components in SQL: recursive label walk over the
+    // symmetrized near-dup edges; min reachable id = component rep
+    "q_dedup_clusters" ->
+      """WITH RECURSIVE
+         tok AS (SELECT DISTINCT doc_id, unnest(str_split(text, ' ')) AS t
+                 FROM documents WHERE doc_id < 100),
+         sizes AS (SELECT doc_id, count(1) AS n FROM tok GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(1) AS x
+                   FROM tok a JOIN tok b ON a.t = b.t AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         pairs AS (SELECT id1, id2
+                   FROM inter JOIN sizes s1 ON s1.doc_id = id1
+                              JOIN sizes s2 ON s2.doc_id = id2
+                   WHERE round(CAST(x AS DOUBLE) / (s1.n + s2.n - x) + 1e-9, 4)
+                         >= 0.95),
+         edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
+                   UNION ALL
+                   SELECT id2, id1 FROM pairs),
+         nodes AS (SELECT DISTINCT doc_id AS node FROM documents
+                   WHERE doc_id < 100),
+         walk(node, label) AS (
+           SELECT node, node FROM nodes
+           UNION
+           SELECT e.src, w.label FROM walk w JOIN edges e ON w.node = e.dst)
+         SELECT CAST(node AS BIGINT) AS doc_id,
+                CAST(min(label) AS BIGINT) AS cluster_rep
+         FROM walk GROUP BY node ORDER BY doc_id""",
     "q_dedup_latest" ->
       """SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value
          FROM (SELECT *, row_number() OVER (PARTITION BY user_id

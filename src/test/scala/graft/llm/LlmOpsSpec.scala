@@ -41,6 +41,21 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("connected components: pairs become transitive clusters, chains converge") {
+    // (1,2),(2,3) is ONE cluster {1,2,3}; 4 is a singleton; (5,6) separate.
+    val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id1", "id2")
+    val nodes = (1L to 6L).toDF("node")
+    val reps = Dedup.connectedComponents(edges, nodes)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+      5L -> 5L, 6L -> 5L), reps)
+    // long chain: diameter > 1 forces multiple propagation rounds
+    val chain = (0L until 9L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val chainReps = Dedup.connectedComponents(chain, (0L to 9L).toDF("node"))
+      .collect().map(r => r.getLong(1)).distinct
+    assert(chainReps.toSeq == Seq(0L), chainReps.toSeq)
+  }
+
   test("minhash recall vs exact jaccard ground truth on sf0.001 block") {
     val gt = Dedup.dedupNgram(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
