@@ -247,8 +247,12 @@ object Dedup {
     * `checkpoint` on a shared dir — same call shape. */
   def connectedComponents(edges: DataFrame, nodes: DataFrame,
                           maxIter: Int = 25): DataFrame = {
+    // checkpoint the symmetrized edges ONCE: every round joins against
+    // them, and without this the whole upstream edge derivation (e.g.
+    // the Jaccard pair computation) re-executes per round
     val sym = edges.select(col("id1").as("src"), col("id2").as("dst"))
       .unionAll(edges.select(col("id2").as("src"), col("id1").as("dst")))
+      .localCheckpoint(true)
     var labels = nodes.select(col("node"), col("node").as("label"))
       .localCheckpoint(true)
     var converged = false

@@ -159,16 +159,18 @@ object Similarity {
     // The fit set is ROW-capped, not just fraction-sampled: a coarse
     // quantizer needs ~100s of points per cell, so at 100 TB the fit input
     // is a bounded single-partition frame, and each Lloyd pass is a tiny
-    // job instead of a full-cluster sweep. The cap shrinks the SAMPLING
-    // FRACTION (still uniform over the whole corpus) rather than
-    // `limit`-ing the sample, which would keep whichever rows the earliest
-    // partitions produced — a subspace when values correlate with layout.
-    val total = df.count()
-    val effFraction =
-      math.min(fitFraction, maxFitRows.toDouble / math.max(1L, total))
+    // job instead of a full-cluster sweep. The cap is enforced
+    // PER PARTITION on the uniform sample (take cap/numPartitions from
+    // each) — no extra full-corpus count() to size a fraction, and no
+    // global `limit`, which would keep whichever rows the earliest
+    // partitions produced (a subspace when values correlate with layout).
+    val sampled = feats.sample(withReplacement = false, fitFraction, seed)
+    val perPart = math.max(1,
+      maxFitRows / math.max(1, sampled.rdd.getNumPartitions))
     // repartition (not coalesce): coalesce(1) would drag the whole scan
-    // into one task; a shuffle after the sample moves only the ≤cap rows
-    val fitSet = feats.sample(withReplacement = false, effFraction, seed)
+    // into one task; a shuffle after the cap moves only the ≤cap rows
+    val fitSet = spark.createDataFrame(
+        sampled.rdd.mapPartitions(_.take(perPart)), sampled.schema)
       .repartition(1)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val model = new KMeans().setK(nList).setSeed(seed)

@@ -108,8 +108,11 @@ object ScSparse {
     * that cannot change (Bench runs each query 4×). */
   private val dimCache = scala.collection.concurrent.TrieMap.empty[String, Int]
   private def dimOf(s: SparkSession, d: String): Int =
-    dimCache.getOrElseUpdate(d,
-      ScMatrix.counts(s, d).select(max(size(col("vec")))).head().getInt(0))
+    dimCache.getOrElseUpdate(d, {
+      val row = ScMatrix.counts(s, d).select(max(size(col("vec")))).head()
+      require(!row.isNullAt(0), s"sparse ops: empty counts matrix in $d")
+      row.getInt(0)
+    })
 
   /** Cell count, same per-dir memo contract as dimOf. */
   private val nCache = scala.collection.concurrent.TrieMap.empty[String, Long]
@@ -154,16 +157,12 @@ object ScSparse {
       .orderBy("vec_id")
   }
 
-  /** Sparse-path HVG: dispersion from the O(nnz) moment sums (mu = s1/N,
-    * var = s2/N − mu²) — zeros contribute to N but not to the sums, so no
-    * densify is ever needed. Genes with NO nonzero entry are absent from
-    * the COO aggregate; the dense twin emits them as NULL-dispersion rows,
-    * so a full position frame left-joins the stats back in (null disp
-    * sorts last, exactly like the dense path). Same top-k projection and
-    * oracle SQL as q_sc_hvg_topk. */
-  /** Top-k gene positions by dispersion from a COO matrix — the sparse
-    * twin of ScMatrix.hvgTopK, returning (pos, disp) with disp NULL for
-    * unexpressed (mu=0 or fully-zero) genes, exactly like the dense path. */
+  /** Sparse-path HVG: top-k gene positions by dispersion from the O(nnz)
+    * COO moment sums (mu = s1/N, var = s2/N − mu²; zeros contribute to N
+    * but not to the sums — no densify ever needed). Genes with NO nonzero
+    * entry are absent from the COO aggregate while the dense twin emits
+    * them as NULL-dispersion rows, so a full position frame left-joins the
+    * stats back in (null disp sorts last, exactly like the dense path). */
   def hvgSparse(s: SparkSession, sp: DataFrame, nCells: Long, dim: Int,
                 k: Int): DataFrame = {
     val stats = geneStatsSparse(sp, nCells)
@@ -255,6 +254,9 @@ object ScSparse {
       SELECT vec_id, round(sum(zz), 3) + 0.0 AS row_checksum,
              round(max(zz), 4) + 0.0 AS max_z
       FROM z GROUP BY vec_id ORDER BY vec_id""",
+    // final LEFT JOIN against the cell frame mirrors the Spark side: if
+    // NO gene passes the filter (or a cell's kept entries are all zero)
+    // every cell still appears with a 0 checksum
     "q_sc_pipeline_sparse" -> s"""$COUNTS_CTE,
       x AS (SELECT vec_id, unnest(v) AS val,
                    generate_subscripts(v, 1) AS pos FROM c),
@@ -268,9 +270,11 @@ object ScSparse {
       ny AS (SELECT fx.vec_id,
                     ln(1.0 + val * CASE WHEN rs = 0 THEN 1.0
                                         ELSE 100.0 / rs END) AS y
-             FROM fx JOIN s USING (vec_id))
-      SELECT vec_id, round(sum(y), 4) AS row_checksum
-      FROM ny GROUP BY vec_id ORDER BY vec_id""",
+             FROM fx JOIN s USING (vec_id)),
+      cks AS (SELECT vec_id, round(sum(y), 4) AS row_checksum
+              FROM ny GROUP BY vec_id)
+      SELECT c.vec_id, coalesce(cks.row_checksum, 0.0) AS row_checksum
+      FROM c LEFT JOIN cks USING (vec_id) ORDER BY vec_id""",
     // identical to the dense q_sc_hvg_topk oracle — dispersion from COO
     // moment sums must agree with var_pop/avg at 6dp
     "q_sc_hvg_sparse" -> s"""$COUNTS_CTE,

@@ -121,12 +121,26 @@ object ZarrIO {
         s"${meta.chunkRows}x${meta.chunkCols} chunk")
     val buf = ByteBuffer.allocate(values.length * meta.bytesPerElem)
       .order(ByteOrder.LITTLE_ENDIAN)
+    // int dtypes validate loudly: v.toShort/.toInt silently WRAP out-of-
+    // range values (a 40000 count in <i2 would round-trip as -25536) and
+    // floor fractional input — both are data corruption, not narrowing
+    def asIntegral(v: Double, lo: Long, hi: Long): Long = {
+      require(v == math.rint(v) && !v.isInfinite,
+        s"zarr ${meta.dtype}: non-integral value $v")
+      // range-check on the double BEFORE toLong (which saturates silently)
+      require(v >= lo.toDouble && v <= hi.toDouble,
+        s"zarr ${meta.dtype}: $v out of range [$lo, $hi]")
+      v.toLong
+    }
     meta.dtype match {
       case "<f4" => values.foreach(v => buf.putFloat(v.toFloat))
       case "<f8" => values.foreach(buf.putDouble)
-      case "<i2" => values.foreach(v => buf.putShort(v.toShort))
-      case "<i4" => values.foreach(v => buf.putInt(v.toInt))
-      case "<i8" => values.foreach(v => buf.putLong(v.toLong))
+      case "<i2" => values.foreach(v =>
+        buf.putShort(asIntegral(v, Short.MinValue, Short.MaxValue).toShort))
+      case "<i4" => values.foreach(v =>
+        buf.putInt(asIntegral(v, Int.MinValue, Int.MaxValue).toInt))
+      case "<i8" => values.foreach(v =>
+        buf.putLong(asIntegral(v, Long.MinValue, Long.MaxValue)))
     }
     val bytes = buf.array()
     val out = meta.compressor match {
