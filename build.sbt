@@ -15,6 +15,10 @@ run / fork := true
 // child's output through its logger and prefixes every line with "[info] ",
 // which breaks machine parsing of Bench's single JSON result line.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// Drop sbt's trailing "[success] Total time: ..." line: the driver's bench
+// parser keeps only the last 2000 chars of stdout, so every byte after
+// Bench's JSON line shrinks the parseable budget.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -161,9 +161,15 @@ object Similarity {
     // is a bounded single-partition frame, and each Lloyd pass is a tiny
     // job instead of a full-cluster sweep. The cap is enforced
     // PER PARTITION on the uniform sample (take cap/numPartitions from
-    // each) — no extra full-corpus count() to size a fraction, and no
-    // global `limit`, which would keep whichever rows the earliest
-    // partitions produced (a subspace when values correlate with layout).
+    // each) — no extra full-corpus count() to size a fraction — and then a
+    // global limit(maxFitRows) makes the cap HARD: perPart floors at 1, so
+    // with more partitions than maxFitRows the per-partition take alone
+    // would exceed the cap (~numPartitions rows). A bare global limit on
+    // the raw sample would be partition-biased (keeps whichever rows the
+    // earliest partitions produced); after the per-partition take each
+    // partition contributes at most perPart rows, so the limit only trims
+    // the tail of an already-even spread, and it runs on the
+    // ≤ nParts·perPart survivors, not the corpus.
     val sampled = feats.sample(withReplacement = false, fitFraction, seed)
     val perPart = math.max(1,
       maxFitRows / math.max(1, sampled.rdd.getNumPartitions))
@@ -171,6 +177,7 @@ object Similarity {
     // into one task; a shuffle after the cap moves only the ≤cap rows
     val fitSet = spark.createDataFrame(
         sampled.rdd.mapPartitions(_.take(perPart)), sampled.schema)
+      .limit(maxFitRows)
       .repartition(1)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val model = new KMeans().setK(nList).setSeed(seed)

@@ -59,7 +59,9 @@ object Skew {
     saltedJoin(probe, build, "o_custkey", salts = 8)
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n_orders"),
-        round(sum(col("o_totalprice")), 2).as("revenue"))
+        // +1e-6 round-boundary epsilon, both engines (repo convention for
+        // money-magnitude sums)
+        round(sum(col("o_totalprice")) + lit(1e-6), 2).as("revenue"))
       .orderBy("c_mktsegment")
   }
 
@@ -79,7 +81,7 @@ object Skew {
   val oracle: Map[String, String] = Map(
     "q_join_salted" ->
       """SELECT c_mktsegment, CAST(count(1) AS BIGINT) AS n_orders,
-                round(sum(o_totalprice), 2) AS revenue
+                round(sum(o_totalprice) + 1e-6, 2) AS revenue
          FROM orders JOIN customer ON o_custkey = c_custkey
          GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "q_agg_salted" ->

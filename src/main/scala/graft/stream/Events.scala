@@ -26,7 +26,11 @@ object Events {
   def tumbling(events: DataFrame): DataFrame =
     events
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      .agg(count(lit(1)).as("n"),
+        // +1e-6 round-boundary epsilon (repo convention, both engines):
+        // a float sum landing on a .00005 boundary would otherwise round
+        // apart nondeterministically across engines / partition orders
+        round(sum(col("value")) + lit(1e-6), 4).as("sum_value"))
       .select(unix_micros(col("w.start")).as("win_start_us"),
         col("event_type"), col("n"), col("sum_value"))
 
@@ -186,7 +190,7 @@ object Events {
     intervalJoinPairs(signups, purchases)
       .groupBy(col("signup_id"), col("user_id"))
       .agg(count(lit(1)).as("n_purchases"),
-        round(sum(col("value")), 4).as("purchase_value"))
+        round(sum(col("value")) + lit(1e-6), 4).as("purchase_value"))
   }
 
   /** Streaming exact-dedup (batch twin): the distinct key set. The
@@ -232,7 +236,8 @@ object Events {
   val oracle: Map[String, String] = Map(
     "q_stream_tumbling" ->
       """SELECT epoch_us(date_trunc('hour', ts)) AS win_start_us, event_type,
-                CAST(count(1) AS BIGINT) AS n, round(sum(value), 4) AS sum_value
+                CAST(count(1) AS BIGINT) AS n,
+                round(sum(value) + 1e-6, 4) AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY win_start_us, event_type""",
     "q_stream_sliding" ->
       """WITH halves AS (
@@ -276,7 +281,7 @@ object Events {
                  FROM events WHERE event_type = 'purchase')
          SELECT s.signup_id, s.user_id,
                 CAST(count(1) AS BIGINT) AS n_purchases,
-                round(sum(p.value), 4) AS purchase_value
+                round(sum(p.value) + 1e-6, 4) AS purchase_value
          FROM s JOIN p ON s.user_id = p.user_id
               AND p.p_ts >= s.s_ts
               AND p.p_ts < s.s_ts + INTERVAL 1 HOUR

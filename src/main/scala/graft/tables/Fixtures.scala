@@ -26,9 +26,23 @@ object Fixtures {
     val marker = new File(root, "_DONE")
     if (marker.exists()) return dir.toString
     root.mkdirs()
-    build(dir)
-    require(verify(dir), s"fixture $tag/$sub failed its post-build check")
-    new java.io.FileOutputStream(marker).close()
+    // Cross-process guard: Verify and Bench can run concurrently in one
+    // container; both missing the marker would interleave writes into the
+    // same fixture dir. `synchronized` covers this JVM (and keeps the same
+    // JVM from hitting OverlappingFileLockException); the OS FileLock
+    // serializes across processes — the loser blocks, then sees the marker
+    // under the lock and skips its own build.
+    val raf = new java.io.RandomAccessFile(new File(root, "_LOCK"), "rw")
+    try {
+      val lock = raf.getChannel.lock()
+      try {
+        if (!marker.exists()) {
+          build(dir)
+          require(verify(dir), s"fixture $tag/$sub failed its post-build check")
+          new java.io.FileOutputStream(marker).close()
+        }
+      } finally lock.release()
+    } finally raf.close()
     dir.toString
   }
 }

@@ -34,7 +34,8 @@ object Partitioned {
       .filter(col("yr") === 1995)
       .groupBy(month(col("o_orderdate")).as("mo"))
       .agg(count(lit(1)).as("n_orders"),
-        round(sum(col("o_totalprice")), 2).as("revenue"))
+        // +1e-6 round-boundary epsilon, both engines (repo convention)
+        round(sum(col("o_totalprice")) + lit(1e-6), 2).as("revenue"))
       .orderBy("mo")
 
   val queries: Map[String, Q] = Map(
@@ -45,7 +46,7 @@ object Partitioned {
     "q_scan_partition_pruned" ->
       """SELECT CAST(month(o_orderdate) AS INT) AS mo,
                 CAST(count(1) AS BIGINT) AS n_orders,
-                round(sum(o_totalprice), 2) AS revenue
+                round(sum(o_totalprice) + 1e-6, 2) AS revenue
          FROM orders WHERE year(o_orderdate) = 1995
          GROUP BY mo ORDER BY mo""",
   )

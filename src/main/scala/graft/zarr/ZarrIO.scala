@@ -127,8 +127,13 @@ object ZarrIO {
     def asIntegral(v: Double, lo: Long, hi: Long): Long = {
       require(v == math.rint(v) && !v.isInfinite,
         s"zarr ${meta.dtype}: non-integral value $v")
-      // range-check on the double BEFORE toLong (which saturates silently)
-      require(v >= lo.toDouble && v <= hi.toDouble,
+      // range-check on the double BEFORE toLong (which saturates silently).
+      // Long.MaxValue.toDouble rounds UP to 2^63, a value <i8 cannot hold,
+      // so the upper bound must be STRICT there (v.toLong.toDouble == v is
+      // not a fix: it also round-trips cleanly at exactly 2^63). The
+      // narrower dtypes' bounds are exact in double, so inclusive is right.
+      val hiOk = if (hi == Long.MaxValue) v < hi.toDouble else v <= hi.toDouble
+      require(v >= lo.toDouble && hiOk,
         s"zarr ${meta.dtype}: $v out of range [$lo, $hi]")
       v.toLong
     }
