@@ -20,7 +20,8 @@ object SparkEntry {
       llm.TextOps.queries ++ llm.Dedup.queries ++ llm.Similarity.queries ++
       llm.Multimodal.queries ++ stream.Events.queries ++ sc.Pca.queries ++
       zarr.ZarrQueries.queries ++ sc.ScSparse.queries ++ sc.MtxQueries.queries ++
-      rel.Skew.queries ++ rel.TypedOps.queries ++ tables.Partitioned.queries
+      rel.Skew.queries ++ rel.TypedOps.queries ++ tables.Partitioned.queries ++
+      rel.Temporal.queries ++ llm.Sampling.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -31,5 +32,6 @@ object SparkEntry {
       llm.TextOps.oracle ++ llm.Dedup.oracle ++ llm.Similarity.oracle ++
       llm.Multimodal.oracle ++ stream.Events.oracle ++ sc.Pca.oracle ++
       zarr.ZarrQueries.oracle ++ sc.ScSparse.oracle ++ sc.MtxQueries.oracle ++
-      rel.Skew.oracle ++ rel.TypedOps.oracle ++ tables.Partitioned.oracle
+      rel.Skew.oracle ++ rel.TypedOps.oracle ++ tables.Partitioned.oracle ++
+      rel.Temporal.oracle ++ llm.Sampling.oracle
 }

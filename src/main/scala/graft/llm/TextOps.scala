@@ -174,6 +174,25 @@ object TextOps {
       .groupBy("predicted", "labeled").agg(count(lit(1)).as("n"))
       .orderBy("predicted", "labeled")
 
+  /** BPE-ish subword vocabulary scan: pre-tokenize every document with
+    * SubtokenRe (letter runs | digit runs | single other chars — the
+    * regex-level shape of a GPT-2-style pre-tokenizer), then the top-20
+    * subword types by occurrence with document frequency. This is the
+    * vocabulary-induction counting pass a tokenizer-training pipeline
+    * runs over the corpus; per-row regex is codegen'd, the roll-up is one
+    * keyed shuffle (partial+final agg), distinct-doc counts use the
+    * Expand-based two-phase rewrite — no per-token state on the driver. */
+  def textBpe(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(regexp_extract_all(col("text"), lit(SubtokenRe), lit(0)))
+          .as("t"))
+      .groupBy("t")
+      .agg(count(lit(1)).as("n_occ"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n_occ").desc, col("t"))
+      .limit(20)
+
   // ------------------------------------------------------------- wiring --
 
   val queries: Map[String, Q] = Map(
@@ -183,9 +202,18 @@ object TextOps {
     "q_text_fingerprint" -> textFingerprint _,
     "q_text_langid"      -> textLangId _,
     "q_text_tfidf"       -> textTfidf _,
+    "q_text_bpe"         -> textBpe _,
   )
 
   val oracle: Map[String, String] = Map(
+    "q_text_bpe" ->
+      """WITH x AS (SELECT doc_id,
+                           unnest(regexp_extract_all(text,
+                             '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS t
+                    FROM documents)
+         SELECT t, CAST(count(1) AS BIGINT) AS n_occ,
+                CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+         FROM x GROUP BY t ORDER BY n_occ DESC, t LIMIT 20""",
     "q_text_tfidf" ->
       """WITH tok AS (SELECT doc_id, unnest(str_split(text, ' ')) AS t
                       FROM documents),

@@ -235,8 +235,39 @@ object Relational {
       ORDER BY o_orderkey""")
   }
 
+  /** TPC-H Q5 shape (local-supplier volume): the 6-table join with the
+    * non-hierarchical c_nationkey = s_nationkey condition — the classic
+    * join-ORDER stress query. Catalyst broadcasts nation/region (tiny
+    * dims), shuffles the three fact-side joins on their keys, and pushes
+    * the region/date predicates to the scans; the c/s nation equality is
+    * applied as a join condition, not a post-filter, so the supplier join
+    * output never inflates. */
+  def sqlTpchQ5(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d).createOrReplaceTempView("customer")
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+    Tables.supplier(s, d).createOrReplaceTempView("supplier")
+    Tables.nation(s, d).createOrReplaceTempView("nation")
+    Tables.region(s, d).createOrReplaceTempView("region")
+    s.sql("""
+      SELECT n_name,
+             round(sum(l_extendedprice * (1 - l_discount)) + 1e-6, 2) AS revenue
+      FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY n_name
+      ORDER BY n_name""")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_sql_tpch_q3"   -> sqlTpchQ3 _,
+    "q_sql_tpch_q5"   -> sqlTpchQ5 _,
     "q_scan_project_filter" -> scanProjectFilter _,
     "q_join_broadcast"      -> joinBroadcast _,
     "q_join_shuffle"        -> joinShuffle _,
@@ -257,6 +288,21 @@ object Relational {
   /** DuckDB 1.0.0 oracle SQL — column names/aliases must match the Spark
     * side exactly (driver sorts columns by name before hashing). */
   val oracle: Map[String, String] = Map(
+    "q_sql_tpch_q5" ->
+      """SELECT n_name,
+                round(sum(l_extendedprice * (1 - l_discount)) + 1e-6, 2)
+                  AS revenue
+         FROM customer
+         JOIN orders   ON c_custkey = o_custkey
+         JOIN lineitem ON l_orderkey = o_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         JOIN nation   ON s_nationkey = n_nationkey
+         JOIN region   ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         GROUP BY n_name
+         ORDER BY n_name""",
     "q_sql_tpch_q3" ->
       """SELECT o_orderkey,
                 round(sum(l_extendedprice * (1 - l_discount)) + 1e-6, 2) AS revenue

@@ -1,0 +1,73 @@
+package graft.llm
+
+import graft.SparkSpec
+import graft.tables.Tables
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ------------------------------------------------------------ hash split --
+
+  test("hash buckets are deterministic, in range, and salt-decorrelated") {
+    val ids = Tables.documents(spark, sf).select($"doc_id")
+    val b = ids.select($"doc_id",
+        Sampling.hashBucket($"doc_id", "split", 100).as("b1"),
+        Sampling.hashBucket($"doc_id", "split", 100).as("b2"),
+        Sampling.hashBucket($"doc_id", "other", 100).as("b3"))
+      .cache()
+    try {
+      assert(b.filter($"b1" =!= $"b2").count() == 0)          // deterministic
+      assert(b.filter($"b1" < 0 || $"b1" >= 100).count() == 0) // in range
+      assert(b.filter($"b1" =!= $"b3").count() > 0)            // salted
+    } finally b.unpersist()
+  }
+
+  test("train fraction lands near the 90% target") {
+    val counts = Sampling.sampleHash(spark, sf)
+      .groupBy("split").agg(sum($"n_docs").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum.toDouble
+    val frac = counts.getOrElse("train", 0L) / total
+    // 500 docs, p=0.9 → sd ≈ 1.3%; ±5 sd bounds
+    assert(frac > 0.83 && frac < 0.97, s"train fraction $frac")
+  }
+
+  test("split membership is stable under repartitioning") {
+    val a = Sampling.sampleHash(spark, sf).collect().toSeq
+    val b = Sampling.sampleHash(spark, sf).collect().toSeq
+    assert(a == b)
+  }
+
+  // ----------------------------------------------------------- quantization --
+
+  test("quantization error is bounded by half a quantization step") {
+    val amax = Tables.embeddings(spark, sf)
+      .select($"vec_id",
+        array_max(transform($"embedding", x => abs(x.cast("double"))))
+          .as("amax"))
+    val joined = Sampling.embedQuantize(spark, sf)
+      .join(amax, Seq("vec_id"))
+    // err <= 0.5/s = 0.5 * amax / 127; output is err*1000 (+1e-9 epsilon)
+    val bad = joined.filter(
+      $"max_err_1e3" > $"amax" * (1000.0 * 0.5 / 127.0) + 1e-3).count()
+    assert(bad == 0)
+    // |q_i| <= 127 → L1 of a 64-dim vector <= 64*127
+    val overflow = Sampling.embedQuantize(spark, sf)
+      .filter($"q_l1" > 64L * 127L).count()
+    assert(overflow == 0)
+  }
+
+  // -------------------------------------------------------------- BPE scan --
+
+  test("BPE subtoken scan: tokens match the pre-tokenizer classes") {
+    val rows = TextOps.textBpe(spark, sf).collect()
+    assert(rows.length == 20)
+    val re = "([a-z]+|[0-9]+|[^a-z0-9 ])".r
+    rows.foreach { r =>
+      val t = r.getString(0)
+      assert(re.matches(t), s"subtoken $t escaped the class")
+      assert(r.getLong(1) >= r.getLong(2)) // n_occ >= n_docs
+    }
+  }
+}
