@@ -21,7 +21,8 @@ object SparkEntry {
       llm.Multimodal.queries ++ stream.Events.queries ++ sc.Pca.queries ++
       zarr.ZarrQueries.queries ++ sc.ScSparse.queries ++ sc.MtxQueries.queries ++
       rel.Skew.queries ++ rel.TypedOps.queries ++ tables.Partitioned.queries ++
-      rel.Temporal.queries ++ llm.Sampling.queries
+      rel.Temporal.queries ++ llm.Sampling.queries ++
+      rel.Subqueries.queries ++ stream.Funnel.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -33,5 +34,6 @@ object SparkEntry {
       llm.Multimodal.oracle ++ stream.Events.oracle ++ sc.Pca.oracle ++
       zarr.ZarrQueries.oracle ++ sc.ScSparse.oracle ++ sc.MtxQueries.oracle ++
       rel.Skew.oracle ++ rel.TypedOps.oracle ++ tables.Partitioned.oracle ++
-      rel.Temporal.oracle ++ llm.Sampling.oracle
+      rel.Temporal.oracle ++ llm.Sampling.oracle ++
+      rel.Subqueries.oracle ++ stream.Funnel.oracle
 }

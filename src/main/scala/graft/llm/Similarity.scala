@@ -148,7 +148,7 @@ object Similarity {
     */
   def ivfTopK(df: DataFrame, k: Int, nList: Int = 16, nProbe: Int = 4,
               seed: Long = 42L, fitFraction: Double = 0.5,
-              maxFitRows: Int = 10000): DataFrame = {
+              maxFitRows: Int = 4000): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val spark = df.sparkSession
@@ -175,13 +175,17 @@ object Similarity {
       maxFitRows / math.max(1, sampled.rdd.getNumPartitions))
     // repartition (not coalesce): coalesce(1) would drag the whole scan
     // into one task; a shuffle after the cap moves only the ≤cap rows
+    // the GlobalLimit already funnels to a single partition — no extra
+    // repartition(1) exchange needed after it
     val fitSet = spark.createDataFrame(
         sampled.rdd.mapPartitions(_.take(perPart)), sampled.schema)
       .limit(maxFitRows)
-      .repartition(1)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // 4 Lloyd passes: a coarse ANN quantizer's cell map stabilizes in the
+    // first few iterations (recall-gated in LlmOpsSpec); each extra pass
+    // is a full scheduler round-trip that dominates at fit-set scale
     val model = new KMeans().setK(nList).setSeed(seed)
-      .setInitMode("random").setMaxIter(6)
+      .setInitMode("random").setMaxIter(4)
       .setFeaturesCol("features")
       .fit(fitSet)
     fitSet.unpersist(false)

@@ -148,6 +148,27 @@ object WindowSetSort {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** Navigation functions — first/last/nth value over the full-partition
+    * frame, collapsed to one row per customer: the "first order, latest
+    * order, third order" profile lookup. One window shuffle on the
+    * customer key; the frame must be UNBOUNDED..UNBOUNDED or last/nth see
+    * only the default running frame. */
+  def windowNav(s: SparkSession, d: String): DataFrame = {
+    val order = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val full = order.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    Tables.orders(s, d)
+      .withColumn("first_price", first(col("o_totalprice")).over(full))
+      .withColumn("last_price", last(col("o_totalprice")).over(full))
+      .withColumn("third_price", nth_value(col("o_totalprice"), 3).over(full))
+      .withColumn("rn", row_number().over(order))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("first_price"), col("last_price"),
+        coalesce(col("third_price"), lit(-1.0)).as("third_price"))
+      .orderBy("o_custkey")
+  }
+
   /** Top-10 orders by totalprice (orderkey tie-break) —
     * TakeOrderedAndProject, not a global sort. */
   def topK(s: SparkSession, d: String): DataFrame =
@@ -186,6 +207,7 @@ object WindowSetSort {
     "q_window_dist"        -> windowDist _,
     "q_window_dist_2pass"  -> windowDist2Pass _,
     "q_window_range"       -> windowRange _,
+    "q_window_nav"         -> windowNav _,
     "q_topk"               -> topK _,
     "q_union_all"          -> unionAll _,
     "q_intersect"          -> intersectYears _,
@@ -193,6 +215,22 @@ object WindowSetSort {
   )
 
   val oracle: Map[String, String] = Map(
+    // values are raw prices (no float accumulation) — no epsilon needed;
+    // -1 sentinel keeps customers with <3 orders non-null (uniform dtype)
+    "q_window_nav" ->
+      """SELECT o_custkey, first_price, last_price,
+                coalesce(third_price, -1.0) AS third_price
+         FROM (SELECT o_custkey,
+                      first_value(o_totalprice) OVER w AS first_price,
+                      last_value(o_totalprice) OVER w AS last_price,
+                      nth_value(o_totalprice, 3) OVER w AS third_price,
+                      row_number() OVER (PARTITION BY o_custkey
+                        ORDER BY o_orderdate, o_orderkey) AS rn
+               FROM orders
+               WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+         WHERE rn = 1 ORDER BY o_custkey""",
     "q_window_rank" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rnk AS INT) AS rnk
          FROM (SELECT o_custkey, o_orderkey, o_totalprice,
