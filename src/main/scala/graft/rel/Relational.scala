@@ -169,6 +169,36 @@ object Relational {
       .withColumnRenamed("3-MEDIUM", "medium")
       .orderBy("n_name")
 
+  /** Unpivot (melt): the pivoted nation×priority matrix back to long form
+    * — the inverse reshape. Oracle-differential value: DuckDB derives the
+    * same long form directly from the base tables, so the pivot→unpivot
+    * roundtrip is proven lossless, not just self-consistent. Unpivot is a
+    * per-row Expand (narrow, no shuffle beyond the pivot's own). */
+  def aggUnpivot(s: SparkSession, d: String): DataFrame =
+    aggPivot(s, d)
+      .unpivot(
+        ids = Array(col("n_name")),
+        values = Array(col("urgent"), col("high"), col("medium")),
+        variableColumnName = "priority",
+        valueColumnName = "revenue")
+      // EXCLUDE NULLS (the SQL UNPIVOT default): a nation with no orders
+      // of some priority has a null pivot cell, which the oracle's direct
+      // long-form derivation never emits
+      .filter(col("revenue").isNotNull)
+      .orderBy("n_name", "priority")
+
+  /** Fixed-width histogram of order values: the bucket key is computed
+    * per-row (floor division, top bucket clamped), so the aggregation is
+    * an ordinary 10-group hash agg — the two-pass "compute bounds, then
+    * bucket" shape is only needed for data-dependent bounds. */
+  def aggHistogram(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(least(lit(9), floor(col("o_totalprice") / 50000))
+        .cast("int").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("o_totalprice")) + lit(1e-6), 2).as("avg_price"))
+      .orderBy("bucket")
+
   /** Revenue by ROLLUP(region, nation): ExpandExec duplicates each row per
     * grouping set; partial agg keeps the shuffle bounded by group count. */
   def aggRollup(s: SparkSession, d: String): DataFrame =
@@ -280,6 +310,8 @@ object Relational {
     "q_agg_approx_distinct" -> aggApproxDistinct _,
     "q_agg_approx_percentile" -> aggApproxPercentile _,
     "q_agg_pivot"           -> aggPivot _,
+    "q_agg_unpivot"         -> aggUnpivot _,
+    "q_agg_histogram"       -> aggHistogram _,
     "q_agg_rollup"          -> aggRollup _,
     "q_agg_cube"            -> aggCube _,
     "q_agg_grouping_sets"   -> aggGroupingSets _,
@@ -375,6 +407,22 @@ object Relational {
          FROM orders JOIN customer ON o_custkey = c_custkey
                      JOIN nation ON c_nationkey = n_nationkey
          GROUP BY n_name ORDER BY n_name""",
+    // derives the long form directly from base tables — proves the
+    // Spark-side pivot→unpivot roundtrip against an independent path
+    "q_agg_unpivot" ->
+      """SELECT n_name,
+                CASE o_orderpriority WHEN '1-URGENT' THEN 'urgent'
+                     WHEN '2-HIGH' THEN 'high' ELSE 'medium' END AS priority,
+                round(sum(o_totalprice), 2) AS revenue
+         FROM orders JOIN customer ON o_custkey = c_custkey
+                     JOIN nation ON c_nationkey = n_nationkey
+         WHERE o_orderpriority IN ('1-URGENT', '2-HIGH', '3-MEDIUM')
+         GROUP BY n_name, priority ORDER BY n_name, priority""",
+    "q_agg_histogram" ->
+      """SELECT CAST(least(9, floor(o_totalprice / 50000)) AS INT) AS bucket,
+                CAST(count(1) AS BIGINT) AS n,
+                round(avg(o_totalprice) + 1e-6, 2) AS avg_price
+         FROM orders GROUP BY bucket ORDER BY bucket""",
     "q_agg_rollup" ->
       """SELECT r_name, n_name, ROUND(SUM(o_totalprice), 2) AS revenue
          FROM orders JOIN customer ON o_custkey = c_custkey
