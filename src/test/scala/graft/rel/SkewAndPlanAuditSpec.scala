@@ -37,6 +37,44 @@ class SkewSpec extends SparkSpec {
       .select("__salt").distinct().count()
     assert(parts > 4, s"hot key only landed in $parts salt buckets")
   }
+
+  test("AQE splits the skewed partition of a shuffle join (skew=true)") {
+    // the AUTOMATIC counterpart to saltedJoin: AQE detects the oversized
+    // post-shuffle partition at the stage boundary and splits it into
+    // multiple reader tasks, replicating the matching build rows. Child
+    // session: thresholds are sized down to test scale (defaults are
+    // 256 MB partitions).
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "true")
+    s.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    s.conf.set(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32KB")
+    s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    import s.implicits._
+    // ~95% of probe rows share key 0 → one shuffle partition dwarfs the rest
+    val probe = s.range(0, 100000L)
+      .select(when($"id" % 20 =!= 0, 0L).otherwise($"id").as("k"),
+        concat(lit("pad_"), $"id").as("pad"))
+    val build = s.range(0, 2000L).select($"id".as("k"), lit("r").as("rv"))
+    // consume pad ABOVE the join so column pruning keeps it in the probe
+    // shuffle — k alone (95k identical longs) compresses below any
+    // realistic skew threshold in the map output sizes AQE inspects.
+    // GLOBAL agg, deliberately: a groupBy(k) above the join REQUIRES hash
+    // partitioning on k, and the skew split breaks that guarantee (same
+    // key in several partitions), so OptimizeSkewedJoin refuses to fire —
+    // the real-world fix there is the manual salting Skew.saltedJoin does.
+    val joined = probe.join(build, Seq("k"))
+      .select(sum(length($"pad")).as("b"))
+    // execute through THIS QueryExecution — a .write would compile a fresh
+    // one and leave joined's adaptive plan unfinalized (isFinalPlan=false)
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("skew=true"),
+      s"AQE did not mark the join skewed:\n$plan")
+  }
 }
 
 /** Plan-shape audit across the whole query surface: the 100×-scale-up
