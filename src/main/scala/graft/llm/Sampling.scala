@@ -69,12 +69,107 @@ object Sampling {
       .orderBy("vec_id")
   }
 
+  /** Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
+    * key_i = u_i^(1/w_i) with u_i derived from the doc's hash, top-k by
+    * key. Deterministic (content-hash u, not rand) and one-pass
+    * distributed: at scale this is a TakeOrderedAndProject over a per-row
+    * computed key — no global sort, no driver state. Ranking uses the
+    * ROUNDED key (6 dp) with a doc_id tiebreak so the cross-engine order
+    * is total even if the two engines' pow() differ in the last ulp. */
+  def sampleWeighted(s: SparkSession, d: String): DataFrame = {
+    val u = (Dedup.md5Hash60(concat(lit("w:"), col("doc_id").cast("string")))
+      + lit(1L)).cast("double") / lit(math.pow(2.0, 60))
+    Tables.documents(s, d)
+      .withColumn("key", round(pow(u, lit(1.0) / col("n_chars")), 6))
+      .orderBy(col("key").desc, col("doc_id"))
+      .limit(20)
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("key"))
+  }
+
+  /** Stratified fixed-n subsample: the first 5 docs per language in
+    * content-hash order — the "balanced eval slice" op. One window
+    * shuffle on the stratum key; rank order is the salted hash, so the
+    * slice is deterministic and unbiased by ingestion order. */
+  def sampleStratified(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+      .orderBy(col("h"), col("doc_id"))
+    Tables.documents(s, d)
+      .withColumn("h", Dedup.md5Hash60(
+        concat(lit("strat:"), col("doc_id").cast("string"))))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("lang"), col("rk"), col("doc_id"))
+      .orderBy("lang", "rk")
+  }
+
+  /** Per-label embedding centroids + intra-class spread: the K-means
+    * E-step (centroid = per-position mean) and the class-dispersion
+    * diagnostic an embedding-quality audit runs. Both sides compute the
+    * distance through a positional (label, pos) equi-join — two keyed
+    * aggregations and one join, all O(n·dim) rows, no per-group vector
+    * collection. */
+  def embedCentroid(s: SparkSession, d: String): DataFrame = {
+    val x = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        posexplode(transform(col("embedding"), v => v.cast("double")))
+          .as(Seq("pos", "val")))
+    val cent = x.groupBy("label", "pos").agg(avg(col("val")).as("c"))
+    val dist = x.join(cent, Seq("label", "pos"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(sqrt(sum(pow(col("val") - col("c"), 2.0))).as("dist"))
+    dist.groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        round(avg(col("dist")) + lit(1e-6), 4).as("avg_dist"))
+      .orderBy("label")
+  }
+
   val queries: Map[String, Q] = Map(
-    "q_sample_hash"    -> sampleHash _,
-    "q_embed_quantize" -> embedQuantize _,
+    "q_sample_hash"       -> sampleHash _,
+    "q_embed_quantize"    -> embedQuantize _,
+    "q_sample_weighted"   -> sampleWeighted _,
+    "q_sample_stratified" -> sampleStratified _,
+    "q_embed_centroid"    -> embedCentroid _,
   )
 
   val oracle: Map[String, String] = Map(
+    "q_sample_weighted" ->
+      """WITH k AS (
+           SELECT doc_id, lang, n_chars,
+                  round(pow(
+                    (CAST('0x' ||
+                       substr(md5('w:' || CAST(doc_id AS VARCHAR)),1,15)
+                       AS BIGINT) + 1) / 1152921504606846976.0,
+                    1.0 / n_chars), 6) AS key
+           FROM documents)
+         SELECT doc_id, lang, n_chars, key
+         FROM k ORDER BY key DESC, doc_id LIMIT 20""",
+    "q_sample_stratified" ->
+      """WITH h AS (
+           SELECT lang, doc_id,
+                  CAST('0x' ||
+                    substr(md5('strat:' || CAST(doc_id AS VARCHAR)),1,15)
+                    AS BIGINT) AS h
+           FROM documents),
+         r AS (SELECT lang, doc_id,
+                      row_number() OVER (PARTITION BY lang
+                        ORDER BY h, doc_id) AS rk
+               FROM h)
+         SELECT lang, CAST(rk AS INT) AS rk, doc_id
+         FROM r WHERE rk <= 5 ORDER BY lang, rk""",
+    "q_embed_centroid" ->
+      """WITH x AS (SELECT vec_id, label,
+                           generate_subscripts(embedding, 1) AS pos,
+                           CAST(unnest(embedding) AS DOUBLE) AS val
+                    FROM embeddings),
+         c AS (SELECT label, pos, avg(val) AS c
+               FROM x GROUP BY label, pos),
+         d AS (SELECT x.vec_id, x.label,
+                      sqrt(sum(pow(val - c, 2))) AS dist
+               FROM x JOIN c USING (label, pos)
+               GROUP BY x.vec_id, x.label)
+         SELECT label, CAST(count(1) AS BIGINT) AS n_vecs,
+                round(avg(dist) + 1e-6, 4) AS avg_dist
+         FROM d GROUP BY label ORDER BY label""",
     "q_sample_hash" ->
       """WITH b AS (
            SELECT lang, n_chars, doc_id,

@@ -58,6 +58,30 @@ class SamplingSpec extends SparkSpec {
     assert(overflow == 0)
   }
 
+  test("weighted sample: valid A-ES keys, no duplicates, descending") {
+    val rows = Sampling.sampleWeighted(spark, sf).collect()
+    assert(rows.length == 20)
+    val keys = rows.map(_.getDouble(3))
+    assert(keys.forall(k => k > 0.0 && k <= 1.0))
+    assert(keys.sameElements(keys.sorted.reverse))
+    assert(rows.map(_.getLong(0)).distinct.length == 20)
+  }
+
+  test("stratified sample: exactly 5 ranked docs per language") {
+    val rows = Sampling.sampleStratified(spark, sf).collect()
+    val perLang = rows.groupBy(_.getString(0))
+    perLang.foreach { case (lang, rs) =>
+      assert(rs.map(_.getInt(1)).sorted.sameElements(1 to 5), lang)
+    }
+  }
+
+  test("centroid spread covers every vector and every label") {
+    val rows = Sampling.embedCentroid(spark, sf).collect()
+    assert(rows.map(_.getLong(1)).sum ==
+      graft.tables.Tables.embeddings(spark, sf).count())
+    assert(rows.forall(_.getDouble(2) > 0.0)) // classes aren't degenerate
+  }
+
   // -------------------------------------------------------------- BPE scan --
 
   test("BPE subtoken scan: tokens match the pre-tokenizer classes") {
