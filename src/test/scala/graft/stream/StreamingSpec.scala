@@ -134,6 +134,28 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains((1L, 4)) && rows.contains((2L, 3)), rows.mkString(","))
   }
 
+  test("stream-static join: each micro-batch enriches against the dim") {
+    // the remaining join shape: a STREAM against a STATIC dimension —
+    // planned as a broadcast join re-resolved per micro-batch, no state
+    // store involved (unlike stream-stream). Result must equal the batch
+    // join of the same inputs.
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "segment")
+    val ms = MemoryStream[Ev]
+    ms.addData(base: _*)
+    val enriched = ms.toDF().join(dim, Seq("user_id"))
+      .groupBy($"segment")
+      .agg(count(lit(1)).as("n"), sum($"value").as("v"))
+    val got = runStream(ms, enriched, OutputMode.Complete, "ss_join_out")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    val want = base.toDF().join(dim, Seq("user_id"))
+      .groupBy($"segment")
+      .agg(count(lit(1)).as("n"), sum($"value").as("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("sliding windows: each event lands in exactly two 1h/30m windows") {
     val counts = Events.sliding(base.toDF())
       .agg(sum($"n")).head().getLong(0)
