@@ -80,7 +80,8 @@ object Sampling {
     val u = (Dedup.md5Hash60(concat(lit("w:"), col("doc_id").cast("string")))
       + lit(1L)).cast("double") / lit(math.pow(2.0, 60))
     Tables.documents(s, d)
-      .withColumn("key", round(pow(u, lit(1.0) / col("n_chars")), 6))
+      .withColumn("key",
+        round(pow(u, lit(1.0) / col("n_chars")) + lit(1e-9), 6))
       .orderBy(col("key").desc, col("doc_id"))
       .limit(20)
       .select(col("doc_id"), col("lang"), col("n_chars"), col("key"))
@@ -139,7 +140,7 @@ object Sampling {
                     (CAST('0x' ||
                        substr(md5('w:' || CAST(doc_id AS VARCHAR)),1,15)
                        AS BIGINT) + 1) / 1152921504606846976.0,
-                    1.0 / n_chars), 6) AS key
+                    1.0 / n_chars) + 1e-9, 6) AS key
            FROM documents)
          SELECT doc_id, lang, n_chars, key
          FROM k ORDER BY key DESC, doc_id LIMIT 20""",

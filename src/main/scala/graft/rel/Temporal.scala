@@ -93,7 +93,10 @@ object Temporal {
         col("o_orderdate"), col("o_orderkey")),
       key = "o_custkey", status = "o_orderstatus",
       ts = "o_orderdate", tie = "o_orderkey")
-      .orderBy("o_custkey", "valid_from_us", "status")
+      // valid_to_us is a REQUIRED sort key for totality: alternating
+      // statuses on one date (F,O,F by orderkey) emit two rows equal in
+      // (custkey, from, status) that differ only in valid_to
+      .orderBy("o_custkey", "valid_from_us", "status", "valid_to_us")
 
   val queries: Map[String, Q] = Map(
     "q_join_range" -> rangeJoin _,
@@ -125,6 +128,7 @@ object Temporal {
                   lead(epoch_us(o_orderdate)) OVER (PARTITION BY o_custkey
                     ORDER BY o_orderdate, o_orderkey),
                   epoch_us(TIMESTAMP '9999-12-31 00:00:00')) AS valid_to_us
-         FROM starts ORDER BY o_custkey, valid_from_us, status""",
+         FROM starts
+         ORDER BY o_custkey, valid_from_us, status, valid_to_us""",
   )
 }

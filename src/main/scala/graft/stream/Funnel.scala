@@ -28,8 +28,7 @@ object Funnel {
       .join(prev, Seq("user_id"))
       .filter(col("ts_ns") >= col("t") && col("ts_ns") < col("t") + DayNs)
       .groupBy("user_id")
-      .agg(min(col("ts_ns")).as("t_next"))
-      .withColumnRenamed("t_next", "t")
+      .agg(min(col("ts_ns")).as("t"))
 
   def funnelConversion(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d).select(col("user_id"), col("event_type"),

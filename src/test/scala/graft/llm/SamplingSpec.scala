@@ -34,9 +34,14 @@ class SamplingSpec extends SparkSpec {
   }
 
   test("split membership is stable under repartitioning") {
-    val a = Sampling.sampleHash(spark, sf).collect().toSeq
-    val b = Sampling.sampleHash(spark, sf).collect().toSeq
-    assert(a == b)
+    // the property hash splits exist for: bucket assignment must not
+    // depend on physical layout (rand() fails this)
+    def buckets(df: org.apache.spark.sql.DataFrame) =
+      df.select($"doc_id", Sampling.hashBucket($"doc_id", "split", 100)
+          .as("b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val docs = Tables.documents(spark, sf)
+    assert(buckets(docs) == buckets(docs.repartition(7)))
   }
 
   // ----------------------------------------------------------- quantization --
