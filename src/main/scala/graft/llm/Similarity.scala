@@ -149,50 +149,41 @@ object Similarity {
   def ivfTopK(df: DataFrame, k: Int, nList: Int = 16, nProbe: Int = 4,
               seed: Long = 42L, fitFraction: Double = 0.5,
               maxFitRows: Int = 4000): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     val spark = df.sparkSession
-    val feats = df.withColumn("features", array_to_vector(col("v")))
-    // coarse-quantizer fit: random init (k-means|| costs ~2× in extra
-    // passes and buys nothing for an ANN cell map) + bounded iterations —
-    // cell-assignment quality converges fast and recall is what's gated.
-    // The fit set is ROW-capped, not just fraction-sampled: a coarse
-    // quantizer needs ~100s of points per cell, so at 100 TB the fit input
-    // is a bounded single-partition frame, and each Lloyd pass is a tiny
-    // job instead of a full-cluster sweep. The cap is enforced
-    // PER PARTITION on the uniform sample (take cap/numPartitions from
-    // each) — no extra full-corpus count() to size a fraction — and then a
-    // global limit(maxFitRows) makes the cap HARD: perPart floors at 1, so
-    // with more partitions than maxFitRows the per-partition take alone
-    // would exceed the cap (~numPartitions rows). A bare global limit on
-    // the raw sample would be partition-biased (keeps whichever rows the
-    // earliest partitions produced); after the per-partition take each
-    // partition contributes at most perPart rows, so the limit only trims
-    // the tail of an already-even spread, and it runs on the
-    // ≤ nParts·perPart survivors, not the corpus.
-    val sampled = feats.sample(withReplacement = false, fitFraction, seed)
+    // coarse-quantizer fit: the fit set is ROW-capped, not just
+    // fraction-sampled — a coarse quantizer needs ~100s of points per
+    // cell, so at 100 TB the fit input stays a few thousand rows. The cap
+    // is enforced PER PARTITION on the uniform sample (take
+    // cap/numPartitions from each) — no extra full-corpus count() to size
+    // a fraction — and then a global limit(maxFitRows) makes the cap
+    // HARD: perPart floors at 1, so with more partitions than maxFitRows
+    // the per-partition take alone would exceed the cap. A bare global
+    // limit on the raw sample would be partition-biased; after the
+    // per-partition take each partition contributes at most perPart rows,
+    // so the limit only trims the tail of an already-even spread.
+    //
+    // Lloyd's itself runs ON THE DRIVER over the collected cap (≤4k×dim
+    // doubles ≈ 2 MB — the same bounded-stats-to-driver class as
+    // broadcast join sides): a distributed KMeans on a 4k-row single
+    // partition is pure scheduler overhead, several jobs per pass ×4
+    // passes (measured ~1 s/run at bench). Cell ASSIGNMENT — the O(n)
+    // part — still covers every row, distributed. Recall vs brute force
+    // is gated in LlmOpsSpec.
+    val sampled = df.sample(withReplacement = false, fitFraction, seed)
     val perPart = math.max(1,
       maxFitRows / math.max(1, sampled.rdd.getNumPartitions))
-    // repartition (not coalesce): coalesce(1) would drag the whole scan
-    // into one task; a shuffle after the cap moves only the ≤cap rows
-    // the GlobalLimit already funnels to a single partition — no extra
-    // repartition(1) exchange needed after it
-    val fitSet = spark.createDataFrame(
+    val fit: Array[Array[Double]] = spark.createDataFrame(
         sampled.rdd.mapPartitions(_.take(perPart)), sampled.schema)
       .limit(maxFitRows)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // 4 Lloyd passes: a coarse ANN quantizer's cell map stabilizes in the
-    // first few iterations (recall-gated in LlmOpsSpec); each extra pass
-    // is a full scheduler round-trip that dominates at fit-set scale
-    val model = new KMeans().setK(nList).setSeed(seed)
-      .setInitMode("random").setMaxIter(4)
-      .setFeaturesCol("features")
-      .fit(fitSet)
-    fitSet.unpersist(false)
-    val centroids = model.clusterCenters.map(_.toArray.toSeq).toSeq
-    val centLit = typedlit(centroids)
+      .select(col("v")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(fit.nonEmpty, "ivfTopK: empty fit sample")
+    val centroids = lloyd(fit, nList, iters = 4, seed)
+    val nCells = centroids.length
+    val probeN = math.min(nProbe, nCells)
+    val centLit = typedlit(centroids.map(_.toSeq).toSeq)
     // distances to every centroid, once per row (nested HOF, one codegen)
-    val dists = transform(sequence(lit(0), lit(nList - 1)), c => {
+    val dists = transform(sequence(lit(0), lit(nCells - 1)), c => {
       val cent = element_at(centLit, c + 1)
       aggregate(zip_with(col("v"), cent, (x, y) => (x - y) * (x - y)),
         lit(0.0), _ + _)
@@ -202,9 +193,9 @@ object Similarity {
         array_position(col("__dists"), array_min(col("__dists"))).cast("int") - 1)
       .withColumn("probe_cells",
         slice(transform(array_sort(zip_with(col("__dists"),
-            sequence(lit(0), lit(nList - 1)),
+            sequence(lit(0), lit(nCells - 1)),
             (d, i) => struct(d.as("d"), i.as("i")))),
-          s => s.getField("i")), 1, nProbe))
+          s => s.getField("i")), 1, probeN))
       .drop("__dists")
     val index = withCells.select(col("id").as("id2"), col("v").as("v2"),
       col("cell"))
@@ -220,6 +211,48 @@ object Similarity {
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .drop("rk")
+  }
+
+  /** Seeded Lloyd's k-means on a driver-local sample (the IVF coarse
+    * quantizer). Deterministic: seeded distinct-point init, fixed
+    * iteration count, empty clusters keep their previous centroid.
+    * Returns ≤ k centroids (fewer iff the sample has fewer distinct
+    * points — duplicate centroids would create duplicate candidate
+    * pairs downstream). */
+  def lloyd(points: Array[Array[Double]], k: Int, iters: Int,
+            seed: Long): Array[Array[Double]] = {
+    val distinct = points.distinct
+    val rnd = new scala.util.Random(seed)
+    val init = rnd.shuffle(distinct.indices.toList)
+      .take(math.min(k, distinct.length))
+    var cents = init.map(distinct(_).clone()).toArray
+    val dim = points.head.length
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(cents.length)(new Array[Double](dim))
+      val counts = new Array[Long](cents.length)
+      points.foreach { p =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < cents.length) {
+          var d = 0.0; var j = 0
+          val cent = cents(c)
+          while (j < dim) { val t = p(j) - cent(j); d += t * t; j += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        var j = 0
+        while (j < dim) { sums(best)(j) += p(j); j += 1 }
+        counts(best) += 1
+      }
+      cents = Array.tabulate(cents.length) { c =>
+        if (counts(c) == 0) cents(c)
+        else { val m = sums(c); var j = 0
+          while (j < dim) { m(j) /= counts(c); j += 1 }; m }
+      }
+      it += 1
+    }
+    cents
   }
 
   /** LSH similarity pairs over the full embeddings table (no block bound —
