@@ -124,7 +124,43 @@ object Sampling {
       .orderBy("label")
   }
 
+  /** Train/test contamination audit: for every TEST document, how many of
+    * its distinct word 5-grams also appear anywhere in the TRAIN split —
+    * the eval-leakage check every benchmark pipeline must run before
+    * trusting its numbers. Composes the deterministic hash split with
+    * shingle matching: one distinct-shingle explode, a semi-join of test
+    * shingles against the train shingle set, two keyed aggregations — all
+    * linear. At 100 TB the join key would be md5Hash60(gram) instead of
+    * the gram string (same result, fixed-width shuffle keys — identical
+    * on both engines since collisions would be shared). */
+  def contamination(s: SparkSession, d: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val g5 = transform(sequence(lit(0), size(toks) - 5), i =>
+      concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2),
+        element_at(toks, i + 3), element_at(toks, i + 4),
+        element_at(toks, i + 5)))
+    val sh = Tables.documents(s, d)
+      .filter(size(split(col("text"), " ")) >= 5)
+      .withColumn("split",
+        when(hashBucket(col("doc_id"), "split", 100) < 90, "train")
+          .otherwise("test"))
+      .select(col("doc_id"), col("split"),
+        explode(array_distinct(g5)).as("gram"))
+    val train = sh.filter(col("split") === "train").select("gram").distinct()
+    val test = sh.filter(col("split") === "test").select("doc_id", "gram")
+    val n = test.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val shared = test.join(train, Seq("gram"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    n.join(shared, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        round(coalesce(col("n_shared"), lit(0L)) / col("n_shingles")
+          + lit(1e-9), 4).as("contamination"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_contamination"     -> contamination _,
     "q_sample_hash"       -> sampleHash _,
     "q_embed_quantize"    -> embedQuantize _,
     "q_sample_weighted"   -> sampleWeighted _,
@@ -133,6 +169,32 @@ object Sampling {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_contamination" ->
+      """WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks,
+                  CASE WHEN CAST('0x' ||
+                         substr(md5('split:' || CAST(doc_id AS VARCHAR)),1,15)
+                         AS BIGINT) % 100 < 90
+                       THEN 'train' ELSE 'test' END AS split
+           FROM documents WHERE len(str_split(text, ' ')) >= 5),
+         i AS (SELECT doc_id, split,
+                      unnest(generate_series(1, len(toks) - 4)) AS i,
+                      toks
+               FROM t),
+         g AS (SELECT DISTINCT doc_id, split,
+                      toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                        || ' ' || toks[i+3] || ' ' || toks[i+4] AS gram
+               FROM i),
+         tr AS (SELECT DISTINCT gram FROM g WHERE split = 'train'),
+         te AS (SELECT doc_id, gram FROM g WHERE split = 'test'),
+         n AS (SELECT doc_id, CAST(count(1) AS BIGINT) AS n_shingles
+               FROM te GROUP BY doc_id),
+         s AS (SELECT te.doc_id, CAST(count(1) AS BIGINT) AS n_shared
+               FROM te JOIN tr USING (gram) GROUP BY te.doc_id)
+         SELECT n.doc_id, n.n_shingles,
+                coalesce(s.n_shared, 0) AS n_shared,
+                round(coalesce(s.n_shared, 0) * 1.0 / n.n_shingles + 1e-9, 4)
+                  AS contamination
+         FROM n LEFT JOIN s ON n.doc_id = s.doc_id ORDER BY n.doc_id""",
     "q_sample_weighted" ->
       """WITH k AS (
            SELECT doc_id, lang, n_chars,

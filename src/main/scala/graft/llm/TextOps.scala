@@ -193,6 +193,27 @@ object TextOps {
       .orderBy(col("n_occ").desc, col("t"))
       .limit(20)
 
+  /** Repetition-ratio quality signal: the share of a document's token
+    * 3-grams taken by its single most repeated 3-gram — high values flag
+    * boilerplate/looping text, a standard pretraining-corpus filter.
+    * 3-grams come from a pure HOF projection over the token array (no
+    * window, no self-join); the two keyed aggregations are linear. */
+  def textRepetition(s: SparkSession, d: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val grams = transform(sequence(lit(0), size(toks) - 3), i =>
+      concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2),
+        element_at(toks, i + 3)))
+    Tables.documents(s, d)
+      .filter(size(tokens(col("text"))) >= 3)
+      .select(col("doc_id"), explode(grams).as("gram"))
+      .groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_grams"), max(col("c")).as("max_rep"))
+      .select(col("doc_id"), col("n_grams"), col("max_rep"),
+        round(col("max_rep") / col("n_grams") + lit(1e-9), 4).as("rep_ratio"))
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------------- wiring --
 
   val queries: Map[String, Q] = Map(
@@ -203,9 +224,30 @@ object TextOps {
     "q_text_langid"      -> textLangId _,
     "q_text_tfidf"       -> textTfidf _,
     "q_text_bpe"         -> textBpe _,
+    "q_text_repetition"  -> textRepetition _,
   )
 
   val oracle: Map[String, String] = Map(
+    "q_text_repetition" ->
+      """WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks
+                    FROM documents
+                    WHERE len(str_split(text, ' ')) >= 3),
+         g AS (SELECT doc_id,
+                      unnest(generate_series(1, len(toks) - 2)) AS i,
+                      toks
+               FROM t),
+         g3 AS (SELECT doc_id,
+                       toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                         AS gram
+                FROM g),
+         cnt AS (SELECT doc_id, gram, count(1) AS c
+                 FROM g3 GROUP BY doc_id, gram),
+         agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+                        CAST(max(c) AS BIGINT) AS max_rep
+                 FROM cnt GROUP BY doc_id)
+         SELECT doc_id, n_grams, max_rep,
+                round(max_rep * 1.0 / n_grams + 1e-9, 4) AS rep_ratio
+         FROM agg ORDER BY doc_id""",
     "q_text_bpe" ->
       """WITH x AS (SELECT doc_id,
                            unnest(regexp_extract_all(text,

@@ -87,6 +87,39 @@ class SamplingSpec extends SparkSpec {
     assert(rows.forall(_.getDouble(2) > 0.0)) // classes aren't degenerate
   }
 
+  test("contamination: only test docs, shared bounded by total") {
+    val rows = Sampling.contamination(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val testIds = Sampling.sampleHash(spark, sf) // sanity via the split roll-up
+    rows.foreach { r =>
+      val (n, shared, ratio) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(shared >= 0 && shared <= n)
+      assert(ratio >= 0.0 && ratio <= 1.0 + 1e-6)
+    }
+    // every audited doc is in the test split (10% of corpus, minus <5-token)
+    val testCount = testIds.filter($"split" === "test")
+      .agg(sum($"n_docs")).head().getLong(0)
+    assert(rows.length <= testCount)
+  }
+
+  test("repetition ratio: bounded and 1.0 for a fully repeated doc") {
+    val rows = TextOps.textRepetition(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getLong(1) >= r.getLong(2)) // n_grams >= max_rep
+      val ratio = r.getDouble(3)
+      assert(ratio > 0.0 && ratio <= 1.0 + 1e-6)
+    }
+    // a doc that is one 3-gram repeated has ratio 1.0
+    val one = Seq((1L, "a b a b a b a b")).toDF("doc_id", "text")
+    val grams = one.select(explode(org.apache.spark.sql.functions.transform(
+      sequence(lit(0), size(split($"text", " ")) - 3),
+      i => concat_ws(" ", element_at(split($"text", " "), i + 1),
+        element_at(split($"text", " "), i + 2),
+        element_at(split($"text", " "), i + 3)))).as("g"))
+      .groupBy("g").count().collect().map(_.getLong(1))
+    assert(grams.max.toDouble / grams.sum == 0.5) // "a b a"/"b a b" alternate
+  }
+
   // -------------------------------------------------------------- BPE scan --
 
   test("BPE subtoken scan: tokens match the pre-tokenizer classes") {
