@@ -26,13 +26,17 @@ object Sampling {
     pmod(Dedup.md5Hash60(concat(lit(salt), lit(":"), c.cast("string"))),
       lit(buckets.toLong))
 
+  /** THE train/test split column — single definition shared by the split
+    * roll-up and the contamination audit, so the audit can never silently
+    * check a different split than the one used for training. */
+  def splitCol(id: Column): Column =
+    when(hashBucket(id, "split", 100) < 90, "train").otherwise("test")
+
   /** 90/10 train/test split of the documents corpus by hashed doc_id,
     * rolled up per (lang, split) to prove stratification coverage. */
   def sampleHash(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .withColumn("split",
-        when(hashBucket(col("doc_id"), "split", 100) < 90, "train")
-          .otherwise("test"))
+      .withColumn("split", splitCol(col("doc_id")))
       .groupBy(col("lang"), col("split"))
       .agg(count(lit(1)).as("n_docs"),
         // integer sum / count — exact in both engines; epsilon is belt
@@ -128,34 +132,32 @@ object Sampling {
     * its distinct word 5-grams also appear anywhere in the TRAIN split —
     * the eval-leakage check every benchmark pipeline must run before
     * trusting its numbers. Composes the deterministic hash split with
-    * shingle matching: one distinct-shingle explode, a semi-join of test
-    * shingles against the train shingle set, two keyed aggregations — all
-    * linear. At 100 TB the join key would be md5Hash60(gram) instead of
+    * shingle matching: the shingle explode runs once per split branch
+    * (train set-build and test audit — at 100 TB these are separate
+    * scans of separate table slices anyway), a marking left join of test
+    * shingles against the distinct train set, one conditional
+    * aggregation — all linear. At 100 TB the join key would be md5Hash60(gram) instead of
     * the gram string (same result, fixed-width shuffle keys — identical
     * on both engines since collisions would be shared). */
   def contamination(s: SparkSession, d: String): DataFrame = {
-    val toks = split(col("text"), " ")
-    val g5 = transform(sequence(lit(0), size(toks) - 5), i =>
-      concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2),
-        element_at(toks, i + 3), element_at(toks, i + 4),
-        element_at(toks, i + 5)))
+    val toks = TextOps.tokens(col("text"))
     val sh = Tables.documents(s, d)
-      .filter(size(split(col("text"), " ")) >= 5)
-      .withColumn("split",
-        when(hashBucket(col("doc_id"), "split", 100) < 90, "train")
-          .otherwise("test"))
-      .select(col("doc_id"), col("split"),
-        explode(array_distinct(g5)).as("gram"))
+      .filter(size(toks) >= 5)
+      .select(col("doc_id"), splitCol(col("doc_id")).as("split"),
+        explode(array_distinct(TextOps.wordNGrams(toks, 5))).as("gram"))
     val train = sh.filter(col("split") === "train").select("gram").distinct()
-    val test = sh.filter(col("split") === "test").select("doc_id", "gram")
-    val n = test.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
-    val shared = test.join(train, Seq("gram"), "left_semi")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
-    n.join(shared, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_shingles"),
-        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
-        round(coalesce(col("n_shared"), lit(0L)) / col("n_shingles")
-          + lit(1e-9), 4).as("contamination"))
+    // one pass over the test shingles: the left join marks each shingle
+    // present in the train set, the conditional count aggregates both
+    // totals together (a left_semi + separate count would re-explode the
+    // test side a second time)
+    sh.filter(col("split") === "test")
+      .join(train.withColumn("__hit", lit(1)), Seq("gram"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        count(col("__hit")).as("n_shared"))
+      .select(col("doc_id"), col("n_shingles"), col("n_shared"),
+        round(col("n_shared") / col("n_shingles") + lit(1e-9), 4)
+          .as("contamination"))
       .orderBy("doc_id")
   }
 

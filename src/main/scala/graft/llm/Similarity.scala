@@ -221,7 +221,10 @@ object Similarity {
     * pairs downstream). */
   def lloyd(points: Array[Array[Double]], k: Int, iters: Int,
             seed: Long): Array[Array[Double]] = {
-    val distinct = points.distinct
+    // dedupe by VALUE (Array equality is reference identity): duplicate
+    // vectors picked as two centroids would stay identical forever (ties
+    // assign to the first, the copy freezes at count 0)
+    val distinct = points.map(_.toSeq).distinct.map(_.toArray)
     val rnd = new scala.util.Random(seed)
     val init = rnd.shuffle(distinct.indices.toList)
       .take(math.min(k, distinct.length))

@@ -20,6 +20,14 @@ object TextOps {
   /** Token multiset of a document (space-separated corpus). */
   def tokens(text: Column): Column = split(text, " ")
 
+  /** Word n-grams of a token array as a pure HOF projection (no window,
+    * no self-join) — shared by the repetition filter and the
+    * contamination audit so gram semantics cannot drift between them.
+    * Caller must filter size(toks) >= n first (sequence would descend). */
+  def wordNGrams(toks: Column, n: Int): Column =
+    transform(sequence(lit(0), size(toks) - n), i =>
+      concat_ws(" ", (1 to n).map(o => element_at(toks, i + o)): _*))
+
   /** BPE-ish pre-tokenization: runs of letters, runs of digits, or single
     * other non-space chars. */
   val SubtokenRe = "[a-z]+|[0-9]+|[^a-z0-9 ]"
@@ -198,21 +206,21 @@ object TextOps {
     * boilerplate/looping text, a standard pretraining-corpus filter.
     * 3-grams come from a pure HOF projection over the token array (no
     * window, no self-join); the two keyed aggregations are linear. */
-  def textRepetition(s: SparkSession, d: String): DataFrame = {
-    val toks = tokens(col("text"))
-    val grams = transform(sequence(lit(0), size(toks) - 3), i =>
-      concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2),
-        element_at(toks, i + 3)))
-    Tables.documents(s, d)
+  /** The reusable core (spec-testable on hand-built docs). */
+  def repetitionOf(docs: DataFrame): DataFrame =
+    docs
       .filter(size(tokens(col("text"))) >= 3)
-      .select(col("doc_id"), explode(grams).as("gram"))
+      .select(col("doc_id"),
+        explode(wordNGrams(tokens(col("text")), 3)).as("gram"))
       .groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
       .groupBy("doc_id")
       .agg(sum(col("c")).as("n_grams"), max(col("c")).as("max_rep"))
       .select(col("doc_id"), col("n_grams"), col("max_rep"),
         round(col("max_rep") / col("n_grams") + lit(1e-9), 4).as("rep_ratio"))
       .orderBy("doc_id")
-  }
+
+  def textRepetition(s: SparkSession, d: String): DataFrame =
+    repetitionOf(Tables.documents(s, d))
 
   // ------------------------------------------------------------- wiring --
 

@@ -102,22 +102,23 @@ class SamplingSpec extends SparkSpec {
     assert(rows.length <= testCount)
   }
 
-  test("repetition ratio: bounded and 1.0 for a fully repeated doc") {
+  test("repetition ratio: bounded on fixture data, exact on hand docs") {
     val rows = TextOps.textRepetition(spark, sf).collect()
     rows.foreach { r =>
       assert(r.getLong(1) >= r.getLong(2)) // n_grams >= max_rep
       val ratio = r.getDouble(3)
       assert(ratio > 0.0 && ratio <= 1.0 + 1e-6)
     }
-    // a doc that is one 3-gram repeated has ratio 1.0
-    val one = Seq((1L, "a b a b a b a b")).toDF("doc_id", "text")
-    val grams = one.select(explode(org.apache.spark.sql.functions.transform(
-      sequence(lit(0), size(split($"text", " ")) - 3),
-      i => concat_ws(" ", element_at(split($"text", " "), i + 1),
-        element_at(split($"text", " "), i + 2),
-        element_at(split($"text", " "), i + 3)))).as("g"))
-      .groupBy("g").count().collect().map(_.getLong(1))
-    assert(grams.max.toDouble / grams.sum == 0.5) // "a b a"/"b a b" alternate
+    // drive the PRODUCTION path on hand docs with known ratios:
+    // doc 1 is one repeated token → every 3-gram identical → ratio 1.0;
+    // doc 2 alternates → "a b a"×3 / 6 grams → 0.5;
+    // doc 3 has <3 tokens → excluded entirely
+    val hand = TextOps.repetitionOf(Seq(
+        (1L, "x x x x x"), (2L, "a b a b a b a b"), (3L, "a b"))
+        .toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    assert(hand == Map(1L -> ((3L, 3L, 1.0)), 2L -> ((6L, 3L, 0.5))))
   }
 
   // -------------------------------------------------------------- BPE scan --
