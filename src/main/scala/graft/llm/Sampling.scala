@@ -140,11 +140,16 @@ object Sampling {
     * the gram string (same result, fixed-width shuffle keys — identical
     * on both engines since collisions would be shared). */
   def contamination(s: SparkSession, d: String): DataFrame = {
-    val toks = TextOps.tokens(col("text"))
+    // project the token array BEFORE the gram lambda — an inlined split
+    // expression re-tokenizes the text for every element_at reference
+    // (5/gram), turning tokenization O(len²) per doc (measured 6.9 s vs
+    // ~1 s at sf0.1; the ScSparse.toDense HOF-hoisting lesson again)
     val sh = Tables.documents(s, d)
-      .filter(size(toks) >= 5)
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .filter(size(col("toks")) >= 5)
       .select(col("doc_id"), splitCol(col("doc_id")).as("split"),
-        explode(array_distinct(TextOps.wordNGrams(toks, 5))).as("gram"))
+        explode(array_distinct(TextOps.wordNGrams(col("toks"), 5)))
+          .as("gram"))
     val train = sh.filter(col("split") === "train").select("gram").distinct()
     // one pass over the test shingles: the left join marks each shingle
     // present in the train set, the conditional count aggregates both

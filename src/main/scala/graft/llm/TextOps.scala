@@ -206,12 +206,18 @@ object TextOps {
     * boilerplate/looping text, a standard pretraining-corpus filter.
     * 3-grams come from a pure HOF projection over the token array (no
     * window, no self-join); the two keyed aggregations are linear. */
-  /** The reusable core (spec-testable on hand-built docs). */
+  /** The reusable core (spec-testable on hand-built docs). The token
+    * array is PROJECTED before the gram lambda: inlining the split
+    * expression makes every element_at reference re-split the text —
+    * n references/gram × grams/doc turns tokenization O(len²)
+    * (measured 3.9 s vs ~1 s at sf0.1; same HOF-hoisting lesson as
+    * ScSparse.toDense). */
   def repetitionOf(docs: DataFrame): DataFrame =
     docs
-      .filter(size(tokens(col("text"))) >= 3)
+      .withColumn("toks", tokens(col("text")))
+      .filter(size(col("toks")) >= 3)
       .select(col("doc_id"),
-        explode(wordNGrams(tokens(col("text")), 3)).as("gram"))
+        explode(wordNGrams(col("toks"), 3)).as("gram"))
       .groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
       .groupBy("doc_id")
       .agg(sum(col("c")).as("n_grams"), max(col("c")).as("max_rep"))
