@@ -63,8 +63,11 @@ object Bench {
       "q_sc_normalize_log1p", "q_similarity_knn")
     val qsHead = headline.flatMap(k => results.get(k).map(v =>
       s"\"" + k + "\":" + (math.rint(v * 1000) / 1000))).mkString("{", ",", "}")
+    // JSON-escape interpolated paths: an env-provided path containing a
+    // quote or backslash must not break the driver's one-line parser
+    def esc(p: String): String = p.replace("\\", "\\\\").replace("\"", "\\\"")
     val json =
-      s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","queries":$qsHead,"n_queries":${results.size},"detail":"$outPath","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","queries":$qsHead,"n_queries":${results.size},"detail":"${esc(outPath)}","sf":"${esc(sfDir)}"}"""
     println(json)
     spark.stop()
   }

@@ -75,15 +75,22 @@ object Dedup {
   /** THE token-set Jaccard pair computation (single implementation —
     * the ground truth all approximate dedup paths verify against, and the
     * place the +1e-9 round-boundary epsilon lives). `cand` optionally
-    * restricts the pair space to pre-generated candidates (LSH). */
+    * restricts the pair space to pre-generated candidates (LSH).
+    *
+    * The intersection join is keyed by md5Hash60(t), NOT the token
+    * string: fixed 8-byte shuffle keys instead of arbitrary-length text
+    * — at 100 TB the difference between a lean and a bloated shuffle.
+    * Set sizes still count the distinct token STRINGS, and the oracle
+    * hashes with the same md5 truncation, so a (cosmically unlikely)
+    * collision would be shared by both engines identically. */
   def jaccardPairs(tok: DataFrame, tau: Double,
                    cand: Option[DataFrame] = None): DataFrame = {
     val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val left = tok.select(col("doc_id").as("id1"), col("t"))
-    val right = tok.select(col("doc_id").as("id2"), col("t"))
+    val left = tok.select(col("doc_id").as("id1"), md5Hash60(col("t")).as("th"))
+    val right = tok.select(col("doc_id").as("id2"), md5Hash60(col("t")).as("th"))
     val inter = (cand match {
-      case None => left.join(right, Seq("t")).filter(col("id1") < col("id2"))
-      case Some(c) => left.join(c, Seq("id1")).join(right, Seq("id2", "t"))
+      case None => left.join(right, Seq("th")).filter(col("id1") < col("id2"))
+      case Some(c) => left.join(c, Seq("id1")).join(right, Seq("id2", "th"))
     }).groupBy("id1", "id2").agg(count(lit(1)).as("x"))
     inter
       .join(sizes.select(col("doc_id").as("id1"), col("n").as("n1")), Seq("id1"))
@@ -224,54 +231,98 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  /** Connected components over an undirected pair graph by iterative
-    * min-label propagation — the stage that turns PAIRWISE near-dup
-    * matches into duplicate CLUSTERS (one canonical representative per
-    * component, the min node id). A pair list alone under-deletes:
-    * (a,b), (b,c) are two pairs but ONE cluster {a,b,c}.
+  /** One large-star round (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", SoCC'14): every node connects its strictly
+    * LARGER neighbours to the minimum of its closed neighbourhood.
+    * One symmetrize + one keyed min-agg + one keyed join — all linear
+    * shuffles on node id. */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.select(col("u"), col("v"))
+      .unionAll(e.select(col("v").as("u"), col("u").as("v")))
+    val m = sym.groupBy("u").agg(min(col("v")).as("mn"))
+      .select(col("u"), least(col("u"), col("mn")).as("m"))
+    sym.filter(col("v") > col("u"))
+      .join(m, Seq("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** One small-star round: orient every edge larger→smaller, then each
+    * node connects its smaller neighbours (and itself) to the minimum
+    * of that oriented neighbourhood. Same linear shuffle shape. */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val or = e.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      .distinct()
+    val m = or.groupBy("u").agg(min(col("v")).as("m"))
+    or.join(m, Seq("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .unionAll(m.select(col("u"), col("m").as("v")))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** Connected components over an undirected pair graph — the stage that
+    * turns PAIRWISE near-dup matches into duplicate CLUSTERS (one
+    * canonical representative per component, the min node id). A pair
+    * list alone under-deletes: (a,b), (b,c) are two pairs but ONE
+    * cluster {a,b,c}.
     *
-    * Execution: a driver-controlled loop of keyed DataFrame joins —
-    * iteration control lives on the driver (a scalar convergence check
-    * per round), ALL data movement stays distributed. Each round is one
-    * shuffle join + one min-aggregate; rounds needed = component
-    * diameter, which for dedup clusters is tiny (near-cliques). At
-    * 100 TB with adversarial long-chain graphs you'd add the
-    * large-star/small-star contraction (Kiveris et al.) to halve the
-    * diameter per round; the propagation core below is unchanged.
+    * Algorithm: alternating large-star/small-star contraction (Kiveris
+    * et al.) — each round HALVES chain distances instead of walking them
+    * one hop at a time, so convergence is O(log diameter) rounds, not
+    * O(diameter). That is the difference that matters at 100 TB:
+    * near-dup graphs of templated boilerplate form long chains, and a
+    * plain min-label propagation is round-bound by the longest one
+    * (CcContractionSpec proves a 64-node path converges in ≤7 rounds
+    * here vs ~64 for propagation). Iteration control lives on the
+    * driver (a scalar emptiness check per round); ALL data movement
+    * stays distributed — each round is two keyed min-aggs + two keyed
+    * joins, shuffles keyed by node id only, never by payload.
     *
-    * Each round's labels are EAGERLY localCheckpoint'ed: iterative plans
-    * double in size per round if only persisted (persist caches data, not
-    * the logical plan — analysis time then grows exponentially with the
-    * diameter); checkpointing resets the plan to a scan of the cached
-    * blocks. On a cluster with executor loss concerns, swap for reliable
-    * `checkpoint` on a shared dir — same call shape. */
+    * Each round's edge set is EAGERLY localCheckpoint'ed: iterative
+    * plans double in size per round if only persisted (persist caches
+    * data, not the logical plan — analysis time then grows exponentially
+    * with the round count); checkpointing resets the plan to a scan of
+    * the cached blocks. On a cluster with executor-loss concerns, swap
+    * for reliable `checkpoint` on a shared dir — same call shape. */
   def connectedComponents(edges: DataFrame, nodes: DataFrame,
-                          maxIter: Int = 25): DataFrame = {
-    // checkpoint the symmetrized edges ONCE: every round joins against
-    // them, and without this the whole upstream edge derivation (e.g.
-    // the Jaccard pair computation) re-executes per round
-    val sym = edges.select(col("id1").as("src"), col("id2").as("dst"))
-      .unionAll(edges.select(col("id2").as("src"), col("id1").as("dst")))
-      .localCheckpoint(true)
-    var labels = nodes.select(col("node"), col("node").as("label"))
+                          maxIter: Int = 25): DataFrame =
+    connectedComponentsRounds(edges, nodes, maxIter)._1
+
+  /** connectedComponents + the number of contraction rounds it took —
+    * the round count is the spec-asserted scale property. */
+  def connectedComponentsRounds(edges: DataFrame, nodes: DataFrame,
+                                maxIter: Int = 25): (DataFrame, Int) = {
+    // checkpoint the initial edges ONCE: the loop re-reads them, and
+    // without this the whole upstream edge derivation (e.g. the Jaccard
+    // pair computation) would re-execute on the first round
+    var e = edges.select(col("id1").as("u"), col("id2").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
       .localCheckpoint(true)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      val prop = sym.join(labels, sym("dst") === labels("node"))
-        .select(sym("src").as("node"), col("label"))
-      val next = labels.unionAll(prop)
-        .groupBy("node").agg(min(col("label")).as("label"))
-        .localCheckpoint(true)
-      val changed = labels.as("o")
-        .join(next.as("n"), Seq("node"))
-        .filter(col("o.label") =!= col("n.label")).count()
-      labels = next
-      converged = changed == 0
+      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      // fixpoint test: the two-phase contraction converges exactly when
+      // the edge set is stable (its only fixpoints are disjoint stars
+      // centred at component minima). Both sets are distinct, so a
+      // two-sided except is an exact set comparison; isEmpty stops at
+      // the first differing row.
+      converged = next.except(e).unionAll(e.except(next)).isEmpty
+      e = next
       i += 1
     }
     require(converged, s"connectedComponents: no fixpoint in $maxIter rounds")
-    labels
+    // at the fixpoint every non-root points to exactly its component
+    // min; roots and singletons label themselves
+    val labels = nodes.select(col("node"))
+      .join(e.select(col("u").as("node"), col("v").as("label")),
+        Seq("node"), "left")
+      .select(col("node"), coalesce(col("label"), col("node")).as("label"))
+    (labels, i)
   }
 
   /** Near-dup clusters on the bounded doc block: exact Jaccard pairs →
@@ -326,9 +377,13 @@ object Dedup {
       """WITH RECURSIVE
          tok AS (SELECT DISTINCT doc_id, unnest(str_split(text, ' ')) AS t
                  FROM documents WHERE doc_id < 100),
+         tokh AS (SELECT doc_id,
+                         CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS th
+                  FROM tok),
          sizes AS (SELECT doc_id, count(1) AS n FROM tok GROUP BY doc_id),
          inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(1) AS x
-                   FROM tok a JOIN tok b ON a.t = b.t AND a.doc_id < b.doc_id
+                   FROM tokh a JOIN tokh b
+                     ON a.th = b.th AND a.doc_id < b.doc_id
                    GROUP BY 1, 2),
          pairs AS (SELECT id1, id2
                    FROM inter JOIN sizes s1 ON s1.doc_id = id1
@@ -379,9 +434,13 @@ object Dedup {
     "q_dedup_ngram" ->
       """WITH tok AS (SELECT DISTINCT doc_id, unnest(str_split(text, ' ')) AS t
                       FROM documents WHERE doc_id < 100),
+         tokh AS (SELECT doc_id,
+                         CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS th
+                  FROM tok),
          sizes AS (SELECT doc_id, count(1) AS n FROM tok GROUP BY doc_id),
          inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(1) AS x
-                   FROM tok a JOIN tok b ON a.t = b.t AND a.doc_id < b.doc_id
+                   FROM tokh a JOIN tokh b
+                     ON a.th = b.th AND a.doc_id < b.doc_id
                    GROUP BY 1, 2)
          SELECT id1, id2,
                 round(CAST(x AS DOUBLE) / (s1.n + s2.n - x) + 1e-9, 4)
@@ -415,11 +474,15 @@ object Dedup {
              FROM gated) WHERE doc_id = rep),
          tok AS (SELECT DISTINCT doc_id, unnest(str_split(text, ' ')) AS t
                  FROM exact),
+         tokh AS (SELECT doc_id,
+                         CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS th
+                  FROM tok),
          sizes AS (SELECT doc_id, count(1) AS n FROM tok GROUP BY doc_id),
          near AS (
            SELECT DISTINCT b.id2 AS doc_id FROM (
              SELECT a.doc_id AS id1, b.doc_id AS id2, count(1) AS x
-             FROM tok a JOIN tok b ON a.t = b.t AND a.doc_id < b.doc_id
+             FROM tokh a JOIN tokh b
+               ON a.th = b.th AND a.doc_id < b.doc_id
              GROUP BY 1, 2) b
            JOIN sizes s1 ON s1.doc_id = b.id1
            JOIN sizes s2 ON s2.doc_id = b.id2

@@ -136,9 +136,10 @@ object Sampling {
     * (train set-build and test audit — at 100 TB these are separate
     * scans of separate table slices anyway), a marking left join of test
     * shingles against the distinct train set, one conditional
-    * aggregation — all linear. At 100 TB the join key would be md5Hash60(gram) instead of
-    * the gram string (same result, fixed-width shuffle keys — identical
-    * on both engines since collisions would be shared). */
+    * aggregation — all linear. The join key is md5Hash60(gram), not the
+    * gram string: fixed 8-byte shuffle keys instead of multi-hundred-byte
+    * shingle text (the 100 TB shuffle-width concern; identical on both
+    * engines since a collision would be shared). */
   def contamination(s: SparkSession, d: String): DataFrame = {
     // project the token array BEFORE the gram lambda — an inlined split
     // expression re-tokenizes the text for every element_at reference
@@ -150,13 +151,15 @@ object Sampling {
       .select(col("doc_id"), splitCol(col("doc_id")).as("split"),
         explode(array_distinct(TextOps.wordNGrams(col("toks"), 5)))
           .as("gram"))
-    val train = sh.filter(col("split") === "train").select("gram").distinct()
+      .select(col("doc_id"), col("split"),
+        Dedup.md5Hash60(col("gram")).as("gram_h"))
+    val train = sh.filter(col("split") === "train").select("gram_h").distinct()
     // one pass over the test shingles: the left join marks each shingle
     // present in the train set, the conditional count aggregates both
     // totals together (a left_semi + separate count would re-explode the
     // test side a second time)
     sh.filter(col("split") === "test")
-      .join(train.withColumn("__hit", lit(1)), Seq("gram"), "left")
+      .join(train.withColumn("__hit", lit(1)), Seq("gram_h"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shingles"),
         count(col("__hit")).as("n_shared"))
@@ -191,12 +194,16 @@ object Sampling {
                       toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
                         || ' ' || toks[i+3] || ' ' || toks[i+4] AS gram
                FROM i),
-         tr AS (SELECT DISTINCT gram FROM g WHERE split = 'train'),
-         te AS (SELECT doc_id, gram FROM g WHERE split = 'test'),
+         gh AS (SELECT doc_id, split,
+                       CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT)
+                         AS gram_h
+                FROM g),
+         tr AS (SELECT DISTINCT gram_h FROM gh WHERE split = 'train'),
+         te AS (SELECT doc_id, gram_h FROM gh WHERE split = 'test'),
          n AS (SELECT doc_id, CAST(count(1) AS BIGINT) AS n_shingles
                FROM te GROUP BY doc_id),
          s AS (SELECT te.doc_id, CAST(count(1) AS BIGINT) AS n_shared
-               FROM te JOIN tr USING (gram) GROUP BY te.doc_id)
+               FROM te JOIN tr USING (gram_h) GROUP BY te.doc_id)
          SELECT n.doc_id, n.n_shingles,
                 coalesce(s.n_shared, 0) AS n_shared,
                 round(coalesce(s.n_shared, 0) * 1.0 / n.n_shingles + 1e-9, 4)

@@ -23,10 +23,15 @@ object TextOps {
   /** Word n-grams of a token array as a pure HOF projection (no window,
     * no self-join) — shared by the repetition filter and the
     * contamination audit so gram semantics cannot drift between them.
-    * Caller must filter size(toks) >= n first (sequence would descend). */
+    * TOTAL over its input: a doc shorter than n tokens yields an empty
+    * array (the bare `sequence(0, size-n)` would otherwise descend —
+    * negative step — and produce garbage grams; the invariant lives
+    * here, not in a caller contract a third consumer could miss). */
   def wordNGrams(toks: Column, n: Int): Column =
-    transform(sequence(lit(0), size(toks) - n), i =>
-      concat_ws(" ", (1 to n).map(o => element_at(toks, i + o)): _*))
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n), i =>
+        concat_ws(" ", (1 to n).map(o => element_at(toks, i + o)): _*)))
+      .otherwise(typedlit(Seq.empty[String]))
 
   /** BPE-ish pre-tokenization: runs of letters, runs of digits, or single
     * other non-space chars. */

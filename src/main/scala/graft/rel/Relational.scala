@@ -163,7 +163,10 @@ object Relational {
       .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
       .pivot("o_orderpriority", Seq("1-URGENT", "2-HIGH", "3-MEDIUM"))
-      .agg(round(sum(col("o_totalprice")), 2))
+      // +1e-6 round-boundary epsilon (money-magnitude sum of products),
+      // same convention as Skew/Events/Partitioned — cross-engine
+      // half-even rounding can otherwise flake a pivot cell
+      .agg(round(sum(col("o_totalprice")) + lit(1e-6), 2))
       .withColumnRenamed("1-URGENT", "urgent")
       .withColumnRenamed("2-HIGH", "high")
       .withColumnRenamed("3-MEDIUM", "medium")
@@ -399,11 +402,11 @@ object Relational {
     "q_agg_pivot" ->
       """SELECT n_name,
                 round(sum(CASE WHEN o_orderpriority = '1-URGENT'
-                          THEN o_totalprice END), 2) AS urgent,
+                          THEN o_totalprice END) + 1e-6, 2) AS urgent,
                 round(sum(CASE WHEN o_orderpriority = '2-HIGH'
-                          THEN o_totalprice END), 2) AS high,
+                          THEN o_totalprice END) + 1e-6, 2) AS high,
                 round(sum(CASE WHEN o_orderpriority = '3-MEDIUM'
-                          THEN o_totalprice END), 2) AS medium
+                          THEN o_totalprice END) + 1e-6, 2) AS medium
          FROM orders JOIN customer ON o_custkey = c_custkey
                      JOIN nation ON c_nationkey = n_nationkey
          GROUP BY n_name ORDER BY n_name""",
@@ -413,7 +416,7 @@ object Relational {
       """SELECT n_name,
                 CASE o_orderpriority WHEN '1-URGENT' THEN 'urgent'
                      WHEN '2-HIGH' THEN 'high' ELSE 'medium' END AS priority,
-                round(sum(o_totalprice), 2) AS revenue
+                round(sum(o_totalprice) + 1e-6, 2) AS revenue
          FROM orders JOIN customer ON o_custkey = c_custkey
                      JOIN nation ON c_nationkey = n_nationkey
          WHERE o_orderpriority IN ('1-URGENT', '2-HIGH', '3-MEDIUM')
