@@ -118,18 +118,24 @@ class ZarrScan(path: String, meta: ZarrMeta, required: StructType,
 
   override def planInputPartitions(): Array[InputPartition] = {
     if (lo > hi || meta.rows == 0) return Array.empty
+    // capture the DRIVER's Hadoop conf at planning time — executor-side
+    // chunk reads need its credentials / FS impl settings, not defaults
+    val conf = new SerializableHadoopConf(ZarrIO.hadoopConf())
     val first = math.max(lo, 0L) / meta.chunkRows
     val last = math.min(hi, meta.rows - 1) / meta.chunkRows
-    (first to last).map(i => ZarrInputPartition(path, meta, i, lo, hi)
+    (first to last).map(i => ZarrInputPartition(path, meta, i, lo, hi, conf)
       : InputPartition).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new ZarrReaderFactory(required)
 }
 
-/** One row-chunk band. Carries everything the executor needs. */
+/** One row-chunk band. Carries everything the executor needs — including
+  * the driver's serialized Hadoop conf for object-store chunk I/O. */
 case class ZarrInputPartition(path: String, meta: ZarrMeta, rowChunk: Long,
-                              lo: Long, hi: Long) extends InputPartition
+                              lo: Long, hi: Long,
+                              conf: SerializableHadoopConf)
+  extends InputPartition
 
 class ZarrReaderFactory(required: StructType)
     extends PartitionReaderFactory {
@@ -150,7 +156,8 @@ class ZarrPartitionReader(p: ZarrInputPartition, required: StructType)
   // column chunks of this band, loaded lazily only when vec is projected
   private lazy val colChunks: Array[Array[Double]] =
     (0 until meta.colChunkCount)
-      .map(j => ZarrIO.readChunk(p.path, meta, p.rowChunk, j)).toArray
+      .map(j => ZarrIO.readChunk(p.path, meta, p.rowChunk, j, p.conf.value))
+      .toArray
   private var current: InternalRow = _
 
   override def next(): Boolean = {

@@ -1,9 +1,11 @@
 package graft.zarr
 
-import java.io.{ByteArrayOutputStream, File, FileOutputStream}
+import java.io.{ByteArrayOutputStream, ObjectInputStream, ObjectOutputStream}
 import java.nio.{ByteBuffer, ByteOrder}
-import java.nio.file.{Files, Paths}
 import java.util.zip.{Deflater, DeflaterOutputStream, Inflater}
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 
 /** Zarr v2 directory-store metadata + chunk codec (public spec:
   * https://zarr.readthedocs.io/en/stable/spec/v2.html — the storage format
@@ -12,6 +14,13 @@ import java.util.zip.{Deflater, DeflaterOutputStream, Inflater}
   * spec). Scope: 2-D arrays, C order, little-endian f4/f8/i2/i4/i8,
   * compressor `zlib` or none — normalized (float) and raw-count (int)
   * expression matrices.
+  *
+  * All I/O goes through `org.apache.hadoop.fs.FileSystem`, resolved from
+  * the path's scheme — a bare `/tmp/x.zarr` hits the local FS exactly as
+  * before, while `file://`, `hdfs://` or an object-store scheme (s3a/gs
+  * with the connector on the classpath) resolve to their FS impl. The
+  * reference read Zarr off GCS [recalled:med]; a 100 TB corpus lives in
+  * object storage, so local-only chunk I/O would make the DSv2 a toy.
   */
 case class ZarrMeta(rows: Long, cols: Int, chunkRows: Int, chunkCols: Int,
                     dtype: String, compressor: Option[String],
@@ -24,6 +33,23 @@ case class ZarrMeta(rows: Long, cols: Int, chunkRows: Int, chunkCols: Int,
   def colChunkCount: Int = (cols + chunkCols - 1) / chunkCols
 }
 
+/** Java-serializable Hadoop Configuration wrapper (Configuration is
+  * Writable but not Serializable): scan partitions and write closures
+  * ship the DRIVER's conf — object-store credentials, custom FS impls —
+  * to executor-side chunk I/O instead of hoping executor defaults match. */
+class SerializableHadoopConf(@transient var value: Configuration)
+    extends Serializable {
+  private def writeObject(out: ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new Configuration(false)
+    value.readFields(in)
+  }
+}
+
 object ZarrIO {
 
   /** Little-endian element widths. Floats are the reference's normalized
@@ -33,10 +59,26 @@ object ZarrIO {
   val BytesPerElem: Map[String, Int] =
     Map("<f4" -> 4, "<f8" -> 8, "<i2" -> 2, "<i4" -> 4, "<i8" -> 8)
 
+  /** Hadoop conf to resolve a FileSystem with: the active session's
+    * (credentials, FS impl settings) on the driver; plain defaults as
+    * the fallback for paths the default loader can resolve. Executor
+    * code paths pass an explicitly shipped conf instead. */
+  def hadoopConf(): Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new Configuration())
+
+  private def fsOf(path: String, conf: Configuration): (FileSystem, HPath) = {
+    val p = new HPath(path)
+    (p.getFileSystem(conf), p)
+  }
+
   /** Parse `<path>/.zarray` (Jackson ships with Spark). */
-  def readMeta(path: String): ZarrMeta = {
+  def readMeta(path: String, conf: Configuration = hadoopConf()): ZarrMeta = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val node = mapper.readTree(new File(path, ".zarray"))
+    val (fs, p) = fsOf(path, conf)
+    val in = fs.open(new HPath(p, ".zarray"))
+    val node = try mapper.readTree(in) finally in.close()
     require(node.get("zarr_format").asInt() == 2, "only zarr v2 supported")
     require(node.get("shape").size() == 2, "only 2-D zarr arrays supported")
     require(node.get("order").asText() == "C", "only C-order zarr supported")
@@ -61,7 +103,8 @@ object ZarrIO {
       fillValue = if (fv == null || fv.isNull) 0.0 else fv.asDouble())
   }
 
-  def writeMeta(path: String, meta: ZarrMeta): Unit = {
+  def writeMeta(path: String, meta: ZarrMeta,
+                conf: Configuration = hadoopConf()): Unit = {
     val comp = meta.compressor match {
       case Some("zlib") => """{"id":"zlib","level":5}"""
       case _ => "null"
@@ -71,22 +114,39 @@ object ZarrIO {
         s""""chunks":[${meta.chunkRows},${meta.chunkCols}],""" +
         s""""dtype":"${meta.dtype}","compressor":$comp,""" +
         s""""fill_value":${meta.fillValue},"order":"C","filters":null}"""
-    Files.createDirectories(Paths.get(path))
-    Files.write(Paths.get(path, ".zarray"), json.getBytes("UTF-8"))
+    val (fs, p) = fsOf(path, conf)
+    fs.mkdirs(p)
+    val out = fs.create(new HPath(p, ".zarray"), true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
   }
 
-  /** Chunk file name for grid cell (i, j) — zarr v2 "."-joined indices. */
-  def chunkFile(path: String, i: Long, j: Int): File =
-    new File(path, s"$i.$j")
+  /** Chunk object name for grid cell (i, j) — zarr v2 "."-joined indices. */
+  def chunkPath(path: String, i: Long, j: Int): HPath =
+    new HPath(path, s"$i.$j")
+
+  /** Delete one chunk object (false if absent). FS-level delete so
+    * sidecar state (e.g. LocalFileSystem checksums) goes with it. */
+  def deleteChunk(path: String, i: Long, j: Int,
+                  conf: Configuration = hadoopConf()): Boolean =
+    fsOf(path, conf)._1.delete(chunkPath(path, i, j), false)
 
   /** Read + decompress one chunk into doubles (C order, padded to full
-    * chunk shape). A MISSING chunk file is legal zarr: it means
+    * chunk shape). A MISSING chunk object is legal zarr: it means
     * fill_value everywhere. */
-  def readChunk(path: String, meta: ZarrMeta, i: Long, j: Int): Array[Double] = {
+  def readChunk(path: String, meta: ZarrMeta, i: Long, j: Int,
+                conf: Configuration = hadoopConf()): Array[Double] = {
     val n = meta.chunkRows * meta.chunkCols
-    val f = chunkFile(path, i, j)
-    if (!f.exists()) return Array.fill(n)(meta.fillValue)
-    val raw = Files.readAllBytes(f.toPath)
+    val (fs, _) = fsOf(path, conf)
+    val cp = chunkPath(path, i, j)
+    // one RPC for existence+length on object stores (getFileStatus);
+    // chunks are bounded (chunkRows×chunkCols×8 B) so toInt is safe
+    val status =
+      try fs.getFileStatus(cp)
+      catch { case _: java.io.FileNotFoundException =>
+        return Array.fill(n)(meta.fillValue) }
+    val raw = new Array[Byte](status.getLen.toInt)
+    val in = fs.open(cp)
+    try in.readFully(0, raw) finally in.close()
     val bytes = meta.compressor match {
       case Some("zlib") => inflate(raw, n * meta.bytesPerElem)
       case _ => raw
@@ -115,7 +175,8 @@ object ZarrIO {
 
   /** Compress + write one chunk (values already padded to chunk shape). */
   def writeChunk(path: String, meta: ZarrMeta, i: Long, j: Int,
-                 values: Array[Double]): Unit = {
+                 values: Array[Double],
+                 conf: Configuration = hadoopConf()): Unit = {
     require(values.length == meta.chunkRows * meta.chunkCols,
       s"chunk ($i,$j): ${values.length} values for " +
         s"${meta.chunkRows}x${meta.chunkCols} chunk")
@@ -152,9 +213,9 @@ object ZarrIO {
       case Some("zlib") => deflate(bytes)
       case _ => bytes
     }
-    val f = chunkFile(path, i, j)
-    val fos = new FileOutputStream(f)
-    try fos.write(out) finally fos.close()
+    val (fs, _) = fsOf(path, conf)
+    val os = fs.create(chunkPath(path, i, j), true)
+    try os.write(out) finally os.close()
   }
 
   private def deflate(bytes: Array[Byte]): Array[Byte] = {

@@ -32,6 +32,10 @@ object ZarrSink {
       chunkCols = dim, dtype = dtype,
       compressor = if (zlib) Some("zlib") else None, fillValue = 0.0)
     ZarrIO.writeMeta(path, meta)
+    // ship the driver's Hadoop conf into the write closure — executor
+    // chunk writes to an object store need its credentials/FS settings
+    val sconf = new SerializableHadoopConf(
+      spark.sparkContext.hadoopConfiguration)
     val written = df.select(col("id").cast("long"), col("vec"))
       .as[(Long, Seq[Double])]
       .groupByKey(_._1 / chunkRows)
@@ -44,7 +48,7 @@ object ZarrSink {
           while (c < dim) { buf(r * dim + c) = vec(c); c += 1 }
           count += 1
         }
-        ZarrIO.writeChunk(path, meta, band, 0, buf)
+        ZarrIO.writeChunk(path, meta, band, 0, buf, sconf.value)
         count
       }
       .reduce(_ + _)
@@ -67,7 +71,11 @@ object ZarrQueries {
       val n = emb.count()
       val distinctMax = emb.agg(max(col("id"))).head().getLong(0)
       require(distinctMax == n - 1, s"vec_id not 0..n-1 (n=$n max=$distinctMax)")
-      ZarrSink.writeMatrix(emb, dir.toString, dim = 64, chunkRows = 128)
+      // width derived from the data, not hardcoded (same rationale as
+      // Similarity.lshPairs' derived dim)
+      val dim = emb.select(size(col("vec"))).limit(1).collect()
+        .headOption.map(_.getInt(0)).getOrElse(0)
+      ZarrSink.writeMatrix(emb, dir.toString, dim = dim, chunkRows = 128)
     }()
 
   /** Full scan through the zarr DSv2 source; hash-checked against DuckDB
