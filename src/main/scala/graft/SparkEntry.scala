@@ -22,7 +22,9 @@ object SparkEntry {
       zarr.ZarrQueries.queries ++ sc.ScSparse.queries ++ sc.MtxQueries.queries ++
       rel.Skew.queries ++ rel.TypedOps.queries ++ tables.Partitioned.queries ++
       rel.Temporal.queries ++ llm.Sampling.queries ++
-      rel.Subqueries.queries ++ stream.Funnel.queries
+      rel.Subqueries.queries ++ stream.Funnel.queries ++
+      rel.Merge.queries ++ llm.Privacy.queries ++
+      llm.Chunking.queries ++ llm.Packing.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -35,5 +37,7 @@ object SparkEntry {
       zarr.ZarrQueries.oracle ++ sc.ScSparse.oracle ++ sc.MtxQueries.oracle ++
       rel.Skew.oracle ++ rel.TypedOps.oracle ++ tables.Partitioned.oracle ++
       rel.Temporal.oracle ++ llm.Sampling.oracle ++
-      rel.Subqueries.oracle ++ stream.Funnel.oracle
+      rel.Subqueries.oracle ++ stream.Funnel.oracle ++
+      rel.Merge.oracle ++ llm.Privacy.oracle ++
+      llm.Chunking.oracle ++ llm.Packing.oracle
 }

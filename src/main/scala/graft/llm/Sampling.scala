@@ -128,6 +128,34 @@ object Sampling {
       .orderBy("label")
   }
 
+  /** Temperature-based multilingual rebalancing plan (the α-smoothed
+    * sampling distribution used by multilingual LM training — p_l ∝
+    * n_l^α with α = 0.5, so low-resource languages are upsampled
+    * relative to their corpus share): per-language target counts and
+    * sampling rates for a 1000-doc budget. Weights are rounded to 6 dp
+    * BEFORE the normalizing sum so both engines divide identical
+    * numerators; floor(x+0.5) instead of round() for the target count
+    * (exact-half portability, same reasoning as embedQuantize).
+    *
+    * Scale shape: one hash aggregation to |languages| rows, then a
+    * broadcast of the 1-row total — the plan-building step is O(langs),
+    * the plan application is the already-shipped hash/stratified
+    * samplers. */
+  def sampleTemperature(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.documents(s, d)
+      .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      .withColumn("w", round(sqrt(col("n_docs")) + lit(1e-9), 6))
+    val tot = counts.agg(sum(col("w")).as("tot"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_docs"),
+        round(col("w") / col("tot") + lit(1e-9), 6).as("p"),
+        floor(col("w") / col("tot") * lit(1000.0) + lit(0.5))
+          .cast("long").as("target_n"))
+      .withColumn("rate",
+        round(col("target_n") / col("n_docs") + lit(1e-9), 6))
+      .orderBy("lang")
+  }
+
   /** Train/test contamination audit: for every TEST document, how many of
     * its distinct word 5-grams also appear anywhere in the TRAIN split —
     * the eval-leakage check every benchmark pipeline must run before
@@ -175,6 +203,7 @@ object Sampling {
     "q_embed_quantize"    -> embedQuantize _,
     "q_sample_weighted"   -> sampleWeighted _,
     "q_sample_stratified" -> sampleStratified _,
+    "q_sample_temperature" -> sampleTemperature _,
     "q_embed_centroid"    -> embedCentroid _,
   )
 
@@ -233,6 +262,19 @@ object Sampling {
                FROM h)
          SELECT lang, CAST(rk AS INT) AS rk, doc_id
          FROM r WHERE rk <= 5 ORDER BY lang, rk""",
+    "q_sample_temperature" ->
+      """WITH c AS (SELECT lang, CAST(count(1) AS BIGINT) AS n_docs
+                    FROM documents GROUP BY lang),
+         w AS (SELECT lang, n_docs,
+                      round(sqrt(n_docs) + 1e-9, 6) AS w
+               FROM c),
+         t AS (SELECT sum(w) AS tot FROM w)
+         SELECT lang, n_docs,
+                round(w / tot + 1e-9, 6) AS p,
+                CAST(floor(w / tot * 1000.0 + 0.5) AS BIGINT) AS target_n,
+                round(CAST(floor(w / tot * 1000.0 + 0.5) AS BIGINT)
+                      * 1.0 / n_docs + 1e-9, 6) AS rate
+         FROM w, t ORDER BY lang""",
     "q_embed_centroid" ->
       """WITH x AS (SELECT vec_id, label,
                            generate_subscripts(embedding, 1) AS pos,

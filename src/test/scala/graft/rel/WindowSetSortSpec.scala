@@ -32,6 +32,15 @@ class WindowSetSortSpec extends SparkSpec {
     assert(ex + in == y95)
   }
 
+  test("2-pass distributed ranking equals the single-window reference form") {
+    // q_window_dist emits windowDist2Pass since round 4; the faithful
+    // one-window formulation survives here as the semantic reference.
+    val ref = WindowSetSort.windowDist(spark, sf).collect()
+    val two = WindowSetSort.windowDist2Pass(spark, sf).collect()
+    assert(ref.length == two.length)
+    ref.zip(two).foreach { case (a, b) => assert(a == b, s"$a != $b") }
+  }
+
   test("running sum is monotone per user when values are non-negative") {
     val viol = WindowSetSort.windowRunningSum(spark, sf)
       .withColumn("prev",
