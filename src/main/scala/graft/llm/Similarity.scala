@@ -157,33 +157,15 @@ object Similarity {
               seed: Long = 42L, fitFraction: Double = 0.5,
               maxFitRows: Int = 4000): DataFrame = {
     val spark = df.sparkSession
-    // coarse-quantizer fit: the fit set is ROW-capped, not just
-    // fraction-sampled — a coarse quantizer needs ~100s of points per
-    // cell, so at 100 TB the fit input stays a few thousand rows. The cap
-    // is enforced PER PARTITION on the uniform sample (take
-    // cap/numPartitions from each) — no extra full-corpus count() to size
-    // a fraction — and then a global limit(maxFitRows) makes the cap
-    // HARD: perPart floors at 1, so with more partitions than maxFitRows
-    // the per-partition take alone would exceed the cap. A bare global
-    // limit on the raw sample would be partition-biased; after the
-    // per-partition take each partition contributes at most perPart rows,
-    // so the limit only trims the tail of an already-even spread.
-    //
-    // Lloyd's itself runs ON THE DRIVER over the collected cap (≤4k×dim
-    // doubles ≈ 2 MB — the same bounded-stats-to-driver class as
-    // broadcast join sides): a distributed KMeans on a 4k-row single
+    // coarse-quantizer fit: bounded sample (see boundedFitSample — a
+    // coarse quantizer needs ~100s of points per cell, so at 100 TB the
+    // fit input stays a few thousand rows). Lloyd's runs ON THE DRIVER
+    // over the collected cap: a distributed KMeans on a 4k-row single
     // partition is pure scheduler overhead, several jobs per pass ×4
     // passes (measured ~1 s/run at bench). Cell ASSIGNMENT — the O(n)
     // part — still covers every row, distributed. Recall vs brute force
     // is gated in LlmOpsSpec.
-    val sampled = df.sample(withReplacement = false, fitFraction, seed)
-    val perPart = math.max(1,
-      maxFitRows / math.max(1, sampled.rdd.getNumPartitions))
-    val fit: Array[Array[Double]] = spark.createDataFrame(
-        sampled.rdd.mapPartitions(_.take(perPart)), sampled.schema)
-      .limit(maxFitRows)
-      .select(col("v")).collect()
-      .map(_.getSeq[Double](0).toArray)
+    val fit = boundedFitSample(df, fitFraction, maxFitRows, seed)
     require(fit.nonEmpty, "ivfTopK: empty fit sample")
     val centroids = lloyd(fit, nList, iters = 4, seed)
     val nCells = centroids.length
@@ -218,6 +200,27 @@ object Similarity {
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .drop("rk")
+  }
+
+  /** The bounded, evenly-spread fit sample both ANN quantizers (IVF
+    * coarse cells, PQ codebooks) train on: a seeded uniform sample,
+    * row-capped per partition (take cap/numPartitions from each — no
+    * extra full-corpus count() to size a fraction) and then a hard
+    * global limit (perPart floors at 1, so with more partitions than
+    * maxFitRows the per-partition take alone would exceed the cap; a
+    * bare global limit on the raw sample would be partition-biased).
+    * ≤4k×dim doubles ≈ 2 MB collected — the bounded-stats-to-driver
+    * class, same as a broadcast join side. */
+  def boundedFitSample(df: DataFrame, fitFraction: Double, maxFitRows: Int,
+                       seed: Long): Array[Array[Double]] = {
+    val sampled = df.sample(withReplacement = false, fitFraction, seed)
+    val perPart = math.max(1,
+      maxFitRows / math.max(1, sampled.rdd.getNumPartitions))
+    df.sparkSession.createDataFrame(
+        sampled.rdd.mapPartitions(_.take(perPart)), sampled.schema)
+      .limit(maxFitRows)
+      .select(col("v")).collect()
+      .map(_.getSeq[Double](0).toArray)
   }
 
   /** Seeded Lloyd's k-means on a driver-local sample (the IVF coarse
@@ -267,6 +270,111 @@ object Similarity {
     cents
   }
 
+  // ------------------------------------------------- PQ (scale path 3) --
+
+  /** Product-quantization codebooks (Jégou, Douze & Schmid, "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011): split the
+    * dim into `m` subspaces and run the seeded Lloyd's per subspace over
+    * the bounded fit sample — m tiny independent k-means on the driver,
+    * same cost class as the IVF coarse quantizer. */
+  def pqCodebooks(fit: Array[Array[Double]], m: Int, ksub: Int,
+                  iters: Int, seed: Long): Array[Array[Array[Double]]] = {
+    require(fit.nonEmpty, "pqCodebooks: empty fit sample")
+    val dim = fit.head.length
+    require(dim % m == 0, s"pqCodebooks: dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    Array.tabulate(m) { sub =>
+      val pts = fit.map(p =>
+        java.util.Arrays.copyOfRange(p, sub * dsub, (sub + 1) * dsub))
+      // per-subspace seed: identical point clouds in two subspaces must
+      // not share an init or the codes would be correlated
+      lloyd(pts, ksub, iters, seed + sub)
+    }
+  }
+
+  /** Distributed PQ encoding: each vector becomes `m` small codes (the
+    * argmin centroid per subspace) — a pure map-side nested HOF over the
+    * broadcast codebook literal, no shuffle. At 100 TB this is the 32×
+    * memory step (dim floats → m bytes) that makes the candidate index
+    * RAM-resident. */
+  def pqEncode(df: DataFrame, books: Array[Array[Array[Double]]]): DataFrame = {
+    val m = books.length
+    val dsub = books.head.head.length
+    val booksLit = typedlit(books.map(_.map(_.toSeq).toSeq).toSeq)
+    val codes = transform(sequence(lit(0), lit(m - 1)), sub => {
+      val sv = slice(col("v"), sub * dsub + 1, lit(dsub))
+      val ds = transform(element_at(booksLit, sub + 1), c =>
+        aggregate(zip_with(sv, c, (x, y) => (x - y) * (x - y)),
+          lit(0.0), _ + _))
+      (array_position(ds, array_min(ds)) - 1).cast("int")
+    })
+    df.withColumn("codes", codes)
+  }
+
+  /** PQ ANN top-k via asymmetric distance computation (ADC) plus exact
+    * re-rank: for each (driver-bounded) query vector, precompute the
+    * m×ksub lookup table of exact query-to-centroid subdistances; a
+    * candidate's approximate L2² is then just m table lookups summed —
+    * no float vector is read during the corpus scan. The ADC pass keeps
+    * a `shortlist`×k candidate list per query; only those rows re-join
+    * their float vectors for an exact L2 re-rank (the FAISS
+    * IVFPQ+refine shape — quantized scan over everything, exact math
+    * over a bounded shortlist).
+    *
+    * Scale shape: LUTs are a queries×m×ksub literal (bounded — query
+    * sets are small by nature) broadcast against the encoded corpus; the
+    * scan is one map-side expression plus a per-query top-(k·shortlist)
+    * window; the re-rank join touches queries×k·shortlist rows. Composes
+    * with IVF in a production index (IVF restricts the candidate cells,
+    * PQ compresses what's scanned inside them); the flat-scan variant
+    * here isolates the PQ semantics. */
+  def pqTopK(df: DataFrame, queries: Array[(Long, Array[Double])], k: Int,
+             m: Int = 8, ksub: Int = 16, shortlist: Int = 5,
+             seed: Long = 42L, fitFraction: Double = 0.5,
+             maxFitRows: Int = 4000): DataFrame = {
+    val fit = boundedFitSample(df, fitFraction, maxFitRows, seed)
+    val books = pqCodebooks(fit, m, ksub, iters = 4, seed)
+    val dsub = books.head.head.length
+    val luts: Seq[(Long, Seq[Seq[Double]], Seq[Double])] = queries.toSeq.map {
+      case (qid, q) =>
+        (qid, books.zipWithIndex.map { case (book, sub) =>
+          book.map { c =>
+            var s = 0.0; var j = 0
+            while (j < dsub) {
+              val t = q(sub * dsub + j) - c(j); s += t * t; j += 1
+            }
+            s
+          }.toSeq
+        }.toSeq, q.toSeq)
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val qdf = luts.toDF("id1", "lut", "qv")
+    val enc = pqEncode(df, books).select(col("id").as("id2"), col("codes"))
+    val wa = org.apache.spark.sql.expressions.Window
+      .partitionBy("id1").orderBy(col("adist"), col("id2"))
+    val cand = enc.crossJoin(broadcast(qdf.select("id1", "lut")))
+      .filter(col("id1") =!= col("id2"))
+      .withColumn("adist",
+        aggregate(zip_with(col("codes"), col("lut"),
+          (c, row) => element_at(row, c + 1)), lit(0.0), _ + _))
+      .withColumn("ark", row_number().over(wa))
+      .filter(col("ark") <= k * shortlist)
+      .select("id1", "id2")
+    // exact re-rank of the bounded shortlist only
+    val we = org.apache.spark.sql.expressions.Window
+      .partitionBy("id1").orderBy(col("d2"), col("id2"))
+    cand
+      .join(df.select(col("id").as("id2"), col("v").as("v2")), Seq("id2"))
+      .join(broadcast(qdf.select("id1", "qv")), Seq("id1"))
+      .withColumn("d2", aggregate(zip_with(col("qv"), col("v2"),
+        (x, y) => (x - y) * (x - y)), lit(0.0), _ + _))
+      .withColumn("rk", row_number().over(we))
+      .filter(col("rk") <= k)
+      .select(col("id1"), col("id2"), round(col("d2"), 4).as("dist"),
+        col("rk"))
+  }
+
   /** LSH similarity pairs over the full embeddings table (no block bound —
     * this is the operator that scales). oracle:no (approximate). */
   def similarityLsh(s: SparkSession, d: String): DataFrame =
@@ -285,11 +393,24 @@ object Similarity {
       k = 5)
       .orderBy("id1", "id2")
 
+  /** PQ ANN top-10 for the first 5 vectors as queries (rows-only:
+    * quantized distances are codebook-specific; recall vs exact L2 and
+    * determinism gated in SimilarityPqSpec). */
+  def similarityPq(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id").as("id"),
+      transform(col("embedding"), _.cast("double")).as("v"))
+    // query set: a driver-bounded handful, the ANN serving shape
+    val qs = e.filter(col("id") < 5).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    pqTopK(e, qs, k = 10).orderBy("id1", "rk")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_similarity_knn" -> similarityKnn _,
     "q_dedup_embedding" -> dedupEmbedding _,
     "q_similarity_lsh" -> similarityLsh _,
     "q_similarity_ivf" -> similarityIvf _,
+    "q_similarity_pq"  -> similarityPq _,
   )
 
   val oracle: Map[String, String] = Map(
