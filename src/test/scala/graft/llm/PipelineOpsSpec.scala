@@ -83,6 +83,21 @@ class PipelineOpsSpec extends SparkSpec {
     } finally shards.unpersist()
   }
 
+  test("round-4 op plan shapes: broadcast offsets, shuffle-free map ops") {
+    // packing: fine-pass window is BUCKET-partitioned (not a global
+    // window) and the coarse offsets arrive by broadcast
+    val pack = planOf(Packing.packShards(spark, sf))
+    assert(pack.contains("BroadcastHashJoin"), pack)
+    assert(pack.contains("windowspecdefinition(bkt"), pack)
+    // chunking and pii are pure map-side ops: no hash shuffle anywhere
+    // (the only exchange is the output sort's range partitioning)
+    val chunk = planOf(Chunking.textChunk(spark, sf))
+    assert(chunk.contains("Generate posexplode"), chunk)
+    assert(!chunk.contains("hashpartitioning"), chunk)
+    val pii = planOf(Privacy.piiMask(spark, sf))
+    assert(!pii.contains("hashpartitioning"), pii)
+  }
+
   test("temperature resampling upweights low-resource languages") {
     val out = Sampling.sampleTemperature(spark, sf).collect()
     assert(out.length == 5) // 5 languages in the corpus

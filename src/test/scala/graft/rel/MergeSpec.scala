@@ -25,6 +25,15 @@ class MergeSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("merge plans as one full-outer SMJ with group-limited compaction") {
+    val plan = planOf(Merge.mergeUpsert(spark, sf))
+    assert(plan.contains("FullOuter"), plan)
+    assert(plan.contains("SortMergeJoin"), plan)
+    // rn = 1 compaction runs as partial+final WindowGroupLimit (top-1 per
+    // key pushed below the shuffle), not a full window materialization
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
   test("update branch carries the latest order's totalprice") {
     val out = Merge.mergeUpsert(spark, sf)
     val updated = out.filter(col("action") === "update")
