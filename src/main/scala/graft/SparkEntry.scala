@@ -24,7 +24,9 @@ object SparkEntry {
       rel.Temporal.queries ++ llm.Sampling.queries ++
       rel.Subqueries.queries ++ stream.Funnel.queries ++
       rel.Merge.queries ++ llm.Privacy.queries ++
-      llm.Chunking.queries ++ llm.Packing.queries
+      llm.Chunking.queries ++ llm.Packing.queries ++
+      sc.Neighbors.queries ++ tables.Bucketed.queries ++
+      sources.JsonLines.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -39,5 +41,7 @@ object SparkEntry {
       rel.Temporal.oracle ++ llm.Sampling.oracle ++
       rel.Subqueries.oracle ++ stream.Funnel.oracle ++
       rel.Merge.oracle ++ llm.Privacy.oracle ++
-      llm.Chunking.oracle ++ llm.Packing.oracle
+      llm.Chunking.oracle ++ llm.Packing.oracle ++
+      sc.Neighbors.oracle ++ tables.Bucketed.oracle ++
+      sources.JsonLines.oracle
 }

@@ -1,0 +1,79 @@
+package graft.sc
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.tables.Tables
+
+/** kNN graph over the cell matrix — the neighbor-graph step of
+  * `scanpy.pp.neighbors` (the next op a scanpy user runs after the
+  * reference's PCA; the reference repo itself stops at PCA, see SURVEY
+  * §1.1 "graphs: none"). Exact Euclidean top-k per cell with a mutuality
+  * flag; the UMAP-style connectivity kernel downstream of this edge list
+  * is a per-edge scalar transform a user can apply to the output.
+  *
+  * Scale: exact all-pairs runs on an explicit bounded block (this is the
+  * oracle'd correctness baseline, same posture as similarityKnn); the
+  * unbounded scale paths for the same edge list are the shipped LSH /
+  * IVF / PQ searchers. Ranking uses the ROUNDED distance (6 dp,
+  * +1e-9) with an id tiebreak — the sampleWeighted precedent — so a
+  * last-ulp accumulation difference between engines cannot reorder
+  * ranks. */
+object Neighbors {
+  type Q = (SparkSession, String) => DataFrame
+
+  def knnGraph(s: SparkSession, d: String, k: Int = 10,
+               maxId: Long = 300): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .filter(col("vec_id") < maxId)
+      .select(col("vec_id").as("id"),
+        transform(col("embedding"), _.cast("double")).as("v"))
+    val pairs = e.select(col("id").as("id1"), col("v").as("v1"))
+      .join(e.select(col("id").as("id2"), col("v").as("v2")),
+        col("id1") =!= col("id2"))
+      .select(col("id1"), col("id2"),
+        round(sqrt(aggregate(zip_with(col("v1"), col("v2"),
+            (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)) + lit(1e-9), 6)
+          .as("dist"))
+    val w = Window.partitionBy("id1").orderBy(col("dist"), col("id2"))
+    val edges = pairs
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+    // mutual edge = i is in top-k of j AND j in top-k of i (the kNN
+    // graph's symmetrization decision scanpy exposes as knn=True/False)
+    val back = edges.select(col("id1").as("m1"), col("id2").as("m2"))
+    edges
+      .join(back, col("id1") === col("m2") && col("id2") === col("m1"),
+        "left")
+      .select(col("id1"), col("id2"), col("rk"), col("dist"),
+        col("m1").isNotNull.as("mutual"))
+      .orderBy("id1", "rk")
+  }
+
+  def scNeighbors(s: SparkSession, d: String): DataFrame = knnGraph(s, d)
+
+  val queries: Map[String, Q] = Map(
+    "q_sc_neighbors" -> scNeighbors _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_sc_neighbors" ->
+      """WITH e AS (
+           SELECT vec_id AS id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings WHERE vec_id < 300),
+         p AS (
+           SELECT a.id AS id1, b.id AS id2,
+                  round(list_distance(a.v, b.v) + 1e-9, 6) AS dist
+           FROM e a JOIN e b ON a.id != b.id),
+         r AS (
+           SELECT id1, id2, dist,
+                  row_number() OVER (PARTITION BY id1
+                    ORDER BY dist, id2) AS rk
+           FROM p QUALIFY rk <= 10)
+         SELECT r.id1, r.id2, CAST(r.rk AS INT) AS rk, r.dist,
+                (m.id1 IS NOT NULL) AS mutual
+         FROM r LEFT JOIN r m ON r.id1 = m.id2 AND r.id2 = m.id1
+         ORDER BY r.id1, r.rk""",
+  )
+}
