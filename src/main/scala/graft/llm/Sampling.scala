@@ -168,12 +168,16 @@ object Sampling {
     * gram string: fixed 8-byte shuffle keys instead of multi-hundred-byte
     * shingle text (the 100 TB shuffle-width concern; identical on both
     * engines since a collision would be shared). */
-  def contamination(s: SparkSession, d: String): DataFrame = {
-    // project the token array BEFORE the gram lambda — an inlined split
-    // expression re-tokenizes the text for every element_at reference
-    // (5/gram), turning tokenization O(len²) per doc (measured 6.9 s vs
-    // ~1 s at sf0.1; the ScSparse.toDense HOF-hoisting lesson again)
-    val sh = Tables.documents(s, d)
+  /** The (doc_id, split, gram_h) shingle frame shared by the
+    * contamination audit and the decontamination filter — one
+    * definition so audit and removal can never check different grams.
+    * The token array is projected BEFORE the gram lambda: an inlined
+    * split expression re-tokenizes the text for every element_at
+    * reference (5/gram), turning tokenization O(len²) per doc
+    * (measured 6.9 s vs ~1 s at sf0.1; the ScSparse.toDense
+    * HOF-hoisting lesson again). */
+  def shingleFrame(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
       .withColumn("toks", TextOps.tokens(col("text")))
       .filter(size(col("toks")) >= 5)
       .select(col("doc_id"), splitCol(col("doc_id")).as("split"),
@@ -181,6 +185,9 @@ object Sampling {
           .as("gram"))
       .select(col("doc_id"), col("split"),
         Dedup.md5Hash60(col("gram")).as("gram_h"))
+
+  def contamination(s: SparkSession, d: String): DataFrame = {
+    val sh = shingleFrame(s, d)
     val train = sh.filter(col("split") === "train").select("gram_h").distinct()
     // one pass over the test shingles: the left join marks each shingle
     // present in the train set, the conditional count aggregates both
@@ -197,8 +204,37 @@ object Sampling {
       .orderBy("doc_id")
   }
 
+  /** Decontamination — the REMOVAL the audit above motivates: drop
+    * every TRAIN document sharing ANY distinct 5-gram with the TEST
+    * split (the conservative n-gram-overlap rule of public LM-eval
+    * hygiene, e.g. the GPT-3 appendix). Output is the per-language
+    * survivor/dropped roll-up a pipeline logs after the pass.
+    *
+    * Scale shape: same two linear shingle scans as contamination, a
+    * semi-join on the 8-byte gram hash to find offenders, an anti-join
+    * to keep survivors — all keyed, no window. Docs shorter than the
+    * shingle width carry no shingles and survive by definition. */
+  def decontaminate(s: SparkSession, d: String): DataFrame = {
+    val sh = shingleFrame(s, d)
+    val testGrams = sh.filter(col("split") === "test")
+      .select("gram_h").distinct()
+    val offenders = sh.filter(col("split") === "train")
+      .join(testGrams, Seq("gram_h"), "left_semi")
+      .select("doc_id").distinct()
+    Tables.documents(s, d)
+      .withColumn("split", splitCol(col("doc_id")))
+      .filter(col("split") === "train")
+      .join(offenders.withColumn("__hit", lit(1)), Seq("doc_id"), "left")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_train"),
+        count(col("__hit")).as("n_dropped"),
+        (count(lit(1)) - count(col("__hit"))).as("n_kept"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_contamination"     -> contamination _,
+    "q_decontaminate"     -> decontaminate _,
     "q_sample_hash"       -> sampleHash _,
     "q_embed_quantize"    -> embedQuantize _,
     "q_sample_weighted"   -> sampleWeighted _,
@@ -208,6 +244,39 @@ object Sampling {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_decontaminate" ->
+      """WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks,
+                  CASE WHEN CAST('0x' ||
+                         substr(md5('split:' || CAST(doc_id AS VARCHAR)),1,15)
+                         AS BIGINT) % 100 < 90
+                       THEN 'train' ELSE 'test' END AS split
+           FROM documents WHERE len(str_split(text, ' ')) >= 5),
+         i AS (SELECT doc_id, split,
+                      unnest(generate_series(1, len(toks) - 4)) AS i,
+                      toks
+               FROM t),
+         g AS (SELECT DISTINCT doc_id, split,
+                      toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                        || ' ' || toks[i+3] || ' ' || toks[i+4] AS gram
+               FROM i),
+         gh AS (SELECT doc_id, split,
+                       CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT)
+                         AS gram_h
+                FROM g),
+         offenders AS (
+           SELECT DISTINCT doc_id FROM gh
+           WHERE split = 'train'
+             AND gram_h IN (SELECT gram_h FROM gh WHERE split = 'test')),
+         train AS (
+           SELECT doc_id, lang FROM documents
+           WHERE CAST('0x' ||
+                   substr(md5('split:' || CAST(doc_id AS VARCHAR)),1,15)
+                   AS BIGINT) % 100 < 90)
+         SELECT lang, CAST(count(1) AS BIGINT) AS n_train,
+                CAST(count(o.doc_id) AS BIGINT) AS n_dropped,
+                CAST(count(1) - count(o.doc_id) AS BIGINT) AS n_kept
+         FROM train tr LEFT JOIN offenders o ON tr.doc_id = o.doc_id
+         GROUP BY lang ORDER BY lang""",
     "q_contamination" ->
       """WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks,
                   CASE WHEN CAST('0x' ||

@@ -233,6 +233,42 @@ object TextOps {
   def textRepetition(s: SparkSession, d: String): DataFrame =
     repetitionOf(Tables.documents(s, d))
 
+  /** Top bigram collocations by pointwise mutual information —
+    * PMI(a,b) = ln( p(ab) / (p(a)·p(b)) ) over corpus unigram/bigram
+    * frequencies, the classic collocation-mining statistic (Church &
+    * Hanks 1990) a tokenizer/phrase-vocabulary pass computes. Rare
+    * bigrams are floored at count ≥ 5 (PMI of singletons explodes) and
+    * the ranking uses the ROUNDED pmi with a gram tiebreak (cross-engine
+    * ln/ulp portability, the sampleWeighted precedent).
+    *
+    * Scale shape: two keyed counts (unigrams, bigrams) + two broadcast
+    * lookups of the unigram table (vocabulary-sized — tiny next to the
+    * corpus) + a TakeOrderedAndProject. All linear, no window. */
+  def textPmi(s: SparkSession, d: String): DataFrame = {
+    val t = Tables.documents(s, d)
+      .withColumn("toks", tokens(col("text")))
+    val uni = t.select(explode(col("toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val n1 = uni.agg(sum(col("c")).as("n1"))
+    val bi = t.filter(size(col("toks")) >= 2)
+      .select(explode(wordNGrams(col("toks"), 2)).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("c_ab"))
+    val n2 = bi.agg(sum(col("c_ab")).as("n2"))
+    bi.filter(col("c_ab") >= 5)
+      .withColumn("w1", split_part(col("gram"), lit(" "), lit(1)))
+      .withColumn("w2", split_part(col("gram"), lit(" "), lit(2)))
+      .join(broadcast(uni.select(col("w").as("w1"), col("c").as("ca"))), Seq("w1"))
+      .join(broadcast(uni.select(col("w").as("w2"), col("c").as("cb"))), Seq("w2"))
+      .crossJoin(broadcast(n1)).crossJoin(broadcast(n2))
+      .select(col("gram"), col("c_ab"),
+        round(log((col("c_ab") * lit(1.0) / col("n2")) /
+            ((col("ca") * lit(1.0) / col("n1")) *
+             (col("cb") * lit(1.0) / col("n1")))) + lit(1e-9), 6)
+          .as("pmi"))
+      .orderBy(col("pmi").desc, col("gram"))
+      .limit(20)
+  }
+
   // ------------------------------------------------------------- wiring --
 
   val queries: Map[String, Q] = Map(
@@ -244,9 +280,32 @@ object TextOps {
     "q_text_tfidf"       -> textTfidf _,
     "q_text_bpe"         -> textBpe _,
     "q_text_repetition"  -> textRepetition _,
+    "q_text_pmi"         -> textPmi _,
   )
 
   val oracle: Map[String, String] = Map(
+    "q_text_pmi" ->
+      """WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks
+                    FROM documents),
+         u AS (SELECT unnest(toks) AS w FROM t),
+         uc AS (SELECT w, CAST(count(1) AS BIGINT) AS c FROM u GROUP BY w),
+         n1t AS (SELECT CAST(sum(c) AS BIGINT) AS n1 FROM uc),
+         gi AS (SELECT unnest(generate_series(1, len(toks) - 1)) AS i, toks
+                FROM t WHERE len(toks) >= 2),
+         b AS (SELECT toks[i] || ' ' || toks[i+1] AS gram FROM gi),
+         bc AS (SELECT gram, CAST(count(1) AS BIGINT) AS c_ab
+                FROM b GROUP BY gram),
+         n2t AS (SELECT CAST(sum(c_ab) AS BIGINT) AS n2 FROM bc)
+         SELECT gram, c_ab,
+                round(ln((c_ab * 1.0 / n2) /
+                  ((ca.c * 1.0 / n1) * (cb.c * 1.0 / n1))) + 1e-9, 6)
+                  AS pmi
+         FROM bc, n1t, n2t,
+              uc ca, uc cb
+         WHERE bc.c_ab >= 5
+           AND ca.w = split_part(bc.gram, ' ', 1)
+           AND cb.w = split_part(bc.gram, ' ', 2)
+         ORDER BY pmi DESC, gram LIMIT 20""",
     "q_text_repetition" ->
       """WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks
                     FROM documents

@@ -65,6 +65,51 @@ object Merge {
       .orderBy("c_custkey")
   }
 
+  // ---------------------------------------------- incremental CDC apply --
+
+  /** The running CDC table as (k, bal, op, d, okey): op='U' live row /
+    * 'D' tombstone, (d, okey) = version of the writing change. Snapshot
+    * rows enter at a sentinel version so any real change outranks them. */
+  def initialTable(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .filter(col("c_custkey") % 2 === 0)
+      .select(col("c_custkey").as("k"), col("c_acctbal").as("bal"),
+        lit("U").as("op"),
+        to_timestamp(lit("1900-01-01")).as("d"), lit(-1L).as("okey"))
+
+  /** One orders slice as changelog rows (uncompacted — applyBatch's
+    * window compacts). */
+  def changelogRows(orders: DataFrame): DataFrame =
+    orders.select(col("o_custkey").as("k"),
+      when(col("o_orderstatus") === "F", "D").otherwise("U").as("op"),
+      col("o_totalprice").as("bal"),
+      col("o_orderdate").as("d"), col("o_orderkey").as("okey"))
+
+  /** Incremental CDC apply: fold one changelog batch into the running
+    * table — the highest (d, okey) version wins per key, and deletes
+    * persist as TOMBSTONES so an out-of-order older upsert cannot
+    * resurrect a deleted row. Because the winner is the global max
+    * version, folding batches in ANY arrival order converges to the
+    * same table as the one-shot batch MERGE — MergeStreamSpec proves
+    * exactly that through a foreachBatch stream with shuffled batches.
+    * This is the micro-batch half of the Delta/Iceberg streaming-upsert
+    * sink (minus the file rewrite). */
+  def applyBatch(table: DataFrame, batch: DataFrame): DataFrame = {
+    val w = Window.partitionBy("k")
+      .orderBy(col("d").desc, col("okey").desc)
+    table.unionByName(batch)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
+
+  /** Live rows of the running table in the mergeUpsert output shape. */
+  def liveRows(table: DataFrame): DataFrame =
+    table.filter(col("op") === "U")
+      .select(col("k").as("c_custkey"),
+        round(col("bal") + lit(1e-6), 2).as("c_acctbal"))
+      .orderBy("c_custkey")
+
   val queries: Map[String, Q] = Map(
     "q_merge_upsert" -> mergeUpsert _,
   )

@@ -98,6 +98,46 @@ class PipelineOpsSpec extends SparkSpec {
     assert(!pii.contains("hashpartitioning"), pii)
   }
 
+  test("pmi: floor respected and top collocation matches manual math") {
+    val out = TextOps.textPmi(spark, sf).collect()
+    assert(out.nonEmpty && out.length <= 20)
+    assert(out.forall(_.getAs[Long]("c_ab") >= 5))
+    // recompute the top row's PMI from raw counts
+    val top = out.head
+    val Array(w1, w2) = top.getAs[String]("gram").split(" ")
+    val docs = Tables.documents(spark, sf)
+      .select(TextOps.tokens(col("text")).as("toks"))
+    val uni = docs.select(explode(col("toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n1 = uni.values.sum.toDouble
+    val bi = docs.filter(size(col("toks")) >= 2)
+      .select(explode(TextOps.wordNGrams(col("toks"), 2)).as("g"))
+    val n2 = bi.count().toDouble
+    val cab = bi.filter(col("g") === top.getAs[String]("gram")).count()
+    val want = math.log((cab / n2) /
+      ((uni(w1) / n1) * (uni(w2) / n1)))
+    assert(math.abs(top.getAs[Double]("pmi") - want) < 1e-4,
+      s"${top.getAs[Double]("pmi")} vs $want")
+  }
+
+  test("decontamination counts reconcile with the shingle sets") {
+    val out = Sampling.decontaminate(spark, sf).collect()
+    assert(out.forall(r => r.getAs[Long]("n_kept") +
+      r.getAs[Long]("n_dropped") == r.getAs[Long]("n_train")))
+    val totalTrain = Tables.documents(spark, sf)
+      .withColumn("split", Sampling.splitCol(col("doc_id")))
+      .filter(col("split") === "train").count()
+    assert(out.map(_.getAs[Long]("n_train")).sum == totalTrain)
+    // independently recount offenders from the shared shingle frame
+    val sh = Sampling.shingleFrame(spark, sf)
+    val test = sh.filter(col("split") === "test").select("gram_h").distinct()
+    val offenders = sh.filter(col("split") === "train")
+      .join(test, Seq("gram_h"), "left_semi")
+      .select("doc_id").distinct().count()
+    assert(out.map(_.getAs[Long]("n_dropped")).sum == offenders)
+  }
+
   test("temperature resampling upweights low-resource languages") {
     val out = Sampling.sampleTemperature(spark, sf).collect()
     assert(out.length == 5) // 5 languages in the corpus
