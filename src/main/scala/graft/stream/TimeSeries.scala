@@ -1,0 +1,81 @@
+package graft.stream
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.tables.Tables
+
+/** Time-series regularization: resample the event stream onto a fixed
+  * hourly grid per series (event_type) and FORWARD-FILL values across
+  * gaps — the densify step between an irregular event log and anything
+  * that assumes regular samples (monitoring, feature windows, model
+  * input). Gaps keep n = 0 so downstream can tell observed from filled;
+  * hours before a series' first observation stay NULL (nothing to
+  * carry).
+  *
+  * Scale shape: one keyed aggregation to the (series × hour) frame —
+  * which is the CALENDAR size, not the event count: at 100 TB of events
+  * the grid is still |series|·|hours| rows — then a generate-joined
+  * grid (2-row bounds agg broadcast into a sequence) and one window per
+  * series over that small frame. The forward-fill window partitions on
+  * the series key, so parallelism = |series|, bounded by the grid size
+  * per series, not the raw stream. */
+object TimeSeries {
+  type Q = (SparkSession, String) => DataFrame
+
+  def resampleHourly(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_type"), col("ts"), col("value"))
+    val hourly = ev
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"),
+        // round BEFORE the fill so filled cells copy the rounded value
+        round(avg(col("value")) + lit(1e-6), 4).as("av"))
+    val grid = ev
+      .agg(date_trunc("hour", min(col("ts"))).as("h0"),
+        date_trunc("hour", max(col("ts"))).as("h1"))
+      .select(explode(sequence(col("h0"), col("h1"),
+        expr("INTERVAL 1 HOUR"))).as("h"))
+      .crossJoin(broadcast(ev.select("event_type").distinct()))
+    val w = Window.partitionBy("event_type").orderBy("h")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(hourly, Seq("event_type", "h"), "left")
+      .select(col("event_type"), unix_micros(col("h")).as("hour_us"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        last(col("av"), ignoreNulls = true).over(w).as("value_ff"))
+      .orderBy("event_type", "hour_us")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_ts_resample" -> resampleHourly _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    // CASTs to plain TIMESTAMP: events.ts is ns-precision in DuckDB and
+    // generate_series yields µs timestamps — the join key must agree.
+    "q_ts_resample" ->
+      """WITH ev AS (SELECT event_type,
+                            CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+                            value
+                     FROM events),
+         hourly AS (SELECT event_type, h, CAST(count(1) AS BIGINT) AS n,
+                           round(avg(value) + 1e-6, 4) AS av
+                    FROM ev GROUP BY event_type, h),
+         b AS (SELECT min(h) AS h0, max(h) AS h1 FROM ev),
+         grid AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR))
+                    AS h
+                  FROM b),
+         tg AS (SELECT DISTINCT event_type FROM events),
+         g2 AS (SELECT tg.event_type, grid.h FROM grid CROSS JOIN tg),
+         j AS (SELECT g2.event_type, g2.h,
+                      coalesce(hourly.n, 0) AS n, hourly.av
+               FROM g2 LEFT JOIN hourly
+                 ON g2.event_type = hourly.event_type AND g2.h = hourly.h)
+         SELECT event_type, epoch_us(h) AS hour_us, n,
+                last_value(av IGNORE NULLS) OVER (
+                  PARTITION BY event_type ORDER BY h
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS value_ff
+         FROM j ORDER BY event_type, hour_us""",
+  )
+}

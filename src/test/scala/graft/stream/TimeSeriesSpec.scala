@@ -1,0 +1,37 @@
+package graft.stream
+
+import graft.SparkSpec
+import graft.tables.Tables
+import org.apache.spark.sql.functions._
+
+class TimeSeriesSpec extends SparkSpec {
+
+  test("resample grid is dense and forward fill carries last observation") {
+    val out = TimeSeries.resampleHourly(spark, sf).cache()
+    try {
+      // dense: every series has the identical full hour range
+      val span = out.agg(
+        ((max("hour_us") - min("hour_us")) / 3600000000L + 1).cast("long"))
+        .head.getLong(0)
+      val perSeries = out.groupBy("event_type").agg(count(lit(1)).as("n"))
+      assert(perSeries.filter(col("n") =!= span).count() == 0)
+      // observed hours match an independent groupBy of the raw events
+      val observed = Tables.events(spark, sf)
+        .groupBy(col("event_type"),
+          unix_micros(date_trunc("hour", col("ts"))).as("hour_us"))
+        .agg(count(lit(1)).as("n0"))
+      val mism = out.join(observed, Seq("event_type", "hour_us"), "left")
+        .filter(coalesce(col("n0"), lit(0L)) =!= col("n"))
+      assert(mism.count() == 0)
+      // forward fill: a gap row (n=0) after at least one observation
+      // carries a non-null value equal to the previous non-gap value
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("hour_us")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val gaps = out
+        .withColumn("seen", sum(col("n")).over(w))
+        .filter(col("n") === 0 && col("seen") > 0)
+      assert(gaps.filter(col("value_ff").isNull).count() == 0)
+    } finally out.unpersist()
+  }
+}
