@@ -62,6 +62,15 @@ object Funnel {
 
   private val NoSignup = Long.MaxValue
 
+  /** Timeout sentinel for sealed (`done`) states: 9999-12-31T23:59:59Z
+    * in ms — beyond any real watermark. A state kept WITHOUT re-arming
+    * its (now expired) event-time timeout is re-invoked as timed-out on
+    * later batches (TimeoutRefireSpec probes this Spark behavior), which
+    * at scale means a no-op callback per sealed user per microbatch.
+    * Arming the sentinel keeps the tombstone while opting it out of the
+    * timeout scan for the stream's lifetime. */
+  private val NeverMs = 253402300799000L
+
   /** Streaming funnel via flatMapGroupsWithState + EventTimeTimeout —
     * the per-user multi-step conversion state machine, append-mode
     * emission of each user's FINAL funnel outcome. Exactly matches the
@@ -106,7 +115,10 @@ object Funnel {
             // batch twin scores each user once, on the GLOBAL min
             // signup). The tombstone is O(1) per sealed user and never
             // times out — the same state class as a streaming
-            // dropDuplicates on user_id.
+            // dropDuplicates on user_id. Re-arm the never-fires sentinel
+            // in case this state predates it (old checkpoint) and its
+            // expired seal-time timeout just re-fired.
+            if (state.hasTimedOut) state.setTimeoutTimestamp(NeverMs)
             Iterator.empty
           } else {
           var s1 = prior.s1
@@ -137,6 +149,7 @@ object Funnel {
             val p1 = c1.flatMap(c => purchases.filter(t => t >= c && t < c + DayNs)
               .minOption)
             state.update(FunnelState(s1, Nil, Nil, done = true))
+            state.setTimeoutTimestamp(NeverMs)
             Iterator.single(UserFunnel(uid,
               1 + c1.map(_ => 1).getOrElse(0) + p1.map(_ => 1).getOrElse(0)))
           } else if (s1 == NoSignup && clicks.isEmpty && purchases.isEmpty) {

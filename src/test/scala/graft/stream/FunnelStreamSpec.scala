@@ -74,4 +74,26 @@ class FunnelStreamSpec extends SparkSpec {
       .map(u => u.user_id -> u.step).toMap
     assert(got == Map(1L -> 3, 2L -> 2, 3L -> 1), got.toString)
   }
+
+  test("a second signup episode after the seal does not re-emit") {
+    val D = 86400L * 1000000000L // 24h in ns
+    val base = Timestamp.valueOf("2024-01-01 10:00:00").getTime * 1000000L
+    // b1: user 1 signs up and clicks; b2 advances the watermark past
+    // s1 + 48h (+ the 1h delay) so user 1 seals at step 2; b3..b5: a
+    // fresh signup+click+purchase episode for the SAME user, weeks
+    // later, with further watermark-advancing batches behind it — the
+    // done tombstone (armed with the never-fires timeout) must swallow
+    // it, matching the batch twin's one-outcome-per-user-on-global-min
+    // semantics.
+    val b1 = Seq((1L, "signup", base), (1L, "click", base + D / 2))
+    val b2 = Seq((9L, "noop", base + 3 * D))
+    val b3 = Seq((1L, "signup", base + 10 * D),
+                 (1L, "click", base + 10 * D + 1000L),
+                 (1L, "purchase", base + 10 * D + 2000L))
+    val b4 = Seq((9L, "noop", base + 15 * D))
+    val b5 = Seq((9L, "noop", base + 20 * D))
+    val flush = base + 40 * D
+    val got = runFunnel("funnel_tombstone", Seq(b1, b2, b3, b4, b5), flush)
+    assert(got.toSeq == Seq(Funnel.UserFunnel(1L, 2)), got.mkString(","))
+  }
 }
