@@ -26,7 +26,8 @@ object SparkEntry {
       rel.Merge.queries ++ llm.Privacy.queries ++
       llm.Chunking.queries ++ llm.Packing.queries ++
       sc.Neighbors.queries ++ tables.Bucketed.queries ++
-      sources.JsonLines.queries ++ stream.TimeSeries.queries
+      sources.JsonLines.queries ++ stream.TimeSeries.queries ++
+      sc.PageRank.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -43,5 +44,6 @@ object SparkEntry {
       rel.Merge.oracle ++ llm.Privacy.oracle ++
       llm.Chunking.oracle ++ llm.Packing.oracle ++
       sc.Neighbors.oracle ++ tables.Bucketed.oracle ++
-      sources.JsonLines.oracle ++ stream.TimeSeries.oracle
+      sources.JsonLines.oracle ++ stream.TimeSeries.oracle ++
+      sc.PageRank.oracle
 }

@@ -69,13 +69,17 @@ object Merge {
 
   /** The running CDC table as (k, bal, op, d, okey): op='U' live row /
     * 'D' tombstone, (d, okey) = version of the writing change. Snapshot
-    * rows enter at a sentinel version so any real change outranks them. */
+    * rows enter at a sentinel version so any real change outranks them.
+    * The sentinel is TIMESTAMP_NTZ to match o_orderdate's parquet type
+    * exactly — a plain-TIMESTAMP sentinel would make every applyBatch
+    * union coerce the NTZ changelog column through the session timezone,
+    * and a DST fold could reorder wall-clock-ordered versions. */
   def initialTable(s: SparkSession, d: String): DataFrame =
     Tables.customer(s, d)
       .filter(col("c_custkey") % 2 === 0)
       .select(col("c_custkey").as("k"), col("c_acctbal").as("bal"),
         lit("U").as("op"),
-        to_timestamp(lit("1900-01-01")).as("d"), lit(-1L).as("okey"))
+        to_timestamp_ntz(lit("1900-01-01")).as("d"), lit(-1L).as("okey"))
 
   /** One orders slice as changelog rows (uncompacted — applyBatch's
     * window compacts). */

@@ -22,7 +22,10 @@ import graft.tables.Tables
 object Neighbors {
   type Q = (SparkSession, String) => DataFrame
 
-  def knnGraph(s: SparkSession, d: String, k: Int = 10,
+  /** The raw directed top-k edge list (id1, id2, dist, rk) — the shared
+    * substrate for the mutuality-flagged graph below and for iterative
+    * graph analytics (PageRank). */
+  def knnEdges(s: SparkSession, d: String, k: Int = 10,
                maxId: Long = 300): DataFrame = {
     val e = Tables.embeddings(s, d)
       .filter(col("vec_id") < maxId)
@@ -36,9 +39,14 @@ object Neighbors {
             (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)) + lit(1e-9), 6)
           .as("dist"))
     val w = Window.partitionBy("id1").orderBy(col("dist"), col("id2"))
-    val edges = pairs
+    pairs
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
+  }
+
+  def knnGraph(s: SparkSession, d: String, k: Int = 10,
+               maxId: Long = 300): DataFrame = {
+    val edges = knnEdges(s, d, k, maxId)
     // mutual edge = i is in top-k of j AND j in top-k of i (the kNN
     // graph's symmetrization decision scanpy exposes as knn=True/False)
     val back = edges.select(col("id1").as("m1"), col("id2").as("m2"))

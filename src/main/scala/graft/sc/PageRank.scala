@@ -1,0 +1,114 @@
+package graft.sc
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Fixed-iteration PageRank over the kNN edge list — graph-quality
+  * propagation (Page et al. 1999), the scoring step a curation pipeline
+  * runs over a document/link or embedding-neighbor graph to weight
+  * training data by centrality. Fixed iteration count (not
+  * convergence-tested) so the result is a deterministic function of the
+  * graph and both engines can replay it exactly.
+  *
+  * Scale shape: the same class as the star-contraction CC — per
+  * iteration ONE keyed join (ranks onto the out-edge list, both sides
+  * hash-partitioned on the node key) and ONE keyed aggregation of the
+  * received contributions, then a left join back onto the node set for
+  * sink nodes that received nothing. Iterative lineage is cut with an
+  * eager localCheckpoint per round (the Dedup.connectedComponents
+  * lesson: persist alone leaves the plan doubling per round). The kNN
+  * substrate guarantees out-degree k for every node, so there is no
+  * dangling-mass redistribution term; on a graph with true sinks the
+  * (1-d)/n floor still keeps ranks finite and the oracle identical.
+  *
+  * Cross-engine parity: every constant is divided/multiplied as DOUBLE
+  * on both engines (DuckDB would otherwise do DECIMAL arithmetic on
+  * `0.15/n`), contributions are coalesced to 0.0 for in-degree-0 nodes,
+  * and only the FINAL rank is rounded (6 dp, +1e-9) — per-iteration
+  * float error is ~1e-16 relative and cannot reach the 6th decimal in
+  * 10 rounds.
+  */
+object PageRank {
+  type Q = (SparkSession, String) => DataFrame
+
+  val Damping = 0.85
+  val Iters = 10
+
+  def pageRank(s: SparkSession, d: String, k: Int = 10, maxId: Long = 200,
+               iters: Int = Iters, damping: Double = Damping): DataFrame = {
+    val edges = Neighbors.knnEdges(s, d, k, maxId)
+      .select(col("id1"), col("id2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // out-degree per source, attached once so each round's contribution
+    // is a single projected join (kNN makes od == k, but derive it from
+    // the data — the operator must hold on any edge list)
+    val deg = edges.groupBy("id1").agg(count(lit(1)).as("od"))
+    val edgesD = edges.join(deg, "id1")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = edges.select(col("id1").as("id")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // n is a bounded single-scalar fetch (the IVF-fit class) feeding the
+    // per-node constants; everything per-node stays distributed
+    val n = nodes.count().toDouble
+    var ranks = nodes.withColumn("r", lit(1.0 / n)).localCheckpoint()
+    for (_ <- 1 to iters) {
+      val contrib = edgesD.join(ranks, col("id1") === col("id"))
+        .groupBy(col("id2"))
+        .agg(sum(col("r") / col("od").cast("double")).as("cs"))
+      ranks = nodes.join(contrib, col("id") === col("id2"), "left")
+        .select(col("id"),
+          (lit((1.0 - damping) / n) +
+            lit(damping) * coalesce(col("cs"), lit(0.0))).as("r"))
+        .localCheckpoint()
+    }
+    ranks.select(col("id"), round(col("r") + lit(1e-9), 6).as("pr"))
+      .orderBy("id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_graph_pagerank" -> ((s: SparkSession, d: String) => pageRank(s, d)),
+  )
+
+  /** The oracle unrolls the 10 iterations as chained CTEs — recursive
+    * CTEs cannot aggregate in the recursive term (Postgres-family
+    * restriction), and unrolling keeps each iteration's SQL the literal
+    * mirror of the Spark round. */
+  val oracle: Map[String, String] = {
+    val header =
+      """WITH e0 AS (
+           SELECT vec_id AS id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings WHERE vec_id < 200),
+         p AS (
+           SELECT a.id AS id1, b.id AS id2,
+                  round(list_distance(a.v, b.v) + 1e-9, 6) AS dist
+           FROM e0 a JOIN e0 b ON a.id != b.id),
+         ed AS (
+           SELECT id1, id2 FROM (
+             SELECT id1, id2,
+                    row_number() OVER (PARTITION BY id1
+                      ORDER BY dist, id2) AS rk
+             FROM p) WHERE rk <= 10),
+         deg AS (SELECT id1, count(*) AS od FROM ed GROUP BY id1),
+         nodes AS (SELECT DISTINCT id1 AS id FROM ed),
+         nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+         pr0 AS (SELECT id, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS r
+                 FROM nodes)"""
+    val rounds = (1 to Iters).map { i =>
+      s""", pr$i AS (
+           SELECT no.id,
+                  CAST(0.15 AS DOUBLE) / (SELECT n FROM nn)
+                  + CAST(0.85 AS DOUBLE)
+                    * coalesce(c.cs, CAST(0 AS DOUBLE)) AS r
+           FROM nodes no LEFT JOIN (
+             SELECT e.id2 AS id, sum(p.r / CAST(d.od AS DOUBLE)) AS cs
+             FROM pr${i - 1} p
+                  JOIN ed e ON p.id = e.id1
+                  JOIN deg d ON d.id1 = p.id
+             GROUP BY e.id2) c USING (id))"""
+    }.mkString
+    Map("q_graph_pagerank" ->
+      (header + rounds +
+        s" SELECT id, round(r + 1e-9, 6) AS pr FROM pr$Iters ORDER BY id"))
+  }
+}

@@ -13,13 +13,20 @@ import graft.tables.Tables
   * hours before a series' first observation stay NULL (nothing to
   * carry).
   *
-  * Scale shape: one keyed aggregation to the (series × hour) frame —
-  * which is the CALENDAR size, not the event count: at 100 TB of events
-  * the grid is still |series|·|hours| rows — then a generate-joined
-  * grid (2-row bounds agg broadcast into a sequence) and one window per
-  * series over that small frame. The forward-fill window partitions on
-  * the series key, so parallelism = |series|, bounded by the grid size
-  * per series, not the raw stream. */
+  * Scale shape: ONE pass over the raw stream — the keyed aggregation
+  * down to the (series × hour) frame, which is the CALENDAR size, not
+  * the event count: at 100 TB of events the grid is still
+  * |series|·|hours| rows. That reduced frame is persisted and feeds all
+  * three consumers (grid bounds, series list, the fill join) — it holds
+  * every observed (series, hour) pair, so its min/max/distinct equal
+  * the raw stream's, and the event log is never rescanned. (Column
+  * pruning specializes the three subtrees differently, so ReuseExchange
+  * alone would NOT dedupe them — without the cache each consumer
+  * re-reads the raw events; TimeSeriesSpec pins the single-scan plan.)
+  * Cache lifecycle follows the session, as in recipeZheng17/Pca —
+  * Bench clears it between queries. The forward-fill window partitions
+  * on the series key, so parallelism = |series|, bounded by the grid
+  * size per series, not the raw stream. */
 object TimeSeries {
   type Q = (SparkSession, String) => DataFrame
 
@@ -31,12 +38,12 @@ object TimeSeries {
       .agg(count(lit(1)).as("n"),
         // round BEFORE the fill so filled cells copy the rounded value
         round(avg(col("value")) + lit(1e-6), 4).as("av"))
-    val grid = ev
-      .agg(date_trunc("hour", min(col("ts"))).as("h0"),
-        date_trunc("hour", max(col("ts"))).as("h1"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val grid = hourly
+      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
       .select(explode(sequence(col("h0"), col("h1"),
         expr("INTERVAL 1 HOUR"))).as("h"))
-      .crossJoin(broadcast(ev.select("event_type").distinct()))
+      .crossJoin(broadcast(hourly.select("event_type").distinct()))
     val w = Window.partitionBy("event_type").orderBy("h")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     grid.join(hourly, Seq("event_type", "h"), "left")

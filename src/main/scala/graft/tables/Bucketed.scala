@@ -11,11 +11,13 @@ import org.apache.spark.sql.functions._
   * dimension equi-join) into a co-located merge — this module is the
   * in-repo proof, with the exchange-free plan asserted in BucketedSpec.
   *
-  * Scaffolding: bucket metadata lives in the session catalog, so each
-  * JVM writes its own copy (orders+customer are small; the write is the
-  * warm-up run's cost, and a real deployment writes bucketed tables once
-  * at ingest). The path is per-process to keep concurrent Verify/Bench
-  * JVMs from overwriting each other's files. */
+  * Scaffolding: the bucketed FILES are a once-per-sfDir Fixtures.cached
+  * artifact (bucket ids live in Spark's part-file names, so the layout
+  * survives the writing session); each session then registers external
+  * CLUSTERED BY tables over the existing files — bucket METADATA is
+  * catalog-level, so registration is a metadata-only DDL, not a rewrite.
+  * One shared copy across Verify/Bench/test JVMs in a container, exactly
+  * like a real deployment writing bucketed tables once at ingest. */
 object Bucketed {
   type Q = (SparkSession, String) => DataFrame
 
@@ -26,19 +28,31 @@ object Bucketed {
   def ensure(s: SparkSession, d: String): (String, String) = synchronized {
     val key = d.replaceAll("[^A-Za-z0-9]", "_")
     val (to, tc) = (s"orders_buck_$key", s"customer_buck_$key")
-    if (!s.catalog.tableExists(to) || !s.catalog.tableExists(tc)) {
-      val base = new java.io.File(System.getProperty("java.io.tmpdir"),
-        s"graft_buck_${key}_${ProcessHandle.current().pid()}").toString
-      // repartition onto the bucket key first so each bucket is ONE file
-      // per side — that is what lets the sorted-scan path skip the Sort
-      // as well as the Exchange
-      Tables.orders(s, d).repartition(Buckets, col("o_custkey"))
-        .write.bucketBy(Buckets, "o_custkey").sortBy("o_custkey")
-        .option("path", s"$base/orders").mode("overwrite").saveAsTable(to)
-      Tables.customer(s, d).repartition(Buckets, col("c_custkey"))
-        .write.bucketBy(Buckets, "c_custkey").sortBy("c_custkey")
-        .option("path", s"$base/customer").mode("overwrite").saveAsTable(tc)
+    def writeBucketed(df: DataFrame, bucketKey: String, path: String): Unit = {
+      // bucketBy is only reachable through saveAsTable, so write via a
+      // scratch catalog name and drop it — DROP on an external table
+      // keeps the files. repartition onto the bucket key first so each
+      // bucket is ONE file per side — that is what lets the sorted-scan
+      // path skip the Sort as well as the Exchange.
+      val scratch = s"graft_buck_build_${bucketKey}_$key"
+      df.repartition(Buckets, col(bucketKey))
+        .write.bucketBy(Buckets, bucketKey).sortBy(bucketKey)
+        .option("path", path).mode("overwrite").saveAsTable(scratch)
+      s.sql(s"DROP TABLE $scratch")
     }
+    val base = graft.tables.Fixtures.cached("buck", "tables", d) { dir =>
+      writeBucketed(Tables.orders(s, d), "o_custkey", s"$dir/orders")
+      writeBucketed(Tables.customer(s, d), "c_custkey", s"$dir/customer")
+    }()
+    def register(name: String, df: DataFrame, bucketKey: String,
+                 path: String): Unit =
+      if (!s.catalog.tableExists(name))
+        s.sql(
+          s"""CREATE TABLE $name (${df.schema.toDDL}) USING PARQUET
+              CLUSTERED BY ($bucketKey) SORTED BY ($bucketKey)
+              INTO $Buckets BUCKETS LOCATION '$path'""")
+    register(to, Tables.orders(s, d), "o_custkey", s"$base/orders")
+    register(tc, Tables.customer(s, d), "c_custkey", s"$base/customer")
     (to, tc)
   }
 

@@ -34,4 +34,19 @@ class TimeSeriesSpec extends SparkSpec {
       assert(gaps.filter(col("value_ff").isNull).count() == 0)
     } finally out.unpersist()
   }
+
+  test("resample scans the raw event stream once") {
+    // bounds, series list and the fill join all read the persisted hourly
+    // frame (column pruning blocks plain ReuseExchange here), so every
+    // consumer in the executed plan is an in-memory scan of the cache —
+    // the raw event log is read only to materialize it
+    spark.sharedState.cacheManager.clearCache()
+    try {
+      val out = TimeSeries.resampleHourly(spark, sf)
+      out.count()
+      val plan = out.queryExecution.executedPlan.toString
+      val cached = "InMemoryTableScan".r.findAllIn(plan).size
+      assert(cached >= 3, s"expected 3 cached hourly consumers\n$plan")
+    } finally spark.sharedState.cacheManager.clearCache()
+  }
 }

@@ -34,7 +34,9 @@ class TimeoutRefireSpec extends SparkSpec {
         (k: Long, rows: Iterator[(Long, Long, Timestamp)],
          state: GroupState[Boolean]) =>
           if (state.hasTimedOut) {
-            TimeoutRefireSpec.timedOutInvocations.incrementAndGet()
+            // count ONLY the kept-without-reset key 1 — key 99 arms its
+            // own timeout and would otherwise mask the probed behavior
+            if (k == 1L) TimeoutRefireSpec.timedOutInvocations.incrementAndGet()
             // like the done-tombstone: keep state, set no new timeout
             Iterator.empty
           } else if (!state.exists) {
