@@ -134,6 +134,27 @@ object Relational {
       .agg(approx_count_distinct(col("user_id")).as("approx_users"))
       .orderBy("event_type")
 
+  /** Reaggregatable HLL sketches (DataSketches binary form) — the
+    * pattern that makes distinct-count work at 100 TB: build ONE sketch
+    * per shard (here per order-year), persist/ship the fixed-size
+    * binaries, and hll_union_agg them downstream for the global
+    * estimate. No raw re-scan for rollups across shards, and the sketch
+    * column is itself storable (contrast approx_count_distinct, whose
+    * partials die inside one query). Deterministic (register maxima are
+    * insertion-order-free) but engine-specific bits: oracle:no;
+    * SketchMergeSpec gates merge==direct and the error envelope. */
+  def aggSketchMerge(s: SparkSession, d: String): DataFrame = {
+    val shards = Tables.orders(s, d)
+      .groupBy(year(col("o_orderdate")).as("yr"))
+      .agg(hll_sketch_agg(col("o_custkey")).as("sk"),
+        count(lit(1)).as("n_rows"))
+    shards.agg(
+      count(lit(1)).cast("long").as("n_shards"),
+      sum(col("n_rows")).as("n_orders"),
+      hll_sketch_estimate(hll_union_agg(col("sk"))).cast("long")
+        .as("approx_custs"))
+  }
+
   /** Approximate percentiles (sketch-based, fixed accuracy) — the 100 TB
     * companion to q_agg_stats' exact percentile: bounded-memory sketch per
     * group, mergeable partials. Approximate by design: oracle:no. */
@@ -298,9 +319,37 @@ object Relational {
       ORDER BY n_name""")
   }
 
+  /** TPC-H Q18 shape (large-volume customers): the aggregate-then-
+    * semi-join stress query whose inner GROUP BY runs over the LARGEST
+    * key domain in the schema (every orderkey). Catalyst plans the
+    * HAVING subquery as partial+final hash agg feeding a semi join on
+    * orderkey — at 100 TB the partial agg is the load-bearing piece
+    * (per-mapper combine collapses the lineitem fan-in before the
+    * shuffle), and the outer 3-table join reuses the orderkey
+    * partitioning. LIMIT rides a total order (totalprice DESC with
+    * orderkey tiebreak), so the top-100 is engine-independent. */
+  def sqlTpchQ18(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d).createOrReplaceTempView("customer")
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+    s.sql("""
+      SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+             round(sum(l_quantity) + 1e-6, 2) AS sum_qty
+      FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey HAVING sum(l_quantity) > 250)
+      GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 100""")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_sql_tpch_q3"   -> sqlTpchQ3 _,
     "q_sql_tpch_q5"   -> sqlTpchQ5 _,
+    "q_sql_tpch_q18"  -> sqlTpchQ18 _,
     "q_scan_project_filter" -> scanProjectFilter _,
     "q_join_broadcast"      -> joinBroadcast _,
     "q_join_shuffle"        -> joinShuffle _,
@@ -311,6 +360,7 @@ object Relational {
     "q_agg_hash"            -> aggHash _,
     "q_agg_distinct"        -> aggDistinct _,
     "q_agg_approx_distinct" -> aggApproxDistinct _,
+    "q_agg_sketch_merge"    -> aggSketchMerge _,
     "q_agg_approx_percentile" -> aggApproxPercentile _,
     "q_agg_pivot"           -> aggPivot _,
     "q_agg_unpivot"         -> aggUnpivot _,
@@ -323,6 +373,18 @@ object Relational {
   /** DuckDB 1.0.0 oracle SQL — column names/aliases must match the Spark
     * side exactly (driver sorts columns by name before hashing). */
   val oracle: Map[String, String] = Map(
+    "q_sql_tpch_q18" ->
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+                round(sum(l_quantity) + 1e-6, 2) AS sum_qty
+         FROM customer
+         JOIN orders   ON c_custkey = o_custkey
+         JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE o_orderkey IN (
+           SELECT l_orderkey FROM lineitem
+           GROUP BY l_orderkey HAVING sum(l_quantity) > 250)
+         GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+         ORDER BY o_totalprice DESC, o_orderkey
+         LIMIT 100""",
     "q_sql_tpch_q5" ->
       """SELECT n_name,
                 round(sum(l_extendedprice * (1 - l_discount)) + 1e-6, 2)
