@@ -34,10 +34,12 @@ object PageRank {
   val Damping = 0.85
   val Iters = 10
 
-  def pageRank(s: SparkSession, d: String, k: Int = 10, maxId: Long = 200,
-               iters: Int = Iters, damping: Double = Damping): DataFrame = {
-    val edges = Neighbors.knnEdges(s, d, k, maxId)
-      .select(col("id1"), col("id2"))
+  /** The operator proper: PageRank over ANY (id1, id2) edge list —
+    * returns (id, r) unrounded. Public so specs exercise the SAME
+    * update arithmetic on closed-form graphs (PageRankSpec's ring). */
+  def pageRankOnEdges(rawEdges: DataFrame, iters: Int = Iters,
+                      damping: Double = Damping): DataFrame = {
+    val edges = rawEdges.select(col("id1"), col("id2"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // out-degree per source, attached once so each round's contribution
     // is a single projected join (kNN makes od == k, but derive it from
@@ -61,9 +63,18 @@ object PageRank {
             lit(damping) * coalesce(col("cs"), lit(0.0))).as("r"))
         .localCheckpoint()
     }
-    ranks.select(col("id"), round(col("r") + lit(1e-9), 6).as("pr"))
-      .orderBy("id")
+    // the eager localCheckpoint above cut ranks' lineage to the
+    // checkpointed RDD, so the scaffolding caches can drop now instead
+    // of pinning memory for the rest of a Verify/test session
+    edges.unpersist(); edgesD.unpersist(); nodes.unpersist()
+    ranks
   }
+
+  def pageRank(s: SparkSession, d: String, k: Int = 10, maxId: Long = 200,
+               iters: Int = Iters, damping: Double = Damping): DataFrame =
+    pageRankOnEdges(Neighbors.knnEdges(s, d, k, maxId), iters, damping)
+      .select(col("id"), round(col("r") + lit(1e-9), 6).as("pr"))
+      .orderBy("id")
 
   val queries: Map[String, Q] = Map(
     "q_graph_pagerank" -> ((s: SparkSession, d: String) => pageRank(s, d)),

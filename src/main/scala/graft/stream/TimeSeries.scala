@@ -24,7 +24,9 @@ import graft.tables.Tables
   * alone would NOT dedupe them — without the cache each consumer
   * re-reads the raw events; TimeSeriesSpec pins the single-scan plan.)
   * Cache lifecycle follows the session, as in recipeZheng17/Pca —
-  * Bench clears it between queries. The forward-fill window partitions
+  * Bench and Verify both clear the session cache between queries, so
+  * the calendar-sized frame never outlives its query in a multi-query
+  * run. The forward-fill window partitions
   * on the series key, so parallelism = |series|, bounded by the grid
   * size per series, not the raw stream. */
 object TimeSeries {

@@ -40,10 +40,18 @@ object Bucketed {
         .option("path", path).mode("overwrite").saveAsTable(scratch)
       s.sql(s"DROP TABLE $scratch")
     }
-    val base = graft.tables.Fixtures.cached("buck", "tables", d) { dir =>
+    // the fixture tag encodes the bucket count: changing Buckets must
+    // miss the old cached layout, never register N-bucket metadata over
+    // M-bucket files (silent wrong-bucket reads under pruning)
+    val base = graft.tables.Fixtures.cached(s"buck$Buckets", "tables", d) { dir =>
       writeBucketed(Tables.orders(s, d), "o_custkey", s"$dir/orders")
       writeBucketed(Tables.customer(s, d), "c_custkey", s"$dir/customer")
-    }()
+    } { dir =>
+      // one file per bucket per side (the repartition guarantees it)
+      def nFiles(sub: String) = Option(new java.io.File(dir, sub).listFiles())
+        .map(_.count(f => f.getName.startsWith("part-"))).getOrElse(0)
+      nFiles("orders") == Buckets && nFiles("customer") == Buckets
+    }
     def register(name: String, df: DataFrame, bucketKey: String,
                  path: String): Unit =
       if (!s.catalog.tableExists(name))

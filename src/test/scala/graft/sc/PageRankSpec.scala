@@ -28,26 +28,14 @@ class PageRankSpec extends SparkSpec {
 
   test("uniform out-degree regular graph converges to uniform ranks") {
     // on a directed cycle (out-degree 1, in-degree 1) every node keeps
-    // exactly 1/n — a closed-form check of the update rule's arithmetic
+    // exactly 1/n — a closed-form check of the SHIPPED operator's
+    // update arithmetic on a supplied edge list
     import spark.implicits._
     val n = 8
     val ring = (0 until n).map(i => (i.toLong, ((i + 1) % n).toLong))
       .toDF("id1", "id2")
-    // drive the same iteration body through a local reimplementation of
-    // the public operator's update on a supplied edge list
-    val deg = ring.groupBy("id1").agg(count(lit(1)).as("od"))
-    val edgesD = ring.join(deg, "id1")
-    val nodes = ring.select(col("id1").as("id")).distinct()
-    var ranks = nodes.withColumn("r", lit(1.0 / n))
-    for (_ <- 1 to 5) {
-      val contrib = edgesD.join(ranks, col("id1") === col("id"))
-        .groupBy(col("id2"))
-        .agg(sum(col("r") / col("od").cast("double")).as("cs"))
-      ranks = nodes.join(contrib, col("id") === col("id2"), "left")
-        .select(col("id"), (lit(0.15 / n) +
-          lit(0.85) * coalesce(col("cs"), lit(0.0))).as("r"))
-    }
-    val vals = ranks.collect().map(_.getDouble(1))
+    val vals = PageRank.pageRankOnEdges(ring, iters = 5)
+      .collect().map(_.getDouble(1))
     assert(vals.length == n)
     vals.foreach(v => assert(math.abs(v - 1.0 / n) < 1e-12, v.toString))
   }
