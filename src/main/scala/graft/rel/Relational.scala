@@ -346,10 +346,35 @@ object Relational {
       LIMIT 100""")
   }
 
+  /** Recursive CTE (new SQL surface in Spark 4.x): walk the implicit
+    * digit-tree over customer keys (parent = key div 10 — every key's
+    * parent exists because keys are contiguous from 1) computing each
+    * node's ROOT and DEPTH, then roll up per (root, depth). The
+    * hierarchy-expansion shape (org charts, BOM explosions, category
+    * trees) that previously forced driver-side loops or an external
+    * engine. Each recursion level plans as one keyed join — the same
+    * per-round shape as the PageRank/CC loops, but expressed in pure
+    * SQL with the engine managing the fixpoint; depth here is
+    * log10(|customer|), so levels stay few even at 100 TB. */
+  def sqlRecursive(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d).createOrReplaceTempView("customer")
+    s.sql("""
+      WITH RECURSIVE walk(id, root, depth) AS (
+        SELECT c_custkey, c_custkey, 0 FROM customer WHERE c_custkey < 10
+        UNION ALL
+        SELECT c.c_custkey, w.root, w.depth + 1
+        FROM customer c JOIN walk w ON w.id = c.c_custkey div 10
+        WHERE c.c_custkey >= 10)
+      SELECT root, depth, CAST(count(1) AS BIGINT) AS n_nodes,
+             min(id) AS min_id, max(id) AS max_id
+      FROM walk GROUP BY root, depth ORDER BY root, depth""")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_sql_tpch_q3"   -> sqlTpchQ3 _,
     "q_sql_tpch_q5"   -> sqlTpchQ5 _,
     "q_sql_tpch_q18"  -> sqlTpchQ18 _,
+    "q_sql_recursive" -> sqlRecursive _,
     "q_scan_project_filter" -> scanProjectFilter _,
     "q_join_broadcast"      -> joinBroadcast _,
     "q_join_shuffle"        -> joinShuffle _,
@@ -373,6 +398,18 @@ object Relational {
   /** DuckDB 1.0.0 oracle SQL — column names/aliases must match the Spark
     * side exactly (driver sorts columns by name before hashing). */
   val oracle: Map[String, String] = Map(
+    // integer division dialect: Spark `div` == DuckDB `//`
+    "q_sql_recursive" ->
+      """WITH RECURSIVE walk(id, root, depth) AS (
+           SELECT c_custkey, c_custkey, 0 FROM customer WHERE c_custkey < 10
+           UNION ALL
+           SELECT c.c_custkey, w.root, w.depth + 1
+           FROM customer c JOIN walk w ON w.id = c.c_custkey // 10
+           WHERE c.c_custkey >= 10)
+         SELECT root, CAST(depth AS INT) AS depth,
+                CAST(count(1) AS BIGINT) AS n_nodes,
+                min(id) AS min_id, max(id) AS max_id
+         FROM walk GROUP BY root, depth ORDER BY root, depth""",
     "q_sql_tpch_q18" ->
       """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
                 round(sum(l_quantity) + 1e-6, 2) AS sum_qty
