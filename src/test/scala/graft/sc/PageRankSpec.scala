@@ -39,4 +39,22 @@ class PageRankSpec extends SparkSpec {
     assert(vals.length == n)
     vals.foreach(v => assert(math.abs(v - 1.0 / n) < 1e-12, v.toString))
   }
+
+  test("triangles: 4-clique counts 3 per node with cc=1; a path has none") {
+    import spark.implicits._
+    // K4 on {0,1,2,3}: every node sits in C(3,2)=3 triangles, cc = 1
+    val k4 = (for { a <- 0 to 3; b <- 0 to 3 if a < b }
+      yield (a.toLong, b.toLong)).toDF("a", "b")
+    val got = PageRank.trianglesOnEdges(k4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.length == 4)
+    got.foreach { case (_, deg, nTri, cc) =>
+      assert(deg == 3 && nTri == 3 && math.abs(cc - 1.0) < 1e-6, got.mkString(","))
+    }
+    // path 0-1-2-3: no triangles anywhere, cc = 0
+    val path = Seq((0L, 1L), (1L, 2L), (2L, 3L)).toDF("a", "b")
+    val p = PageRank.trianglesOnEdges(path).collect()
+    assert(p.length == 4)
+    p.foreach(r => assert(r.getLong(2) == 0 && r.getDouble(3) < 1e-6))
+  }
 }
