@@ -139,7 +139,11 @@ object PageRank {
     * restriction), and unrolling keeps each iteration's SQL the literal
     * mirror of the Spark round. */
   val oracle: Map[String, String] = {
-    val header =
+    // ONE definition of the kNN substrate (k=10, maxId=200, rounded
+    // distance + id tiebreak — the Neighbors parity rules) shared by
+    // both graph oracles, so a ranking change cannot silently diverge
+    // between them
+    val knnSubstrate =
       """WITH e0 AS (
            SELECT vec_id AS id,
                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -153,7 +157,9 @@ object PageRank {
              SELECT id1, id2,
                     row_number() OVER (PARTITION BY id1
                       ORDER BY dist, id2) AS rk
-             FROM p) WHERE rk <= 10),
+             FROM p) WHERE rk <= 10)"""
+    val header = knnSubstrate +
+      """,
          deg AS (SELECT id1, count(*) AS od FROM ed GROUP BY id1),
          nodes AS (SELECT DISTINCT id1 AS id FROM ed),
          nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
@@ -177,22 +183,10 @@ object PageRank {
         (header + rounds +
           s" SELECT id, round(r + 1e-9, 6) AS pr FROM pr$Iters ORDER BY id"),
       "q_graph_triangles" ->
-        """WITH e0 AS (
-             SELECT vec_id AS id,
-                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-             FROM embeddings WHERE vec_id < 200),
-           p AS (
-             SELECT a.id AS id1, b.id AS id2,
-                    round(list_distance(a.v, b.v) + 1e-9, 6) AS dist
-             FROM e0 a JOIN e0 b ON a.id != b.id),
-           r AS (
-             SELECT id1, id2,
-                    row_number() OVER (PARTITION BY id1
-                      ORDER BY dist, id2) AS rk
-             FROM p QUALIFY rk <= 10),
+        (knnSubstrate + """,
            und AS (
              SELECT r.id1 AS a, r.id2 AS b
-             FROM r JOIN r m ON r.id1 = m.id2 AND r.id2 = m.id1
+             FROM ed r JOIN ed m ON r.id1 = m.id2 AND r.id2 = m.id1
              WHERE r.id1 < r.id2),
            tri AS (
              SELECT e1.a AS x, e1.b AS y, e2.b AS z
@@ -215,6 +209,6 @@ object PageRank {
                                / (d.deg * (d.deg - 1))
                           ELSE CAST(0 AS DOUBLE) END + 1e-9, 6) AS cc
            FROM deg d LEFT JOIN pern pn USING (id)
-           ORDER BY d.id""")
+           ORDER BY d.id"""))
   }
 }

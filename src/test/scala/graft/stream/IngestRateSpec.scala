@@ -17,13 +17,13 @@ class IngestRateSpec extends SparkSpec {
   test("maxFilesPerTrigger bounds batches; AvailableNow drains backlog and stops") {
     val src = Files.createTempDirectory("graft_ingest_src").toString
     val docs = Paths.get(sf, "documents.parquet")
-    val perFile = spark.read.parquet(docs.toString).count()
+    val docsDf = spark.read.parquet(docs.toString)
+    val (perFile, schema) = (docsDf.count(), docsDf.schema)
     // a 3-file backlog present BEFORE the stream starts
     (1 to 3).foreach { i =>
       Files.copy(docs, Paths.get(src, s"f$i.parquet"),
         StandardCopyOption.REPLACE_EXISTING)
     }
-    val schema = spark.read.parquet(docs.toString).schema
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(src)
