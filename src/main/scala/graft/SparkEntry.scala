@@ -27,7 +27,8 @@ object SparkEntry {
       llm.Chunking.queries ++ llm.Packing.queries ++
       sc.Neighbors.queries ++ tables.Bucketed.queries ++
       sources.JsonLines.queries ++ stream.TimeSeries.queries ++
-      sc.PageRank.queries ++ sources.Evolution.queries
+      sc.PageRank.queries ++ sources.Evolution.queries ++
+      sc.Communities.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -45,5 +46,6 @@ object SparkEntry {
       llm.Chunking.oracle ++ llm.Packing.oracle ++
       sc.Neighbors.oracle ++ tables.Bucketed.oracle ++
       sources.JsonLines.oracle ++ stream.TimeSeries.oracle ++
-      sc.PageRank.oracle ++ sources.Evolution.oracle
+      sc.PageRank.oracle ++ sources.Evolution.oracle ++
+      sc.Communities.oracle
 }

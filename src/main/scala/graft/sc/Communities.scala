@@ -1,0 +1,118 @@
+package graft.sc
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Community detection over the kNN graph — synchronous frequency
+  * label propagation (Raghavan et al. 2007), the deterministic stand-in
+  * for the louvain/leiden step scanpy users run after `pp.neighbors`
+  * (the reference repo stops at PCA; SURVEY §1.1 "graphs: none").
+  * Each round every node adopts the most frequent label among its
+  * neighbors, ties broken by the SMALLEST label; isolated nodes keep
+  * their own. Synchronous updates + total tie order make the result a
+  * pure function of the graph, so DuckDB replays the identical rounds.
+  *
+  * Scale shape: per round ONE keyed join (labels onto the symmetrized
+  * edge list) + ONE (node, label) count agg + a top-1 WindowGroupLimit
+  * per node — all hash-partitioned on node ids, lineage cut per round
+  * with an eager localCheckpoint (the CC/PageRank pattern). Fixed round
+  * count keeps the oracle replayable; real deployments iterate to a
+  * fixpoint with the same per-round plan. */
+object Communities {
+  type Q = (SparkSession, String) => DataFrame
+
+  val Rounds = 5
+
+  /** The operator proper over ANY canonical (a < b) undirected edge
+    * list — public so specs drive closed-form graphs through the SAME
+    * joins (CommunitiesSpec's two-clique bridge). */
+  def labelPropagationOnEdges(canonicalEdges: DataFrame,
+                              rounds: Int = Rounds): DataFrame = {
+    val sym = canonicalEdges.select(col("a").as("v"), col("b").as("nbr"))
+      .unionAll(canonicalEdges.select(col("b").as("v"), col("a").as("nbr")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = sym.select(col("v").as("id")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = nodes.withColumn("lbl", col("id")).localCheckpoint()
+    val w = Window.partitionBy("v")
+      .orderBy(col("c").desc, col("nlbl").asc)
+    for (_ <- 1 to rounds) {
+      val best = sym
+        .join(labels.select(col("id").as("nbr"), col("lbl").as("nlbl")),
+          "nbr")
+        .groupBy(col("v"), col("nlbl"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("v"), col("nlbl"))
+      labels = labels.join(best, col("id") === col("v"), "left")
+        .select(col("id"), coalesce(col("nlbl"), col("lbl")).as("lbl"))
+        .localCheckpoint()
+    }
+    sym.unpersist(); nodes.unpersist()
+    labels
+  }
+
+  def communities(s: SparkSession, d: String, k: Int = 10,
+                  maxId: Long = 200): DataFrame = {
+    val und = Neighbors.knnGraph(s, d, k, maxId)
+      .filter(col("mutual") && col("id1") < col("id2"))
+      .select(col("id1").as("a"), col("id2").as("b"))
+    labelPropagationOnEdges(und)
+      .select(col("id"), col("lbl").as("community"))
+      .orderBy("id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_graph_communities" ->
+      ((s: SparkSession, d: String) => communities(s, d)),
+  )
+
+  /** Oracle: same kNN substrate as the other graph queries, mutual
+    * canonical edges symmetrized, then the rounds unrolled as chained
+    * CTEs — each one the literal SQL mirror of the Spark round. */
+  val oracle: Map[String, String] = {
+    val base =
+      """WITH e0 AS (
+           SELECT vec_id AS id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings WHERE vec_id < 200),
+         p AS (
+           SELECT a.id AS id1, b.id AS id2,
+                  round(list_distance(a.v, b.v) + 1e-9, 6) AS dist
+           FROM e0 a JOIN e0 b ON a.id != b.id),
+         ed AS (
+           SELECT id1, id2 FROM (
+             SELECT id1, id2,
+                    row_number() OVER (PARTITION BY id1
+                      ORDER BY dist, id2) AS rk
+             FROM p) WHERE rk <= 10),
+         und AS (
+           SELECT r.id1 AS a, r.id2 AS b
+           FROM ed r JOIN ed m ON r.id1 = m.id2 AND r.id2 = m.id1
+           WHERE r.id1 < r.id2),
+         sym AS (
+           SELECT a AS v, b AS nbr FROM und
+           UNION ALL SELECT b, a FROM und),
+         nodes AS (SELECT DISTINCT v AS id FROM sym),
+         lbl0 AS (SELECT id, id AS lbl FROM nodes)"""
+    val rounds = (1 to Rounds).map { i =>
+      s""", lbl$i AS (
+           SELECT n.id, coalesce(b.nlbl, p$i.lbl) AS lbl
+           FROM nodes n
+                JOIN lbl${i - 1} p$i USING (id)
+                LEFT JOIN (
+                  SELECT v, nlbl FROM (
+                    SELECT s.v, q.lbl AS nlbl, count(1) AS c,
+                           row_number() OVER (PARTITION BY s.v
+                             ORDER BY count(1) DESC, q.lbl) AS rk
+                    FROM sym s JOIN lbl${i - 1} q ON q.id = s.nbr
+                    GROUP BY s.v, q.lbl)
+                  WHERE rk = 1) b ON b.v = n.id)"""
+    }.mkString
+    Map("q_graph_communities" ->
+      (base + rounds +
+        s" SELECT id, lbl AS community FROM lbl$Rounds ORDER BY id"))
+  }
+}
