@@ -1,7 +1,6 @@
 package graft.sc
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Community detection over the kNN graph — synchronous frequency
@@ -14,11 +13,14 @@ import org.apache.spark.sql.functions._
   * pure function of the graph, so DuckDB replays the identical rounds.
   *
   * Scale shape: per round ONE keyed join (labels onto the symmetrized
-  * edge list) + ONE (node, label) count agg + a top-1 WindowGroupLimit
-  * per node — all hash-partitioned on node ids, lineage cut per round
-  * with an eager localCheckpoint (the CC/PageRank pattern). Fixed round
-  * count keeps the oracle replayable; real deployments iterate to a
-  * fixpoint with the same per-round plan. */
+  * edge list) + ONE (node, label) count agg + the per-node winner as a
+  * plain `max(struct(count, -label))` — a partial-aggregable max, so
+  * the winner pick gets map-side combine and NO extra shuffle+sort (a
+  * window top-1 here costs one more exchange per round; the struct
+  * ordering encodes exactly the (count DESC, label ASC) tie rule).
+  * Lineage cut per round with an eager localCheckpoint (the CC/PageRank
+  * pattern). Fixed round count keeps the oracle replayable; real
+  * deployments iterate to a fixpoint with the same per-round plan. */
 object Communities {
   type Q = (SparkSession, String) => DataFrame
 
@@ -35,17 +37,15 @@ object Communities {
     val nodes = sym.select(col("v").as("id")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = nodes.withColumn("lbl", col("id")).localCheckpoint()
-    val w = Window.partitionBy("v")
-      .orderBy(col("c").desc, col("nlbl").asc)
     for (_ <- 1 to rounds) {
       val best = sym
         .join(labels.select(col("id").as("nbr"), col("lbl").as("nlbl")),
           "nbr")
         .groupBy(col("v"), col("nlbl"))
         .agg(count(lit(1)).as("c"))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") === 1)
-        .select(col("v"), col("nlbl"))
+        .groupBy(col("v"))
+        .agg(max(struct(col("c"), (-col("nlbl")).as("neg"))).as("m"))
+        .select(col("v"), (-col("m.neg")).as("nlbl"))
       labels = labels.join(best, col("id") === col("v"), "left")
         .select(col("id"), coalesce(col("nlbl"), col("lbl")).as("lbl"))
         .localCheckpoint()
