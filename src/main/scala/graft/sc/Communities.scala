@@ -8,9 +8,11 @@ import org.apache.spark.sql.functions._
   * for the louvain/leiden step scanpy users run after `pp.neighbors`
   * (the reference repo stops at PCA; SURVEY §1.1 "graphs: none").
   * Each round every node adopts the most frequent label among its
-  * neighbors, ties broken by the SMALLEST label; isolated nodes keep
-  * their own. Synchronous updates + total tie order make the result a
-  * pure function of the graph, so DuckDB replays the identical rounds.
+  * neighbors, ties broken by the SMALLEST label. (The node set derives
+  * from the edge list, so every node has a neighbor by construction —
+  * no isolated-node branch exists.) Synchronous updates + total tie
+  * order make the result a pure function of the graph, so DuckDB
+  * replays the identical rounds.
   *
   * Scale shape: per round ONE keyed join (labels onto the symmetrized
   * edge list) + ONE (node, label) count agg + the per-node winner as a
@@ -34,23 +36,24 @@ object Communities {
     val sym = canonicalEdges.select(col("a").as("v"), col("b").as("nbr"))
       .unionAll(canonicalEdges.select(col("b").as("v"), col("a").as("nbr")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nodes = sym.select(col("v").as("id")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = nodes.withColumn("lbl", col("id")).localCheckpoint()
+    // seed: every node (taken straight off the edges, read once — no
+    // persist needed) starts as its own label
+    var labels = sym.select(col("v").as("id")).distinct()
+      .withColumn("lbl", col("id")).localCheckpoint()
     for (_ <- 1 to rounds) {
-      val best = sym
+      // every node appears as some v with ≥1 labeled neighbor, so this
+      // winner frame IS the full next labeling — no join-back needed
+      labels = sym
         .join(labels.select(col("id").as("nbr"), col("lbl").as("nlbl")),
           "nbr")
         .groupBy(col("v"), col("nlbl"))
         .agg(count(lit(1)).as("c"))
         .groupBy(col("v"))
         .agg(max(struct(col("c"), (-col("nlbl")).as("neg"))).as("m"))
-        .select(col("v"), (-col("m.neg")).as("nlbl"))
-      labels = labels.join(best, col("id") === col("v"), "left")
-        .select(col("id"), coalesce(col("nlbl"), col("lbl")).as("lbl"))
+        .select(col("v").as("id"), (-col("m.neg")).as("lbl"))
         .localCheckpoint()
     }
-    sym.unpersist(); nodes.unpersist()
+    sym.unpersist()
     labels
   }
 
@@ -73,21 +76,8 @@ object Communities {
     * canonical edges symmetrized, then the rounds unrolled as chained
     * CTEs — each one the literal SQL mirror of the Spark round. */
   val oracle: Map[String, String] = {
-    val base =
-      """WITH e0 AS (
-           SELECT vec_id AS id,
-                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-           FROM embeddings WHERE vec_id < 200),
-         p AS (
-           SELECT a.id AS id1, b.id AS id2,
-                  round(list_distance(a.v, b.v) + 1e-9, 6) AS dist
-           FROM e0 a JOIN e0 b ON a.id != b.id),
-         ed AS (
-           SELECT id1, id2 FROM (
-             SELECT id1, id2,
-                    row_number() OVER (PARTITION BY id1
-                      ORDER BY dist, id2) AS rk
-             FROM p) WHERE rk <= 10),
+    val base = Neighbors.oracleKnnSubstrate +
+      """,
          und AS (
            SELECT r.id1 AS a, r.id2 AS b
            FROM ed r JOIN ed m ON r.id1 = m.id2 AND r.id2 = m.id1
@@ -95,21 +85,16 @@ object Communities {
          sym AS (
            SELECT a AS v, b AS nbr FROM und
            UNION ALL SELECT b, a FROM und),
-         nodes AS (SELECT DISTINCT v AS id FROM sym),
-         lbl0 AS (SELECT id, id AS lbl FROM nodes)"""
+         lbl0 AS (SELECT DISTINCT v AS id, v AS lbl FROM sym)"""
     val rounds = (1 to Rounds).map { i =>
       s""", lbl$i AS (
-           SELECT n.id, coalesce(b.nlbl, p$i.lbl) AS lbl
-           FROM nodes n
-                JOIN lbl${i - 1} p$i USING (id)
-                LEFT JOIN (
-                  SELECT v, nlbl FROM (
-                    SELECT s.v, q.lbl AS nlbl, count(1) AS c,
-                           row_number() OVER (PARTITION BY s.v
-                             ORDER BY count(1) DESC, q.lbl) AS rk
-                    FROM sym s JOIN lbl${i - 1} q ON q.id = s.nbr
-                    GROUP BY s.v, q.lbl)
-                  WHERE rk = 1) b ON b.v = n.id)"""
+           SELECT v AS id, nlbl AS lbl FROM (
+             SELECT s.v, q.lbl AS nlbl, count(1) AS c,
+                    row_number() OVER (PARTITION BY s.v
+                      ORDER BY count(1) DESC, q.lbl) AS rk
+             FROM sym s JOIN lbl${i - 1} q ON q.id = s.nbr
+             GROUP BY s.v, q.lbl)
+           WHERE rk = 1)"""
     }.mkString
     Map("q_graph_communities" ->
       (base + rounds +

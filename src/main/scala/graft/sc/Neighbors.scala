@@ -64,6 +64,27 @@ object Neighbors {
     "q_sc_neighbors" -> scNeighbors _,
   )
 
+  /** THE kNN-substrate oracle SQL (k=10, maxId=200, rounded distance +
+    * id tiebreak) shared by every graph-query oracle (pagerank,
+    * triangles, communities) — one definition so a ranking change
+    * cannot silently diverge between them. Yields CTE `ed(id1, id2)`,
+    * the directed top-k edge list. */
+  val oracleKnnSubstrate: String =
+    """WITH e0 AS (
+         SELECT vec_id AS id,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         FROM embeddings WHERE vec_id < 200),
+       p AS (
+         SELECT a.id AS id1, b.id AS id2,
+                round(list_distance(a.v, b.v) + 1e-9, 6) AS dist
+         FROM e0 a JOIN e0 b ON a.id != b.id),
+       ed AS (
+         SELECT id1, id2 FROM (
+           SELECT id1, id2,
+                  row_number() OVER (PARTITION BY id1
+                    ORDER BY dist, id2) AS rk
+           FROM p) WHERE rk <= 10)"""
+
   val oracle: Map[String, String] = Map(
     "q_sc_neighbors" ->
       """WITH e AS (

@@ -139,25 +139,10 @@ object PageRank {
     * restriction), and unrolling keeps each iteration's SQL the literal
     * mirror of the Spark round. */
   val oracle: Map[String, String] = {
-    // ONE definition of the kNN substrate (k=10, maxId=200, rounded
-    // distance + id tiebreak — the Neighbors parity rules) shared by
-    // both graph oracles, so a ranking change cannot silently diverge
-    // between them
-    val knnSubstrate =
-      """WITH e0 AS (
-           SELECT vec_id AS id,
-                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-           FROM embeddings WHERE vec_id < 200),
-         p AS (
-           SELECT a.id AS id1, b.id AS id2,
-                  round(list_distance(a.v, b.v) + 1e-9, 6) AS dist
-           FROM e0 a JOIN e0 b ON a.id != b.id),
-         ed AS (
-           SELECT id1, id2 FROM (
-             SELECT id1, id2,
-                    row_number() OVER (PARTITION BY id1
-                      ORDER BY dist, id2) AS rk
-             FROM p) WHERE rk <= 10)"""
+    // the kNN substrate is defined ONCE in Neighbors.oracleKnnSubstrate
+    // and shared by every graph oracle (pagerank, triangles,
+    // communities)
+    val knnSubstrate = Neighbors.oracleKnnSubstrate
     val header = knnSubstrate +
       """,
          deg AS (SELECT id1, count(*) AS od FROM ed GROUP BY id1),

@@ -22,7 +22,11 @@ class CommunitiesSpec extends SparkSpec {
     val a = Communities.communities(spark, sf).collect().toSeq
     val b = Communities.communities(spark, sf).collect().toSeq
     assert(a == b)
-    // every node labeled, labels are node ids
-    assert(a.nonEmpty && a.map(_.getLong(0)).distinct.length == a.length)
+    // every node labeled exactly once, and every community label is
+    // itself a node id (a sign error in the struct-max trick would
+    // emit values outside the id set)
+    val ids = a.map(_.getLong(0)).toSet
+    assert(a.nonEmpty && ids.size == a.length)
+    assert(a.forall(r => ids.contains(r.getLong(1))), "label outside id set")
   }
 }
