@@ -171,9 +171,14 @@ object Dedup {
       numHashes = 32, bands = 16, tau = 0.95)
       .orderBy("id1", "id2")
 
-  /** Edit-distance near-dup pairs: levenshtein over a small doc block
-    * (classic DP is O(len²) per pair — strictly block-bounded; at scale,
-    * band by simhash/minhash first and verify survivors with this). */
+  /** Edit-distance near-dup pairs over a small doc block (strictly
+    * block-bounded; at scale, band by simhash/minhash first and verify
+    * survivors with this). Uses the THRESHOLD form of levenshtein —
+    * banded O(k·len) DP with early exit instead of the full O(len²)
+    * matrix; it returns -1 above the threshold, so `!= -1` is exactly
+    * the old `dist <= 80` filter and survivors carry identical
+    * distances (the DuckDB oracle keeps the unbounded form + filter,
+    * which the hash gate proves equivalent). */
   def dedupEditDistance(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).filter(col("doc_id") < 50)
       .select(col("doc_id"), col("text"))
@@ -181,8 +186,8 @@ object Dedup {
       .join(docs.select(col("doc_id").as("id2"), col("text").as("t2")),
         col("id1") < col("id2"))
       .select(col("id1"), col("id2"),
-        levenshtein(col("t1"), col("t2")).as("edit_dist"))
-      .filter(col("edit_dist") <= 80)
+        levenshtein(col("t1"), col("t2"), 80).as("edit_dist"))
+      .filter(col("edit_dist") =!= -1)
       .orderBy("id1", "id2")
   }
 
