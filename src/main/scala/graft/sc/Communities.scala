@@ -40,7 +40,7 @@ object Communities {
     // persist needed) starts as its own label
     var labels = sym.select(col("v").as("id")).distinct()
       .withColumn("lbl", col("id")).localCheckpoint()
-    for (_ <- 1 to rounds) {
+    for (i <- 1 to rounds) {
       // every node appears as some v with ≥1 labeled neighbor, so this
       // winner frame IS the full next labeling — no join-back needed
       labels = sym
@@ -51,7 +51,8 @@ object Communities {
         .groupBy(col("v"))
         .agg(max(struct(col("c"), (-col("nlbl")).as("neg"))).as("m"))
         .select(col("v").as("id"), (-col("m.neg")).as("lbl"))
-        .localCheckpoint()
+      // lineage cut every second round — see pageRankOnEdges
+      if (i % 2 == 0 || i == rounds) labels = labels.localCheckpoint()
     }
     sym.unpersist()
     labels

@@ -53,7 +53,7 @@ object PageRank {
     // per-node constants; everything per-node stays distributed
     val n = nodes.count().toDouble
     var ranks = nodes.withColumn("r", lit(1.0 / n)).localCheckpoint()
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contrib = edgesD.join(ranks, col("id1") === col("id"))
         .groupBy(col("id2"))
         .agg(sum(col("r") / col("od").cast("double")).as("cs"))
@@ -61,7 +61,10 @@ object PageRank {
         .select(col("id"),
           (lit((1.0 - damping) / n) +
             lit(damping) * coalesce(col("cs"), lit(0.0))).as("r"))
-        .localCheckpoint()
+      // cut lineage every SECOND round: plans two joins deep stay cheap
+      // to analyze, and halving the eager materializations halves the
+      // per-round job count (and, at scale, the rank-table writes)
+      if (i % 2 == 0 || i == iters) ranks = ranks.localCheckpoint()
     }
     // the eager localCheckpoint above cut ranks' lineage to the
     // checkpointed RDD, so the scaffolding caches can drop now instead
