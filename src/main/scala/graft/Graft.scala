@@ -26,7 +26,11 @@ object Graft {
   /** A session with the library's recommended local configuration:
     * extensions installed, UTC, AQE on, shuffle width = default
     * parallelism (not the 200 default that makes laptop runs
-    * shuffle-bound). Idempotent via getOrCreate. */
+    * shuffle-bound). Idempotent via getOrCreate — and because
+    * getOrCreate returns any PRE-existing session (whose static confs,
+    * including spark.sql.extensions, can no longer change), the native
+    * functions are also registered directly on the returned session so
+    * the one-call contract holds either way. */
   def session(master: String = "local[*]",
               shufflePartitions: Option[Int] = None): SparkSession = {
     val b = SparkSession.builder()
@@ -38,7 +42,12 @@ object Graft {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     shufflePartitions.foreach(n =>
       b.config("spark.sql.shuffle.partitions", n.toString))
-    b.getOrCreate()
+    val s = b.getOrCreate()
+    if (shufflePartitions.isEmpty)
+      s.conf.set("spark.sql.shuffle.partitions",
+        s.sparkContext.defaultParallelism.toString)
+    functions.GraftFunctions.register(s)
+    s
   }
 
   /** The full declared query surface (SURVEY §2 contract). */
@@ -47,5 +56,9 @@ object Graft {
 
   /** Run one declared query by id against a testdata-layout directory. */
   def run(name: String, spark: SparkSession, dataDir: String): DataFrame =
-    SparkEntry.queries(name)(spark, dataDir)
+    SparkEntry.queries.getOrElse(name,
+      throw new IllegalArgumentException(
+        s"unknown query id '$name' — valid ids: " +
+          SparkEntry.queries.keys.toSeq.sorted.mkString(", ")))(
+      spark, dataDir)
 }

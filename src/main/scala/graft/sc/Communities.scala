@@ -20,9 +20,10 @@ import org.apache.spark.sql.functions._
   * the winner pick gets map-side combine and NO extra shuffle+sort (a
   * window top-1 here costs one more exchange per round; the struct
   * ordering encodes exactly the (count DESC, label ASC) tie rule).
-  * Lineage cut per round with an eager localCheckpoint (the CC/PageRank
-  * pattern). Fixed round count keeps the oracle replayable; real
-  * deployments iterate to a fixpoint with the same per-round plan. */
+  * Lineage cut with an eager localCheckpoint every second round (the
+  * PageRank pattern — two-join-deep plans, half the materializations).
+  * Fixed round count keeps the oracle replayable; real deployments
+  * iterate to a fixpoint with the same per-round plan. */
 object Communities {
   type Q = (SparkSession, String) => DataFrame
 

@@ -15,7 +15,8 @@ import org.apache.spark.sql.functions._
   * hash-partitioned on the node key) and ONE keyed aggregation of the
   * received contributions, then a left join back onto the node set for
   * sink nodes that received nothing. Iterative lineage is cut with an
-  * eager localCheckpoint per round (the Dedup.connectedComponents
+  * eager localCheckpoint every SECOND round — plans stay two joins
+  * deep, half the materializations (the Dedup.connectedComponents
   * lesson: persist alone leaves the plan doubling per round). The kNN
   * substrate guarantees out-degree k for every node, so there is no
   * dangling-mass redistribution term; on a graph with true sinks the

@@ -101,9 +101,8 @@ object GraphProperties extends Properties("graft.graph") {
         r = nodes.map(v => v ->
           (0.15 / n + 0.85 * contrib.getOrElse(v, 0.0))).toMap
       }
-      val want = r.view.mapValues(x => x).toMap
-      got.keySet == want.keySet && got.forall { case (v, pr) =>
-        math.abs(pr - round6(want(v))) < 1.5e-6
+      got.keySet == r.keySet && got.forall { case (v, pr) =>
+        math.abs(pr - round6(r(v))) < 1.5e-6
       }
     }
 }
