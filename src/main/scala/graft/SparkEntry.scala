@@ -28,7 +28,7 @@ object SparkEntry {
       sc.Neighbors.queries ++ tables.Bucketed.queries ++
       sources.JsonLines.queries ++ stream.TimeSeries.queries ++
       sc.PageRank.queries ++ sources.Evolution.queries ++
-      sc.Communities.queries
+      sc.Communities.queries ++ sources.OtherFormats.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -47,5 +47,5 @@ object SparkEntry {
       sc.Neighbors.oracle ++ tables.Bucketed.oracle ++
       sources.JsonLines.oracle ++ stream.TimeSeries.oracle ++
       sc.PageRank.oracle ++ sources.Evolution.oracle ++
-      sc.Communities.oracle
+      sc.Communities.oracle ++ sources.OtherFormats.oracle
 }
