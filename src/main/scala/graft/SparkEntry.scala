@@ -28,7 +28,8 @@ object SparkEntry {
       sc.Neighbors.queries ++ tables.Bucketed.queries ++
       sources.JsonLines.queries ++ stream.TimeSeries.queries ++
       sc.PageRank.queries ++ sources.Evolution.queries ++
-      sc.Communities.queries ++ sources.OtherFormats.queries
+      sc.Communities.queries ++ sources.OtherFormats.queries ++
+      tables.Profile.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -47,5 +48,6 @@ object SparkEntry {
       sc.Neighbors.oracle ++ tables.Bucketed.oracle ++
       sources.JsonLines.oracle ++ stream.TimeSeries.oracle ++
       sc.PageRank.oracle ++ sources.Evolution.oracle ++
-      sc.Communities.oracle ++ sources.OtherFormats.oracle
+      sc.Communities.oracle ++ sources.OtherFormats.oracle ++
+      tables.Profile.oracle
 }

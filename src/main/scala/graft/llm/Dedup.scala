@@ -37,6 +37,29 @@ object Dedup {
       .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("n_copies"))
       .orderBy("rep_id")
 
+  /** Canonicalization dedup: normalize before hashing — lowercase, strip
+    * punctuation to spaces, collapse runs of whitespace, trim — so
+    * reformatted copies (case changes, punctuation drift, re-wrapped
+    * whitespace) collapse into one group that byte-exact dedup misses.
+    * The standard first rung of the web-corpus dedup ladder, below
+    * SimHash/MinHash: still one hash shuffle, zero false positives for
+    * anything outside the normalization class.
+    *
+    * Scale shape: identical to dedupExact — per-row canonicalization is
+    * codegen'd string work, then ONE shuffle keyed on the 128-bit md5 of
+    * the canonical form (never the text itself). */
+  def canonical(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^\\p{L}\\p{Nd} ]", " "),
+      " +", " "))
+
+  def dedupCanon(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("canon", canonical(col("text")))
+      .groupBy(md5(col("canon")).as("canon_md5"))
+      .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("n_copies"))
+      .orderBy("rep_id")
+
   // ------------------------------------------------------------ simhash --
 
   /** 60-bit SimHash per document over its token multiset. */
@@ -368,6 +391,7 @@ object Dedup {
     "q_dedup_clusters" -> dedupClusters _,
     "q_dedup_latest"  -> dedupLatest _,
     "q_dedup_exact"   -> dedupExact _,
+    "q_dedup_canon"   -> dedupCanon _,
     "q_dedup_simhash" -> dedupSimhash _,
     "q_dedup_ngram"   -> dedupNgram _,
     "q_dedup_minhash" -> dedupMinhash _,
@@ -418,6 +442,18 @@ object Dedup {
       """SELECT md5(text) AS text_md5, CAST(min(doc_id) AS BIGINT) AS rep_id,
                 CAST(count(1) AS BIGINT) AS n_copies
          FROM documents GROUP BY md5(text) ORDER BY rep_id""",
+    // regexp_replace needs the 'g' flag (DuckDB default replaces the
+    // first match only); \p classes are RE2-compatible on both engines
+    "q_dedup_canon" ->
+      """WITH c AS (SELECT doc_id,
+                trim(regexp_replace(
+                  regexp_replace(lower(text), '[^\p{L}\p{Nd} ]', ' ', 'g'),
+                  ' +', ' ', 'g')) AS canon
+              FROM documents)
+         SELECT md5(canon) AS canon_md5,
+                CAST(min(doc_id) AS BIGINT) AS rep_id,
+                CAST(count(1) AS BIGINT) AS n_copies
+         FROM c GROUP BY md5(canon) ORDER BY rep_id""",
     "q_dedup_simhash" ->
       """WITH tok AS (SELECT doc_id, unnest(str_split(text, ' ')) AS t
                       FROM documents WHERE doc_id < 100),

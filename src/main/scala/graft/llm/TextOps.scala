@@ -269,6 +269,36 @@ object TextOps {
       .limit(20)
   }
 
+  /** Inverted index with a stopword cutoff: token → document frequency +
+    * sorted postings list, keeping tokens that appear in 2..80% of the
+    * corpus (hapax legomena carry no retrieval signal; near-universal
+    * tokens are stopwords whose postings would be corpus-sized). The
+    * substrate under keyword search, contamination lookup, and boolean
+    * retrieval over a training corpus.
+    *
+    * Scale shape: per-doc distinct BEFORE the shuffle (array_distinct is
+    * per-row, so a token repeated in one doc costs one shuffled row, not
+    * k), then ONE shuffle keyed on token. The df cutoff bounds every
+    * postings list at 80% of |docs|; for the planet-scale case where
+    * even mid-df postings exceed a single task, the standard upgrade is
+    * sharded postings — key by (token, doc_id div shard) and concatenate
+    * reading-side — same plan shape, one more key column. The doc-count
+    * scalar rides a broadcast cross join (one row), never a collect. */
+  def invertedIndex(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    docs
+      .select(col("doc_id"),
+        explode(array_distinct(tokens(col("text")))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("df"),
+        sort_array(collect_list(col("doc_id"))).as("postings"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") >= 2 && col("df") * lit(10) <= col("n_docs") * lit(8))
+      .select(col("token"), col("df"), col("postings"))
+      .orderBy("token")
+  }
+
   // ------------------------------------------------------------- wiring --
 
   val queries: Map[String, Q] = Map(
@@ -281,9 +311,26 @@ object TextOps {
     "q_text_bpe"         -> textBpe _,
     "q_text_repetition"  -> textRepetition _,
     "q_text_pmi"         -> textPmi _,
+    "q_text_index"       -> invertedIndex _,
   )
 
   val oracle: Map[String, String] = Map(
+    // DISTINCT must land AFTER the unnest (subquery), and the df cutoff
+    // is integer arithmetic (df*10 <= n*8) so neither engine does
+    // decimal/double threshold math.
+    "q_text_index" ->
+      """WITH tok AS (SELECT DISTINCT doc_id, token
+                      FROM (SELECT doc_id, unnest(str_split(text, ' '))
+                              AS token
+                            FROM documents)),
+         n AS (SELECT CAST(count(1) AS BIGINT) AS n_docs FROM documents),
+         inv AS (SELECT token, CAST(count(1) AS BIGINT) AS df,
+                        list_sort(list(doc_id)) AS postings
+                 FROM tok GROUP BY token)
+         SELECT token, df, postings
+         FROM inv, n
+         WHERE df >= 2 AND df * 10 <= n_docs * 8
+         ORDER BY token""",
     "q_text_pmi" ->
       """WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks
                     FROM documents),

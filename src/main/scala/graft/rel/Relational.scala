@@ -1,6 +1,6 @@
 package graft.rel
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.tables.Tables
 
@@ -223,6 +223,29 @@ object Relational {
         round(avg(col("o_totalprice")) + lit(1e-6), 2).as("avg_price"))
       .orderBy("bucket")
 
+  /** Exact mode with a deterministic tie-break: the modal ship month per
+    * returnflag. SQL's mode() is non-deterministic on ties in both
+    * engines, so this computes it as two partial-aggregable hash aggs:
+    * count per (group, value), then max(struct(count, value)) — struct
+    * ordering breaks ties toward the larger value, identically
+    * everywhere. At scale both aggs map-side combine; there is no
+    * per-group sort and no window, which is what kills the naive
+    * row_number()-over-counts form when a group holds millions of
+    * distinct values. */
+  def modeBy(df: DataFrame, key: Column, value: Column): DataFrame =
+    df.groupBy(key.as("k"), value.as("v"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("k"))
+      .agg(max(struct(col("cnt"), col("v"))).as("m"))
+      .select(col("k"), col("m.v").as("mode_v"), col("m.cnt").as("mode_n"))
+
+  def aggMode(s: SparkSession, d: String): DataFrame =
+    modeBy(Tables.lineitem(s, d),
+      col("l_returnflag"), month(col("l_shipdate")))
+      .select(col("k").as("l_returnflag"),
+        col("mode_v").as("mode_month"), col("mode_n"))
+      .orderBy("l_returnflag")
+
   /** Revenue by ROLLUP(region, nation): ExpandExec duplicates each row per
     * grouping set; partial agg keeps the shuffle bounded by group count. */
   def aggRollup(s: SparkSession, d: String): DataFrame =
@@ -390,6 +413,7 @@ object Relational {
     "q_agg_pivot"           -> aggPivot _,
     "q_agg_unpivot"         -> aggUnpivot _,
     "q_agg_histogram"       -> aggHistogram _,
+    "q_agg_mode"            -> aggMode _,
     "q_agg_rollup"          -> aggRollup _,
     "q_agg_cube"            -> aggCube _,
     "q_agg_grouping_sets"   -> aggGroupingSets _,
@@ -398,6 +422,19 @@ object Relational {
   /** DuckDB 1.0.0 oracle SQL — column names/aliases must match the Spark
     * side exactly (driver sorts columns by name before hashing). */
   val oracle: Map[String, String] = Map(
+    // The oracle takes the window form (count desc, value desc, row 1);
+    // the hash gate proves it equal to the struct-max derivation.
+    "q_agg_mode" ->
+      """WITH c AS (SELECT l_returnflag,
+                           CAST(EXTRACT(month FROM l_shipdate) AS INT)
+                             AS ship_month,
+                           CAST(count(1) AS BIGINT) AS cnt
+                    FROM lineitem GROUP BY 1, 2)
+         SELECT l_returnflag, ship_month AS mode_month, cnt AS mode_n
+         FROM c
+         QUALIFY row_number() OVER (PARTITION BY l_returnflag
+                                    ORDER BY cnt DESC, ship_month DESC) = 1
+         ORDER BY l_returnflag""",
     // integer division dialect: Spark `div` == DuckDB `//`
     "q_sql_recursive" ->
       """WITH RECURSIVE walk(id, root, depth) AS (

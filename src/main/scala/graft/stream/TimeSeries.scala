@@ -55,8 +55,53 @@ object TimeSeries {
       .orderBy("event_type", "hour_us")
   }
 
+  /** Rolling z-score anomaly detection over the hourly series: each
+    * (event_type, hour) mean is scored against the trailing 24-hour
+    * window (EXCLUSIVE of the current row, so an outlier can't mask
+    * itself), flagged when |z| > 3 with at least 12 trailing
+    * observations. The standard monitoring primitive between a metric
+    * stream and an alerting rule.
+    *
+    * Scale shape: the keyed agg reduces the raw stream to the calendar
+    * frame (|series|·|hours| rows) in one pass with map-side partials;
+    * the rolling window then partitions on the series key, so its
+    * per-partition sort is bounded by hours-per-series, never by the
+    * event count. No grid densify here — missing hours simply don't
+    * score, which is the right alerting semantics (no data ≠ anomaly).
+    *
+    * Cross-engine float discipline (repo convention): hourly means are
+    * rounded before windowing, the window mean/stddev are rounded at
+    * 6 dp (+1e-9) so Spark's incremental-moment accumulation and
+    * DuckDB's summation order can't diverge, and z is computed FROM the
+    * rounded values — identical IEEE inputs → identical doubles — then
+    * itself rounded at 3 dp. */
+  /** The scoring stage alone, over any (event_type, hour_us, av) frame —
+    * split out so specs can drive it with planted-spike fixtures. */
+  def scoreHourly(hourly: DataFrame): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("hour_us")
+      .rowsBetween(-24, -1)
+    val m  = round(avg(col("av")).over(w) + lit(1e-9), 6)
+    val sd = round(stddev_samp(col("av")).over(w) + lit(1e-9), 6)
+    val nw = count(col("av")).over(w)
+    hourly
+      .select(col("event_type"), col("hour_us"), col("av"),
+        when(nw >= 12 && sd > 0.0,
+          round((col("av") - m) / sd + lit(1e-9), 3)).as("z"))
+      .withColumn("is_anomaly", coalesce(abs(col("z")) > lit(3.0), lit(false)))
+  }
+
+  def tsAnomaly(s: SparkSession, d: String): DataFrame =
+    scoreHourly(
+      Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(round(avg(col("value")) + lit(1e-6), 4).as("av"))
+        .select(col("event_type"), unix_micros(col("h")).as("hour_us"),
+          col("av")))
+      .orderBy("event_type", "hour_us")
+
   val queries: Map[String, Q] = Map(
     "q_ts_resample" -> resampleHourly _,
+    "q_ts_anomaly" -> tsAnomaly _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -86,5 +131,30 @@ object TimeSeries {
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                   AS value_ff
          FROM j ORDER BY event_type, hour_us""",
+    // z is recomputed in the outer select from the SAME rounded m/sd —
+    // identical double inputs and op sequence on both engines. Constants
+    // are CAST to DOUBLE (DuckDB bare decimals are DECIMAL-typed).
+    "q_ts_anomaly" ->
+      """WITH ev AS (SELECT event_type,
+                            CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+                            value
+                     FROM events),
+         hourly AS (SELECT event_type, h,
+                           round(avg(value) + 1e-6, 4) AS av
+                    FROM ev GROUP BY event_type, h),
+         wz AS (SELECT event_type, h, av,
+                       count(av) OVER w AS nw,
+                       round(avg(av) OVER w + 1e-9, 6) AS m,
+                       round(stddev_samp(av) OVER w + 1e-9, 6) AS sd
+                FROM hourly
+                WINDOW w AS (PARTITION BY event_type ORDER BY h
+                             ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+         z AS (SELECT event_type, h, av,
+                      CASE WHEN nw >= 12 AND sd > CAST(0 AS DOUBLE)
+                           THEN round((av - m) / sd + 1e-9, 3) END AS z
+               FROM wz)
+         SELECT event_type, epoch_us(h) AS hour_us, av, z,
+                coalesce(abs(z) > CAST(3.0 AS DOUBLE), false) AS is_anomaly
+         FROM z ORDER BY event_type, hour_us""",
   )
 }

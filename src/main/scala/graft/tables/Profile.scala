@@ -1,0 +1,89 @@
+package graft.tables
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One-pass table profiling: per-column row/null/distinct counts and
+  * formatted min/max — the data-quality report every ingest job emits
+  * before a corpus is admitted to training (schema drift, null storms,
+  * and key-cardinality collapse all show up here first).
+  *
+  * Scale shape: ONE scan. The multi-column COUNT(DISTINCT) plans as a
+  * single aggregate over an Expand (one duplicated row per distinct
+  * column), all map-side combinable — the alternative of one job per
+  * column rescans the table N times. At 100 TB the exact-distinct
+  * Expand is usually swapped for approx_count_distinct (per-column HLL,
+  * no Expand, same single scan — the q_agg_approx_distinct /
+  * q_agg_sketch_merge machinery); exact is kept here because the
+  * profile IS the oracle-checked contract.
+  *
+  * Min/max are formatted driver-deterministically per type class
+  * (printf %.4f for doubles, fixed strftime for timestamps, plain cast
+  * for integers/strings) so the report is stable across engines —
+  * shortest-round-trip double printing is NOT portable, fixed-precision
+  * is. */
+object Profile {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def fmt(c: Column, dt: String): Column = dt match {
+    case "double"    => format_string("%.4f", c)
+    case "timestamp" => date_format(c, "yyyy-MM-dd HH:mm:ss")
+    case _           => c.cast("string")
+  }
+
+  /** (column, type-class) inventory of the profiled table. */
+  private val specs: Seq[(String, String)] = Seq(
+    "o_orderkey"      -> "long",
+    "o_custkey"       -> "long",
+    "o_orderstatus"   -> "string",
+    "o_totalprice"    -> "double",
+    "o_orderdate"     -> "timestamp",
+    "o_orderpriority" -> "string")
+
+  def profileTable(s: SparkSession, d: String): DataFrame = {
+    val t = Tables.orders(s, d)
+    val aggs: Seq[Column] = count(lit(1)).as("n_rows") +:
+      specs.flatMap { case (c, dt) => Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(c + "__nn"),
+        count_distinct(col(c)).as(c + "__nd"),
+        fmt(min(col(c)), dt).as(c + "__mn"),
+        fmt(max(col(c)), dt).as(c + "__mx"))
+      }
+    val wide = t.agg(aggs.head, aggs.tail: _*)
+    // pivot the single wide row to one report row per column
+    val stackExpr = s"stack(${specs.size}, " + specs.map { case (c, _) =>
+      s"'$c', ${c}__nn, ${c}__nd, ${c}__mn, ${c}__mx"
+    }.mkString(", ") + ") as (col_name, n_null, n_distinct, min_s, max_s)"
+    wide.select(col("n_rows"), expr(stackExpr))
+      .select("col_name", "n_rows", "n_null", "n_distinct", "min_s", "max_s")
+      .orderBy("col_name")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_profile_table" -> profileTable _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    // One UNION ALL branch per column (DuckDB rescans; fine for an
+    // oracle). printf/strftime mirror the Spark-side fixed formatting.
+    "q_profile_table" -> {
+      def branch(c: String, dt: String): String = {
+        val mn = dt match {
+          case "double"    => s"printf('%.4f', min($c))"
+          case "timestamp" => s"strftime(min($c), '%Y-%m-%d %H:%M:%S')"
+          case _           => s"CAST(min($c) AS VARCHAR)"
+        }
+        val mx = mn.replace(s"min($c)", s"max($c)")
+        s"""SELECT '$c' AS col_name,
+               CAST(count(1) AS BIGINT) AS n_rows,
+               CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_null,
+               CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+               $mn AS min_s, $mx AS max_s
+             FROM orders"""
+      }
+      specs.map { case (c, dt) => branch(c, dt) }
+        .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY col_name")
+    },
+  )
+}

@@ -16,6 +16,25 @@ class DedupSpec extends SparkSpec {
     (5L, "spark sql join filter window group order by extra"),   // near dup of 0/1
   ).toDF("doc_id", "text")
 
+  test("canonical normalization collapses case, punctuation, whitespace") {
+    val v = Seq(
+      ("Hello,  WORLD!", "hello world"),
+      ("a-b c", "a b c"),
+      ("  trim me  ", "trim me"),
+      ("unchanged text", "unchanged text"),
+    ).toDF("raw", "want")
+      .withColumn("got", Dedup.canonical(col("raw")))
+    assert(v.filter(col("got") =!= col("want")).count() == 0)
+    // canon dedup can only MERGE groups relative to byte-exact dedup
+    val exact = Dedup.dedupExact(spark, sf).count()
+    val canon = Dedup.dedupCanon(spark, sf).count()
+    assert(canon <= exact && canon > 0)
+    // every document lands in exactly one canon group
+    val copies = Dedup.dedupCanon(spark, sf)
+      .agg(sum("n_copies")).head.getLong(0)
+    assert(copies == graft.tables.Tables.documents(spark, sf).count())
+  }
+
   test("exact dedup groups identical texts, keeps min id as rep") {
     val groups = docs.groupBy(md5($"text").as("text_md5"))
       .agg(min($"doc_id").as("rep_id"), count(lit(1)).as("n"))

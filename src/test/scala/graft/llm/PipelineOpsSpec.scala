@@ -98,6 +98,31 @@ class PipelineOpsSpec extends SparkSpec {
     assert(!pii.contains("hashpartitioning"), pii)
   }
 
+  test("inverted index: postings reconcile per-token, cutoffs hold") {
+    val docs = graft.tables.Tables.documents(spark, sf)
+    val n = docs.count()
+    val out = TextOps.invertedIndex(spark, sf).cache()
+    try {
+      assert(out.count() > 0)
+      // df == |postings| and postings are sorted + distinct
+      val bad = out.filter(
+        col("df") =!= size(col("postings")) ||
+        col("postings") =!= array_sort(array_distinct(col("postings"))))
+      assert(bad.count() == 0)
+      // cutoffs: hapax dropped, stopwords (>80% of docs) dropped
+      assert(out.filter(col("df") < 2 || col("df") * 10 > n * 8)
+        .count() == 0)
+      // differential: one token's postings == the docs containing it
+      val row = out.orderBy("token").head
+      val tok = row.getString(0)
+      val want = docs
+        .filter(array_contains(split(col("text"), " "), tok))
+        .select("doc_id").orderBy("doc_id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(row.getSeq[Long](2) == want, s"postings mismatch for '$tok'")
+    } finally out.unpersist()
+  }
+
   test("pmi: floor respected and top collocation matches manual math") {
     val out = TextOps.textPmi(spark, sf).collect()
     assert(out.nonEmpty && out.length <= 20)

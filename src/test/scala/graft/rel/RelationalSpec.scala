@@ -1,6 +1,7 @@
 package graft.rel
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions._
 
 class RelationalSpec extends SparkSpec {
 
@@ -44,5 +45,31 @@ class RelationalSpec extends SparkSpec {
     val liCount = graft.tables.Tables.lineitem(spark, sf)
       .filter("l_shipdate <= timestamp'1998-09-02 00:00:00'").count()
     assert(total == liCount)
+  }
+
+  test("modeBy: exact mode with deterministic larger-value tie-break") {
+    import spark.implicits._
+    // group a: 7 is the clear mode; group b: 3 and 9 tie at 2 → pick 9
+    val df = Seq(("a", 7), ("a", 7), ("a", 1),
+      ("b", 3), ("b", 3), ("b", 9), ("b", 9), ("b", 1))
+      .toDF("g", "v")
+    val out = Relational.modeBy(df, col("g"), col("v"))
+      .orderBy("k").as[(String, Int, Long)].collect()
+    assert(out.toSeq == Seq(("a", 7, 2L), ("b", 9, 2L)))
+    // no window in the plan: both stages are hash aggregates, so the
+    // per-group work stays partial-aggregable at scale
+    val plan = planOf(Relational.modeBy(df, col("g"), col("v")))
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("mode over lineitem agrees with an independent count ranking") {
+    val out = Relational.aggMode(spark, sf)
+    val counts = graft.tables.Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"), month(col("l_shipdate")).as("m"))
+      .count()
+    val best = counts.groupBy("l_returnflag").agg(max("count").as("mx"))
+    val mism = out.join(best, Seq("l_returnflag"))
+      .filter(col("mode_n") =!= col("mx"))
+    assert(mism.count() == 0)
   }
 }

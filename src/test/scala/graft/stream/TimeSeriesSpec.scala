@@ -49,4 +49,45 @@ class TimeSeriesSpec extends SparkSpec {
       assert(cached >= 3, s"expected 3 cached hourly consumers\n$plan")
     } finally spark.sharedState.cacheManager.clearCache()
   }
+
+  test("anomaly z-scores: warmup never fires, flags agree with |z|>3") {
+    val out = TimeSeries.tsAnomaly(spark, sf).cache()
+    try {
+      // row frame = the observed hourly groups (no densify)
+      val hourly = Tables.events(spark, sf)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts"))).count()
+      assert(out.count() == hourly.count())
+      // flag is defined purely by z (no flag without a score)
+      assert(out.filter(col("z").isNull && col("is_anomaly")).count() == 0)
+      assert(out.filter(col("is_anomaly") =!= (abs(col("z")) > 3.0))
+        .filter(col("z").isNotNull).count() == 0)
+      // the first 12 hours of every series can never score (window needs
+      // 12 trailing observations, exclusive of the current row)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("hour_us")
+      val early = out
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 12)
+      assert(early.filter(col("z").isNotNull).count() == 0)
+      // the window partitions on the series key — no global window sink
+      assert(!planOf(out).contains("No Partition Defined"))
+    } finally out.unpersist()
+  }
+
+  test("anomaly detection fires on a planted spike") {
+    import spark.implicits._
+    // 48 hourly points at value 10 ± tiny jitter, one 100-valued spike,
+    // through the operator's actual scoring stage
+    val base = (0 until 48).map { i =>
+      ("s1", i.toLong * 3600L * 1000000L,
+        if (i == 40) 100.0 else 10.0 + (i % 3) * 0.01)
+    }.toDF("event_type", "hour_us", "av")
+    val flagged = TimeSeries.scoreHourly(base)
+      .filter(col("is_anomaly")).select("hour_us")
+      .as[Long].collect().toSet
+    assert(flagged.contains(40L * 3600L * 1000000L),
+      s"spike at hour 40 not flagged: $flagged")
+    // jittered steady-state rows before the spike are not flagged
+    assert(!flagged.exists(_ < 40L * 3600L * 1000000L))
+  }
 }
