@@ -88,6 +88,75 @@ object Dedup {
       .orderBy("id1", "id2")
   }
 
+  /** Incremental dedup: screen a NEW batch against the EXISTING corpus —
+    * the production shape at scale, where the daily increment is deduped
+    * against an index of everything already admitted rather than
+    * re-deduping the whole corpus. Three rungs per increment doc:
+    * byte-exact (md5), canonical (md5 of [[canonical]]), and SimHash
+    * near-dup vs any corpus doc at hamming <= 10. Emits one verdict row
+    * per increment doc; `admit` = clean on all three rungs.
+    *
+    * The near rung is banded hamming-LSH (Manku et al., "Detecting
+    * near-duplicates for web crawling", WWW'07): 12 disjoint 5-bit bands
+    * of the 60-bit fingerprint; <= 10 differing bits can ruin at most 10
+    * bands, so every true pair shares >= 2 exact band values — the
+    * band-equality join is a COMPLETE candidate generator, and the exact
+    * hamming check runs only on candidates. At this fixture scale 5-bit
+    * bands are coarse (32 values/band); at corpus scale band width grows
+    * with the fingerprint (Manku's 64-bit/4x16 config for hamming <= 3)
+    * so bucket sizes stay bounded — same plan, different constants.
+    *
+    * Scale shape: corpus hash sets are distinct-projected before the
+    * joins (set-sized, not corpus-sized rows); all three rungs are hash
+    * joins keyed on fixed-width values; the 80/20 split threshold is
+    * integer arithmetic broadcast from a one-row count — no collect. */
+  def dedupIncremental(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val thr = docs.agg(expr("(count(1) * 8) div 10").as("thr"))
+    val tagged = docs.crossJoin(broadcast(thr))
+    screenIncrement(
+      tagged.filter(col("doc_id") < col("thr")),
+      tagged.filter(col("doc_id") >= col("thr")))
+  }
+
+  /** The screening core over explicit (corpus, increment) frames of
+    * (doc_id, text) — split out so specs can plant cross-split dups. */
+  def screenIncrement(corpus: DataFrame, inc: DataFrame): DataFrame = {
+    val corpusExact = corpus.select(md5(col("text")).as("h")).distinct()
+      .withColumn("f_exact", lit(true))
+    val corpusCanon = corpus
+      .select(md5(canonical(col("text"))).as("hc")).distinct()
+      .withColumn("f_canon", lit(true))
+
+    def bandify(sh: DataFrame, id: String, h: String): DataFrame =
+      sh.select(col(id), col(h),
+          explode(sequence(lit(0), lit(11))).as("b"))
+        .withColumn("bv", expr(s"shiftright($h, b * 5) & 31"))
+    val shCorpus = simhash(corpus.select("doc_id", "text"))
+      .select(col("doc_id").as("cid"), col("simhash").as("ch"))
+    val shInc = simhash(inc.select("doc_id", "text"))
+      .select(col("doc_id").as("iid"), col("simhash").as("ih"))
+    val near = bandify(shInc, "iid", "ih")
+      .join(bandify(shCorpus, "cid", "ch"), Seq("b", "bv"))
+      .select("iid", "ih", "cid", "ch").distinct()
+      .filter(bit_count(expr("ih ^ ch")) <= 10)
+      .select(col("iid")).distinct()
+      .withColumn("f_near", lit(true))
+
+    inc.select(col("doc_id"), md5(col("text")).as("h"),
+        md5(canonical(col("text"))).as("hc"))
+      .join(corpusExact, Seq("h"), "left")
+      .join(corpusCanon, Seq("hc"), "left")
+      .join(near, col("doc_id") === col("iid"), "left")
+      .select(col("doc_id"),
+        coalesce(col("f_exact"), lit(false)).as("exact_dup"),
+        coalesce(col("f_canon"), lit(false)).as("canon_dup"),
+        coalesce(col("f_near"), lit(false)).as("near_dup"))
+      .withColumn("admit",
+        !col("exact_dup") && !col("canon_dup") && !col("near_dup"))
+      .orderBy("doc_id")
+  }
+
   // ----------------------------------------------------- n-gram jaccard --
 
   /** Distinct token set per doc, relational form (doc_id, t). */
@@ -392,6 +461,7 @@ object Dedup {
     "q_dedup_latest"  -> dedupLatest _,
     "q_dedup_exact"   -> dedupExact _,
     "q_dedup_canon"   -> dedupCanon _,
+    "q_dedup_incremental" -> dedupIncremental _,
     "q_dedup_simhash" -> dedupSimhash _,
     "q_dedup_ngram"   -> dedupNgram _,
     "q_dedup_minhash" -> dedupMinhash _,
@@ -472,6 +542,48 @@ object Dedup {
          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          WHERE bit_count(xor(a.simhash, b.simhash)) <= 10
          ORDER BY id1, id2""",
+    // The oracle does the near rung as DIRECT all-pairs hamming (no
+    // banding); the Spark side generates candidates via 12x5-bit band
+    // equality first — the hash gate therefore PROVES the band join is
+    // a complete candidate generator on this data, not just faster.
+    "q_dedup_incremental" ->
+      """WITH n AS (SELECT (count(1) * 8) // 10 AS thr FROM documents),
+         corpus AS (SELECT d.* FROM documents d, n WHERE doc_id < thr),
+         inc AS (SELECT d.* FROM documents d, n WHERE doc_id >= thr),
+         ce AS (SELECT DISTINCT md5(text) AS h FROM corpus),
+         cc AS (SELECT DISTINCT md5(trim(regexp_replace(regexp_replace(
+                  lower(text), '[^\p{L}\p{Nd} ]', ' ', 'g'),
+                  ' +', ' ', 'g'))) AS hc
+                FROM corpus),
+         tok AS (SELECT doc_id, unnest(str_split(text, ' ')) AS t
+                 FROM documents),
+         h AS (SELECT doc_id,
+                      CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS hv
+               FROM tok),
+         bits AS (SELECT doc_id, j,
+                         sum(CASE WHEN (hv >> j) & 1 = 1
+                                  THEN 1 ELSE -1 END) AS s
+                  FROM h, generate_series(0, 59) g(j) GROUP BY doc_id, j),
+         sh AS (SELECT doc_id,
+                       sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j)
+                                ELSE 0 END) AS simhash
+                FROM bits GROUP BY doc_id),
+         near AS (SELECT DISTINCT i.doc_id AS iid
+                  FROM sh i, sh c, n
+                  WHERE i.doc_id >= thr AND c.doc_id < thr
+                    AND bit_count(xor(i.simhash, c.simhash)) <= 10)
+         SELECT doc_id,
+                md5(text) IN (SELECT h FROM ce) AS exact_dup,
+                md5(trim(regexp_replace(regexp_replace(
+                  lower(text), '[^\p{L}\p{Nd} ]', ' ', 'g'),
+                  ' +', ' ', 'g'))) IN (SELECT hc FROM cc) AS canon_dup,
+                doc_id IN (SELECT iid FROM near) AS near_dup,
+                NOT (md5(text) IN (SELECT h FROM ce)
+                     OR md5(trim(regexp_replace(regexp_replace(
+                          lower(text), '[^\p{L}\p{Nd} ]', ' ', 'g'),
+                          ' +', ' ', 'g'))) IN (SELECT hc FROM cc)
+                     OR doc_id IN (SELECT iid FROM near)) AS admit
+         FROM inc ORDER BY doc_id""",
     "q_dedup_ngram" ->
       """WITH tok AS (SELECT DISTINCT doc_id, unnest(str_split(text, ' ')) AS t
                       FROM documents WHERE doc_id < 100),

@@ -35,6 +35,32 @@ class DedupSpec extends SparkSpec {
     assert(copies == graft.tables.Tables.documents(spark, sf).count())
   }
 
+  test("incremental screen: planted cross-split dups trip each rung") {
+    // the near-only doc needs enough shared tokens that a 1-token edit
+    // stays under hamming 10: at 8 tokens the edit lands at 11, at 18
+    // tokens at 5 (simhash bit flips shrink as shared mass grows)
+    val longDoc = "the quick brown fox jumps over the lazy dog near " +
+      "the riverbank while birds sing in morning light"
+    val corpus = Seq(
+      (0L, "spark sql join filter window group order by"),
+      (1L, longDoc),
+    ).toDF("doc_id", "text")
+    val inc = Seq(
+      (10L, "spark sql join filter window group order by"),    // exact
+      (11L, "Spark  SQL join, filter window group order by!"), // canon only
+      (12L, longDoc.replace("dog", "cat")),                    // near only
+      (13L, "qqq www eee rrr ttt yyy uuu iii ooo"),            // clean
+    ).toDF("doc_id", "text")
+    val v = Dedup.screenIncrement(corpus, inc)
+      .orderBy("doc_id")
+      .select("doc_id", "exact_dup", "canon_dup", "near_dup", "admit")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean)].collect().toSeq
+    assert(v(0) == ((10L, true, true, true, false)))  // exact implies all
+    assert(v(1)._1 == 11L && !v(1)._2 && v(1)._3 && !v(1)._5)
+    assert(v(2)._1 == 12L && !v(2)._2 && !v(2)._3 && v(2)._4 && !v(2)._5)
+    assert(v(3) == ((13L, false, false, false, true)))
+  }
+
   test("exact dedup groups identical texts, keeps min id as rep") {
     val groups = docs.groupBy(md5($"text").as("text_md5"))
       .agg(min($"doc_id").as("rep_id"), count(lit(1)).as("n"))
