@@ -232,24 +232,6 @@ object Relational {
     * per-group sort and no window, which is what kills the naive
     * row_number()-over-counts form when a group holds millions of
     * distinct values. */
-  /** Bivariate statistics per group: Pearson correlation and sample
-    * covariance of quantity vs extended price. Both are single-pass
-    * comoment aggregates (partial-aggregable via the standard pairwise
-    * moment merge), so the plan is an ordinary map-side-combined hash
-    * agg — no second pass, no window. Rounded under the repo's
-    * cross-engine float convention: comoment accumulation order differs
-    * between engines, so compare at 6 dp (corr, unit-scale) / 2 dp
-    * (covar, magnitude ~1e4) with the +eps boundary guard. */
-  def aggCorr(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d)
-      .groupBy(col("l_returnflag"))
-      .agg(count(lit(1)).as("n"),
-        round(corr(col("l_quantity"), col("l_extendedprice")) + lit(1e-9), 6)
-          .as("corr_qty_price"),
-        round(covar_samp(col("l_quantity"), col("l_extendedprice"))
-          + lit(1e-6), 2).as("covar_qty_price"))
-      .orderBy("l_returnflag")
-
   def modeBy(df: DataFrame, key: Column, value: Column): DataFrame =
     df.groupBy(key.as("k"), value.as("v"))
       .agg(count(lit(1)).as("cnt"))
@@ -432,7 +414,6 @@ object Relational {
     "q_agg_unpivot"         -> aggUnpivot _,
     "q_agg_histogram"       -> aggHistogram _,
     "q_agg_mode"            -> aggMode _,
-    "q_agg_corr"            -> aggCorr _,
     "q_agg_rollup"          -> aggRollup _,
     "q_agg_cube"            -> aggCube _,
     "q_agg_grouping_sets"   -> aggGroupingSets _,
@@ -443,13 +424,6 @@ object Relational {
   val oracle: Map[String, String] = Map(
     // The oracle takes the window form (count desc, value desc, row 1);
     // the hash gate proves it equal to the struct-max derivation.
-    "q_agg_corr" ->
-      """SELECT l_returnflag, CAST(count(1) AS BIGINT) AS n,
-                round(corr(l_quantity, l_extendedprice) + 1e-9, 6)
-                  AS corr_qty_price,
-                round(covar_samp(l_quantity, l_extendedprice) + 1e-6, 2)
-                  AS covar_qty_price
-         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_agg_mode" ->
       """WITH c AS (SELECT l_returnflag,
                            CAST(EXTRACT(month FROM l_shipdate) AS INT)

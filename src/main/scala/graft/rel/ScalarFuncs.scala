@@ -147,7 +147,80 @@ object ScalarFuncs {
         col("sd_price"), col("qty_price_corr"), col("disc_tax_cov"))
       .orderBy("l_returnflag")
 
+  /** Association between two categorical columns: per-cell mutual-
+    * information and chi-square contributions over the (lang, source)
+    * contingency table — the feature-selection / drift-detection
+    * primitive (is the language mix independent of the source?).
+    *
+    * Scale shape: one keyed count for the joint table plus two
+    * vocabulary-sized marginal counts broadcast back onto it, and a
+    * one-row total on a broadcast cross join — all map-side combinable,
+    * nothing driver-side. Counts are cast to DOUBLE BEFORE multiplying
+    * (n_x*n_y as 64-bit integers overflows at corpus scale). Only
+    * observed cells are emitted (zero cells contribute 0 to MI; their
+    * chi-square term needs the dense grid — documented, not computed).
+    * ln() last-ulp portability is handled by rounding the terms (PMI
+    * precedent). */
+  /** The contingency core over any (x, y) categorical pair — split out
+    * so specs can drive closed-form fixtures (x==y → MI = ln(k)). */
+  def miTable(df: DataFrame, x: String, y: String): DataFrame = {
+    val joint = df.groupBy(col(x), col(y)).agg(count(lit(1)).as("n_xy"))
+    val mx = df.groupBy(col(x)).agg(count(lit(1)).as("n_x"))
+    val my = df.groupBy(col(y)).agg(count(lit(1)).as("n_y"))
+    val nt = df.agg(count(lit(1)).as("n"))
+    val e = col("n_x").cast("double") * col("n_y").cast("double") /
+      col("n").cast("double")
+    joint
+      .join(broadcast(mx), Seq(x))
+      .join(broadcast(my), Seq(y))
+      .crossJoin(broadcast(nt))
+      .select(col(x), col(y), col("n_xy"),
+        round(e + lit(1e-9), 4).as("expected"),
+        round((col("n_xy").cast("double") / col("n")) *
+          log(col("n_xy").cast("double") * col("n") /
+            (col("n_x").cast("double") * col("n_y"))) + lit(1e-9), 6)
+          .as("mi_term"),
+        round(pow(col("n_xy").cast("double") - e, 2) / e + lit(1e-9), 4)
+          .as("chi2_term"))
+      .orderBy(x, y)
+  }
+
+  def statsMi(s: SparkSession, d: String): DataFrame =
+    miTable(Tables.documents(s, d), "lang", "source")
+
+  /** Winsorized aggregation: clip the value column at the group's exact
+    * p05/p95 before averaging — the standard outlier-robust feature
+    * cleaning step (heavy tails move the mean; clipping bounds their
+    * leverage without dropping rows).
+    *
+    * Two-phase plan: exact percentiles per group (bounded by the 3-value
+    * group key; the sketch twin covers unbounded groups), broadcast back
+    * onto the fact table, per-row clip, ordinary hash agg. The fact
+    * table is scanned twice — at scale phase 1 runs on the
+    * q_agg_approx_percentile sketch so the bounds pass is cheap. */
+  def aggWinsor(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val bounds = li.groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_extendedprice, array(0.05, 0.95))").as("ps"))
+      .select(col("l_returnflag"),
+        round(element_at(col("ps"), 1), 4).as("lo"),
+        round(element_at(col("ps"), 2), 4).as("hi"))
+    li.join(broadcast(bounds), Seq("l_returnflag"))
+      .withColumn("clipped",
+        least(greatest(col("l_extendedprice"), col("lo")), col("hi")))
+      .groupBy(col("l_returnflag"))
+      .agg(first(col("lo")).as("lo"), first(col("hi")).as("hi"),
+        round(avg(col("clipped")) + lit(1e-6), 2).as("avg_winsor"),
+        sum(when(col("l_extendedprice") < col("lo"), 1L).otherwise(0L))
+          .as("n_clip_lo"),
+        sum(when(col("l_extendedprice") > col("hi"), 1L).otherwise(0L))
+          .as("n_clip_hi"))
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_stats_mi"     -> statsMi _,
+    "q_agg_winsor"   -> aggWinsor _,
     "q_string_funcs" -> stringFuncs _,
     "q_date_funcs"   -> dateFuncs _,
     "q_math_funcs"   -> mathFuncs _,
@@ -221,6 +294,50 @@ object ScalarFuncs {
                 CAST(len(regexp_split_to_array(p_type, '[^A-Z]+')) AS INT)
                   AS type_parts
          FROM part ORDER BY p_partkey""",
+    // operand ORDER inside each term mirrors the Spark expression
+    // left-to-right so both engines run the identical IEEE op sequence
+    "q_stats_mi" ->
+      """WITH joint AS (SELECT lang, source, CAST(count(1) AS BIGINT) AS n_xy
+                        FROM documents GROUP BY 1, 2),
+         mx AS (SELECT lang, CAST(count(1) AS BIGINT) AS n_x
+                FROM documents GROUP BY 1),
+         my AS (SELECT source, CAST(count(1) AS BIGINT) AS n_y
+                FROM documents GROUP BY 1),
+         nt AS (SELECT CAST(count(1) AS BIGINT) AS n FROM documents)
+         SELECT lang, source, n_xy,
+                round(CAST(n_x AS DOUBLE) * CAST(n_y AS DOUBLE)
+                      / CAST(n AS DOUBLE) + 1e-9, 4) AS expected,
+                round((CAST(n_xy AS DOUBLE) / n)
+                      * ln(CAST(n_xy AS DOUBLE) * n
+                           / (CAST(n_x AS DOUBLE) * n_y)) + 1e-9, 6)
+                  AS mi_term,
+                round(pow(CAST(n_xy AS DOUBLE)
+                          - CAST(n_x AS DOUBLE) * CAST(n_y AS DOUBLE)
+                            / CAST(n AS DOUBLE), 2)
+                      / (CAST(n_x AS DOUBLE) * CAST(n_y AS DOUBLE)
+                         / CAST(n AS DOUBLE)) + 1e-9, 4) AS chi2_term
+         FROM joint JOIN mx USING (lang) JOIN my USING (source)
+         CROSS JOIN nt
+         ORDER BY lang, source""",
+    // bounds are ROUNDED before the clip on both engines, so the join
+    // and per-row least/greatest see identical doubles
+    "q_agg_winsor" ->
+      """WITH b AS (SELECT l_returnflag,
+                           round(quantile_cont(l_extendedprice, 0.05), 4)
+                             AS lo,
+                           round(quantile_cont(l_extendedprice, 0.95), 4)
+                             AS hi
+                    FROM lineitem GROUP BY 1)
+         SELECT l.l_returnflag, b.lo, b.hi,
+                round(avg(least(greatest(l_extendedprice, lo), hi))
+                      + 1e-6, 2) AS avg_winsor,
+                CAST(sum(CASE WHEN l_extendedprice < lo THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_clip_lo,
+                CAST(sum(CASE WHEN l_extendedprice > hi THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_clip_hi
+         FROM lineitem l JOIN b USING (l_returnflag)
+         GROUP BY l.l_returnflag, b.lo, b.hi
+         ORDER BY l_returnflag""",
     "q_agg_stats" ->
       """SELECT l_returnflag,
                 round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
