@@ -218,8 +218,41 @@ object ScalarFuncs {
       .orderBy("l_returnflag")
   }
 
+  /** Robust outlier detection per series: median/MAD z-scores (the
+    * mean/stddev pair breaks down under the very outliers it should
+    * find; median and MAD have 50% breakdown). Reports per-group
+    * summary: scaled MAD (1.4826x for normal consistency), outlier
+    * count at |z| > 3.5 (Iglewicz–Hoaglin cutoff), and the worst score.
+    * The batch-robust complement to q_ts_anomaly's rolling mean z.
+    *
+    * Plan: two exact-percentile passes (median, then MAD around it)
+    * with vocabulary-sized broadcast joins between them, then one
+    * scoring pass — 3 scans of the fact table, group count bounded by
+    * the series vocabulary. At corpus scale the two percentile passes
+    * run on the approx_percentile sketch (one scan, bounded memory) —
+    * exact is kept here because the profile IS the oracle contract. */
+  def outliersMad(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("event_type"), col("value"))
+    val med = ev.groupBy(col("event_type"))
+      .agg(round(expr("percentile(value, 0.5)"), 4).as("med"))
+    val mad = ev.join(broadcast(med), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(round(expr("percentile(abs(value - med), 0.5)"), 4).as("mad"))
+    ev.join(broadcast(med), Seq("event_type"))
+      .join(broadcast(mad), Seq("event_type"))
+      .withColumn("z", round(abs(col("value") - col("med")) /
+        (lit(1.4826) * col("mad")) + lit(1e-9), 3))
+      .groupBy(col("event_type"), col("med"), col("mad"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("z") > 3.5, 1L).otherwise(0L)).as("n_outliers"),
+        max(col("z")).as("max_z"))
+      .select("event_type", "n", "med", "mad", "n_outliers", "max_z")
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_stats_mi"     -> statsMi _,
+    "q_outliers_mad" -> outliersMad _,
     "q_agg_winsor"   -> aggWinsor _,
     "q_string_funcs" -> stringFuncs _,
     "q_date_funcs"   -> dateFuncs _,
@@ -319,6 +352,28 @@ object ScalarFuncs {
          FROM joint JOIN mx USING (lang) JOIN my USING (source)
          CROSS JOIN nt
          ORDER BY lang, source""",
+    "q_outliers_mad" ->
+      """WITH ev AS (SELECT event_type, value FROM events),
+         med AS (SELECT event_type,
+                        round(quantile_cont(value, 0.5), 4) AS med
+                 FROM ev GROUP BY 1),
+         mad AS (SELECT e.event_type,
+                        round(quantile_cont(abs(value - med), 0.5), 4)
+                          AS mad
+                 FROM ev e JOIN med USING (event_type)
+                 GROUP BY e.event_type),
+         sc AS (SELECT e.event_type, med, mad,
+                       round(abs(value - med)
+                             / (CAST(1.4826 AS DOUBLE) * mad) + 1e-9, 3)
+                         AS z
+                FROM ev e JOIN med USING (event_type)
+                          JOIN mad USING (event_type))
+         SELECT event_type, CAST(count(1) AS BIGINT) AS n, med, mad,
+                CAST(sum(CASE WHEN z > CAST(3.5 AS DOUBLE) THEN 1 ELSE 0
+                             END) AS BIGINT) AS n_outliers,
+                max(z) AS max_z
+         FROM sc GROUP BY event_type, med, mad
+         ORDER BY event_type""",
     // bounds are ROUNDED before the clip on both engines, so the join
     // and per-row least/greatest see identical doubles
     "q_agg_winsor" ->

@@ -26,6 +26,20 @@ class StatsSpec extends SparkSpec {
     assert(corpus >= -1e-6)
   }
 
+  test("MAD outliers: heavy tail fires, robust center stays put") {
+    val out = ScalarFuncs.outliersMad(spark, sf).collect()
+    val evN = graft.tables.Tables.events(spark, sf).count()
+    assert(out.map(_.getAs[Long]("n")).sum == evN)
+    out.foreach { r =>
+      assert(r.getAs[Double]("mad") > 0, s"$r")
+      val nOut = r.getAs[Long]("n_outliers")
+      // the event values are log-normal-ish: the right tail must trip
+      // the 3.5 cutoff, but robustly — only a small fraction
+      assert(nOut > 0 && nOut < r.getAs[Long]("n") / 10, s"$r")
+      assert(r.getAs[Double]("max_z") > 3.5, s"$r")
+    }
+  }
+
   test("winsorized mean sits inside the clip bounds, tails are ~5%") {
     val out = ScalarFuncs.aggWinsor(spark, sf).collect()
     assert(out.nonEmpty)
