@@ -62,18 +62,29 @@ object Dedup {
 
   // ------------------------------------------------------------ simhash --
 
-  /** 60-bit SimHash per document over its token multiset. */
-  def simhash(docs: DataFrame): DataFrame =
-    docs
+  /** 60-bit SimHash per document over its token multiset.
+    *
+    * The 60 per-bit counters are 60 columns of ONE keyed aggregation
+    * (not an explode to 60 rows per token): the shuffle carries one
+    * 60-counter row per doc per map partition instead of 60x the token
+    * count, and the whole fingerprint needs a single exchange. The
+    * earlier explode(0..59) form shipped two shuffles and 60x the rows
+    * — same math, strictly worse movement. */
+  def simhash(docs: DataFrame): DataFrame = {
+    val tok = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
       .withColumn("hv", md5Hash60(col("t")))
-      .select(col("doc_id"), col("hv"),
-        explode(sequence(lit(0), lit(59))).as("j"))
-      .groupBy("doc_id", "j")
-      .agg(sum(when(expr("shiftright(hv, j) & 1") === 1, 1).otherwise(-1)).as("s"))
-      .groupBy("doc_id")
-      .agg(sum(when(col("s") > 0,
-        expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(0L)).as("simhash"))
+    val bitSums = (0 until 60).map { j =>
+      sum(when(expr(s"shiftright(hv, $j) & 1") === 1, 1).otherwise(-1))
+        .as(s"s$j")
+    }
+    tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 60).map { j =>
+          when(col(s"s$j") > 0,
+            lit(1L << j)).otherwise(0L)
+        }.reduce(_ + _).as("simhash"))
+  }
 
   /** Near-dup candidate pairs by SimHash hamming distance within a bounded
     * doc_id block. */

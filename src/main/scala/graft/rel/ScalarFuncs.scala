@@ -176,10 +176,11 @@ object ScalarFuncs {
       .crossJoin(broadcast(nt))
       .select(col(x), col(y), col("n_xy"),
         round(e + lit(1e-9), 4).as("expected"),
-        round((col("n_xy").cast("double") / col("n")) *
+        // + 0.0 normalizes -0.0 (negative terms can round to zero)
+        (round((col("n_xy").cast("double") / col("n")) *
           log(col("n_xy").cast("double") * col("n") /
             (col("n_x").cast("double") * col("n_y"))) + lit(1e-9), 6)
-          .as("mi_term"),
+          + lit(0.0)).as("mi_term"),
         round(pow(col("n_xy").cast("double") - e, 2) / e + lit(1e-9), 4)
           .as("chi2_term"))
       .orderBy(x, y)
@@ -342,7 +343,7 @@ object ScalarFuncs {
                       / CAST(n AS DOUBLE) + 1e-9, 4) AS expected,
                 round((CAST(n_xy AS DOUBLE) / n)
                       * ln(CAST(n_xy AS DOUBLE) * n
-                           / (CAST(n_x AS DOUBLE) * n_y)) + 1e-9, 6)
+                           / (CAST(n_x AS DOUBLE) * n_y)) + 1e-9, 6) + 0.0
                   AS mi_term,
                 round(pow(CAST(n_xy AS DOUBLE)
                           - CAST(n_x AS DOUBLE) * CAST(n_y AS DOUBLE)

@@ -85,8 +85,10 @@ object TimeSeries {
     val nw = count(col("av")).over(w)
     hourly
       .select(col("event_type"), col("hour_us"), col("av"),
+        // + 0.0 normalizes -0.0 (a tiny negative z that rounds to zero
+        // prints '-0.0' in DuckDB but '0.0' here — the agg_stats trick)
         when(nw >= 12 && sd > 0.0,
-          round((col("av") - m) / sd + lit(1e-9), 3)).as("z"))
+          round((col("av") - m) / sd + lit(1e-9), 3) + lit(0.0)).as("z"))
       .withColumn("is_anomaly", coalesce(abs(col("z")) > lit(3.0), lit(false)))
   }
 
@@ -151,7 +153,8 @@ object TimeSeries {
                              ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
          z AS (SELECT event_type, h, av,
                       CASE WHEN nw >= 12 AND sd > CAST(0 AS DOUBLE)
-                           THEN round((av - m) / sd + 1e-9, 3) END AS z
+                           THEN round((av - m) / sd + 1e-9, 3) + 0.0
+                      END AS z
                FROM wz)
          SELECT event_type, epoch_us(h) AS hour_us, av, z,
                 coalesce(abs(z) > CAST(3.0 AS DOUBLE), false) AS is_anomaly
