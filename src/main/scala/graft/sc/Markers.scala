@@ -1,0 +1,203 @@
+package graft.sc
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.tables.Tables
+
+/** Downstream-analysis operators on the cell×gene matrix: marker-gene
+  * ranking per group (the scanpy `tl.rank_genes_groups` t-test method
+  * [recalled:high] — the step after clustering that names each cluster)
+  * and covariate regression (`pp.regress_out` — remove a per-cell
+  * nuisance covariate, e.g. total counts, from every gene before
+  * downstream analysis).
+  *
+  * Scale shape, both operators: ONE pass over the exploded cell×gene
+  * frame into a keyed hash aggregation on (group, gene) / (gene) —
+  * partial aggregation (map-side combine) reduces each partition to at
+  * most |groups|×|genes| (resp. |genes|) rows before the exchange, so
+  * the shuffle volume is bounded by the statistics frame, not the
+  * matrix. Per-group-vs-rest statistics come from joining the per-group
+  * frame to the broadcast per-gene totals (rest = total − group): the
+  * matrix is NOT re-scanned per group, which is what makes
+  * rank_genes_groups one job instead of |groups| jobs. Regression
+  * residual variance uses the closed form
+  * var(resid) = var(x) − cov(x,c)²/var(c), so no second pass over the
+  * matrix with fitted coefficients is needed.
+  */
+object Markers {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val TOP_K = 5
+
+  /** Matrix with group labels: (vec_id, label, vec). Same abs-double
+    * counts view as ScMatrix.counts; `label` plays the role of the
+    * cluster/obs key scanpy groups by. */
+  private def labeled(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).select(
+      col("vec_id"), col("label"),
+      transform(col("embedding"), x => abs(x.cast("double"))).as("vec"))
+
+  /** rank_genes_groups (t-test flavor): for each label, rank genes by
+    * Welch's t of in-group vs rest-of-matrix expression; emit the top
+    * TOP_K markers per group with in/rest means.
+    *
+    * Cross-engine float discipline: the t statistic is computed from raw
+    * double sums with an identical op sequence on both engines, rounded
+    * at 4 dp (+1e-9 boundary epsilon, +0.0 to normalize a -0.0 — t is
+    * signed), and the per-group ranking orders by the ROUNDED t with the
+    * gene position as tiebreak so last-ulp accumulation differences
+    * cannot reorder rows. The ranking window is |labels|×|genes| rows —
+    * bounded by construction, never by cell count. */
+  def scMarkers(s: SparkSession, d: String): DataFrame =
+    markersFor(labeled(s, d), TOP_K)
+
+  /** The ranking core over any (label, vec) frame — split out so specs
+    * can drive it with planted differential-expression fixtures. */
+  def markersFor(m: DataFrame, topK: Int): DataFrame = {
+    val x = m
+      .select(col("label"), posexplode(col("vec")).as(Seq("pos", "val")))
+    val perGroup = x.groupBy("label", "pos").agg(
+      count(lit(1)).cast("double").as("n_g"),
+      sum(col("val")).as("s_g"),
+      sum(col("val") * col("val")).as("q_g"))
+    val overall = x.groupBy("pos").agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(col("val")).as("s"),
+      sum(col("val") * col("val")).as("q"))
+    val nR = col("n") - col("n_g")
+    val meanG = col("s_g") / col("n_g")
+    val meanR = (col("s") - col("s_g")) / nR
+    // sample variances (ddof=1) from sums of squares; greatest(0, ·)
+    // guards the tiny negative a cancellation can leave near var == 0
+    val varG = greatest(lit(0.0),
+      (col("q_g") - col("s_g") * col("s_g") / col("n_g")) / (col("n_g") - 1))
+    val varR = greatest(lit(0.0),
+      (col("q") - col("q_g") - (col("s") - col("s_g")) * (col("s") - col("s_g")) / nR)
+        / (nR - 1))
+    val den2 = varG / col("n_g") + varR / nR
+    val scored = perGroup.join(broadcast(overall), Seq("pos"))
+      .filter(col("n_g") >= 2 && nR >= 2)
+      .select(col("label"), col("pos"),
+        (round(when(den2 > 0.0, (meanG - meanR) / sqrt(den2)).otherwise(0.0)
+          + lit(1e-9), 4) + lit(0.0)).as("t"),
+        round(meanG + lit(1e-9), 6).as("mean_in"),
+        round(meanR + lit(1e-9), 6).as("mean_rest"))
+    val w = Window.partitionBy("label").orderBy(col("t").desc, col("pos"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select(col("label"), col("rnk"), (col("pos") + 1).cast("int").as("pos1"),
+        col("t"), col("mean_in"), col("mean_rest"))
+      .orderBy("label", "rnk")
+  }
+
+  /** regress_out: per-gene simple linear regression of expression on the
+    * per-cell total-count covariate (the scanpy default nuisance
+    * regressor); emits slope, intercept, and residual RMS per gene.
+    *
+    * The residual variance is closed-form
+    * (var(x) − cov(x,c)²/var(c)), so the whole fit is one keyed
+    * aggregation — no second fitted-coefficients pass. covar_pop /
+    * var_pop are native partial-aggregable Catalyst aggregates. */
+  def scRegressOut(s: SparkSession, d: String): DataFrame =
+    regressOutFor(ScMatrix.counts(s, d))
+
+  /** The regression core over any (vec) frame of per-cell double arrays
+    * — split out for closed-form spec fixtures (exactly-linear data must
+    * recover the slope with zero residual). */
+  def regressOutFor(m: DataFrame): DataFrame = {
+    val withTot = m
+      .select(col("vec"),
+        aggregate(col("vec"), lit(0.0), (a, v) => a + v).as("tot"))
+    val x = withTot.select(col("tot"),
+      posexplode(col("vec")).as(Seq("pos", "val")))
+    val st = x.groupBy("pos").agg(
+      covar_pop(col("val"), col("tot")).as("cxy"),
+      var_pop(col("tot")).as("vc"),
+      var_pop(col("val")).as("vx"),
+      avg(col("val")).as("mx"),
+      avg(col("tot")).as("mc"))
+    val slope = when(col("vc") > 0.0, col("cxy") / col("vc")).otherwise(0.0)
+    st.select((col("pos") + 1).cast("int").as("pos1"),
+        (round(slope + lit(1e-9), 6) + lit(0.0)).as("slope"),
+        (round(col("mx") - slope * col("mc") + lit(1e-9), 6) + lit(0.0))
+          .as("intercept"),
+        round(sqrt(greatest(lit(0.0),
+          col("vx") - when(col("vc") > 0.0, col("cxy") * col("cxy") / col("vc"))
+            .otherwise(0.0))) + lit(1e-9), 6).as("resid_rms"))
+      .orderBy("pos1")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_sc_markers"     -> scMarkers _,
+    "q_sc_regress_out" -> scRegressOut _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    // identical op sequence: sums of doubles → Welch t → round(·,4) →
+    // rank on the ROUNDED t with pos tiebreak
+    "q_sc_markers" ->
+      """WITH c AS (SELECT vec_id, label,
+                           list_transform(embedding,
+                             x -> abs(CAST(x AS DOUBLE))) AS v
+                    FROM embeddings),
+         x AS (SELECT label, unnest(v) AS val,
+                      generate_subscripts(v, 1) AS pos FROM c),
+         g AS (SELECT label, pos, CAST(count(*) AS DOUBLE) AS n_g,
+                      sum(val) AS s_g, sum(val * val) AS q_g
+               FROM x GROUP BY label, pos),
+         o AS (SELECT pos, CAST(count(*) AS DOUBLE) AS n,
+                      sum(val) AS s, sum(val * val) AS q
+               FROM x GROUP BY pos),
+         j AS (SELECT label, pos,
+                      s_g / n_g AS mean_g,
+                      (s - s_g) / (n - n_g) AS mean_r,
+                      greatest(CAST(0 AS DOUBLE),
+                        (q_g - s_g * s_g / n_g) / (n_g - 1)) / n_g
+                      + greatest(CAST(0 AS DOUBLE),
+                          (q - q_g - (s - s_g) * (s - s_g) / (n - n_g))
+                          / (n - n_g - 1)) / (n - n_g) AS den2
+               FROM g JOIN o USING (pos)
+               WHERE n_g >= 2 AND n - n_g >= 2),
+         sc AS (SELECT label, pos,
+                       round(CASE WHEN den2 > CAST(0 AS DOUBLE)
+                                  THEN (mean_g - mean_r) / sqrt(den2)
+                                  ELSE CAST(0 AS DOUBLE) END + 1e-9, 4)
+                         + 0.0 AS t,
+                       round(mean_g + 1e-9, 6) AS mean_in,
+                       round(mean_r + 1e-9, 6) AS mean_rest
+                FROM j),
+         r AS (SELECT label, pos, t, mean_in, mean_rest,
+                      row_number() OVER (PARTITION BY label
+                                         ORDER BY t DESC, pos) AS rnk
+               FROM sc)
+         SELECT label, CAST(rnk AS INT) AS rnk, CAST(pos AS INT) AS pos1,
+                t, mean_in, mean_rest
+         FROM r WHERE rnk <= 5 ORDER BY label, rnk""",
+    "q_sc_regress_out" ->
+      """WITH c AS (SELECT vec_id,
+                           list_transform(embedding,
+                             x -> abs(CAST(x AS DOUBLE))) AS v
+                    FROM embeddings),
+         x AS (SELECT list_sum(v) AS tot, unnest(v) AS val,
+                      generate_subscripts(v, 1) AS pos FROM c),
+         st AS (SELECT pos, covar_pop(val, tot) AS cxy,
+                       var_pop(tot) AS vc, var_pop(val) AS vx,
+                       avg(val) AS mx, avg(tot) AS mc
+                FROM x GROUP BY pos),
+         f AS (SELECT pos,
+                      CASE WHEN vc > CAST(0 AS DOUBLE) THEN cxy / vc
+                           ELSE CAST(0 AS DOUBLE) END AS slope,
+                      vx, vc, cxy, mx, mc
+               FROM st)
+         SELECT CAST(pos AS INT) AS pos1,
+                round(slope + 1e-9, 6) + 0.0 AS slope,
+                round(mx - slope * mc + 1e-9, 6) + 0.0 AS intercept,
+                round(sqrt(greatest(CAST(0 AS DOUBLE),
+                  vx - CASE WHEN vc > CAST(0 AS DOUBLE)
+                            THEN cxy * cxy / vc
+                            ELSE CAST(0 AS DOUBLE) END)) + 1e-9, 6)
+                  AS resid_rms
+         FROM f ORDER BY pos1""",
+  )
+}

@@ -1,0 +1,67 @@
+package graft.sc
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class MarkersSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("markers: planted differential gene tops its group, t signs flip") {
+    // gene 1 (pos1=1) is ~10x higher in label 0 than in label 1; gene 2
+    // is flat. Within-group variance is planted so Welch's t is defined.
+    val m = Seq(
+      (0, Seq(10.0, 1.0)), (0, Seq(12.0, 1.5)), (0, Seq(11.0, 1.2)),
+      (1, Seq(1.0, 1.1)), (1, Seq(1.5, 1.4)), (1, Seq(0.8, 1.3)))
+      .toDF("label", "vec")
+    val out = Markers.markersFor(m, topK = 2)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2),
+        r.getDouble(3))).toSeq
+    // label 0's rank-1 marker is gene 1 with strongly positive t
+    val top0 = out.find(r => r._1 == 0 && r._2 == 1).get
+    assert(top0._3 == 1 && top0._4 > 3.0)
+    // for label 1 the same gene is the most DEPLETED (negative t, so it
+    // ranks last of the two genes)
+    val g1in1 = out.find(r => r._1 == 1 && r._3 == 1).get
+    assert(g1in1._4 < -3.0 && g1in1._2 == 2)
+  }
+
+  test("markers: t is symmetric under group swap on two groups") {
+    val m = Seq(
+      (0, Seq(5.0, 1.0)), (0, Seq(6.0, 2.0)), (0, Seq(5.5, 1.5)),
+      (1, Seq(2.0, 4.0)), (1, Seq(2.5, 5.0)), (1, Seq(1.5, 4.5)))
+      .toDF("label", "vec")
+    val out = Markers.markersFor(m, topK = 2)
+      .select("label", "pos1", "t").as[(Int, Int, Double)].collect()
+      .map { case (l, p, t) => ((l, p), t) }.toMap // keyed by (label, pos1)
+    // with exactly two groups, "rest" of one IS the other: t(0,g) == -t(1,g)
+    assert(math.abs(out((0, 1)) + out((1, 1))) < 1e-9)
+    assert(math.abs(out((0, 2)) + out((1, 2))) < 1e-9)
+  }
+
+  test("regress_out: exactly linear data recovers slope, zero residual") {
+    // gene k = k * tot/3 exactly (vec = [t/3, 2t/3] with tot = t):
+    // slope_1 = 1/3, slope_2 = 2/3, intercept 0, resid 0
+    val m = Seq(Tuple1(Seq(1.0, 2.0)), Tuple1(Seq(2.0, 4.0)),
+      Tuple1(Seq(3.0, 6.0)), Tuple1(Seq(5.0, 10.0)))
+      .toDF("vec")
+    val rows = Markers.regressOutFor(m).collect()
+    val byPos = rows.map(r => r.getInt(0) ->
+      (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(math.abs(byPos(1)._1 - 1.0 / 3) < 1e-4)
+    assert(math.abs(byPos(2)._1 - 2.0 / 3) < 1e-4)
+    assert(math.abs(byPos(1)._2) < 1e-4 && math.abs(byPos(2)._2) < 1e-4)
+    assert(byPos(1)._3 < 1e-6 && byPos(2)._3 < 1e-6)
+  }
+
+  test("regress_out: constant covariate degrades to slope 0, mean intercept") {
+    // every cell has the same total -> var(tot)=0; the guard must emit
+    // slope 0 / intercept = gene mean / resid = gene stddev, not NaN
+    val m = Seq(Tuple1(Seq(1.0, 3.0)), Tuple1(Seq(2.0, 2.0)),
+      Tuple1(Seq(3.0, 1.0))).toDF("vec")
+    val byPos = Markers.regressOutFor(m).collect().map(r =>
+      r.getInt(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(byPos(1)._1 == 0.0 && math.abs(byPos(1)._2 - 2.0) < 1e-4)
+    // resid rms == population stddev of {1,2,3} = sqrt(2/3)
+    assert(math.abs(byPos(1)._3 - math.sqrt(2.0 / 3)) < 1e-4)
+  }
+}
