@@ -299,6 +299,37 @@ object TextOps {
       .orderBy("token")
   }
 
+  /** Vocabulary coverage / OOV rate per document against a corpus-derived
+    * vocabulary (top-200 tokens by frequency, count-desc token-asc
+    * tiebreak so the cut is deterministic) — the pre-tokenizer audit that
+    * tells you how much of a corpus a fixed vocab actually covers before
+    * committing to it.
+    *
+    * Scale shape: the vocab is a TakeOrderedAndProject (top-k, no global
+    * sort) and is broadcast to the token stream — the per-token membership
+    * probe never shuffles the corpus; the only exchange is the per-doc
+    * keyed aggregation. OOV rate is a ratio of exact integer counts, so
+    * the double is identical on both engines. */
+  def textOov(s: SparkSession, d: String): DataFrame =
+    textOovFor(Tables.documents(s, d), 200)
+
+  /** The audit core over any (doc_id, text) frame — split out for
+    * planted-vocabulary spec fixtures. */
+  def textOovFor(docs: DataFrame, vocabSize: Int): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+    val vocab = toks.groupBy("t").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("t")).limit(vocabSize)
+      .select(col("t"), lit(1).as("iv"))
+    toks.join(broadcast(vocab), Seq("t"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("iv").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        round(col("n_oov") / col("n_tokens") + lit(1e-9), 6).as("oov_rate"))
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------------- wiring --
 
   val queries: Map[String, Q] = Map(
@@ -312,6 +343,7 @@ object TextOps {
     "q_text_repetition"  -> textRepetition _,
     "q_text_pmi"         -> textPmi _,
     "q_text_index"       -> invertedIndex _,
+    "q_text_oov"         -> textOov _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -331,6 +363,20 @@ object TextOps {
          FROM inv, n
          WHERE df >= 2 AND df * 10 <= n_docs * 8
          ORDER BY token""",
+    // OOV rate is a ratio of exact BIGINT counts — the double quotient
+    // is bit-identical on both engines, no epsilon gymnastics needed
+    // (the +1e-9 is the repo's standard round-boundary guard only)
+    "q_text_oov" ->
+      """WITH tok AS (SELECT doc_id, unnest(str_split(text, ' ')) AS t
+                      FROM documents),
+         v AS (SELECT t FROM (SELECT t, count(1) AS cnt FROM tok GROUP BY t)
+               ORDER BY cnt DESC, t LIMIT 200)
+         SELECT doc_id, CAST(count(1) AS BIGINT) AS n_tokens,
+                CAST(count(1) FILTER (WHERE v.t IS NULL) AS BIGINT) AS n_oov,
+                round(CAST(count(1) FILTER (WHERE v.t IS NULL) AS DOUBLE)
+                      / count(1) + 1e-9, 6) AS oov_rate
+         FROM tok LEFT JOIN v ON tok.t = v.t
+         GROUP BY doc_id ORDER BY doc_id""",
     "q_text_pmi" ->
       """WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks
                     FROM documents),

@@ -101,9 +101,49 @@ object TimeSeries {
           col("av")))
       .orderBy("event_type", "hour_us")
 
+  /** EWMA smoothing (α = 0.2) over the forward-filled hourly grid — the
+    * trend line next to q_ts_anomaly's alert flags. The horizon is
+    * truncated at 24 hours: (1−α)^24 ≈ 0.5 % weight, so the infinite
+    * recursive EWMA and this windowed form agree to well under the 4 dp
+    * output precision, and UNLIKE the recursion the window DISTRIBUTES —
+    * partitions on the series key, no sequential scan per series at
+    * 100 TB. Weights are normalized by the geometric closed form
+    * (1−(1−α)^n)/α so partial warmup windows average correctly.
+    *
+    * The Spark plan is one window + per-row HOF fold (collect the ≤24
+    * trailing values, weight by position, fold); the DuckDB oracle is
+    * the naive O(n·24) self-join over the dense grid — hash equality
+    * proves the windowed decomposition, not just speed (the
+    * oracle-proves-optimization pattern). */
+  def tsEwma(s: SparkSession, d: String): DataFrame =
+    ewmaHourly(resampleHourly(s, d).filter(col("value_ff").isNotNull)
+      .select(col("event_type"), col("hour_us"), col("value_ff")))
+
+  /** The smoothing stage alone, over any dense (event_type, hour_us,
+    * value_ff) frame — split out for closed-form spec fixtures. Input
+    * must be hour-dense per series (resampleHourly guarantees it);
+    * ROWS-frame weights assume consecutive hours. */
+  def ewmaHourly(g: DataFrame): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("hour_us")
+      .rowsBetween(-23, 0)
+    // frame order == orderBy order, so the list is oldest → newest and
+    // element i of n gets weight (1-α)^(n-1-i)
+    val withL = g.withColumn("l", collect_list(col("value_ff")).over(w))
+    val n = size(col("l"))
+    val num = aggregate(
+      transform(col("l"), (x, i) =>
+        x * pow(lit(0.8), (n - 1 - i).cast("double"))),
+      lit(0.0), (a, x) => a + x)
+    val den = (lit(1.0) - pow(lit(0.8), n.cast("double"))) / lit(0.2)
+    withL.select(col("event_type"), col("hour_us"), col("value_ff"),
+        (round(num / den + lit(1e-9), 4) + lit(0.0)).as("ewma"))
+      .orderBy("event_type", "hour_us")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_ts_resample" -> resampleHourly _,
     "q_ts_anomaly" -> tsAnomaly _,
+    "q_ts_ewma" -> tsEwma _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -159,5 +199,45 @@ object TimeSeries {
          SELECT event_type, epoch_us(h) AS hour_us, av, z,
                 coalesce(abs(z) > CAST(3.0 AS DOUBLE), false) AS is_anomaly
          FROM z ORDER BY event_type, hour_us""",
+    // the NAIVE complete form: per output row, join the trailing 23
+    // hours and weight by the integer hour gap — proves the Spark
+    // window+fold decomposition over the dense grid. Weight exponents
+    // are exact integer-valued doubles on both engines; the weighted
+    // sum is rounded at 4 dp (+1e-9, +0.0) per repo float discipline.
+    "q_ts_ewma" ->
+      """WITH ev AS (SELECT event_type,
+                            CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+                            value
+                     FROM events),
+         hourly AS (SELECT event_type, h, round(avg(value) + 1e-6, 4) AS av
+                    FROM ev GROUP BY event_type, h),
+         b AS (SELECT min(h) AS h0, max(h) AS h1 FROM ev),
+         grid AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR))
+                    AS h
+                  FROM b),
+         tg AS (SELECT DISTINCT event_type FROM events),
+         g2 AS (SELECT tg.event_type, grid.h FROM grid CROSS JOIN tg),
+         j AS (SELECT g2.event_type, g2.h, hourly.av
+               FROM g2 LEFT JOIN hourly
+                 ON g2.event_type = hourly.event_type AND g2.h = hourly.h),
+         f AS (SELECT event_type, epoch_us(h) AS hour_us,
+                      last_value(av IGNORE NULLS) OVER (
+                        PARTITION BY event_type ORDER BY h
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS value_ff
+               FROM j),
+         nn AS (SELECT * FROM f WHERE value_ff IS NOT NULL)
+         SELECT a.event_type, a.hour_us, a.value_ff,
+                round(sum(b2.value_ff * power(CAST(0.8 AS DOUBLE),
+                        CAST((a.hour_us - b2.hour_us) // 3600000000
+                             AS DOUBLE)))
+                      / ((1 - power(CAST(0.8 AS DOUBLE),
+                                    CAST(count(1) AS DOUBLE)))
+                         / CAST(0.2 AS DOUBLE)) + 1e-9, 4) + 0.0 AS ewma
+         FROM nn a JOIN nn b2 ON a.event_type = b2.event_type
+           AND b2.hour_us BETWEEN a.hour_us - 23 * 3600000000
+                              AND a.hour_us
+         GROUP BY a.event_type, a.hour_us, a.value_ff
+         ORDER BY a.event_type, a.hour_us""",
   )
 }

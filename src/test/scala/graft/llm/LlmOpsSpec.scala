@@ -180,6 +180,23 @@ class TextOpsSpec extends SparkSpec {
       .select("doc_id", "canonical_md5", "fp_count").collect()
     assert(fp.length == 500 && fp.forall(_.getLong(2) > 0))
   }
+
+  test("oov: planted vocab cut counts exactly the out-of-vocab tokens") {
+    import spark.implicits._
+    // vocabSize=2 -> vocab = {"a" (4x), "b" (3x)}; "c"/"d" are OOV.
+    // count-desc token-asc tiebreak: "c" (2x) loses the cut to a and b.
+    val docs = Seq(
+      (1L, "a a b c"),   // 1 OOV of 4
+      (2L, "a b c d"),   // 2 OOV of 4
+      (3L, "a b a"))     // 0 OOV of 3
+      .toDF("doc_id", "text")
+    val out = TextOps.textOovFor(docs, vocabSize = 2).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(out(1L) == ((4L, 1L, 0.25)))
+    assert(out(2L) == ((4L, 2L, 0.5)))
+    assert(out(3L)._2 == 0L && out(3L)._3 == 0.0)
+  }
 }
 
 class MultimodalSpec extends SparkSpec {

@@ -90,4 +90,41 @@ class TimeSeriesSpec extends SparkSpec {
     // jittered steady-state rows before the spike are not flagged
     assert(!flagged.exists(_ < 40L * 3600L * 1000000L))
   }
+
+  test("ewma: constant series smooths to itself, warmup row is exact") {
+    import spark.implicits._
+    val HR = 3600L * 1000000L
+    val const = (0 until 30).map(i => ("a", i * HR, 5.0))
+      .toDF("event_type", "hour_us", "value_ff")
+    val out = TimeSeries.ewmaHourly(const).collect()
+    assert(out.forall(r => math.abs(r.getDouble(3) - 5.0) < 1e-3))
+
+    // unit impulse at t=0: ewma(t) = 0.2*0.8^t / (1 - 0.8^(t+1)),
+    // exact closed form of the normalized truncated EWMA
+    val impulse = (0 until 10).map(i =>
+      ("b", i * HR, if (i == 0) 1.0 else 0.0))
+      .toDF("event_type", "hour_us", "value_ff")
+    val got = TimeSeries.ewmaHourly(impulse).collect()
+      .map(r => r.getLong(1) / HR -> r.getDouble(3)).toMap
+    (0 until 10).foreach { t =>
+      val want = 0.2 * math.pow(0.8, t) / (1 - math.pow(0.8, t + 1))
+      assert(math.abs(got(t.toLong) - want) < 1e-3,
+        s"t=$t got ${got(t.toLong)} want $want")
+    }
+  }
+
+  test("ewma: horizon truncation keeps weight outside 24h under output precision") {
+    import spark.implicits._
+    val HR = 3600L * 1000000L
+    // step series: 100 for the first 30 hours, then 0. Once 24+ hours
+    // past the step, the truncated window holds only zeros -> ewma == 0,
+    // and the INFINITE recursion would still carry 100*0.8^24 ~ 0.47 of
+    // pre-normalization mass; the normalized windowed form discards it.
+    val step = (0 until 60).map(i => ("c", i * HR, if (i < 30) 100.0 else 0.0))
+      .toDF("event_type", "hour_us", "value_ff")
+    val got = TimeSeries.ewmaHourly(step).collect()
+      .map(r => r.getLong(1) / HR -> r.getDouble(3)).toMap
+    assert(got(29L) > 99.0)              // deep in the step: ~constant
+    assert(got(54L) == 0.0 && got(59L) == 0.0) // >=24h past the step
+  }
 }
