@@ -223,6 +223,35 @@ object Relational {
         round(avg(col("o_totalprice")) + lit(1e-6), 2).as("avg_price"))
       .orderBy("bucket")
 
+  /** Equi-DEPTH binning of order totals (deciles) — the feature-binning
+    * complement to aggHistogram's fixed-width buckets. Two stages, both
+    * scale-clean: (1) the nine interior decile bounds via one exact
+    * interpolated-percentile aggregate (partial-aggregable; the
+    * approx_percentile twin is the unbounded-cardinality swap), rounded
+    * so both engines bucket on identical doubles; (2) bucket assignment
+    * is a BROADCAST of the 9-value bounds array folded per row — the
+    * table is never sorted or shuffled for ranking, which is what kills
+    * the naive ntile()-over-everything form at scale. Per-bucket counts
+    * land within ±1/n of equal depth (ties at bounds go low, by `>`). */
+  def aggEqDepth(s: SparkSession, d: String): DataFrame = {
+    val t = Tables.orders(s, d).select(col("o_totalprice").as("v"))
+    val fracs = (1 to 9).map(_ / 10.0)
+    val bounds = t.agg(
+      expr(s"percentile(v, array(${fracs.mkString(",")}))").as("qs"))
+      .select(transform(col("qs"),
+        q => round(q + lit(1e-6), 2)).as("qs"))
+    t.crossJoin(broadcast(bounds))
+      .select(col("v"),
+        (aggregate(col("qs"), lit(0),
+          (a, q) => a + when(col("v") > q, 1).otherwise(0)) + 1)
+          .cast("int").as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        round(min(col("v")) + lit(1e-6), 2).as("min_v"),
+        round(max(col("v")) + lit(1e-6), 2).as("max_v"))
+      .orderBy("bucket")
+  }
+
   /** Exact mode with a deterministic tie-break: the modal ship month per
     * returnflag. SQL's mode() is non-deterministic on ties in both
     * engines, so this computes it as two partial-aggregable hash aggs:
@@ -413,6 +442,7 @@ object Relational {
     "q_agg_pivot"           -> aggPivot _,
     "q_agg_unpivot"         -> aggUnpivot _,
     "q_agg_histogram"       -> aggHistogram _,
+    "q_agg_eqdepth"         -> aggEqDepth _,
     "q_agg_mode"            -> aggMode _,
     "q_agg_rollup"          -> aggRollup _,
     "q_agg_cube"            -> aggCube _,
@@ -562,6 +592,24 @@ object Relational {
                 CAST(count(1) AS BIGINT) AS n,
                 round(avg(o_totalprice) + 1e-6, 2) AS avg_price
          FROM orders GROUP BY bucket ORDER BY bucket""",
+    // Spark percentile() == DuckDB quantile_cont (both exact
+    // interpolated); bounds rounded BEFORE bucketing so both engines
+    // compare v against identical doubles (the q_agg_winsor precedent)
+    "q_agg_eqdepth" ->
+      """WITH b AS (SELECT list_transform(
+                      quantile_cont(o_totalprice,
+                        [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
+                      q -> round(q + 1e-6, 2)) AS qs
+                    FROM orders),
+         a AS (SELECT o_totalprice AS v,
+                      1 + len(list_filter(b.qs, q -> o_totalprice > q))
+                        AS bucket
+               FROM orders, b)
+         SELECT CAST(bucket AS INT) AS bucket,
+                CAST(count(1) AS BIGINT) AS n,
+                round(min(v) + 1e-6, 2) AS min_v,
+                round(max(v) + 1e-6, 2) AS max_v
+         FROM a GROUP BY bucket ORDER BY bucket""",
     "q_agg_rollup" ->
       """SELECT r_name, n_name, ROUND(SUM(o_totalprice), 2) AS revenue
          FROM orders JOIN customer ON o_custkey = c_custkey

@@ -72,4 +72,25 @@ class RelationalSpec extends SparkSpec {
       .filter(col("mode_n") =!= col("mx"))
     assert(mism.count() == 0)
   }
+
+  test("eqdepth: 10 near-equal buckets, contiguous non-overlapping ranges") {
+    val rows = Relational.aggEqDepth(spark, sf).collect()
+    assert(rows.map(_.getInt(0)).toSeq == (1 to 10))
+    val total = rows.map(_.getLong(1)).sum
+    // depth within ±2% of n/10 (bound ties all go low, so not exact)
+    rows.foreach { r =>
+      assert(math.abs(r.getLong(1) - total / 10.0) <= total * 0.02,
+        s"bucket ${r.getInt(0)} depth ${r.getLong(1)} vs ${total / 10.0}")
+    }
+    // ranges ordered: bucket k's max <= bucket k+1's min
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getDouble(3) <= b.getDouble(2) + 1e-9)
+    }
+    // assignment never sorts the table: the bounds side is broadcast
+    val plan = planOf(Relational.aggEqDepth(spark, sf))
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"))
+    // no Window operator: ranking never global-sorts the table
+    assert(!plan.contains("Window"))
+  }
 }
