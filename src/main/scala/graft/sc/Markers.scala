@@ -57,14 +57,22 @@ object Markers {
   def markersFor(m: DataFrame, topK: Int): DataFrame = {
     val x = m
       .select(col("label"), posexplode(col("vec")).as(Seq("pos", "val")))
+    // the matrix is exploded and aggregated ONCE; the per-gene overall
+    // totals are the per-group frame re-summed (a |groups|×|genes| frame
+    // — persisting it costs nothing and stops Spark re-scanning the
+    // matrix for the second aggregation; column pruning would otherwise
+    // specialize the two subtrees past ReuseExchange's identical-plan
+    // test). The oracle mirrors the two-level summation so both engines
+    // accumulate in the same grouping structure.
     val perGroup = x.groupBy("label", "pos").agg(
-      count(lit(1)).cast("double").as("n_g"),
-      sum(col("val")).as("s_g"),
-      sum(col("val") * col("val")).as("q_g"))
-    val overall = x.groupBy("pos").agg(
-      count(lit(1)).cast("double").as("n"),
-      sum(col("val")).as("s"),
-      sum(col("val") * col("val")).as("q"))
+        count(lit(1)).cast("double").as("n_g"),
+        sum(col("val")).as("s_g"),
+        sum(col("val") * col("val")).as("q_g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val overall = perGroup.groupBy("pos").agg(
+      sum(col("n_g")).as("n"),
+      sum(col("s_g")).as("s"),
+      sum(col("q_g")).as("q"))
     val nR = col("n") - col("n_g")
     val meanG = col("s_g") / col("n_g")
     val meanR = (col("s") - col("s_g")) / nR
@@ -146,9 +154,8 @@ object Markers {
          g AS (SELECT label, pos, CAST(count(*) AS DOUBLE) AS n_g,
                       sum(val) AS s_g, sum(val * val) AS q_g
                FROM x GROUP BY label, pos),
-         o AS (SELECT pos, CAST(count(*) AS DOUBLE) AS n,
-                      sum(val) AS s, sum(val * val) AS q
-               FROM x GROUP BY pos),
+         o AS (SELECT pos, sum(n_g) AS n, sum(s_g) AS s, sum(q_g) AS q
+               FROM g GROUP BY pos),
          j AS (SELECT label, pos,
                       s_g / n_g AS mean_g,
                       (s - s_g) / (n - n_g) AS mean_r,
