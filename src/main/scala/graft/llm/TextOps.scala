@@ -330,6 +330,46 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Per-source distribution drift: KL(source ‖ corpus) over a bounded
+    * top-50 token support — the monitor that catches one ingest source
+    * going off-distribution (template spam, language shift, format rot)
+    * before it skews the training mix. Support is the deterministic
+    * top-50 corpus tokens (count-desc token-asc cut), so the sum has
+    * fixed, engine-agnostic membership; a source's zero-count tokens
+    * contribute 0 by the p·ln(p/q) → 0 convention (a strict subset
+    * support keeps q > 0 always).
+    *
+    * Scale shape: the support is a broadcast top-k; per-(source, token)
+    * counts are one keyed aggregation of the support-filtered token
+    * stream (the corpus-wide token stream is never shuffled — the
+    * broadcast semi-join prunes it first); the divergence is a 50-term
+    * per-source fold. Everything partial-aggregates. */
+  def textKl(s: SparkSession, d: String): DataFrame =
+    textKlFor(Tables.documents(s, d), 50)
+
+  /** The drift core over any (source, text) frame — split out for
+    * planted-distribution spec fixtures. */
+  def textKlFor(docs: DataFrame, supportSize: Int): DataFrame = {
+    val toks = docs
+      .select(col("source"), explode(tokens(col("text"))).as("t"))
+    val support = toks.groupBy("t").agg(count(lit(1)).as("c_t"))
+      .orderBy(col("c_t").desc, col("t")).limit(supportSize)
+    val nAll = support.agg(sum(col("c_t")).as("n"))
+    val perSource = toks.join(broadcast(support.select("t")), Seq("t"))
+      .groupBy("source", "t").agg(count(lit(1)).as("c_st"))
+    val nSource = perSource.groupBy("source").agg(sum(col("c_st")).as("n_s"))
+    val p = col("c_st").cast("double") / col("n_s")
+    val q = col("c_t").cast("double") / col("n")
+    perSource
+      .join(broadcast(support), Seq("t"))
+      .join(broadcast(nSource), Seq("source"))
+      .crossJoin(broadcast(nAll))
+      .groupBy("source")
+      .agg(max(col("n_s")).as("n_support_tokens"),
+        (round(sum(p * log(p / q)) + lit(1e-9), 6) + lit(0.0)).as("kl"))
+      .orderBy("source")
+  }
+
   // ------------------------------------------------------------- wiring --
 
   val queries: Map[String, Q] = Map(
@@ -344,6 +384,7 @@ object TextOps {
     "q_text_pmi"         -> textPmi _,
     "q_text_index"       -> invertedIndex _,
     "q_text_oov"         -> textOov _,
+    "q_text_kl"          -> textKl _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -377,6 +418,26 @@ object TextOps {
                       / count(1) + 1e-9, 6) AS oov_rate
          FROM tok LEFT JOIN v ON tok.t = v.t
          GROUP BY doc_id ORDER BY doc_id""",
+    // strict-subset support keeps q > 0; zero-count (source, token)
+    // pairs simply don't appear in ps, implementing p·ln(p/q) → 0
+    "q_text_kl" ->
+      """WITH tok AS (SELECT source, unnest(str_split(text, ' ')) AS t
+                      FROM documents),
+         sup AS (SELECT t, count(1) AS c_t FROM tok GROUP BY t
+                 ORDER BY count(1) DESC, t LIMIT 50),
+         n AS (SELECT sum(c_t) AS n FROM sup),
+         ps AS (SELECT source, tok.t, count(1) AS c_st
+                FROM tok JOIN sup ON tok.t = sup.t
+                GROUP BY source, tok.t),
+         ns AS (SELECT source, sum(c_st) AS n_s FROM ps GROUP BY source)
+         SELECT ps.source, CAST(max(n_s) AS BIGINT) AS n_support_tokens,
+                round(sum((CAST(c_st AS DOUBLE) / n_s)
+                          * ln((CAST(c_st AS DOUBLE) / n_s)
+                               / (CAST(c_t AS DOUBLE) / n.n))) + 1e-9, 6)
+                  + 0.0 AS kl
+         FROM ps JOIN sup ON ps.t = sup.t
+                 JOIN ns ON ps.source = ns.source, n
+         GROUP BY ps.source ORDER BY ps.source""",
     "q_text_pmi" ->
       """WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks
                     FROM documents),

@@ -181,6 +181,25 @@ class TextOpsSpec extends SparkSpec {
     assert(fp.length == 500 && fp.forall(_.getLong(2) > 0))
   }
 
+  test("kl: matching distribution scores ~0, skewed source scores higher") {
+    import spark.implicits._
+    // corpus-wide token mix is 2:1 a:b. Source "same" mirrors it;
+    // source "skew" is all-a. KL(same) ~ 0 < KL(skew).
+    val docs = Seq(
+      ("same", "a a b a a b"),
+      ("skew", "a a a a a a"))
+      .toDF("source", "text")
+    val out = TextOps.textKlFor(docs, supportSize = 2).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(out("skew") > out("same") + 0.1)
+    // exact closed forms: corpus q = (10a, 2b)/12; same p = (4a,2b)/6,
+    // skew p = (6a)/6 -> KL(skew) = ln(12/10) = 0.1823
+    assert(math.abs(out("skew") - math.log(12.0 / 10)) < 1e-4)
+    val pA = 4.0 / 6; val pB = 2.0 / 6
+    val klSame = pA * math.log(pA / (10.0 / 12)) + pB * math.log(pB / (2.0 / 12))
+    assert(math.abs(out("same") - klSame) < 1e-4)
+  }
+
   test("oov: planted vocab cut counts exactly the out-of-vocab tokens") {
     import spark.implicits._
     // vocabSize=2 -> vocab = {"a" (4x), "b" (3x)}; "c"/"d" are OOV.
