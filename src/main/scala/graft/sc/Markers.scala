@@ -136,9 +136,65 @@ object Markers {
       .orderBy("pos1")
   }
 
+  /** downsample_counts (scanpy pp.downsample_counts [recalled:med]):
+    * reduce each cell's integerized counts to a fixed target total,
+    * deterministically. scanpy samples without replacement (random);
+    * this is the largest-remainder (Hamilton) apportionment instead —
+    * the unique deterministic allocation closest to proportional, so
+    * both engines and every retry produce the identical matrix.
+    *
+    * Per cell: base_i = ⌊c_i·T/tot⌋, then the T−Σbase leftover units go
+    * to the largest remainders (c_i·T mod tot), position ascending on
+    * ties. ALL-INTEGER arithmetic — no doubles, no rounding epsilons,
+    * the oracle matches exactly. Cells already at or under target pass
+    * through. Purely per-row (one projection, no shuffle at all until
+    * the output sort); the O(d²) tie-rank inside the row is d=|genes|
+    * wide — bounded, codegen'd, and embarrassingly parallel at 100 TB. */
+  def scDownsample(s: SparkSession, d: String): DataFrame =
+    downsampleFor(Tables.embeddings(s, d).select(
+      col("vec_id"),
+      transform(col("embedding"),
+        x => floor(abs(x.cast("double")) * 4).cast("long")).as("c")),
+      target = 40L)
+
+  /** The apportionment core over any (vec_id, c: array<long>) frame. */
+  def downsampleFor(m: DataFrame, target: Long): DataFrame = {
+    val tot = aggregate(col("c"), lit(0L), (a, x) => a + x)
+    val t = m.select(col("vec_id"), col("c"), tot.as("tot"))
+    // integer division via subtract-remainder (Column has no `div`;
+    // the double quotient of an exactly-divisible pair is exact)
+    val base = transform(col("c"), x =>
+      (((x * lit(target)) - ((x * lit(target)) % col("tot")))
+        / col("tot")).cast("long"))
+    val rem = transform(col("c"), x => (x * lit(target)) % col("tot"))
+    val withParts = t.filter(col("tot") > 0)
+      .select(col("vec_id"), col("c"), col("tot"),
+        base.as("base"), rem.as("rem"))
+    val deficit = lit(target) - aggregate(col("base"), lit(0L), (a, x) => a + x)
+    // element i receives a leftover unit iff fewer than `deficit`
+    // elements beat it by (remainder desc, position asc)
+    val idx = sequence(lit(0), size(col("c")) - 1)
+    val out = transform(idx, i =>
+      element_at(col("base"), i + 1) +
+        when(size(filter(idx, j =>
+          element_at(col("rem"), j + 1) > element_at(col("rem"), i + 1) ||
+            (element_at(col("rem"), j + 1) === element_at(col("rem"), i + 1)
+              && j < i))) < deficit, 1L).otherwise(0L))
+    withParts
+      .select(col("vec_id"), col("tot").as("tot_before"),
+        when(col("tot") <= target, col("c")).otherwise(out).as("ds"))
+      .select(col("vec_id"), col("tot_before"),
+        aggregate(col("ds"), lit(0L), (a, x) => a + x).as("tot_after"),
+        aggregate(zip_with(col("ds"),
+            sequence(lit(1), size(col("ds"))), (x, i) => x * i),
+          lit(0L), (a, x) => a + x).as("wsum"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_sc_markers"     -> scMarkers _,
     "q_sc_regress_out" -> scRegressOut _,
+    "q_sc_downsample"  -> scDownsample _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -181,6 +237,39 @@ object Markers {
          SELECT label, CAST(rnk AS INT) AS rnk, CAST(pos AS INT) AS pos1,
                 t, mean_in, mean_rest
          FROM r WHERE rnk <= 5 ORDER BY label, rnk""",
+    // ALL-INTEGER apportionment: // and % on BIGINTs, no rounding —
+    // the one sc oracle with exact equality by construction
+    "q_sc_downsample" ->
+      """WITH m AS (SELECT vec_id,
+                           list_transform(embedding,
+                             x -> CAST(floor(abs(CAST(x AS DOUBLE)) * 4)
+                                       AS BIGINT)) AS c
+                    FROM embeddings),
+         t AS (SELECT vec_id, c, list_sum(c) AS tot FROM m
+               WHERE list_sum(c) > 0),
+         p AS (SELECT vec_id, c, tot,
+                      list_transform(c, x -> (x * 40) // tot) AS base,
+                      list_transform(c, x -> (x * 40) % tot) AS rem
+               FROM t),
+         q AS (SELECT vec_id, c, tot, base, rem,
+                      40 - list_sum(base) AS deficit,
+                      range(0, len(c)) AS idx
+               FROM p),
+         o AS (SELECT vec_id, tot AS tot_before,
+                      CASE WHEN tot <= 40 THEN c
+                           ELSE list_transform(idx, i -> base[i + 1] +
+                             CASE WHEN len(list_filter(idx, j ->
+                                    rem[j + 1] > rem[i + 1] OR
+                                    (rem[j + 1] = rem[i + 1] AND j < i)))
+                                  < deficit
+                                  THEN 1 ELSE 0 END)
+                      END AS ds
+               FROM q)
+         SELECT vec_id, CAST(tot_before AS BIGINT) AS tot_before,
+                CAST(list_sum(ds) AS BIGINT) AS tot_after,
+                CAST(list_sum(list_transform(range(0, len(ds)),
+                       i -> ds[i + 1] * (i + 1))) AS BIGINT) AS wsum
+         FROM o ORDER BY vec_id""",
     "q_sc_regress_out" ->
       """WITH c AS (SELECT vec_id,
                            list_transform(embedding,

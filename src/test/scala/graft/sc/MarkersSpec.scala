@@ -53,6 +53,35 @@ class MarkersSpec extends SparkSpec {
     assert(byPos(1)._3 < 1e-6 && byPos(2)._3 < 1e-6)
   }
 
+  test("downsample: largest-remainder hits the target exactly, hand-checked") {
+    // cell 1: c=(3,5,2), tot=10, T=6 -> scaled*6: (18,30,12)/10 ->
+    // base (1,3,1)=5, rems (8,0,2): one leftover goes to pos 1 (rem 8)
+    // -> ds=(2,3,1), wsum = 2*1+3*2+1*3 = 11
+    // cell 2: tot 4 <= 6 -> passthrough, wsum = 1+2*2+3*1 = 8
+    // cell 3: all-tie rems (2,2,2) with base (0,0,0), tot=3... use
+    // c=(1,1,1), tot=3, T=6 -> tot<=T passthrough
+    val m = Seq(
+      (1L, Seq(3L, 5L, 2L)),
+      (2L, Seq(1L, 2L, 1L)),
+      (3L, Seq(1L, 1L, 1L)))
+      .toDF("vec_id", "c")
+    val out = Markers.downsampleFor(m, target = 6L).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out(1L) == ((10L, 6L, 11L)))
+    assert(out(2L) == ((4L, 4L, 8L)))
+    assert(out(3L) == ((3L, 3L, 6L)))
+  }
+
+  test("downsample: ties split by position, never exceeds per-gene counts") {
+    // c=(2,2,2), tot=6, T=4: base (1,1,1), rems (2,2,2) all tied ->
+    // deficit 1 goes to the LOWEST position -> ds=(2,1,1)
+    val m = Seq((1L, Seq(2L, 2L, 2L))).toDF("vec_id", "c")
+    val r = Markers.downsampleFor(m, target = 4L).collect().head
+    assert(r.getLong(1) == 6L && r.getLong(2) == 4L)
+    assert(r.getLong(3) == 2L * 1 + 1 * 2 + 1 * 3) // wsum pins (2,1,1)
+  }
+
   test("regress_out: constant covariate degrades to slope 0, mean intercept") {
     // every cell has the same total -> var(tot)=0; the guard must emit
     // slope 0 / intercept = gene mean / resid = gene stddev, not NaN
