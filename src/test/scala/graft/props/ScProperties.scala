@@ -139,3 +139,46 @@ object RelProperties extends Properties("graft.rel") {
     }
   }
 }
+
+/** Apportionment algebra for the deterministic count downsampler. */
+object DownsampleProperties extends Properties("graft.sc.downsample") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(10).withWorkers(1)
+
+  private lazy val spark = SparkSpec.session
+  import spark.implicits._
+
+  /** Integer count matrices for the downsampling apportionment. */
+  private val countsGen: Gen[Seq[(Long, Seq[Long])]] = for {
+    nRows <- Gen.choose(1, 8)
+    nDims <- Gen.choose(1, 8)
+    rows <- Gen.listOfN(nRows, Gen.listOfN(nDims, Gen.choose(0L, 20L)))
+  } yield rows.zipWithIndex.map { case (v, i) => ((i + 1).toLong, v: Seq[Long]) }
+
+  property("conserves exactly min(total, target)") =
+    forAll(countsGen, Gen.choose(1L, 30L)) { (m, target) =>
+      val df = m.toDF("vec_id", "c")
+      val out = graft.sc.Markers.downsampleFor(df, target).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      m.forall { case (id, c) =>
+        val tot = c.sum
+        if (tot == 0) !out.contains(id) // zero-total rows are dropped
+        else out(id) == ((tot, math.min(tot, target)))
+      }
+    }
+
+  property("per-gene outputs never exceed inputs (via wsum bound)") =
+    forAll(countsGen, Gen.choose(1L, 30L)) { (m, target) =>
+      // wsum(ds) <= wsum(c) for every row, since ds_i <= c_i pointwise:
+      // base_i = floor(c_i*T/tot) <= c_i for T <= tot, +1 at most once
+      // per position only when the floor lost a fractional unit
+      val df = m.toDF("vec_id", "c")
+      val out = graft.sc.Markers.downsampleFor(df, target).collect()
+        .map(r => r.getLong(0) -> r.getLong(3)).toMap
+      m.forall { case (id, c) =>
+        val wsumIn = c.zipWithIndex.map { case (x, i) => x * (i + 1) }.sum
+        c.sum == 0 || out(id) <= wsumIn
+      }
+    }
+}
