@@ -225,15 +225,65 @@ object Events {
     dedupKeys(Tables.events(s, d))
       .orderBy("user_id", "event_type")
 
+  /** Cohort retention: users grouped by first-seen week, counted in each
+    * later week they return — the activation/retention staple next to
+    * the funnel. Week ids are PURE INTEGER epoch arithmetic
+    * (µs div 7·86400·10⁶), not date_trunc('week'), so both engines bin
+    * identically with no week-start convention in play; the retention
+    * rate is a ratio of exact BIGINT counts.
+    *
+    * Scale shape: one keyed agg to first-seen week (map-side combinable
+    * min), one shuffle join back on user_id (both sides hash on the
+    * same key), one (cohort, offset) distinct-count agg, and a
+    * broadcast of the |weeks|-row cohort-size frame. Nothing scans the
+    * event log twice. */
+  def cohortRetention(events: DataFrame): DataFrame = {
+    val wk = events.select(col("user_id"),
+      expr("unix_micros(ts) div 604800000000").as("wk"))
+    val cohort = wk.groupBy("user_id").agg(min(col("wk")).as("c0"))
+    val agg = wk.join(cohort, "user_id")
+      .groupBy(col("c0"), (col("wk") - col("c0")).as("offset_w"))
+      .agg(count_distinct(col("user_id")).as("n_users"))
+    val sizes = agg.filter(col("offset_w") === 0)
+      .select(col("c0"), col("n_users").as("cohort_size"))
+    agg.join(broadcast(sizes), "c0")
+      .select(col("c0").as("cohort_w"), col("offset_w"), col("n_users"),
+        col("cohort_size"),
+        round(col("n_users") / col("cohort_size") + lit(1e-9), 6)
+          .as("retention"))
+      .orderBy("cohort_w", "offset_w")
+  }
+
+  def streamCohort(s: SparkSession, d: String): DataFrame =
+    cohortRetention(Tables.events(s, d))
+
   val queries: Map[String, Q] = Map(
     "q_stream_tumbling" -> streamTumbling _,
     "q_stream_sliding"  -> streamSliding _,
     "q_stream_session"  -> streamSession _,
     "q_stream_join"     -> streamJoin _,
     "q_stream_dedup"    -> streamDedup _,
+    "q_cohort_retention" -> streamCohort _,
   )
 
   val oracle: Map[String, String] = Map(
+    // integer week ids (µs // 604800000000) sidestep any week-start
+    // convention; retention is a ratio of exact BIGINT counts
+    "q_cohort_retention" ->
+      """WITH wk AS (SELECT user_id,
+                            epoch_us(ts) // 604800000000 AS wk
+                     FROM events),
+         c AS (SELECT user_id, min(wk) AS c0 FROM wk GROUP BY user_id),
+         a AS (SELECT c0, wk.wk - c0 AS offset_w,
+                      CAST(count(DISTINCT wk.user_id) AS BIGINT) AS n_users
+               FROM wk JOIN c ON wk.user_id = c.user_id
+               GROUP BY c0, wk.wk - c0),
+         sz AS (SELECT c0, n_users AS cohort_size FROM a WHERE offset_w = 0)
+         SELECT a.c0 AS cohort_w, a.offset_w, a.n_users, sz.cohort_size,
+                round(CAST(a.n_users AS DOUBLE) / sz.cohort_size + 1e-9, 6)
+                  AS retention
+         FROM a JOIN sz ON a.c0 = sz.c0
+         ORDER BY cohort_w, offset_w""",
     "q_stream_tumbling" ->
       """SELECT epoch_us(date_trunc('hour', ts)) AS win_start_us, event_type,
                 CAST(count(1) AS BIGINT) AS n,

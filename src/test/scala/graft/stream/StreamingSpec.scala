@@ -269,4 +269,24 @@ class StreamingDedupSpec extends graft.SparkSpec {
       .map(r => (r.getLong(0), r.getString(1))).toSet
     assert(got == want && want.size == 3, s"got $got want $want")
   }
+
+  test("cohort retention: planted churn yields exact per-offset rates") {
+    import spark.implicits._
+    val WEEK = 604800000000L
+    def at(w: Long) = new java.sql.Timestamp(w * WEEK / 1000)
+    // A: weeks 0,1,2 · B: weeks 0,2 · C: week 1 only
+    val ev = Seq(
+      (1L, at(0)), (1L, at(1)), (1L, at(2)),
+      (2L, at(0)), (2L, at(2)),
+      (3L, at(1)))
+      .toDF("user_id", "ts")
+    val out = Events.cohortRetention(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(out((0L, 0L)) == ((2L, 2L, 1.0)))   // cohort {A,B}
+    assert(out((0L, 1L)) == ((1L, 2L, 0.5)))   // only A returns in w1
+    assert(out((0L, 2L)) == ((2L, 2L, 1.0)))   // both return in w2
+    assert(out((1L, 0L)) == ((1L, 1L, 1.0)))   // cohort {C}
+    assert(out.size == 4)                      // no phantom offsets
+  }
 }
