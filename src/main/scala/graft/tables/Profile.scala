@@ -82,11 +82,92 @@ object Profile {
       .orderBy("col_name")
   }
 
+  /** Declarative data-quality RULES over orders — the assertion
+    * complement to profileTable's statistics (the Deequ-style check
+    * suite an ingest gate runs): range, domain, completeness, a
+    * time-window sanity rule, and a referential-integrity check against
+    * customer. The four scalar rules are conditional sums inside ONE
+    * aggregate over one scan (stack()'d to report rows); the
+    * referential rule is a LEFT ANTI join — the only rule that needs a
+    * second input, and the join broadcasts when the dimension fits,
+    * shuffles on the key otherwise (planner's call; either way it's
+    * keyed, never all-pairs). Counts are exact BIGINTs; pass_rate is a
+    * ratio of exact counts. */
+  def dqRules(s: SparkSession, d: String): DataFrame = {
+    val t = Tables.orders(s, d)
+    def viol(cond: Column): Column = sum(when(!cond, 1L).otherwise(0L))
+    val scalarRules: Seq[(String, Column)] = Seq(
+      "price_positive"   -> (col("o_totalprice") > 0.0),
+      "status_in_domain" -> col("o_orderstatus").isin("O", "F", "P"),
+      "custkey_not_null" -> col("o_custkey").isNotNull,
+      "orderdate_in_window" ->
+        col("o_orderdate").between("1992-01-01", "1998-12-31"))
+    val aggs = count(lit(1)).as("n_rows") +:
+      scalarRules.map { case (nm, c) => viol(c).as(nm) }
+    val wide = t.agg(aggs.head, aggs.tail: _*)
+    val stackExpr = s"stack(${scalarRules.size}, " + scalarRules.map {
+      case (nm, _) => s"'$nm', $nm" }.mkString(", ") +
+      ") as (rule, n_violations)"
+    val scalarReport = wide.select(col("n_rows"), expr(stackExpr))
+      .select(col("rule"), col("n_rows").as("n_checked"),
+        col("n_violations"))
+    val orphan = t.join(Tables.customer(s, d),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n_violations"))
+      .crossJoin(broadcast(t.agg(count(lit(1)).as("n_checked"))))
+      .select(lit("custkey_references_customer").as("rule"),
+        col("n_checked"), col("n_violations"))
+    scalarReport.unionAll(orphan)
+      .select(col("rule"), col("n_checked"), col("n_violations"),
+        round(lit(1.0) - col("n_violations") / col("n_checked") + lit(1e-9), 6)
+          .as("pass_rate"))
+      .orderBy("rule")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_profile_table" -> profileTable _,
+    "q_dq_rules"      -> dqRules _,
   )
 
   val oracle: Map[String, String] = Map(
+    // counts are exact BIGINTs; pass_rate is a ratio of exact counts —
+    // identical doubles on both engines (the q_text_oov precedent)
+    "q_dq_rules" ->
+      """WITH n AS (SELECT CAST(count(1) AS BIGINT) AS n_checked
+                    FROM orders),
+         s AS (
+           SELECT 'price_positive' AS rule,
+                  CAST(sum(CASE WHEN NOT (o_totalprice > 0) THEN 1
+                           ELSE 0 END) AS BIGINT) AS n_violations
+           FROM orders
+           UNION ALL
+           SELECT 'status_in_domain',
+                  CAST(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+                           THEN 1 ELSE 0 END) AS BIGINT)
+           FROM orders
+           UNION ALL
+           SELECT 'custkey_not_null',
+                  CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                       AS BIGINT)
+           FROM orders
+           UNION ALL
+           SELECT 'orderdate_in_window',
+                  CAST(sum(CASE WHEN o_orderdate
+                                     NOT BETWEEN TIMESTAMP '1992-01-01'
+                                             AND TIMESTAMP '1998-12-31'
+                                THEN 1 ELSE 0 END) AS BIGINT)
+           FROM orders
+           UNION ALL
+           SELECT 'custkey_references_customer',
+                  CAST(count(1) FILTER (WHERE c.c_custkey IS NULL)
+                       AS BIGINT)
+           FROM orders o LEFT JOIN customer c
+             ON o.o_custkey = c.c_custkey)
+         SELECT rule, n.n_checked, n_violations,
+                round(CAST(1 AS DOUBLE)
+                      - CAST(n_violations AS DOUBLE) / n.n_checked
+                      + 1e-9, 6) AS pass_rate
+         FROM s, n ORDER BY rule""",
     // One UNION ALL branch per column (DuckDB rescans; fine for an
     // oracle). printf/strftime mirror the Spark-side fixed formatting.
     "q_profile_table" -> {

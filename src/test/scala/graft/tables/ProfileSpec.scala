@@ -28,6 +28,26 @@ class ProfileSpec extends SparkSpec {
     assert(ck.getAs[String]("min_s") == wantMin.toString)
   }
 
+  test("dq rules reconcile with independent per-rule filters") {
+    val orders = Tables.orders(spark, sf)
+    val n = orders.count()
+    val rows = Profile.dqRules(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows.size == 5 && rows.values.forall(_._1 == n))
+    // independent recomputation of each violation count
+    assert(rows("price_positive")._2 ==
+      orders.filter(!(col("o_totalprice") > 0)).count())
+    assert(rows("orderdate_in_window")._2 ==
+      orders.filter(!col("o_orderdate")
+        .between("1992-01-01", "1998-12-31")).count())
+    assert(rows("custkey_references_customer")._2 ==
+      orders.join(Tables.customer(spark, sf),
+        col("o_custkey") === col("c_custkey"), "left_anti").count())
+    // the window rule genuinely fires on this testbed (dates past 1998)
+    assert(rows("orderdate_in_window")._2 > 0)
+    assert(rows("status_in_domain")._2 == 0 && rows("custkey_not_null")._2 == 0)
+  }
+
   test("union form == Expand reference form, row for row") {
     val a = Profile.profileTable(spark, sf).collect().toSeq
     val b = Profile.profileTableExpand(spark, sf).collect().toSeq
