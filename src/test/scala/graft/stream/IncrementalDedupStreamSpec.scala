@@ -72,4 +72,50 @@ class IncrementalDedupStreamSpec extends SparkSpec {
     val ids = corpus.select("doc_id").as[Long].collect().toSet
     assert(ids == (0L to 4L).toSet + 10L + 15L)
   }
+
+  test("cohort retention maintained incrementally equals the batch form") {
+    import org.apache.spark.sql.functions._
+    val WEEK = 604800000000L
+    def at(w: Long, u: Long) = new java.sql.Timestamp((w * WEEK + u) / 1000)
+    // 40 (user, week) activity pairs over 6 weeks, arrival-shuffled
+    val rng = new scala.util.Random(11L)
+    val pairs = (for {
+      u <- 1L to 10L
+      w <- 0L to 5L if rng.nextBoolean() || w == u % 3 // planted churn
+    } yield (u, at(w, u))).toSeq
+    val shuffled = rng.shuffle(pairs)
+    val arrival = shuffled.grouped(shuffled.size / 4 + 1).toSeq
+
+    // incremental state: the compacted distinct (user, wk) activity
+    // frame — calendar-bounded, the report is recomputed from it per
+    // batch (cheap: |users|x|weeks|). Arrival order must not matter
+    // because min(first-seen) and the distinct pairs are both
+    // order-insensitive.
+    var activity = Seq.empty[(Long, Long)].toDF("user_id", "wk")
+      .localCheckpoint()
+    val ms = MemoryStream[(Long, java.sql.Timestamp)]
+    val q = ms.toDS().toDF("user_id", "ts")
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val wk = batch.select(col("user_id"),
+          expr("unix_micros(ts) div 604800000000").as("wk"))
+        activity = activity.union(wk).distinct().localCheckpoint()
+      }
+      .start()
+    arrival.foreach { b => ms.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+
+    // report from maintained state vs one-shot batch over all events
+    val fromState = {
+      val c = activity.groupBy("user_id").agg(min(col("wk")).as("c0"))
+      activity.join(c, "user_id")
+        .groupBy(col("c0"), (col("wk") - col("c0")).as("off"))
+        .agg(count_distinct(col("user_id")).as("n"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    }
+    val batchForm = Events.cohortRetention(pairs.toDF("user_id", "ts"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(fromState == batchForm,
+      s"incremental state diverged\n$fromState\n$batchForm")
+  }
 }
