@@ -73,4 +73,38 @@ object PipelineProperties extends Properties("graft.pipeline") {
         }.toMap
       got == want
     }
+  /** KL(source ‖ corpus) over any planted corpus is non-negative and
+    * zero only when every source matches the corpus mix (Gibbs). */
+  property("bounded-support KL is non-negative") = {
+    val docGen = Gen.nonEmptyListOf(Gen.oneOf("a", "b", "c", "d"))
+      .map(_.mkString(" "))
+    forAll(Gen.nonEmptyListOf(Gen.zip(Gen.oneOf("s1", "s2", "s3"), docGen))) {
+      docs =>
+        val df = docs.toDF("source", "text")
+        graft.llm.TextOps.textKlFor(df, supportSize = 4).collect()
+          .forall(_.getDouble(2) >= 0.0)
+    }
+  }
+
+  /** Cohort invariants on random activity: offset-0 count equals the
+    * cohort size, every retention count is bounded by it, and cohort
+    * sizes sum to the distinct-user count. */
+  property("cohort retention counts are bounded by the cohort size") = {
+    val evGen = Gen.nonEmptyListOf(Gen.zip(
+      Gen.choose(1L, 8L), Gen.choose(0L, 4L)))
+    forAll(evGen) { evs =>
+      val WEEK = 604800000000L
+      val df = evs.map { case (u, w) =>
+        (u, new java.sql.Timestamp(w * WEEK / 1000)) }
+        .toDF("user_id", "ts")
+      val rows = graft.stream.Events.cohortRetention(df).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      val zeroOk = rows.filter(_._2 == 0L)
+        .forall(r => r._3 == r._4)
+      val bounded = rows.forall(r => r._3 <= r._4)
+      val sizes = rows.filter(_._2 == 0L).map(_._4).sum
+      zeroOk && bounded && sizes == evs.map(_._1).distinct.size
+    }
+  }
+
 }
