@@ -3,10 +3,11 @@ package graft.llm
 import java.nio.{ByteBuffer, ByteOrder}
 
 /** Pure-JVM media codecs for the multimodal pipeline: PPM P6 (binary RGB
-  * image) and WAV PCM16 (RIFF audio) — both public, header+raw-payload
+  * image), BMP 24-bit BI_RGB (the little-endian/bottom-up/row-padded
+  * classic), and WAV PCM16 (RIFF audio) — public, header+raw-payload
   * formats decodable without native libraries, which is exactly what this
-  * container offers. These make the decode stage REAL for two of the four
-  * media formats; compressed formats (jpeg/mp4) keep the documented
+  * container offers. These make the decode stage REAL for three of the
+  * five media formats; compressed formats (jpeg/mp4) keep the documented
   * deterministic stub.
   */
 object MediaCodecs {
@@ -59,6 +60,71 @@ object MediaCodecs {
       val b = bytes(i + 3 * k + 2) & 0xff
       px(k) = (0.299f * r + 0.587f * g + 0.114f * b) / 255.0f
       k += 1
+    }
+    (w, h, px)
+  }
+
+  // --------------------------------------------------- BMP 24-bit BI_RGB --
+
+  /** Encode w×h RGB bytes (r,g,b interleaved, len = 3wh) as a classic
+    * 54-byte-header uncompressed BMP: little-endian fields, BGR byte
+    * order, BOTTOM-UP row order, rows padded to 4-byte boundaries — the
+    * trifecta of gotchas that makes BMP a genuinely distinct decode path
+    * from PPM's top-down big-readable ASCII header. */
+  def encodeBmp(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length == 3 * w * h, s"rgb length ${rgb.length} != 3*$w*$h")
+    val rowBytes = (3 * w + 3) / 4 * 4
+    val dataLen = rowBytes * h
+    val buf = ByteBuffer.allocate(54 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte)
+      .putInt(54 + dataLen).putShort(0).putShort(0).putInt(54)
+      .putInt(40).putInt(w).putInt(h) // positive height = bottom-up
+      .putShort(1).putShort(24).putInt(0).putInt(dataLen)
+      .putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var y = h - 1
+    while (y >= 0) { // file rows bottom-up
+      var x = 0
+      while (x < w) {
+        val k = 3 * (y * w + x)
+        buf.put(rgb(k + 2)).put(rgb(k + 1)).put(rgb(k)) // BGR
+        x += 1
+      }
+      var pad = rowBytes - 3 * w
+      while (pad > 0) { buf.put(0.toByte); pad -= 1 }
+      y -= 1
+    }
+    buf.array()
+  }
+
+  /** Decode 24-bit BI_RGB BMP → (w, h, grayscale luma in [0,1], Rec.601)
+    * — same normalization as decodePpm so image features are
+    * format-independent for identical pixels. */
+  def decodeBmp(bytes: Array[Byte]): (Int, Int, Array[Float]) = {
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    require(bytes.length >= 54 &&
+      buf.get(0) == 'B'.toByte && buf.get(1) == 'M'.toByte, "not a BMP")
+    val dataOff = buf.getInt(10)
+    val w = buf.getInt(18)
+    val h = buf.getInt(22)
+    require(h > 0, "top-down BMP (negative height) not supported")
+    require(buf.getShort(28) == 24, "only 24-bit BMP supported")
+    require(buf.getInt(30) == 0, "only uncompressed BI_RGB supported")
+    val rowBytes = (3 * w + 3) / 4 * 4
+    require(bytes.length - dataOff >= rowBytes * h, "truncated BMP payload")
+    val px = new Array[Float](w * h)
+    var y = 0
+    while (y < h) {
+      val fileRow = h - 1 - y // stored bottom-up
+      var x = 0
+      while (x < w) {
+        val k = dataOff + fileRow * rowBytes + 3 * x
+        val b = bytes(k) & 0xff
+        val g = bytes(k + 1) & 0xff
+        val r = bytes(k + 2) & 0xff
+        px(y * w + x) = (0.299f * r + 0.587f * g + 0.114f * b) / 255.0f
+        x += 1
+      }
+      y += 1
     }
     (w, h, px)
   }

@@ -37,11 +37,11 @@ object Multimodal {
                            features: Array[Float])
 
   /** One-time media-lake fixture: payloads derived deterministically from
-    * documents — REAL PPM/WAV encodings for ppm/wav rows, raw UTF-8 text
-    * bytes for the stub formats. Written as parquet so the read path is
+    * documents — REAL PPM/BMP/WAV encodings for ppm/bmp/wav rows, raw
+    * UTF-8 text bytes for the stub formats. Written as parquet so the read path is
     * an ordinary binary-column scan. */
   def mediaFixture(s: SparkSession, sfDir: String): String =
-    graft.tables.Fixtures.cached("media", "media.parquet", sfDir) { dir =>
+    graft.tables.Fixtures.cached("media2", "media.parquet", sfDir) { dir =>
       import s.implicits._
       Tables.documents(s, sfDir)
         .select(col("doc_id"), col("text")).as[(Long, String)]
@@ -51,7 +51,7 @@ object Multimodal {
 
   /** Deterministic row synthesis (driver of the fixture above). */
   def mkRow(id: Long, text: String): MediaRow = {
-    val fmt = Seq("ppm", "jpeg", "wav", "mp4")((id % 4).toInt)
+    val fmt = Seq("ppm", "jpeg", "wav", "mp4", "bmp")((id % 5).toInt)
     val w = (id % 64 + 16).toInt
     val h = (id % 32 + 16).toInt
     val nFrames = if (fmt == "mp4") (id % 30 + 2).toInt else 1
@@ -60,6 +60,7 @@ object Multimodal {
       Array.tabulate(n)(i => bytes(i % bytes.length))
     val payload = fmt match {
       case "ppm" => MediaCodecs.encodePpm(w, h, cycled(3 * w * h))
+      case "bmp" => MediaCodecs.encodeBmp(w, h, cycled(3 * w * h))
       case "wav" => MediaCodecs.encodeWav(8000,
         Array.tabulate(w * h)(i =>
           (((bytes(i % bytes.length) & 0xff) - 128) * 256).toShort))
@@ -145,6 +146,9 @@ object Multimodal {
         m.format match {
           case "ppm" =>
             ppmFeatures(m.id, m.payload, poolFactor)
+          case "bmp" => // same luma kernel behind a second REAL decoder
+            val (w, h, px) = MediaCodecs.decodeBmp(m.payload)
+            MediaFeatures(m.id, m.format, 1, meanPool(px, w, h, poolFactor))
           case "wav" =>
             val (_, samples) = MediaCodecs.decodeWav(m.payload)
             MediaFeatures(m.id, m.format, 1,
@@ -188,7 +192,7 @@ object Multimodal {
     * the post-build check fails loudly — and skips the cache marker — if
     * the directory came up empty. */
   def fileFixture(s: SparkSession, sfDir: String): String =
-    graft.tables.Fixtures.cached("mediafiles", "ppm", sfDir) { dir =>
+    graft.tables.Fixtures.cached("mediafiles2", "ppm", sfDir) { dir =>
       dir.mkdirs()
       import s.implicits._
       val dirPath = dir.toString

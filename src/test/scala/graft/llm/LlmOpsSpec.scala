@@ -292,6 +292,34 @@ class MultimodalSpec extends SparkSpec {
 }
 
 class MediaCodecsSpec extends SparkSpec {
+  test("bmp round trip: identical pixels give identical luma as ppm") {
+    // 3x2: odd width forces a nonzero row pad (3*3=9 -> 12 bytes/row);
+    // both decoders share the Rec.601 kernel so the SAME rgb through
+    // BMP's bottom-up BGR layout and PPM's top-down RGB must agree
+    val rgb = Array.tabulate[Byte](3 * 3 * 2)(i => ((i * 37 + 11) % 256).toByte)
+    val (wb, hb, pb) = MediaCodecs.decodeBmp(MediaCodecs.encodeBmp(3, 2, rgb))
+    val (wp, hp, pp) = MediaCodecs.decodePpm(MediaCodecs.encodePpm(3, 2, rgb))
+    assert((wb, hb) == ((3, 2)) && (wp, hp) == ((3, 2)))
+    pb.zip(pp).foreach { case (a, b) => assert(a == b) }
+  }
+
+  test("bmp layout: little-endian header, bottom-up rows, 4-byte padding") {
+    val rgb = Array[Byte](
+      255.toByte, 0, 0,  0, 255.toByte, 0,  0, 0, 255.toByte, // row 0: R G B
+      10, 10, 10,        20, 20, 20,        30, 30, 30)       // row 1
+    val bytes = MediaCodecs.encodeBmp(3, 2, rgb)
+    assert(bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte)
+    // file size LE at offset 2: 54 + 2 rows * 12 padded bytes
+    assert(bytes(2) == (54 + 24).toByte && bytes(3) == 0)
+    // first stored row is the LAST image row (bottom-up): gray 10 in BGR
+    assert(bytes(54) == 10 && bytes(55) == 10 && bytes(56) == 10)
+    // pad bytes close each 12-byte row
+    assert(bytes(54 + 9) == 0 && bytes(54 + 10) == 0 && bytes(54 + 11) == 0)
+    // decode restores image order: pixel (0,0) is pure red
+    val (_, _, px) = MediaCodecs.decodeBmp(bytes)
+    assert(math.abs(px(0) - 0.299f) < 1e-6)
+  }
+
   test("ppm round trip: golden 2x2 image decodes to exact luma") {
     val rgb = Array[Byte](
       255.toByte, 0, 0,   0, 255.toByte, 0, // red, green
