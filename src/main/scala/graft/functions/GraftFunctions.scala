@@ -23,16 +23,26 @@ object GraftFunctions {
   val cosineBuilder: Seq[Expression] => Expression =
     exprs => CosineSimilarity(exprs(0), exprs(1))
 
+  val l2SqBuilder: Seq[Expression] => Expression =
+    exprs => L2DistanceSq(exprs(0), exprs(1))
+
   /** Idempotent runtime registration. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim", cosineBuilder, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "l2_sq", l2SqBuilder, "scala_udf")
   }
 
   /** Column-API form of the native cosine expression (requires
     * register(spark) first in that session). */
   def cosineSim(a: Column, b: Column): Column =
     call_function("cosine_sim", a, b)
+
+  /** Column-API form of the native squared-L2 expression (requires
+    * register(spark) first in that session). */
+  def l2Sq(a: Column, b: Column): Column =
+    call_function("l2_sq", a, b)
 
   /** Exact-median typed Aggregator (UDAF surface demo, SURVEY.md §7.3).
     * Buffers ALL values — fine for bounded per-group cardinalities (the
@@ -66,5 +76,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       GraftFunctions.cosineBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("l2_sq"),
+      new ExpressionInfo(classOf[L2DistanceSq].getName, "l2_sq"),
+      GraftFunctions.l2SqBuilder))
   }
 }

@@ -157,6 +157,7 @@ object Similarity {
               seed: Long = 42L, fitFraction: Double = 0.5,
               maxFitRows: Int = 4000): DataFrame = {
     val spark = df.sparkSession
+    GraftFunctions.register(spark) // l2_sq used below; resolve-at-analysis
     // coarse-quantizer fit: bounded sample (see boundedFitSample — a
     // coarse quantizer needs ~100s of points per cell, so at 100 TB the
     // fit input stays a few thousand rows). Lloyd's runs ON THE DRIVER
@@ -171,12 +172,11 @@ object Similarity {
     val nCells = centroids.length
     val probeN = math.min(nProbe, nCells)
     val centLit = typedlit(centroids.map(_.toSeq).toSeq)
-    // distances to every centroid, once per row (nested HOF, one codegen)
-    val dists = transform(sequence(lit(0), lit(nCells - 1)), c => {
-      val cent = element_at(centLit, c + 1)
-      aggregate(zip_with(col("v"), cent, (x, y) => (x - y) * (x - y)),
-        lit(0.0), _ + _)
-    })
+    // distances to every centroid, once per row — the inner fold is the
+    // codegen'd L2DistanceSq expression (one fused loop, no intermediate
+    // array), with only the outer per-cell transform left as an HOF
+    val dists = transform(sequence(lit(0), lit(nCells - 1)), c =>
+      GraftFunctions.l2Sq(col("v"), element_at(centLit, c + 1)))
     val withCells = df.withColumn("__dists", dists)
       .withColumn("cell",
         array_position(col("__dists"), array_min(col("__dists"))).cast("int") - 1)
@@ -301,11 +301,11 @@ object Similarity {
     val m = books.length
     val dsub = books.head.head.length
     val booksLit = typedlit(books.map(_.map(_.toSeq).toSeq).toSeq)
+    GraftFunctions.register(df.sparkSession)
     val codes = transform(sequence(lit(0), lit(m - 1)), sub => {
       val sv = slice(col("v"), sub * dsub + 1, lit(dsub))
       val ds = transform(element_at(booksLit, sub + 1), c =>
-        aggregate(zip_with(sv, c, (x, y) => (x - y) * (x - y)),
-          lit(0.0), _ + _))
+        GraftFunctions.l2Sq(sv, c))
       (array_position(ds, array_min(ds)) - 1).cast("int")
     })
     df.withColumn("codes", codes)

@@ -27,6 +27,7 @@ object Neighbors {
     * graph analytics (PageRank). */
   def knnEdges(s: SparkSession, d: String, k: Int = 10,
                maxId: Long = 300): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val e = Tables.embeddings(s, d)
       .filter(col("vec_id") < maxId)
       .select(col("vec_id").as("id"),
@@ -35,9 +36,11 @@ object Neighbors {
       .join(e.select(col("id").as("id2"), col("v").as("v2")),
         col("id1") =!= col("id2"))
       .select(col("id1"), col("id2"),
-        round(sqrt(aggregate(zip_with(col("v1"), col("v2"),
-            (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)) + lit(1e-9), 6)
-          .as("dist"))
+        // fused codegen loop (L2DistanceSq) — same index-ascending
+        // accumulation as the HOF fold it replaced, so the oracle'd
+        // distances are bit-identical
+        round(sqrt(graft.functions.GraftFunctions.l2Sq(col("v1"), col("v2")))
+          + lit(1e-9), 6).as("dist"))
     val w = Window.partitionBy("id1").orderBy(col("dist"), col("id2"))
     pairs
       .withColumn("rk", row_number().over(w))

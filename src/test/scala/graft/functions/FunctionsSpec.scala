@@ -35,6 +35,34 @@ class FunctionsSpec extends SparkSpec {
     assert(!planOf(df).toLowerCase.contains("codegenfallback"))
   }
 
+  test("native l2_sq == HOF fold, bit for bit (same accumulation order)") {
+    GraftFunctions.register(spark)
+    val e = graft.tables.Tables.embeddings(spark, sf)
+      .limit(100)
+      .select($"vec_id", transform($"embedding", _.cast("double")).as("v"))
+    val pairs = e.select($"vec_id".as("id1"), $"v".as("v1"))
+      .join(e.select($"vec_id".as("id2"), $"v".as("v2")), $"id1" < $"id2")
+    // EXACT equality, not epsilon: both accumulate index-ascending, so
+    // the swap in Neighbors/Similarity cannot move oracle'd hashes
+    val diffs = pairs.select(
+        GraftFunctions.l2Sq($"v1", $"v2").as("native"),
+        aggregate(zip_with($"v1", $"v2", (x, y) => (x - y) * (x - y)),
+          lit(0.0), _ + _).as("hof"))
+      .filter($"native" =!= $"hof")
+      .count()
+    assert(diffs == 0)
+  }
+
+  test("l2_sq participates in whole-stage codegen") {
+    GraftFunctions.register(spark)
+    val e = graft.tables.Tables.embeddings(spark, sf).limit(5)
+      .select(transform($"embedding", _.cast("double")).as("v"))
+    val df = e.select(expr("l2_sq(v, v)").as("z"))
+    assert(df.collect().forall(_.getDouble(0) == 0.0))
+    assert(formattedPlan(df).contains("* Project"))
+    assert(!planOf(df).toLowerCase.contains("codegenfallback"))
+  }
+
   test("cosine_sim handles nulls and SQL registration") {
     GraftFunctions.register(spark)
     val r = spark.sql(
