@@ -26,12 +26,17 @@ object GraftFunctions {
   val l2SqBuilder: Seq[Expression] => Expression =
     exprs => L2DistanceSq(exprs(0), exprs(1))
 
+  val dotBuilder: Seq[Expression] => Expression =
+    exprs => DotProduct(exprs(0), exprs(1))
+
   /** Idempotent runtime registration. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim", cosineBuilder, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "l2_sq", l2SqBuilder, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_product", dotBuilder, "scala_udf")
   }
 
   /** Column-API form of the native cosine expression (requires
@@ -43,6 +48,11 @@ object GraftFunctions {
     * register(spark) first in that session). */
   def l2Sq(a: Column, b: Column): Column =
     call_function("l2_sq", a, b)
+
+  /** Column-API form of the native dot-product expression (requires
+    * register(spark) first in that session). */
+  def dot(a: Column, b: Column): Column =
+    call_function("dot_product", a, b)
 
   /** Exact-median typed Aggregator (UDAF surface demo, SURVEY.md §7.3).
     * Buffers ALL values — fine for bounded per-group cardinalities (the
@@ -80,5 +90,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("l2_sq"),
       new ExpressionInfo(classOf[L2DistanceSq].getName, "l2_sq"),
       GraftFunctions.l2SqBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      GraftFunctions.dotBuilder))
   }
 }

@@ -94,6 +94,7 @@ object Similarity {
   def lshPairs(df: DataFrame, tau: Double, dim: Int = 0, tables: Int = 8,
                planes: Int = 12, seed: Long = 42L,
                maxBucket: Int = 4096): DataFrame = {
+    GraftFunctions.register(df.sparkSession) // dot_product used below
     // dim <= 0 (the default) derives the width from the data — a one-row
     // limit scan, the same bounded-driver-lookup class as a broadcast
     // side. A hardcoded default would silently mis-project the day the
@@ -107,8 +108,9 @@ object Similarity {
     val bucketsArr = transform(sequence(lit(0), lit(tables - 1)), t =>
       aggregate(sequence(lit(0), lit(planes - 1)), lit(0L), (acc, p) => {
         val plane = element_at(element_at(hpLit, t + 1), p + 1)
-        val proj = aggregate(zip_with(col("v"), plane, (x, w) => x * w),
-          lit(0.0), _ + _)
+        // fused codegen dot (DotProduct) — runs tables x planes times
+        // per row, exactly where per-element HOF overhead multiplies
+        val proj = GraftFunctions.dot(col("v"), plane)
         // 2^p as the bit for plane p (exact in double for p < 53)
         acc + when(proj >= 0, pow(lit(2.0), p).cast("long")).otherwise(0L)
       }))
