@@ -292,7 +292,13 @@ object TextOps {
         explode(array_distinct(tokens(col("text")))).as("token"))
       .groupBy("token")
       .agg(count(lit(1)).as("df"),
-        sort_array(collect_list(col("doc_id"))).as("postings"))
+        // Postings travel as a ','-joined scalar: the driver's pandas
+        // comparator lexsorts + hashes cells, and array-valued cells are
+        // unhashable there (r4's only red row). The join is lossless —
+        // doc ids are integers, the list is sorted — so the string IS
+        // the postings list, just in a hash-comparable encoding.
+        array_join(sort_array(collect_list(col("doc_id"))), ",")
+          .as("postings"))
       .crossJoin(broadcast(nDocs))
       .filter(col("df") >= 2 && col("df") * lit(10) <= col("n_docs") * lit(8))
       .select(col("token"), col("df"), col("postings"))
@@ -398,7 +404,8 @@ object TextOps {
                             FROM documents)),
          n AS (SELECT CAST(count(1) AS BIGINT) AS n_docs FROM documents),
          inv AS (SELECT token, CAST(count(1) AS BIGINT) AS df,
-                        list_sort(list(doc_id)) AS postings
+                        array_to_string(list_sort(list(doc_id)), ',')
+                          AS postings
                  FROM tok GROUP BY token)
          SELECT token, df, postings
          FROM inv, n

@@ -104,10 +104,12 @@ class PipelineOpsSpec extends SparkSpec {
     val out = TextOps.invertedIndex(spark, sf).cache()
     try {
       assert(out.count() > 0)
-      // df == |postings| and postings are sorted + distinct
+      // postings travel as a ','-joined scalar (driver-hashable); decode
+      // it back to prove df == |postings| and sorted + distinct
+      val decoded = split(col("postings"), ",").cast("array<bigint>")
       val bad = out.filter(
-        col("df") =!= size(col("postings")) ||
-        col("postings") =!= array_sort(array_distinct(col("postings"))))
+        col("df") =!= size(decoded) ||
+        decoded =!= array_sort(array_distinct(decoded)))
       assert(bad.count() == 0)
       // cutoffs: hapax dropped, stopwords (>80% of docs) dropped
       assert(out.filter(col("df") < 2 || col("df") * 10 > n * 8)
@@ -118,8 +120,8 @@ class PipelineOpsSpec extends SparkSpec {
       val want = docs
         .filter(array_contains(split(col("text"), " "), tok))
         .select("doc_id").orderBy("doc_id")
-        .collect().map(_.getLong(0)).toSeq
-      assert(row.getSeq[Long](2) == want, s"postings mismatch for '$tok'")
+        .collect().map(_.getLong(0)).mkString(",")
+      assert(row.getString(2) == want, s"postings mismatch for '$tok'")
     } finally out.unpersist()
   }
 

@@ -25,6 +25,24 @@ for name in names:
     s = spark_df[sorted(spark_df.columns)].reset_index(drop=True)
     d = duck_df[sorted(duck_df.columns)].reset_index(drop=True)
     problems = []
+    # Mirror the driver's comparator: it lexsorts rows (sort_values over all
+    # columns) before hashing, and pandas' sort crashes on unhashable
+    # array/struct cells — so (a) reject nested cells loudly instead of
+    # silently stringifying them, (b) sort the same way the driver does.
+    nested = [c for c in s.columns
+              if len(s) and isinstance(s[c].iloc[0], (np.ndarray, list, dict))]
+    nested += [c for c in d.columns
+               if len(d) and isinstance(d[c].iloc[0], (np.ndarray, list, dict))]
+    if nested:
+        fail += 1
+        print(f"[FAIL] {name}: array/struct-typed output column(s) "
+              f"{sorted(set(nested))} — driver comparator cannot hash these; "
+              f"emit a scalar (e.g. array_join) instead")
+        continue
+    if len(s):
+        s = s.sort_values(list(s.columns), kind="mergesort").reset_index(drop=True)
+    if len(d):
+        d = d.sort_values(list(d.columns), kind="mergesort").reset_index(drop=True)
     if list(s.columns) != list(d.columns):
         problems.append(f"cols spark={list(s.columns)} duck={list(d.columns)}")
     elif len(s) != len(d):
