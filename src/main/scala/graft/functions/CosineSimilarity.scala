@@ -1,9 +1,9 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{DataType, DoubleType}
 
 /** Native Catalyst expression: cosine similarity of two ARRAY<DOUBLE> or
   * ARRAY<FLOAT> columns with full whole-stage codegen (one fused primitive
@@ -19,18 +19,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * arrays are never read through getDouble (that reads 8-byte slots over
   * 4-byte data and silently returns garbage; `ExpectsInputTypes` is
   * sql-private so the analyzer inserts no cast for externally-registered
-  * expressions). Unsupported element types throw at first evaluation /
-  * code generation. Returns NULL on NULL input rows; NaN when either
-  * vector has zero norm (rankers should null it — Similarity.safeCosine).
+  * expressions — [[VectorPairExpression.checkInputDataTypes]] rejects
+  * unsupported types at analysis instead). Returns NULL on NULL input
+  * rows and on unequal vector lengths (the VectorPairExpression
+  * contract); NaN when either vector has zero norm (rankers should null
+  * it — Similarity.safeCosine).
   */
 case class CosineSimilarity(left: Expression, right: Expression)
-    extends BinaryExpression {
-
-  private def elemType(e: Expression): DataType = e.dataType match {
-    case ArrayType(t @ (DoubleType | FloatType), _) => t
-    case other => throw new IllegalArgumentException(
-      s"cosine_sim expects array<double> or array<float>, got $other")
-  }
+    extends VectorPairExpression {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
@@ -38,9 +34,10 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     val lDouble = elemType(left) == DoubleType
     val rDouble = elemType(right) == DoubleType
-    val n = math.min(x.numElements(), y.numElements())
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
     while (i < n) {
@@ -68,14 +65,18 @@ case class CosineSimilarity(left: Expression, right: Expression)
         if (elemType(e) == DoubleType) s"$arr.getDouble($i)"
         else s"(double) $arr.getFloat($i)"
       s"""
-        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-        double $dot = 0.0, $nx = 0.0, $ny = 0.0;
-        for (int $i = 0; $i < $n; $i++) {
-          double $x = ${get(a, left)};
-          double $y = ${get(b, right)};
-          $dot += $x * $y; $nx += $x * $x; $ny += $y * $y;
+        int $n = $a.numElements();
+        if ($n != $b.numElements()) {
+          ${ev.isNull} = true;
+        } else {
+          double $dot = 0.0, $nx = 0.0, $ny = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            double $x = ${get(a, left)};
+            double $y = ${get(b, right)};
+            $dot += $x * $y; $nx += $x * $x; $ny += $y * $y;
+          }
+          ${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
         }
-        ${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
       """
     })
 

@@ -1,9 +1,9 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{DataType, DoubleType}
 
 /** Native Catalyst expression: dot product of two ARRAY<DOUBLE> /
   * ARRAY<FLOAT> columns — the third fused-loop distance primitive
@@ -11,15 +11,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * projection, where the HOF fold runs once per (row × table × plane):
   * the multiplier that makes per-element overhead matter. Index-ascending
   * accumulation, same as the fold it replaces — results are
-  * bit-identical. */
+  * bit-identical. Type checking and the NULL-on-ragged-length contract
+  * live in [[VectorPairExpression]]. */
 case class DotProduct(left: Expression, right: Expression)
-    extends BinaryExpression {
-
-  private def elemType(e: Expression): DataType = e.dataType match {
-    case ArrayType(t @ (DoubleType | FloatType), _) => t
-    case other => throw new IllegalArgumentException(
-      s"dot_product expects array<double> or array<float>, got $other")
-  }
+    extends VectorPairExpression {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_product"
@@ -27,9 +22,10 @@ case class DotProduct(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     val lDouble = elemType(left) == DoubleType
     val rDouble = elemType(right) == DoubleType
-    val n = math.min(x.numElements(), y.numElements())
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -50,12 +46,16 @@ case class DotProduct(left: Expression, right: Expression)
         if (elemType(e) == DoubleType) s"$arr.getDouble($i)"
         else s"(double) $arr.getFloat($i)"
       s"""
-        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-        double $acc = 0.0;
-        for (int $i = 0; $i < $n; $i++) {
-          $acc += ${get(a, left)} * ${get(b, right)};
+        int $n = $a.numElements();
+        if ($n != $b.numElements()) {
+          ${ev.isNull} = true;
+        } else {
+          double $acc = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            $acc += ${get(a, left)} * ${get(b, right)};
+          }
+          ${ev.value} = $acc;
         }
-        ${ev.value} = $acc;
       """
     })
 

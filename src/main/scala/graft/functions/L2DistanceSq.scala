@@ -1,9 +1,9 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{DataType, DoubleType}
 
 /** Native Catalyst expression: squared Euclidean distance of two
   * ARRAY<DOUBLE> / ARRAY<FLOAT> columns — one fused codegen loop, the
@@ -18,15 +18,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * DuckDB-oracle'd kNN distances hash-match unchanged. Returns NULL on
   * NULL inputs; mixed float/double element widths are read per the
   * child's actual type (the getDouble-over-float trap, as in
-  * CosineSimilarity). */
+  * CosineSimilarity). Type checking and the NULL-on-ragged-length
+  * contract live in [[VectorPairExpression]]. */
 case class L2DistanceSq(left: Expression, right: Expression)
-    extends BinaryExpression {
-
-  private def elemType(e: Expression): DataType = e.dataType match {
-    case ArrayType(t @ (DoubleType | FloatType), _) => t
-    case other => throw new IllegalArgumentException(
-      s"l2_sq expects array<double> or array<float>, got $other")
-  }
+    extends VectorPairExpression {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "l2_sq"
@@ -34,9 +29,10 @@ case class L2DistanceSq(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     val lDouble = elemType(left) == DoubleType
     val rDouble = elemType(right) == DoubleType
-    val n = math.min(x.numElements(), y.numElements())
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -59,13 +55,17 @@ case class L2DistanceSq(left: Expression, right: Expression)
         if (elemType(e) == DoubleType) s"$arr.getDouble($i)"
         else s"(double) $arr.getFloat($i)"
       s"""
-        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-        double $acc = 0.0;
-        for (int $i = 0; $i < $n; $i++) {
-          double $dd = ${get(a, left)} - ${get(b, right)};
-          $acc += $dd * $dd;
+        int $n = $a.numElements();
+        if ($n != $b.numElements()) {
+          ${ev.isNull} = true;
+        } else {
+          double $acc = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            double $dd = ${get(a, left)} - ${get(b, right)};
+            $acc += $dd * $dd;
+          }
+          ${ev.value} = $acc;
         }
-        ${ev.value} = $acc;
       """
     })
 

@@ -204,22 +204,23 @@ object Similarity {
       .drop("rk")
   }
 
-  /** The bounded, evenly-spread fit sample both ANN quantizers (IVF
-    * coarse cells, PQ codebooks) train on: a seeded uniform sample,
-    * row-capped per partition (take cap/numPartitions from each — no
-    * extra full-corpus count() to size a fraction) and then a hard
-    * global limit (perPart floors at 1, so with more partitions than
-    * maxFitRows the per-partition take alone would exceed the cap; a
-    * bare global limit on the raw sample would be partition-biased).
-    * ≤4k×dim doubles ≈ 2 MB collected — the bounded-stats-to-driver
-    * class, same as a broadcast join side. */
+  /** The bounded fit sample both ANN quantizers (IVF coarse cells, PQ
+    * codebooks) train on — CONTENT-ADDRESSED so the fit set is a pure
+    * function of (data, fraction, cap, seed), independent of partition
+    * count or row order: rerunning on a different cluster shape (or
+    * after a repartition) trains the same quantizer. Each vector's
+    * seeded xxhash64 decides membership (hash % round(1/fraction) == 0
+    * — the q_sample_hash philosophy) and the global cap takes the
+    * hash-smallest rows via TakeOrderedAndProject (per-partition top-k
+    * + driver merge, no full sort shuffle). ≤4k×dim doubles ≈ 2 MB
+    * collected — the bounded-stats-to-driver class, same as a broadcast
+    * join side. */
   def boundedFitSample(df: DataFrame, fitFraction: Double, maxFitRows: Int,
                        seed: Long): Array[Array[Double]] = {
-    val sampled = df.sample(withReplacement = false, fitFraction, seed)
-    val perPart = math.max(1,
-      maxFitRows / math.max(1, sampled.rdd.getNumPartitions))
-    df.sparkSession.createDataFrame(
-        sampled.rdd.mapPartitions(_.take(perPart)), sampled.schema)
+    val denom = math.max(1L, math.round(1.0 / math.min(1.0, fitFraction)))
+    df.select(col("v"), xxhash64(col("v"), lit(seed)).as("_fh"))
+      .filter(pmod(col("_fh"), lit(denom)) === 0)
+      .orderBy(col("_fh"))
       .limit(maxFitRows)
       .select(col("v")).collect()
       .map(_.getSeq[Double](0).toArray)

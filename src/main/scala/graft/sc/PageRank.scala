@@ -14,13 +14,17 @@ import org.apache.spark.sql.functions._
   * iteration ONE keyed join (ranks onto the out-edge list, both sides
   * hash-partitioned on the node key) and ONE keyed aggregation of the
   * received contributions, then a left join back onto the node set for
-  * sink nodes that received nothing. Iterative lineage is cut with an
+  * nodes that received nothing. Iterative lineage is cut with an
   * eager localCheckpoint every SECOND round — plans stay two joins
   * deep, half the materializations (the Dedup.connectedComponents
-  * lesson: persist alone leaves the plan doubling per round). The kNN
-  * substrate guarantees out-degree k for every node, so there is no
-  * dangling-mass redistribution term; on a graph with true sinks the
-  * (1-d)/n floor still keeps ranks finite and the oracle identical.
+  * lesson: persist alone leaves the plan doubling per round). The node
+  * set is the UNION of both edge endpoints, so pure sinks (nodes with
+  * in-edges only) are ranked too: they get the (1-d)/n floor plus
+  * whatever mass they receive, and contribute nothing onward. Dangling
+  * mass is NOT redistributed (ranks no longer sum to 1 on graphs with
+  * sinks — the common non-normalizing variant); on the kNN substrate
+  * every node has out-degree k, so there are no sinks and the two
+  * conventions coincide.
   *
   * Cross-engine parity: every constant is divided/multiplied as DOUBLE
   * on both engines (DuckDB would otherwise do DECIMAL arithmetic on
@@ -48,7 +52,10 @@ object PageRank {
     val deg = edges.groupBy("id1").agg(count(lit(1)).as("od"))
     val edgesD = edges.join(deg, "id1")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nodes = edges.select(col("id1").as("id")).distinct()
+    // BOTH endpoints: distinct(id1) alone would drop pure sinks and the
+    // mass they receive (they never source an edge)
+    val nodes = edges.select(col("id1").as("id"))
+      .unionAll(edges.select(col("id2").as("id"))).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // n is a bounded single-scalar fetch (the IVF-fit class) feeding the
     // per-node constants; everything per-node stays distributed
@@ -150,7 +157,7 @@ object PageRank {
     val header = knnSubstrate +
       """,
          deg AS (SELECT id1, count(*) AS od FROM ed GROUP BY id1),
-         nodes AS (SELECT DISTINCT id1 AS id FROM ed),
+         nodes AS (SELECT id1 AS id FROM ed UNION SELECT id2 FROM ed),
          nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
          pr0 AS (SELECT id, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS r
                  FROM nodes)"""

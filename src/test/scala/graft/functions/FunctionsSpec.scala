@@ -71,6 +71,36 @@ class FunctionsSpec extends SparkSpec {
     assert(r.isNullAt(0) && math.abs(r.getDouble(1)) < 1e-12)
   }
 
+  test("mistyped arguments fail at ANALYSIS, not mid-job") {
+    // checkInputDataTypes (VectorPairExpression) turns the former runtime
+    // IllegalArgumentException into an AnalysisException at plan time
+    GraftFunctions.register(spark)
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT l2_sq(array('a', 'b'), array('c', 'd'))")
+        .queryExecution.analyzed
+    }
+    assert(err.getMessage.contains("l2_sq"), err.getMessage)
+  }
+
+  test("ragged (unequal-length) vectors return NULL, matching the HOF fold") {
+    GraftFunctions.register(spark)
+    // the zip_with+aggregate formulation nulls the whole fold when the
+    // shorter array is null-padded; the fused loops must agree
+    val r = spark.sql(
+      """SELECT l2_sq(array(1.0d, 2.0d), array(1.0d)) AS a,
+                dot_product(array(1.0d, 2.0d), array(1.0d)) AS b,
+                cosine_sim(array(1.0d, 2.0d), array(1.0d)) AS c,
+                aggregate(zip_with(array(1.0d, 2.0d), array(1.0d),
+                  (x, y) -> (x - y) * (x - y)), 0.0d, (a, e) -> a + e) AS hof
+      """).head()
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3))
+    // and the codegen path agrees with the interpreted path: run the same
+    // ragged input through a real scan (codegen) rather than a literal fold
+    val df = Seq((Seq(1.0, 2.0), Seq(1.0))).toDF("a", "b")
+      .select(GraftFunctions.l2Sq($"a", $"b").as("z"))
+    assert(df.head().isNullAt(0))
+  }
+
   test("GraftExtensions installs into a SparkSessionExtensions instance") {
     // Only one SparkContext per test JVM, so the true build-time injection
     // path (spark.sql.extensions=graft.functions.GraftExtensions) is driven

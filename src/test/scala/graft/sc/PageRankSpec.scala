@@ -40,6 +40,26 @@ class PageRankSpec extends SparkSpec {
     vals.foreach(v => assert(math.abs(v - 1.0 / n) < 1e-12, v.toString))
   }
 
+  test("pure sinks are ranked: floor plus received mass, nothing onward") {
+    // star a->c, b->c: c sources no edge, so the old distinct(id1) node
+    // set dropped it (and the mass it receives). With the union node set,
+    // after 1 iteration: a, b = (1-d)/3 (receive nothing); c = (1-d)/3 +
+    // d*(r_a/1 + r_b/1) with r_a = r_b = 1/3.
+    import spark.implicits._
+    val star = Seq((0L, 2L), (1L, 2L)).toDF("id1", "id2")
+    val got = PageRank.pageRankOnEdges(star, iters = 1, damping = 0.85)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val floor = 0.15 / 3
+    assert(got.keySet == Set(0L, 1L, 2L))
+    assert(math.abs(got(0L) - floor) < 1e-12)
+    assert(math.abs(got(1L) - floor) < 1e-12)
+    assert(math.abs(got(2L) - (floor + 0.85 * (2.0 / 3))) < 1e-12)
+    // dangling mass is NOT redistributed: total sum < 1 from round 2 on
+    val r2 = PageRank.pageRankOnEdges(star, iters = 2, damping = 0.85)
+      .collect().map(_.getDouble(1)).sum
+    assert(r2 < 1.0 - 1e-6, s"mass after sink drain = $r2")
+  }
+
   test("triangles: 4-clique counts 3 per node with cc=1; a path has none") {
     import spark.implicits._
     // K4 on {0,1,2,3}: every node sits in C(3,2)=3 triangles, cc = 1
