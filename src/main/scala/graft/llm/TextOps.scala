@@ -305,6 +305,53 @@ object TextOps {
       .orderBy("token")
   }
 
+  /** The sharded-postings upgrade the invertedIndex scaladoc promises:
+    * postings keyed by (token, doc_id div shardWidth), so one token's
+    * list splits into rows of AT MOST shardWidth ids — at planet scale a
+    * mid-df token whose unsharded postings exceed a task's memory
+    * becomes ceil(maxDocId/width) bounded rows instead. Same plan shape
+    * as the unsharded index (one shuffle), one more key column. */
+  def invertedIndexSharded(docs: DataFrame, shardWidth: Long): DataFrame = {
+    require(shardWidth > 0, s"shardWidth must be positive, got $shardWidth")
+    docs
+      .select(col("doc_id"),
+        explode(array_distinct(tokens(col("text")))).as("token"))
+      .groupBy(col("token"),
+        floor(col("doc_id") / shardWidth).cast("long").as("shard"))
+      .agg(count(lit(1)).as("df_shard"),
+        array_join(sort_array(collect_list(col("doc_id"))), ",")
+          .as("postings_shard"))
+  }
+
+  /** Reading-side reassembly: shard ids partition the doc-id space in
+    * order (shard = doc_id div width), so concatenating per-token shards
+    * in shard order IS the globally sorted postings list. The per-token
+    * collect here is bounded by df/width struct rows — the sharded form
+    * exists precisely so no single row is ever corpus-sized; full
+    * reassembly is for consumers that genuinely need one row per token
+    * (and the equality gate below). */
+  def assembleShardedIndex(sharded: DataFrame): DataFrame =
+    sharded.groupBy("token")
+      .agg(sum(col("df_shard")).as("df"),
+        concat_ws(",", transform(
+            sort_array(collect_list(
+              struct(col("shard"), col("postings_shard")))),
+            s => s.getField("postings_shard"))).as("postings"))
+
+  /** Sharded index, reassembled and df-cut — oracled by the SAME SQL as
+    * q_text_index: the gate itself proves shard-and-concatenate equals
+    * the unsharded index (VERDICT r4 #6 turned into a driver-checked
+    * equality, not just a spec). */
+  def invertedIndexShardedQ(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    assembleShardedIndex(invertedIndexSharded(docs, shardWidth = 16L))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") >= 2 && col("df") * lit(10) <= col("n_docs") * lit(8))
+      .select(col("token"), col("df"), col("postings"))
+      .orderBy("token")
+  }
+
   /** Vocabulary coverage / OOV rate per document against a corpus-derived
     * vocabulary (top-200 tokens by frequency, count-desc token-asc
     * tiebreak so the cut is deterministic) — the pre-tokenizer audit that
@@ -389,28 +436,33 @@ object TextOps {
     "q_text_repetition"  -> textRepetition _,
     "q_text_pmi"         -> textPmi _,
     "q_text_index"       -> invertedIndex _,
+    "q_text_index_sharded" -> invertedIndexShardedQ _,
     "q_text_oov"         -> textOov _,
     "q_text_kl"          -> textKl _,
   )
 
+  // DISTINCT must land AFTER the unnest (subquery), and the df cutoff
+  // is integer arithmetic (df*10 <= n*8) so neither engine does
+  // decimal/double threshold math. Shared verbatim by the sharded twin:
+  // the sharded path must REASSEMBLE to exactly this.
+  private val textIndexOracleSql =
+    """WITH tok AS (SELECT DISTINCT doc_id, token
+                    FROM (SELECT doc_id, unnest(str_split(text, ' '))
+                            AS token
+                          FROM documents)),
+       n AS (SELECT CAST(count(1) AS BIGINT) AS n_docs FROM documents),
+       inv AS (SELECT token, CAST(count(1) AS BIGINT) AS df,
+                      array_to_string(list_sort(list(doc_id)), ',')
+                        AS postings
+               FROM tok GROUP BY token)
+       SELECT token, df, postings
+       FROM inv, n
+       WHERE df >= 2 AND df * 10 <= n_docs * 8
+       ORDER BY token"""
+
   val oracle: Map[String, String] = Map(
-    // DISTINCT must land AFTER the unnest (subquery), and the df cutoff
-    // is integer arithmetic (df*10 <= n*8) so neither engine does
-    // decimal/double threshold math.
-    "q_text_index" ->
-      """WITH tok AS (SELECT DISTINCT doc_id, token
-                      FROM (SELECT doc_id, unnest(str_split(text, ' '))
-                              AS token
-                            FROM documents)),
-         n AS (SELECT CAST(count(1) AS BIGINT) AS n_docs FROM documents),
-         inv AS (SELECT token, CAST(count(1) AS BIGINT) AS df,
-                        array_to_string(list_sort(list(doc_id)), ',')
-                          AS postings
-                 FROM tok GROUP BY token)
-         SELECT token, df, postings
-         FROM inv, n
-         WHERE df >= 2 AND df * 10 <= n_docs * 8
-         ORDER BY token""",
+    "q_text_index" -> textIndexOracleSql,
+    "q_text_index_sharded" -> textIndexOracleSql,
     // OOV rate is a ratio of exact BIGINT counts — the double quotient
     // is bit-identical on both engines, no epsilon gymnastics needed
     // (the +1e-9 is the repo's standard round-boundary guard only)

@@ -42,6 +42,43 @@ object Skew {
       .groupBy(col(key))
       .agg(sum(col("__partial")).as("n"))
 
+  /** Estimated row count of the HOTTEST key, from a seeded sample: the
+    * sampled per-key histogram is a keyed shuffle over only the sample,
+    * and the driver fetch is one scalar (the max). Scaled back up by
+    * 1/fraction. Hot keys are hot in every sample, so the estimate is
+    * reliable exactly when it matters (a key big enough to hurt a reducer
+    * cannot hide from a 1% sample); sub-threshold keys may jitter, but
+    * both branches below are row-identical so a flipped borderline branch
+    * is invisible in results. Row-level sampling is partition-seeded, so
+    * the ESTIMATE (not the result) can vary across cluster shapes. */
+  def estimatedHotKeyRows(df: DataFrame, key: String,
+                          sampleFraction: Double = 0.01,
+                          seed: Long = 42L): Long = {
+    val s = if (sampleFraction >= 1.0) df
+            else df.sample(withReplacement = false, sampleFraction, seed)
+    val top = s.groupBy(col(key)).agg(count(lit(1)).as("__c"))
+      .agg(max(col("__c"))).head()
+    if (top.isNullAt(0)) 0L
+    else math.round(top.getLong(0) / math.min(1.0, sampleFraction))
+  }
+
+  /** Automatic salted fallback: probes the key histogram on a bounded
+    * sample and picks the plain equi-join when no key is hot, the salted
+    * join (build side ×salts) when one is. The threshold is in ESTIMATED
+    * ROWS OF THE HOTTEST KEY — set it to a few × your target rows-per-
+    * reducer (shuffle partition). Turns the r3 SkewSpec lesson (AQE skew
+    * splitting is suppressed under an agg-above-join) into reusable code:
+    * result is row-identical to `probe.join(build, key)` either way,
+    * which SaltIfSkewedSpec's property test pins. */
+  def saltIfSkewed(probe: DataFrame, build: DataFrame, key: String,
+                   hotRowThreshold: Long, salts: Int = 16,
+                   sampleFraction: Double = 0.01,
+                   seed: Long = 42L): DataFrame =
+    if (estimatedHotKeyRows(probe, key, sampleFraction, seed)
+        > hotRowThreshold)
+      saltedJoin(probe, build, key, salts)
+    else probe.join(build, Seq(key))
+
   // ------------------------------------------------------------- queries --
 
   type Q = (SparkSession, String) => DataFrame
