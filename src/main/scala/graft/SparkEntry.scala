@@ -29,7 +29,8 @@ object SparkEntry {
       sources.JsonLines.queries ++ stream.TimeSeries.queries ++
       sc.PageRank.queries ++ sources.Evolution.queries ++
       sc.Communities.queries ++ sources.OtherFormats.queries ++
-      tables.Profile.queries ++ sc.Markers.queries ++ rel.Linkage.queries
+      tables.Profile.queries ++ sc.Markers.queries ++ rel.Linkage.queries ++
+      sc.H5Ingest.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -49,5 +50,6 @@ object SparkEntry {
       sources.JsonLines.oracle ++ stream.TimeSeries.oracle ++
       sc.PageRank.oracle ++ sources.Evolution.oracle ++
       sc.Communities.oracle ++ sources.OtherFormats.oracle ++
-      tables.Profile.oracle ++ sc.Markers.oracle ++ rel.Linkage.oracle
+      tables.Profile.oracle ++ sc.Markers.oracle ++ rel.Linkage.oracle ++
+      sc.H5Ingest.oracle
 }

@@ -1,0 +1,115 @@
+package graft.sources.hdf5
+
+import java.nio.{ByteBuffer, ByteOrder}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Distributed HDF5 dataset scans: driver parses metadata (KBs), then one
+  * Spark task per chunk/range decodes bytes executor-side — the Zarr
+  * source pattern. Rows are (idx, value) with idx = global element index,
+  * so downstream CSC/COO assembly is ordinary relational algebra.
+  *
+  * Contiguous (non-deflated) pieces are SPLIT at element boundaries into
+  * ~4 MiB ranges first: a 100 GB contiguous dataset becomes ~25k
+  * parallel range reads, not one task. Deflated chunks decode whole (the
+  * deflate stream is per-chunk); their parallelism is the chunk count —
+  * which is the format's own scale knob. */
+object Hdf5Scan {
+  import Hdf5._
+
+  private val SplitBytes = 4L << 20
+
+  private[hdf5] def splitPieces(pieces: Seq[Piece], elemSize: Int): Seq[Piece] =
+    pieces.flatMap { p =>
+      if (p.deflated || p.storedSize <= SplitBytes) Seq(p)
+      else {
+        val per = math.max(1L, SplitBytes / elemSize)
+        (0L until p.nElems by per).map { e =>
+          val n = math.min(per, p.nElems - e)
+          Piece(p.fileOffset + e * elemSize, n * elemSize, p.elemOffset + e,
+            n, deflated = false)
+        }
+      }
+    }
+
+  private def meta(file: String, dsPath: String): DatasetMeta =
+    H5Meta.open(file).getOrElse(dsPath,
+      throw new IllegalArgumentException(s"$file: no dataset $dsPath"))
+
+  private def scan(s: SparkSession, file: String, m: DatasetMeta,
+                   valType: org.apache.spark.sql.types.DataType,
+                   decode: (ByteBuffer, Int) => Any): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val elemSize = m.dtype.size
+    val pieces = splitPieces(m.pieces, elemSize)
+    val slices = math.max(1, math.min(pieces.size, 32))
+    val rdd = s.sparkContext.parallelize(pieces, slices)
+      .flatMap { p =>
+        val bb = ByteBuffer.wrap(H5Meta.decodePiece(file, p, elemSize))
+          .order(ByteOrder.LITTLE_ENDIAN)
+        (0L until p.nElems).iterator
+          .map(i => Row(p.elemOffset + i, decode(bb, (i * elemSize).toInt)))
+      }
+    s.createDataFrame(rdd, StructType(Seq(
+      StructField("idx", LongType, nullable = false),
+      StructField("val", valType, nullable = false))))
+  }
+
+  /** (idx, val double) from an F32/F64 dataset. */
+  def scanDoubles(s: SparkSession, file: String, dsPath: String): DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
+    val m = meta(file, dsPath)
+    m.dtype match {
+      case F64 => scan(s, file, m, DoubleType, (bb, o) => bb.getDouble(o))
+      case F32 => scan(s, file, m, DoubleType, (bb, o) => bb.getFloat(o).toDouble)
+      case t => throw new IllegalArgumentException(s"$dsPath: $t is not float")
+    }
+  }
+
+  /** (idx, val long) from an I32/I64 dataset. */
+  def scanLongs(s: SparkSession, file: String, dsPath: String): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val m = meta(file, dsPath)
+    m.dtype match {
+      case I64 => scan(s, file, m, LongType, (bb, o) => bb.getLong(o))
+      case I32 => scan(s, file, m, LongType, (bb, o) => bb.getInt(o).toLong)
+      case t => throw new IllegalArgumentException(s"$dsPath: $t is not int")
+    }
+  }
+
+  /** (idx, val string) from a fixed-length string dataset (null-padded,
+    * the 10x barcodes convention). */
+  def scanStrings(s: SparkSession, file: String, dsPath: String): DataFrame = {
+    import org.apache.spark.sql.types.StringType
+    val m = meta(file, dsPath)
+    val width = m.dtype match {
+      case FixedStr(w) => w
+      case t => throw new IllegalArgumentException(s"$dsPath: $t is not string")
+    }
+    scan(s, file, m, StringType, { (bb, o) =>
+      val a = bb.array()
+      var end = o
+      while (end < o + width && a(end) != 0) end += 1
+      new String(a, o, end - o, "UTF-8")
+    })
+  }
+
+  /** Driver-side full read for SMALL datasets (indptr, shape — the
+    * bounded-stats class; do NOT use on data/indices). */
+  def readLongs(file: String, dsPath: String): Array[Long] = {
+    val m = meta(file, dsPath)
+    require(m.nElems <= (1L << 22),
+      s"$dsPath has ${m.nElems} elems — use scanLongs, not a driver read")
+    val out = new Array[Long](m.nElems.toInt)
+    val elemSize = m.dtype.size
+    m.pieces.foreach { p =>
+      val bb = ByteBuffer.wrap(H5Meta.decodePiece(file, p, elemSize))
+        .order(ByteOrder.LITTLE_ENDIAN)
+      (0 until p.nElems.toInt).foreach { i =>
+        out(p.elemOffset.toInt + i) =
+          if (m.dtype == I32) bb.getInt(i * 4).toLong else bb.getLong(i * 8)
+      }
+    }
+    out
+  }
+}

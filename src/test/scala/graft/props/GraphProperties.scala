@@ -87,17 +87,16 @@ object GraphProperties extends Properties("graft.graph") {
       val got = graft.sc.PageRank
         .pageRankOnEdges(edges.toDF("id1", "id2"))
         .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
-      // model mirrors the operator: node set = distinct SOURCES, sinks
-      // outside it receive no rank, contributions to non-nodes drop
-      val nodes = edges.map(_._1).distinct.sorted
+      // model mirrors the operator: node set = BOTH endpoints, so pure
+      // sinks are ranked (floor + received mass) and contribute nothing
+      // onward — dangling mass drops, ranks need not sum to 1
+      val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
       val n = nodes.size.toDouble
       val od = edges.groupBy(_._1).view.mapValues(_.size.toDouble).toMap
       var r = nodes.map(v => v -> (1.0 / n)).toMap
       for (_ <- 1 to graft.sc.PageRank.Iters) {
-        val contrib = edges
-          .filter { case (_, dst) => r.contains(dst) }
-          .groupBy(_._2).view.mapValues(
-            _.map { case (src, _) => r(src) / od(src) }.sum).toMap
+        val contrib = edges.groupBy(_._2).view.mapValues(
+          _.map { case (src, _) => r(src) / od(src) }.sum).toMap
         r = nodes.map(v => v ->
           (0.15 / n + 0.85 * contrib.getOrElse(v, 0.0))).toMap
       }
