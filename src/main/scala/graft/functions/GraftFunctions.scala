@@ -77,9 +77,9 @@ object GraftFunctions {
   }
 }
 
-/** Session-extensions installer: injects graft's native functions at
-  * session build time — the no-code-change deployment route
-  * (`--conf spark.sql.extensions=graft.functions.GraftExtensions`). */
+/** Session-extensions installer: injects graft's native functions AND
+  * optimizer rules at session build time — the no-code-change deployment
+  * route (`--conf spark.sql.extensions=graft.functions.GraftExtensions`). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
@@ -94,5 +94,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       GraftFunctions.dotBuilder))
+    ext.injectOptimizerRule(_ => graft.plans.LevenshteinThresholdRule)
   }
 }
