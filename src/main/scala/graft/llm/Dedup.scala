@@ -465,9 +465,51 @@ object Dedup {
       .orderBy("user_id")
   }
 
+  /** Repeated-passage detection (the corpus-level "exact substring"
+    * dedup signal, at word-shingle granularity): an 8-word shingle that
+    * recurs across ≥2 DISTINCT documents marks boilerplate — license
+    * headers, navigation chrome, templated paragraphs — the passages a
+    * training-data pipeline clips even when the documents containing
+    * them are NOT near-duplicates as wholes. Per surviving doc: how many
+    * of its distinct shingles are corpus-repeated, and what fraction of
+    * the doc that is (the clip-or-keep decision feature).
+    *
+    * Scale shape: shingles shuffle as 60-bit md5 keys (not ~50-char
+    * strings — the [[jaccardPairs]] convention); the df count is one
+    * keyed agg with map-side combine; the repeated-shingle set joins
+    * back as a semi-equi-join on the same key, re-using the hash
+    * partitioning AQE already produced. Nothing is all-pairs and no doc
+    * text moves after the first projection — at 100 TB this is two
+    * keyed exchanges over fixed-width rows. Suffix-array exactness
+    * (byte-level, as in the Lee et al. dedup paper) does not
+    * distribute; the shingle approximation is the standard cluster
+    * form. */
+  def repeatedPassages(docs: DataFrame, n: Int, minDf: Int): DataFrame = {
+    import graft.llm.TextOps.{tokens, wordNGrams}
+    val gh = docs
+      .select(col("doc_id"),
+        explode(wordNGrams(tokens(col("text")), n)).as("g"))
+      .select(col("doc_id"), md5Hash60(col("g")).as("gh"))
+      .distinct()
+    val rep = gh.groupBy("gh").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf).select("gh")
+    val sizes = gh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    gh.join(rep, Seq("gh"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_rep"))
+      .join(sizes, Seq("doc_id"))
+      .select(col("doc_id"), col("n_rep"), col("n_shingles"),
+        round(col("n_rep").cast("double") / col("n_shingles") + lit(1e-9), 4)
+          .as("rep_frac"))
+      .orderBy("doc_id")
+  }
+
+  def dedupSubstring(s: SparkSession, d: String): DataFrame =
+    repeatedPassages(Tables.documents(s, d), 8, 2)
+
   // ------------------------------------------------------------- wiring --
 
   val queries: Map[String, Q] = Map(
+    "q_dedup_substring" -> dedupSubstring _,
     "q_dedup_clusters" -> dedupClusters _,
     "q_dedup_latest"  -> dedupLatest _,
     "q_dedup_exact"   -> dedupExact _,
@@ -481,6 +523,32 @@ object Dedup {
   )
 
   val oracle: Map[String, String] = Map(
+    // same 60-bit md5 gram keys as the Spark side (jaccardPairs
+    // convention), same ≥2-distinct-docs cutoff; list-comprehension
+    // shingling mirrors wordNGrams' empty-below-n contract
+    "q_dedup_substring" ->
+      """WITH tok AS (SELECT doc_id, str_split(text, ' ') AS ts
+                      FROM documents),
+         g0 AS (SELECT doc_id,
+                  unnest([array_to_string(ts[i+1:i+8], ' ')
+                          FOR i IN range(0, greatest(len(ts)-7, 0))]) AS g
+                FROM tok),
+         grams AS (SELECT DISTINCT doc_id,
+                     CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) AS gh
+                   FROM g0),
+         rep AS (SELECT gh
+                 FROM (SELECT gh, count(1) AS df FROM grams GROUP BY gh)
+                 WHERE df >= 2),
+         sizes AS (SELECT doc_id, count(1) AS n_shingles
+                   FROM grams GROUP BY doc_id)
+         SELECT g.doc_id, CAST(count(1) AS BIGINT) AS n_rep,
+                s.n_shingles,
+                round(CAST(count(1) AS DOUBLE) / s.n_shingles + 1e-9, 4)
+                  AS rep_frac
+         FROM grams g JOIN sizes s ON s.doc_id = g.doc_id
+         WHERE gh IN (SELECT gh FROM rep)
+         GROUP BY g.doc_id, s.n_shingles
+         ORDER BY g.doc_id""",
     // connected components in SQL: recursive label walk over the
     // symmetrized near-dup edges; min reachable id = component rep
     "q_dedup_clusters" ->

@@ -63,6 +63,48 @@ object TextOps {
         round(avg(size(tokens(col("text"))).cast("double")), 4).as("avg_tokens"))
       .orderBy("lang")
 
+  /** Logistic quality-classifier weights — the "trained offline, scored
+    * at scale" contract: in production these coefficients come out of a
+    * regression fit on labeled docs and ship to executors as literals in
+    * the plan (a broadcast of ~5 doubles); the engine's job is only the
+    * feature projection + dot + sigmoid, all codegen'd scalar math. */
+  val ClassifierBias = -2.0
+  val WLogTokens = 0.9
+  val WCommonRatio = 6.0
+  val WTypeToken = -1.5
+  val WDigitRatio = -4.0
+
+  /** Linear (fasttext-shaped) document quality classifier: interpretable
+    * features — log token count, common-token ratio, type-token ratio,
+    * digit-character ratio — through a fixed logistic layer. Unlike
+    * [[textQuality]]'s bounded heuristic blend, this is the learned-
+    * filter deployment shape (CCNet/Gopher-style quality gating): scan →
+    * project features → sigmoid → threshold, no shuffle at all until the
+    * output sort; at 100 TB it runs at parquet scan speed with the
+    * doc text pruned right after the feature projection. */
+  def classifierScore(text: Column): Column = {
+    val toks = tokens(text)
+    val nTok = size(toks).cast("double")
+    val commonRatio = size(filter(toks,
+      t => t.isin(CommonTokens: _*))).cast("double") / nTok
+    val ttr = size(array_distinct(toks)).cast("double") / nTok
+    val digitRatio = (length(text) -
+      length(regexp_replace(text, "[0-9]", "")))
+      .cast("double") / length(text)
+    val z = lit(ClassifierBias) + lit(WLogTokens) * log(nTok) +
+      lit(WCommonRatio) * commonRatio + lit(WTypeToken) * ttr +
+      lit(WDigitRatio) * digitRatio
+    round(lit(1.0) / (lit(1.0) + exp(-z)) + lit(1e-9), 4)
+  }
+
+  def textClassifier(s: SparkSession, d: String): DataFrame = {
+    val score = classifierScore(col("text"))
+    Tables.documents(s, d).select(
+        col("doc_id"), score.as("score"),
+        (score >= 0.5).as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** Per-document quality score: length, subtoken count (BPE-ish regex),
     * mean token length, common-token ratio, fixed weighted combination. */
   def textQuality(s: SparkSession, d: String): DataFrame = {
@@ -429,6 +471,7 @@ object TextOps {
     "q_text_tokenize"    -> textTokenize _,
     "q_text_stats"       -> textStats _,
     "q_text_quality"     -> textQuality _,
+    "q_text_classifier"  -> textClassifier _,
     "q_text_fingerprint" -> textFingerprint _,
     "q_text_langid"      -> textLangId _,
     "q_text_tfidf"       -> textTfidf _,
@@ -573,6 +616,30 @@ object TextOps {
                 round(avg(CAST(len(str_split(text, ' ')) AS DOUBLE)), 4)
                   AS avg_tokens
          FROM documents GROUP BY lang ORDER BY lang""",
+    // same features, same fixed logistic layer; ln/exp are both IEEE
+    // doubles and the +1e-9 guard absorbs cross-libm last-ulp drift
+    // before the 4-decimal round (the established float convention)
+    "q_text_classifier" ->
+      """WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks, text
+                    FROM documents),
+         f AS (SELECT doc_id,
+                      CAST(len(toks) AS DOUBLE) AS n_tok,
+                      CAST(len(list_filter(toks, x -> x IN ('join','select',
+                        'filter','from','where','group','order'))) AS DOUBLE)
+                        / len(toks) AS common_ratio,
+                      CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+                        AS ttr,
+                      CAST(len(text) - len(regexp_replace(text, '[0-9]',
+                        '', 'g')) AS DOUBLE) / len(text) AS digit_ratio
+               FROM t),
+         z AS (SELECT doc_id,
+                      -2.0 + 0.9 * ln(n_tok) + 6.0 * common_ratio
+                      - 1.5 * ttr - 4.0 * digit_ratio AS z
+               FROM f)
+         SELECT doc_id,
+                round(1.0 / (1.0 + exp(-z)) + 1e-9, 4) AS score,
+                round(1.0 / (1.0 + exp(-z)) + 1e-9, 4) >= 0.5 AS keep
+         FROM z ORDER BY doc_id""",
     "q_text_quality" ->
       """WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks, text
                     FROM documents),

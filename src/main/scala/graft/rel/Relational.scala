@@ -310,6 +310,64 @@ object Relational {
 
   // ------------------------------------------------------------- wiring --
 
+  /** TPC-H Q1 shape (pricing summary report): the canonical full-scan
+    * aggregation — one pass over the fact table, eight aggregates over
+    * six groups. The textbook partial-aggregation query: map-side
+    * combine collapses each input partition to ≤6 rows before the
+    * shuffle, so the exchange moves O(partitions × 6) rows regardless of
+    * table size — at 100 TB this is scan-bound, never shuffle-bound,
+    * and the shipdate predicate pushes to the parquet scan. */
+  def sqlTpchQ1(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+    s.sql("""
+      SELECT l_returnflag, l_linestatus,
+             round(sum(l_quantity) + 1e-6, 2) AS sum_qty,
+             round(sum(l_extendedprice) + 1e-6, 2) AS sum_base_price,
+             round(sum(l_extendedprice * (1 - l_discount)) + 1e-6, 2)
+               AS sum_disc_price,
+             round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))
+                   + 1e-6, 2) AS sum_charge,
+             round(avg(l_quantity) + 1e-6, 4) AS avg_qty,
+             round(avg(l_extendedprice) + 1e-6, 4) AS avg_price,
+             round(avg(l_discount) + 1e-6, 4) AS avg_disc,
+             CAST(count(1) AS BIGINT) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus""")
+  }
+
+  /** TPC-H Q10 shape (returned-item revenue): fact-side join of the
+    * returnflag-filtered lineitem to a one-quarter window of orders,
+    * re-keyed to the customer dimension, top-20 by revenue. Catalyst
+    * pushes both filters to the scans, broadcasts nation, shuffles
+    * orders⋈lineitem on orderkey then re-partitions on custkey for the
+    * customer join — two keyed exchanges, both over pre-filtered data.
+    * The LIMIT rides the rounded-revenue total order with a custkey
+    * tiebreak, planned as TakeOrderedAndProject (per-partition top-20,
+    * no global sort). */
+  def sqlTpchQ10(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d).createOrReplaceTempView("customer")
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+    Tables.nation(s, d).createOrReplaceTempView("nation")
+    s.sql("""
+      SELECT c_custkey, c_name,
+             round(sum(l_extendedprice * (1 - l_discount)) + 1e-6, 2)
+               AS revenue,
+             c_acctbal, n_name
+      FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      WHERE o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+        AND l_returnflag = 'R'
+      GROUP BY c_custkey, c_name, c_acctbal, n_name
+      ORDER BY revenue DESC, c_custkey
+      LIMIT 20""")
+  }
+
   /** The pure-SQL entry point: the engine's tables registered as temp
     * views, the query authored as ANSI SQL through `spark.sql` — the
     * route a BI tool or SQL-only user takes. TPC-H Q3 shape (3-table
@@ -423,8 +481,10 @@ object Relational {
   }
 
   val queries: Map[String, Q] = Map(
+    "q_sql_tpch_q1"   -> sqlTpchQ1 _,
     "q_sql_tpch_q3"   -> sqlTpchQ3 _,
     "q_sql_tpch_q5"   -> sqlTpchQ5 _,
+    "q_sql_tpch_q10"  -> sqlTpchQ10 _,
     "q_sql_tpch_q18"  -> sqlTpchQ18 _,
     "q_sql_recursive" -> sqlRecursive _,
     "q_scan_project_filter" -> scanProjectFilter _,
@@ -477,6 +537,37 @@ object Relational {
                 CAST(count(1) AS BIGINT) AS n_nodes,
                 min(id) AS min_id, max(id) AS max_id
          FROM walk GROUP BY root, depth ORDER BY root, depth""",
+    "q_sql_tpch_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+                round(sum(l_quantity) + 1e-6, 2) AS sum_qty,
+                round(sum(l_extendedprice) + 1e-6, 2) AS sum_base_price,
+                round(sum(l_extendedprice * (1 - l_discount)) + 1e-6, 2)
+                  AS sum_disc_price,
+                round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))
+                      + 1e-6, 2) AS sum_charge,
+                round(avg(l_quantity) + 1e-6, 4) AS avg_qty,
+                round(avg(l_extendedprice) + 1e-6, 4) AS avg_price,
+                round(avg(l_discount) + 1e-6, 4) AS avg_disc,
+                CAST(count(1) AS BIGINT) AS count_order
+         FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "q_sql_tpch_q10" ->
+      """SELECT c_custkey, c_name,
+                round(sum(l_extendedprice * (1 - l_discount)) + 1e-6, 2)
+                  AS revenue,
+                c_acctbal, n_name
+         FROM customer
+         JOIN orders   ON c_custkey = o_custkey
+         JOIN lineitem ON l_orderkey = o_orderkey
+         JOIN nation   ON c_nationkey = n_nationkey
+         WHERE o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+           AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+           AND l_returnflag = 'R'
+         GROUP BY c_custkey, c_name, c_acctbal, n_name
+         ORDER BY revenue DESC, c_custkey
+         LIMIT 20""",
     "q_sql_tpch_q18" ->
       """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
                 round(sum(l_quantity) + 1e-6, 2) AS sum_qty

@@ -47,6 +47,29 @@ class RelationalSpec extends SparkSpec {
     assert(total == liCount)
   }
 
+  test("tpch q1: full 8-aggregate summary over the flag/status groups") {
+    val rows = Relational.sqlTpchQ1(spark, sf).collect()
+    assert(rows.length == 6)   // 3 returnflags × 2 linestatus
+    val total = rows.map(_.getAs[Long]("count_order")).sum
+    val liCount = graft.tables.Tables.lineitem(spark, sf)
+      .filter("l_shipdate <= timestamp'2000-09-02 00:00:00'").count()
+    assert(total == liCount)
+    // avg_qty must equal sum_qty / count_order within rounding slack
+    rows.foreach { r =>
+      val implied = r.getAs[Double]("sum_qty") / r.getAs[Long]("count_order")
+      assert(math.abs(implied - r.getAs[Double]("avg_qty")) < 1e-2)
+    }
+  }
+
+  test("tpch q10: top-20 returned-item revenue, descending and distinct") {
+    val rows = Relational.sqlTpchQ10(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val rev = rows.map(_.getAs[Double]("revenue"))
+    assert(rev.zip(rev.tail).forall { case (a, b) => a >= b })
+    val keys = rows.map(_.getAs[Long]("c_custkey"))
+    assert(keys.distinct.length == keys.length)
+  }
+
   test("modeBy: exact mode with deterministic larger-value tie-break") {
     import spark.implicits._
     // group a: 7 is the clear mode; group b: 3 and 9 tie at 2 → pick 9
