@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import scala.util.control.NonFatal
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -15,6 +16,7 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // BASELINE.md methodology: 1 warm-up execution (JVM/codegen warm-up),
     // then median of 3 timed runs per query.
+    val failures = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = SparkEntry.queries.map { case (name, fn) =>
       // noop sink: materializes EVERY output column and keeps the final
       // sort — .count() let Catalyst prune computed projections and
@@ -22,7 +24,12 @@ object Bench {
       def once(): Double = {
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => return -1.0 }
+        catch { case NonFatal(e) =>
+          val msg = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(300)}"
+          System.err.println(s"[bench] $name FAILED: $msg")
+          failures.getOrElseUpdate(name, msg)
+          return -1.0
+        }
         (System.nanoTime() - t0) / 1e9
       }
       val warm = once()
@@ -41,11 +48,15 @@ object Bench {
       name -> t
     }
     val total = if (results.nonEmpty) results.values.filter(_ >= 0).sum else 0.0
+    val nFailed = results.values.count(_ < 0)
     // Full-precision per-query detail goes to the file sink.
+    def escJ(p: String): String = p.replace("\\", "\\\\").replace("\"", "\\\"")
     val qsFull = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val failJson = failures.map { case (k, v) =>
+      s"\"${escJ(k)}\":\"${escJ(v)}\"" }.mkString("{", ",", "}")
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_failed":$nFailed,"failures":$failJson,"queries":$qsFull,"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_OUT.json")
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
@@ -66,9 +77,8 @@ object Bench {
       s"\"" + k + "\":" + (math.rint(v * 1000) / 1000))).mkString("{", ",", "}")
     // JSON-escape interpolated paths: an env-provided path containing a
     // quote or backslash must not break the driver's one-line parser
-    def esc(p: String): String = p.replace("\\", "\\\\").replace("\"", "\\\"")
     val json =
-      s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","queries":$qsHead,"n_queries":${results.size},"detail":"${esc(outPath)}","sf":"${esc(sfDir)}"}"""
+      s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","queries":$qsHead,"n_queries":${results.size},"n_failed":$nFailed,"detail":"${escJ(outPath)}","sf":"${escJ(sfDir)}"}"""
     println(json)
     spark.stop()
   }

@@ -36,12 +36,6 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
-  /** `events.parquet` stores TIMESTAMP(NANOS); Spark 4.x refuses the read
-    * unless `spark.sql.legacy.parquet.nanosAsLong=true`, under which `ts`
-    * surfaces as BIGINT nanoseconds. We set the conf here (the Verify/Bench
-    * harness sessions do not set it) and convert to a proper TIMESTAMP at
-    * microsecond precision. Session timezone must be UTC for oracle parity.
-    */
   /** Rechunk (reference R11, zarr_spark.py::repartition_chunks): with
     * Parquet + AQE this is just an explicit repartition — hash for balanced
     * chunks, range when downstream wants clustered writes. */
@@ -51,12 +45,25 @@ object Tables {
       case None    => df.repartition(n)
     }
 
+  /** `events.parquet` has shipped with two physical types for `ts` across
+    * testdata generations: TIMESTAMP(NANOS) (surfaces as BIGINT nanos under
+    * `spark.sql.legacy.parquet.nanosAsLong=true`) and TIMESTAMP(MICROS)
+    * (surfaces as TimestampType directly). This loader inspects the loaded
+    * schema and normalizes either shape to the same two columns:
+    *   ts    TIMESTAMP (microsecond precision)
+    *   ts_ns BIGINT    (epoch nanos, exact ordering key; DuckDB epoch_ns(ts)
+    *                    parity — the TIMESTAMP column alone truncates)
+    * Session timezone must be UTC for oracle parity.
+    */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(path(d, "events"))
-      // keep the raw nanos (ts_ns) for exact ordering/compare against the
-      // oracle's epoch_ns(ts) — the TIMESTAMP column truncates to micros.
-      .withColumn("ts_ns", col("ts"))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = s.read.parquet(path(d, "events"))
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => // nanos-as-long generation
+        raw.withColumn("ts_ns", col("ts"))
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => // micros generation: ts already TimestampType
+        raw.withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
+    }
   }
 }

@@ -18,12 +18,20 @@ class CheckpointSpec extends SparkSpec {
     val schema = spark.read.parquet(events.toString).schema
     val perFile = spark.read.parquet(events.toString).count()
 
-    def startQuery() = spark.readStream.schema(schema).parquet(src)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      .writeStream.format("parquet")
-      .option("checkpointLocation", chk)
-      .option("path", out)
-      .start()
+    // normalize ts to TIMESTAMP whichever physical type the generation used
+    // (BIGINT nanos under nanosAsLong, or TimestampType micros directly)
+    val tsIsLong =
+      schema("ts").dataType == org.apache.spark.sql.types.LongType
+    def startQuery() = {
+      val in = spark.readStream.schema(schema).parquet(src)
+      val norm =
+        if (tsIsLong) in.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        else in
+      norm.writeStream.format("parquet")
+        .option("checkpointLocation", chk)
+        .option("path", out)
+        .start()
+    }
 
     // batch 1: one input file
     Files.copy(events, Paths.get(src, "f1.parquet"),
