@@ -17,7 +17,11 @@ object Bench {
     // BASELINE.md methodology: 1 warm-up execution (JVM/codegen warm-up),
     // then median of 3 timed runs per query.
     val failures = scala.collection.mutable.LinkedHashMap[String, String]()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Accumulate incrementally so a FATAL error (OOM in one query) still
+    // flushes every completed result to the JSON sinks before rethrowing —
+    // NonFatal alone would otherwise lose the whole run's data.
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    try SparkEntry.queries.foreach { case (name, fn) =>
       // noop sink: materializes EVERY output column and keeps the final
       // sort — .count() let Catalyst prune computed projections and
       // eliminate orderBy, timing a cheaper plan than the query under test
@@ -45,12 +49,26 @@ object Bench {
       // lineage per invocation; without this the cache grows run over run
       // and later queries pay eviction pressure
       spark.sharedState.cacheManager.clearCache()
-      name -> t
+      results(name) = t
+    } catch { case fatal: Throwable =>
+      System.err.println(s"[bench] FATAL after ${results.size} queries: $fatal")
+      failures.getOrElseUpdate("_fatal",
+        s"${fatal.getClass.getSimpleName}: ${Option(fatal.getMessage).getOrElse("").take(300)}")
     }
     val total = if (results.nonEmpty) results.values.filter(_ >= 0).sum else 0.0
     val nFailed = results.values.count(_ < 0)
     // Full-precision per-query detail goes to the file sink.
-    def escJ(p: String): String = p.replace("\\", "\\\\").replace("\"", "\\\"")
+    // Full JSON string escape — Spark exception messages are multi-line;
+    // raw \n/\r/\t in a value breaks the one-line format the driver parses.
+    def escJ(p: String): String = p.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
     val qsFull = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failJson = failures.map { case (k, v) =>

@@ -486,9 +486,16 @@ object Dedup {
     * form. */
   def repeatedPassages(docs: DataFrame, n: Int, minDf: Int): DataFrame = {
     import graft.llm.TextOps.{tokens, wordNGrams}
+    // Hoist tokenization into its own projection BEFORE the gram lambda:
+    // wordNGrams references its input n times per gram via element_at, and
+    // an inline `tokens(text)` argument is re-evaluated at every reference
+    // — split(text) n·grams times = O(len²) per doc. Same trap documented
+    // and measured at TextOps.repetitionOf (3.9 s → ~1 s for 3-grams;
+    // this 8-gram site was 18.8 s before hoisting).
     val gh = docs
+      .withColumn("toks", tokens(col("text")))
       .select(col("doc_id"),
-        explode(wordNGrams(tokens(col("text")), n)).as("g"))
+        explode(wordNGrams(col("toks"), n)).as("g"))
       .select(col("doc_id"), md5Hash60(col("g")).as("gh"))
       .distinct()
     val rep = gh.groupBy("gh").agg(count(lit(1)).as("df"))

@@ -45,25 +45,38 @@ object Tables {
       case None    => df.repartition(n)
     }
 
-  /** `events.parquet` has shipped with two physical types for `ts` across
+  /** `events.parquet` has shipped with THREE physical types for `ts` across
     * testdata generations: TIMESTAMP(NANOS) (surfaces as BIGINT nanos under
-    * `spark.sql.legacy.parquet.nanosAsLong=true`) and TIMESTAMP(MICROS)
-    * (surfaces as TimestampType directly). This loader inspects the loaded
-    * schema and normalizes either shape to the same two columns:
-    *   ts    TIMESTAMP (microsecond precision)
+    * `spark.sql.legacy.parquet.nanosAsLong=true`), TIMESTAMP(MICROS) with
+    * isAdjustedToUTC=true (surfaces as TimestampType), and TIMESTAMP(MICROS)
+    * with isAdjustedToUTC=false (surfaces as TimestampNTZType —
+    * `spark.sql.parquet.inferTimestampNTZ.enabled` defaults true in Spark 4).
+    * This loader inspects the loaded schema and normalizes every shape to
+    * the same two columns:
+    *   ts    TIMESTAMP (microsecond precision, session-local = UTC)
     *   ts_ns BIGINT    (epoch nanos, exact ordering key; DuckDB epoch_ns(ts)
     *                    parity — the TIMESTAMP column alone truncates)
-    * Session timezone must be UTC for oracle parity.
+    * The NTZ→LTZ cast interprets the wall-clock in the session timezone;
+    * both the gate and bench sessions pin UTC, so values are preserved
+    * exactly. Session timezone must be UTC for oracle parity.
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampType, TimestampNTZType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = s.read.parquet(path(d, "events"))
     raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType => // nanos-as-long generation
+      case LongType => // nanos-as-long generation
         raw.withColumn("ts_ns", col("ts"))
           .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ => // micros generation: ts already TimestampType
+      case TimestampNTZType => // micros, isAdjustedToUTC=false
+        val ltz = raw.withColumn("ts", col("ts").cast(TimestampType))
+        ltz.withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
+      case TimestampType => // micros, isAdjustedToUTC=true
         raw.withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts has unexpected dataType $other — a fourth testdata " +
+            "generation? Extend Tables.events to normalize it.")
     }
   }
 }
