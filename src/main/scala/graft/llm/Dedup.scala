@@ -492,12 +492,21 @@ object Dedup {
     // — split(text) n·grams times = O(len²) per doc. Same trap documented
     // and measured at TextOps.repetitionOf (3.9 s → ~1 s for 3-grams;
     // this 8-gram site was 18.8 s before hoisting).
+    // Persist the distinct gram set: it feeds THREE consumers (df count,
+    // per-doc sizes, the semi-join left side) and without it each branch
+    // re-scans + re-explodes + re-hashes the whole corpus — exchange reuse
+    // does not fire because the branches push down different null filters.
+    // At 100 TB one materialization of fixed-width (doc_id, gh) rows is
+    // roughly a shuffle-write's worth of IO; three corpus re-reads are not.
+    // Same internal-persist pattern as recipe/resample; the gate/bench
+    // clearCache() after each query releases it.
     val gh = docs
       .withColumn("toks", tokens(col("text")))
       .select(col("doc_id"),
         explode(wordNGrams(col("toks"), n)).as("g"))
       .select(col("doc_id"), md5Hash60(col("g")).as("gh"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rep = gh.groupBy("gh").agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf).select("gh")
     val sizes = gh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
