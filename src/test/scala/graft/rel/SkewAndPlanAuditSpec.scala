@@ -103,4 +103,25 @@ class PlanAuditSpec extends SparkSpec {
       !readSchema.contains("l_comment") && !readSchema.contains("l_tax"),
       readSchema)
   }
+
+  test("substring dedup reads the corpus through ONE persisted gram pass") {
+    // Round-7 regression pin: the gram set feeds three consumers whose
+    // differing pushed-down null filters defeat exchange reuse, so without
+    // the persist the corpus is scanned + exploded + hashed three times
+    // (see EXPLAIN.md round-7). The InMemoryRelation is the fix's
+    // signature; if someone drops the persist, the relation disappears
+    // and this fails before the 3× cost ships.
+    val plan = planOf(graft.llm.Dedup.dedupSubstring(spark, sf))
+    assert(plan.contains("InMemoryTableScan"),
+      "gram set no longer persisted — corpus will be scanned 3×")
+    // and the split() projection stays OUTSIDE the gram lambda: the
+    // O(len²) re-evaluation trap re-appears as split(text) inside the
+    // transform/lambdafunction body (the plan prints the cached child
+    // once per consumer, so count-based checks don't work — look for
+    // split co-located with a lambda instead)
+    val offending = plan.linesIterator
+      .filter(l => l.contains("lambdafunction") && l.contains("split("))
+    assert(offending.isEmpty,
+      s"tokenization re-entered the gram lambda: ${offending.take(1).toSeq}")
+  }
 }
