@@ -130,6 +130,15 @@ object Dedup {
       tagged.filter(col("doc_id") >= col("thr")))
   }
 
+  /** 12 disjoint 5-bit bands of a 60-bit fingerprint — the hamming-LSH
+    * candidate generator shared by the incremental screen and the split
+    * leakage audit (one definition so the two can't drift on band
+    * geometry; completeness argument at [[screenIncrement]]). */
+  private[llm] def bandify(sh: DataFrame, id: String, h: String): DataFrame =
+    sh.select(col(id), col(h),
+        explode(sequence(lit(0), lit(11))).as("b"))
+      .withColumn("bv", expr(s"shiftright($h, b * 5) & 31"))
+
   /** The screening core over explicit (corpus, increment) frames of
     * (doc_id, text) — split out so specs can plant cross-split dups. */
   def screenIncrement(corpus: DataFrame, inc: DataFrame): DataFrame = {
@@ -139,10 +148,6 @@ object Dedup {
       .select(md5(canonical(col("text"))).as("hc")).distinct()
       .withColumn("f_canon", lit(true))
 
-    def bandify(sh: DataFrame, id: String, h: String): DataFrame =
-      sh.select(col(id), col(h),
-          explode(sequence(lit(0), lit(11))).as("b"))
-        .withColumn("bv", expr(s"shiftright($h, b * 5) & 31"))
     val shCorpus = simhash(corpus.select("doc_id", "text"))
       .select(col("doc_id").as("cid"), col("simhash").as("ch"))
     val shInc = simhash(inc.select("doc_id", "text"))
@@ -166,6 +171,53 @@ object Dedup {
       .withColumn("admit",
         !col("exact_dup") && !col("canon_dup") && !col("near_dup"))
       .orderBy("doc_id")
+  }
+
+  // ------------------------------------------------------ split leakage --
+
+  /** Dedup-aware split audit: test docs with a near-duplicate in the
+    * TRAIN split — the leakage that survives naive hash splitting
+    * because near-copies hash to independent buckets. (The GPT-3 and C4
+    * papers both report this class of test contamination; n-gram overlap
+    * vs test SETS is [[graft.llm.Sampling]]'s contamination audit — this
+    * one audits the pipeline's OWN train/test split.) Uses THE shared
+    * [[graft.llm.Sampling.splitCol]] definition, so the audit can never
+    * silently check a different split than the one training consumed,
+    * and the same banded hamming-LSH rung as the incremental screen
+    * (complete for hamming ≤ 10, see [[screenIncrement]]).
+    *
+    * Output per leaking test doc: how many train near-dups it has and
+    * the closest hamming distance (0 = an exact/reformatted copy leaked
+    * across the split).
+    *
+    * Scale shape: ONE corpus pass computes simhash for all docs; the
+    * split tag is a scalar hash projection; band-equality candidate join
+    * + exact hamming verify + one keyed agg — the same linear-shuffle
+    * budget as the incremental near rung, nothing all-pairs. */
+  def splitLeakage(s: SparkSession, d: String): DataFrame =
+    splitLeakageOf(Tables.documents(s, d))
+
+  /** Core over an explicit (doc_id, text) frame — split out so specs can
+    * plant a known cross-split near-copy (same pattern as
+    * [[screenIncrement]]). */
+  def splitLeakageOf(documents: DataFrame): DataFrame = {
+    val docs = documents
+      .withColumn("split", graft.llm.Sampling.splitCol(col("doc_id")))
+    val sh = simhash(docs.select("doc_id", "text"))
+      .join(docs.select("doc_id", "split"), "doc_id")
+    val test = sh.filter(col("split") === "test")
+      .select(col("doc_id").as("tid"), col("simhash").as("th"))
+    val train = sh.filter(col("split") === "train")
+      .select(col("doc_id").as("rid"), col("simhash").as("rh"))
+    bandify(test, "tid", "th")
+      .join(bandify(train, "rid", "rh"), Seq("b", "bv"))
+      .select("tid", "th", "rid", "rh").distinct()
+      .withColumn("hamming", bit_count(expr("th ^ rh")).cast("int"))
+      .filter(col("hamming") <= 10)
+      .groupBy("tid")
+      .agg(count(lit(1)).as("n_train_neardups"),
+        min(col("hamming")).as("min_hamming"))
+      .orderBy("tid")
   }
 
   // ----------------------------------------------------- n-gram jaccard --
@@ -535,6 +587,7 @@ object Dedup {
     "q_dedup_ngram"   -> dedupNgram _,
     "q_dedup_minhash" -> dedupMinhash _,
     "q_dedup_editdist" -> dedupEditDistance _,
+    "q_split_leakage" -> splitLeakage _,
     "q_pipeline_docs" -> pipelineDocs _,
   )
 
@@ -641,6 +694,38 @@ object Dedup {
     // banding); the Spark side generates candidates via 12x5-bit band
     // equality first — the hash gate therefore PROVES the band join is
     // a complete candidate generator on this data, not just faster.
+    // all-pairs oracle vs the banded Spark side — equality re-proves
+    // band completeness for hamming <= 10 (as q_dedup_incremental does);
+    // split expression is byte-identical to q_sample_hash's
+    "q_split_leakage" ->
+      """WITH spl AS (SELECT doc_id,
+                  CASE WHEN CAST('0x' ||
+                         substr(md5('split:' || CAST(doc_id AS VARCHAR)),1,15)
+                         AS BIGINT) % 100 < 90
+                       THEN 'train' ELSE 'test' END AS split
+                FROM documents),
+         tok AS (SELECT doc_id, unnest(str_split(text, ' ')) AS t
+                 FROM documents),
+         h AS (SELECT doc_id,
+                      CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS hv
+               FROM tok),
+         bits AS (SELECT doc_id, j,
+                         sum(CASE WHEN (hv >> j) & 1 = 1
+                                  THEN 1 ELSE -1 END) AS s
+                  FROM h, generate_series(0, 59) g(j) GROUP BY doc_id, j),
+         sh AS (SELECT doc_id,
+                       sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j)
+                                ELSE 0 END) AS simhash
+                FROM bits GROUP BY doc_id),
+         pairs AS (SELECT ti.doc_id AS tid,
+                          bit_count(xor(si.simhash, sr.simhash)) AS hamming
+                   FROM spl ti JOIN sh si ON si.doc_id = ti.doc_id,
+                        spl tr JOIN sh sr ON sr.doc_id = tr.doc_id
+                   WHERE ti.split = 'test' AND tr.split = 'train'
+                     AND bit_count(xor(si.simhash, sr.simhash)) <= 10)
+         SELECT tid, CAST(count(1) AS BIGINT) AS n_train_neardups,
+                CAST(min(hamming) AS INTEGER) AS min_hamming
+         FROM pairs GROUP BY tid ORDER BY tid""",
     "q_dedup_incremental" ->
       """WITH n AS (SELECT (count(1) * 8) // 10 AS thr FROM documents),
          corpus AS (SELECT d.* FROM documents d, n WHERE doc_id < thr),
