@@ -201,13 +201,18 @@ object Dedup {
     * plant a known cross-split near-copy (same pattern as
     * [[screenIncrement]]). */
   def splitLeakageOf(documents: DataFrame): DataFrame = {
+    // Split BEFORE simhash: the two sides are disjoint scan-filters (the
+    // split predicate reaches the parquet scan), so each doc's tokens
+    // flow through exactly one fingerprint aggregation — joining the tag
+    // onto a corpus-wide simhash instead planted a redundant join per
+    // side in the physical plan.
     val docs = documents
       .withColumn("split", graft.llm.Sampling.splitCol(col("doc_id")))
-    val sh = simhash(docs.select("doc_id", "text"))
-      .join(docs.select("doc_id", "split"), "doc_id")
-    val test = sh.filter(col("split") === "test")
+    def side(which: String): DataFrame =
+      simhash(docs.filter(col("split") === which).select("doc_id", "text"))
+    val test = side("test")
       .select(col("doc_id").as("tid"), col("simhash").as("th"))
-    val train = sh.filter(col("split") === "train")
+    val train = side("train")
       .select(col("doc_id").as("rid"), col("simhash").as("rh"))
     bandify(test, "tid", "th")
       .join(bandify(train, "rid", "rh"), Seq("b", "bv"))
