@@ -69,4 +69,14 @@ class EmptyInputSpec extends SparkSpec {
     // and an empty increment yields an empty report
     assert(llm.Dedup.screenIncrement(inc, emptyDf(schema)).count() == 0)
   }
+
+  test("split leakage on an empty corpus reports nothing") {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    assert(llm.Dedup.splitLeakageOf(emptyDf(schema)).count() == 0)
+    // a one-sided corpus (every doc hashes to one split) cannot leak
+    val one = Seq((0L, "a b c")).toDF("doc_id", "text")
+    assert(llm.Dedup.splitLeakageOf(one).count() == 0)
+  }
 }
