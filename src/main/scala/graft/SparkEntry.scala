@@ -30,7 +30,7 @@ object SparkEntry {
       sc.PageRank.queries ++ sources.Evolution.queries ++
       sc.Communities.queries ++ sources.OtherFormats.queries ++
       tables.Profile.queries ++ sc.Markers.queries ++ rel.Linkage.queries ++
-      sc.H5Ingest.queries
+      sc.H5Ingest.queries ++ llm.HeavyHitters.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -51,5 +51,5 @@ object SparkEntry {
       sc.PageRank.oracle ++ sources.Evolution.oracle ++
       sc.Communities.oracle ++ sources.OtherFormats.oracle ++
       tables.Profile.oracle ++ sc.Markers.oracle ++ rel.Linkage.oracle ++
-      sc.H5Ingest.oracle
+      sc.H5Ingest.oracle ++ llm.HeavyHitters.oracle
 }

@@ -157,7 +157,8 @@ object Similarity {
     */
   def ivfTopK(df: DataFrame, k: Int, nList: Int = 16, nProbe: Int = 4,
               seed: Long = 42L, fitFraction: Double = 0.5,
-              maxFitRows: Int = 4000): DataFrame = {
+              maxFitRows: Int = 4000,
+              probeIds: Option[DataFrame] = None): DataFrame = {
     val spark = df.sparkSession
     GraftFunctions.register(spark) // l2_sq used below; resolve-at-analysis
     // coarse-quantizer fit: bounded sample (see boundedFitSample — a
@@ -190,7 +191,12 @@ object Similarity {
       .drop("__dists")
     val index = withCells.select(col("id").as("id2"), col("v").as("v2"),
       col("cell"))
-    val probes = withCells.select(col("id").as("id1"), col("v").as("v1"),
+    // serving shape: restrict the probe side to a query subset (the
+    // index side stays the full corpus) — a recall audit or an online
+    // query batch probes a handful of ids, not every row
+    val probeSide = probeIds.fold(withCells)(ids =>
+      withCells.join(broadcast(ids.select(col("id"))), Seq("id"), "left_semi"))
+    val probes = probeSide.select(col("id").as("id1"), col("v").as("v1"),
       explode(col("probe_cells")).as("cell"))
     GraftFunctions.register(spark)
     val w = org.apache.spark.sql.expressions.Window
@@ -408,12 +414,53 @@ object Similarity {
     pqTopK(e, qs, k = 10).orderBy("id1", "rk")
   }
 
+  /** ANN recall audit: recall@5 of the IVF index against exact
+    * brute-force cosine, per query, over a content-addressed 64-query
+    * sample (hash-smallest ids — rerunning on any cluster shape audits
+    * the same queries). The exact side is the O(Q·n) shape that stays
+    * cheap at 100 TB BECAUSE Q is bounded: the 64 queries broadcast and
+    * sweep the corpus once; the IVF side probes only those ids against
+    * the full index (`probeIds`). This is the continuous-quality query a
+    * production ANN deployment runs beside the index build — recall
+    * regressions (bad fit sample, too few probes) surface as rows here,
+    * not as silent result drift. Rows-only: KMeans cells are
+    * engine-specific; the recall floor itself is gated in LlmOpsSpec. */
+  def similarityRecall(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val k = 5
+    val e = Tables.embeddings(s, d).select(col("vec_id").as("id"),
+      transform(col("embedding"), _.cast("double")).as("v"))
+    val qids = e.select(col("id"), xxhash64(col("id"), lit(17L)).as("_h"))
+      .orderBy(col("_h")).limit(64).select(col("id"))
+    val approx = ivfTopK(e, k, probeIds = Some(qids))
+      .select(col("id1"), col("id2"), lit(1L).as("hit"))
+    val qvecs = e.join(broadcast(qids), Seq("id"), "left_semi")
+      .select(col("id").as("id1"), col("v").as("v1"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id1").orderBy(col("cosine").desc, col("id2"))
+    val exact = broadcast(qvecs)
+      .join(e.select(col("id").as("id2"), col("v").as("v2")),
+        col("id1") =!= col("id2"))
+      .select(col("id1"), col("id2"),
+        round(safeCosine(col("v1"), col("v2")), 4).as("cosine"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+    exact.join(approx, Seq("id1", "id2"), "left")
+      .groupBy(col("id1"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .select(col("id1"), col("n_exact"), col("n_hit"),
+        round(col("n_hit") / col("n_exact"), 4).as("recall"))
+      .orderBy(col("id1"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_similarity_knn" -> similarityKnn _,
     "q_dedup_embedding" -> dedupEmbedding _,
     "q_similarity_lsh" -> similarityLsh _,
     "q_similarity_ivf" -> similarityIvf _,
     "q_similarity_pq"  -> similarityPq _,
+    "q_similarity_recall" -> similarityRecall _,
   )
 
   val oracle: Map[String, String] = Map(

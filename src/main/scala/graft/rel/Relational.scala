@@ -456,6 +456,113 @@ object Relational {
       LIMIT 100""")
   }
 
+  /** TPC-H Q6 shape (forecasting revenue change): the pure
+    * scan→filter→scalar-aggregate query — no join, no group key. The
+    * entire WHERE clause pushes into the parquet scan (range predicates
+    * on three columns), so at 100 TB this is the query where row-group
+    * min/max skipping does nearly all the work; what survives is a
+    * single partial+final agg over one arithmetic expression, the
+    * cheapest distributed plan Spark has. */
+  def sqlTpchQ6(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+    s.sql("""
+      SELECT round(sum(l_extendedprice * l_discount) + 1e-6, 2) AS revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        AND l_discount BETWEEN 0.05 AND 0.07
+        AND l_quantity < 24""")
+  }
+
+  /** TPC-H Q4 shape (order-priority checking): EXISTS-decorrelation
+    * stress. ADAPTED to this schema: the testdata lineitem carries no
+    * l_commitdate/l_receiptdate, so "late" is l_shipdate more than 60
+    * days after o_orderdate — same correlated-EXISTS-with-extra-
+    * condition shape (equi on the key, non-equi on the outer column).
+    * Catalyst decorrelates it to a left-semi join on orderkey with the
+    * lateness predicate as a join condition; the quarter filter pushes
+    * to the orders scan so the semi join probes a pre-filtered build. */
+  def sqlTpchQ4(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+    s.sql("""
+      SELECT o_orderpriority, CAST(count(1) AS BIGINT) AS order_count
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+        AND EXISTS (SELECT 1 FROM lineitem
+                    WHERE l_orderkey = o_orderkey
+                      AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""")
+  }
+
+  /** TPC-H Q12 shape (shipping-mode/priority matrix): join + dual
+    * conditional aggregate. ADAPTED: no l_shipmode column, so the group
+    * key is the lateness class (shipped >90 days after order date) and
+    * the CASE counters split by order priority, preserving the
+    * shape — one orderkey-keyed shuffle join, then a two-row hash agg
+    * whose CASE arithmetic all rides whole-stage codegen. */
+  def sqlTpchQ12(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+    s.sql("""
+      SELECT CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                  THEN 'late' ELSE 'ontime' END AS ship_class,
+             CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+             CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                           THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY 1
+      ORDER BY ship_class""")
+  }
+
+  /** TPC-H Q14 shape (promo revenue): join + conditional-sum ratio in
+    * one aggregate (p_type = 'PROMO' in this schema's flat type domain).
+    * The one-month shipdate window pushes to the lineitem scan; part is
+    * the join's build side. The two sums share one aggregation pass —
+    * the CASE keeps it a single join + single scalar agg, not two
+    * subqueries over the same join. */
+  def sqlTpchQ14(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+    Tables.part(s, d).createOrReplaceTempView("part")
+    s.sql("""
+      SELECT round(100.00 * sum(CASE WHEN p_type = 'PROMO'
+                                     THEN l_extendedprice * (1 - l_discount)
+                                     ELSE 0 END)
+                   / sum(l_extendedprice * (1 - l_discount)) + 1e-6, 2)
+               AS promo_revenue
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'""")
+  }
+
+  /** TPC-H Q19 shape (discounted revenue, disjunctive predicates): the
+    * OR-of-ANDs planner stress — three brand/size/quantity bands OR'd
+    * together across a join. Catalyst extracts the common join key
+    * (l_partkey = p_partkey) so this still plans as one equi-join (NOT
+    * a nested loop), with each side's disjunction pushed to its scan:
+    * part prunes on the brand/size union, lineitem on the quantity
+    * union, and the band pairing applies post-join. The quantity bands
+    * are adapted to this schema's 1–50 uniform domain. */
+  def sqlTpchQ19(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+    Tables.part(s, d).createOrReplaceTempView("part")
+    s.sql("""
+      SELECT round(sum(l_extendedprice * (1 - l_discount)) + 1e-6, 2)
+               AS revenue
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+             AND l_quantity BETWEEN 1 AND 11)
+         OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+             AND l_quantity BETWEEN 10 AND 20)
+         OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 35
+             AND l_quantity BETWEEN 20 AND 30)""")
+  }
+
   /** Recursive CTE (new SQL surface in Spark 4.x): walk the implicit
     * digit-tree over customer keys (parent = key div 10 — every key's
     * parent exists because keys are contiguous from 1) computing each
@@ -483,9 +590,14 @@ object Relational {
   val queries: Map[String, Q] = Map(
     "q_sql_tpch_q1"   -> sqlTpchQ1 _,
     "q_sql_tpch_q3"   -> sqlTpchQ3 _,
+    "q_sql_tpch_q4"   -> sqlTpchQ4 _,
     "q_sql_tpch_q5"   -> sqlTpchQ5 _,
+    "q_sql_tpch_q6"   -> sqlTpchQ6 _,
     "q_sql_tpch_q10"  -> sqlTpchQ10 _,
+    "q_sql_tpch_q12"  -> sqlTpchQ12 _,
+    "q_sql_tpch_q14"  -> sqlTpchQ14 _,
     "q_sql_tpch_q18"  -> sqlTpchQ18 _,
+    "q_sql_tpch_q19"  -> sqlTpchQ19 _,
     "q_sql_recursive" -> sqlRecursive _,
     "q_scan_project_filter" -> scanProjectFilter _,
     "q_join_broadcast"      -> joinBroadcast _,
@@ -580,6 +692,56 @@ object Relational {
          GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
          ORDER BY o_totalprice DESC, o_orderkey
          LIMIT 100""",
+    "q_sql_tpch_q6" ->
+      """SELECT round(sum(l_extendedprice * l_discount) + 1e-6, 2) AS revenue
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+           AND l_discount BETWEEN 0.05 AND 0.07
+           AND l_quantity < 24""",
+    "q_sql_tpch_q4" ->
+      """SELECT o_orderpriority, CAST(count(1) AS BIGINT) AS order_count
+         FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+           AND o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+           AND EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey
+                         AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+         GROUP BY o_orderpriority
+         ORDER BY o_orderpriority""",
+    "q_sql_tpch_q12" ->
+      """SELECT CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                     THEN 'late' ELSE 'ontime' END AS ship_class,
+                CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                              THEN 1 ELSE 0 END) AS BIGINT)
+                  AS high_line_count,
+                CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                              THEN 0 ELSE 1 END) AS BIGINT)
+                  AS low_line_count
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+         GROUP BY 1
+         ORDER BY ship_class""",
+    "q_sql_tpch_q14" ->
+      """SELECT round(100.00 * sum(CASE WHEN p_type = 'PROMO'
+                                        THEN l_extendedprice * (1 - l_discount)
+                                        ELSE 0 END)
+                      / sum(l_extendedprice * (1 - l_discount)) + 1e-6, 2)
+                  AS promo_revenue
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+           AND l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'""",
+    "q_sql_tpch_q19" ->
+      """SELECT round(sum(l_extendedprice * (1 - l_discount)) + 1e-6, 2)
+                  AS revenue
+         FROM lineitem JOIN part ON p_partkey = l_partkey
+         WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+                AND l_quantity BETWEEN 1 AND 11)
+            OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+                AND l_quantity BETWEEN 10 AND 20)
+            OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 35
+                AND l_quantity BETWEEN 20 AND 30)""",
     "q_sql_tpch_q5" ->
       """SELECT n_name,
                 round(sum(l_extendedprice * (1 - l_discount)) + 1e-6, 2)

@@ -409,4 +409,31 @@ class IvfSpec extends graft.SparkSpec {
     val b = Similarity.ivfTopK(vecs, k = 2).collect().map(_.toSeq).toSet
     assert(a == b)
   }
+
+  test("recall audit: 64 sampled queries, exact denominator, sane floor") {
+    val rows = Similarity.similarityRecall(spark, sf).collect()
+    assert(rows.length == 64, s"${rows.length} audit rows")
+    // the exact side must find k=5 neighbours for every query (the
+    // corpus is far larger than k) — a short denominator means the
+    // brute-force sweep lost rows
+    assert(rows.forall(_.getAs[Long]("n_exact") == 5L))
+    val mean = rows.map(_.getAs[Double]("recall")).sum / rows.length
+    assert(mean >= 0.5, s"mean IVF recall@5 $mean below audit floor")
+    // id1 strictly increasing → stable dump ordering
+    val ids = rows.map(_.getAs[Long]("id1"))
+    assert(ids.zip(ids.tail).forall { case (a, b) => a < b })
+  }
+
+  test("probe-subset ivf answers agree with the full-probe run") {
+    val vecs = graft.tables.Tables.embeddings(spark, sf)
+      .filter($"vec_id" < 150)
+      .select($"vec_id".as("id"),
+        transform($"embedding", _.cast("double")).as("v"))
+    val subset = vecs.filter($"id" < 20).select($"id")
+    val full = Similarity.ivfTopK(vecs, k = 3)
+      .filter($"id1" < 20).collect().map(_.toSeq).toSet
+    val probed = Similarity.ivfTopK(vecs, k = 3, probeIds = Some(subset))
+      .collect().map(_.toSeq).toSet
+    assert(full == probed) // restricting probes must not change answers
+  }
 }
