@@ -30,7 +30,8 @@ object SparkEntry {
       sc.PageRank.queries ++ sources.Evolution.queries ++
       sc.Communities.queries ++ sources.OtherFormats.queries ++
       tables.Profile.queries ++ sc.Markers.queries ++ rel.Linkage.queries ++
-      sc.H5Ingest.queries ++ llm.HeavyHitters.queries
+      sc.H5Ingest.queries ++ llm.HeavyHitters.queries ++
+      tables.Sorted.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -51,5 +52,6 @@ object SparkEntry {
       sc.PageRank.oracle ++ sources.Evolution.oracle ++
       sc.Communities.oracle ++ sources.OtherFormats.oracle ++
       tables.Profile.oracle ++ sc.Markers.oracle ++ rel.Linkage.oracle ++
-      sc.H5Ingest.oracle ++ llm.HeavyHitters.oracle
+      sc.H5Ingest.oracle ++ llm.HeavyHitters.oracle ++
+      tables.Sorted.oracle
 }

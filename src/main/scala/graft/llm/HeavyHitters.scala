@@ -87,11 +87,16 @@ object HeavyHitters {
       .orderBy(col("n").desc, col("item"))
   }
 
-  /** Word bigrams of the documents table, one row per occurrence. */
+  /** Word bigrams of the documents table, one row per occurrence. The
+    * token array is projected to its own column BEFORE the gram lambda:
+    * `wordNGrams` references its input once per `element_at`, and an
+    * inline `tokens(text)` argument would re-run the split per
+    * reference — the O(len²) trap documented at `repetitionOf` and
+    * `repeatedPassages`. */
   def docBigrams(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .select(explode(
-        TextOps.wordNGrams(TextOps.tokens(col("text")), 2)).as("item"))
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .select(explode(TextOps.wordNGrams(col("toks"), 2)).as("item"))
 
   def textHeavyHitters(s: SparkSession, d: String): DataFrame =
     heavyHitters(docBigrams(s, d), Phi)

@@ -465,6 +465,90 @@ object TextOps {
       .orderBy("source")
   }
 
+  // ------------------------------------------------------- bpe encode --
+
+  /** Trained BPE merge table: the top-`vocabSize` adjacent-pretoken
+    * pairs by corpus count, rank = count order (count desc, pair asc
+    * tiebreak so the table is deterministic). The fit is the
+    * boundedFitSample class of driver collect: ≤ vocabSize rows of two
+    * short strings — the "tokenizer trained offline" artifact that
+    * ships to executors as a broadcast, exactly how production encode
+    * jobs carry their merges file. */
+  def bpeMerges(docs: DataFrame, vocabSize: Int): Array[String] =
+    docs
+      .withColumn("pre",
+        regexp_extract_all(col("text"), lit(SubtokenRe), lit(0)))
+      .select(explode(wordNGrams(col("pre"), 2)).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(vocabSize)
+      .select("pair").collect().map(_.getString(0))
+
+  /** Greedy rank-order BPE encode of one pretoken sequence: repeatedly
+    * merge the lowest-rank adjacent pair (left-to-right,
+    * non-overlapping within a sweep) until no adjacent pair is in the
+    * table — the standard BPE apply loop. Pure function; specs pin
+    * golden outputs. */
+  def bpeEncodeOne(pre: Array[String], rank: Map[String, Int]): Array[String] = {
+    var syms = pre
+    var done = syms.length < 2
+    while (!done) {
+      var best = Int.MaxValue
+      var i = 0
+      while (i < syms.length - 1) {
+        rank.get(syms(i) + " " + syms(i + 1)).foreach(r =>
+          if (r < best) best = r)
+        i += 1
+      }
+      if (best == Int.MaxValue) done = true
+      else {
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var j = 0
+        while (j < syms.length) {
+          if (j < syms.length - 1 &&
+              rank.get(syms(j) + " " + syms(j + 1)).contains(best)) {
+            out += syms(j) + syms(j + 1); j += 2
+          } else { out += syms(j); j += 1 }
+        }
+        syms = out.toArray
+        done = syms.length < 2
+      }
+    }
+    syms
+  }
+
+  /** Corpus-scale tokenizer application — the other half of `textBpe`
+    * (which only trains the vocab): encode every document with a
+    * trained merge table and report its token economics. The merge
+    * table broadcasts (sc.broadcast, ~vocabSize strings); the encode
+    * loop is inherently iterative per document (each merge changes the
+    * neighbours of the next), so it runs as `mapPartitions` — the same
+    * no-Catalyst-expression-exists justification as the media codecs,
+    * and the same batch shape: rows stay where the scan put them, no
+    * shuffle until the final order. Rows-only: the greedy rank-order
+    * loop is not SQL-expressible; golden encodes are spec-pinned. */
+  def textBpeEncode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val merges = bpeMerges(docs, vocabSize = 64)
+    val rank = merges.iterator.zipWithIndex.toMap
+    val bc = s.sparkContext.broadcast(rank)
+    docs.select(col("doc_id"),
+        regexp_extract_all(col("text"), lit(SubtokenRe), lit(0)).as("pre"))
+      .as[(Long, Array[String])]
+      .mapPartitions { rows =>
+        val r = bc.value // one deref per partition, not per row
+        rows.map { case (id, pre) =>
+          val enc = bpeEncodeOne(pre, r)
+          (id, pre.length, enc.length)
+        }
+      }
+      .toDF("doc_id", "n_pretokens", "n_bpe_tokens")
+      .withColumn("compression",
+        round(col("n_pretokens") / col("n_bpe_tokens"), 4))
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------------- wiring --
 
   val queries: Map[String, Q] = Map(
@@ -476,6 +560,7 @@ object TextOps {
     "q_text_langid"      -> textLangId _,
     "q_text_tfidf"       -> textTfidf _,
     "q_text_bpe"         -> textBpe _,
+    "q_text_bpe_encode"  -> textBpeEncode _,
     "q_text_repetition"  -> textRepetition _,
     "q_text_pmi"         -> textPmi _,
     "q_text_index"       -> invertedIndex _,

@@ -34,7 +34,8 @@ class SmokeSpec extends SparkSpec {
       "q_agg_approx_percentile", "q_agg_sketch_merge", "q_dedup_minhash",
       "q_multimodal_binfile", "q_multimodal_features", "q_sc_pca",
       "q_sc_recipe", "q_similarity_ivf", "q_similarity_lsh",
-      "q_similarity_pq", "q_similarity_recall", "q_text_langid")
+      "q_similarity_pq", "q_similarity_recall", "q_text_bpe_encode",
+      "q_text_langid")
     assert(noOracle == declaredRowsOnly,
       s"undeclared rows-only queries: ${(noOracle -- declaredRowsOnly).toSeq.sorted}; " +
         s"stale declarations: ${(declaredRowsOnly -- noOracle).toSeq.sorted}")

@@ -124,4 +124,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(offending.isEmpty,
       s"tokenization re-entered the gram lambda: ${offending.take(1).toSeq}")
   }
+
+  test("heavy-hitter bigrams keep tokenization out of the gram lambda") {
+    // same trap, third site: an inline tokens(text) argument to
+    // wordNGrams is re-evaluated by every element_at reference
+    val plan = planOf(graft.llm.HeavyHitters.docBigrams(spark, sf))
+    val offending = plan.linesIterator
+      .filter(l => l.contains("lambdafunction") && l.contains("split("))
+    assert(offending.isEmpty,
+      s"tokenization re-entered the gram lambda: ${offending.take(1).toSeq}")
+  }
 }
