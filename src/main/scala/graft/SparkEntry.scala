@@ -31,7 +31,8 @@ object SparkEntry {
       sc.Communities.queries ++ sources.OtherFormats.queries ++
       tables.Profile.queries ++ sc.Markers.queries ++ rel.Linkage.queries ++
       sc.H5Ingest.queries ++ llm.HeavyHitters.queries ++
-      tables.Sorted.queries ++ tables.ZOrder.queries
+      tables.Sorted.queries ++ tables.ZOrder.queries ++
+      rel.TpchDeep.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -53,5 +54,6 @@ object SparkEntry {
       sc.Communities.oracle ++ sources.OtherFormats.oracle ++
       tables.Profile.oracle ++ sc.Markers.oracle ++ rel.Linkage.oracle ++
       sc.H5Ingest.oracle ++ llm.HeavyHitters.oracle ++
-      tables.Sorted.oracle ++ tables.ZOrder.oracle
+      tables.Sorted.oracle ++ tables.ZOrder.oracle ++
+      rel.TpchDeep.oracle
 }
