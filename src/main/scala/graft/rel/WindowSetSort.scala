@@ -179,6 +179,26 @@ object WindowSetSort {
       .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
       .limit(10)
 
+  /** Top-3 orders PER CUSTOMER through the BoundedTopK Aggregator —
+    * same result as q_window_rank's row_number()<=3 (the oracle proves
+    * it), different physical story: the window form sorts each
+    * customer's full order set inside the exchange, this form's
+    * aggregation state is capped at k so map-side partial aggregation
+    * collapses every partition to ≤3 rows per customer BEFORE the
+    * shuffle. On a skewed group (one customer owning 1% of 100 TB) the
+    * window sort spills; the bounded heap never grows. */
+  def topKGrouped(s: SparkSession, d: String): DataFrame = {
+    val top3 = udaf(graft.functions.BoundedTopK(3))
+    Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(top3(col("o_totalprice"), col("o_orderkey")).as("top"))
+      .select(col("o_custkey"), posexplode(col("top")))
+      .select(col("o_custkey"), col("col.id").as("o_orderkey"),
+        col("col.score").as("o_totalprice"),
+        (col("pos") + 1).cast("int").as("rn"))
+      .orderBy("o_custkey", "rn")
+  }
+
   private def ordersOfYear(s: SparkSession, d: String, y: Int): DataFrame =
     Tables.orders(s, d).filter(year(col("o_orderdate")) === y)
 
@@ -213,6 +233,7 @@ object WindowSetSort {
     "q_window_range"       -> windowRange _,
     "q_window_nav"         -> windowNav _,
     "q_topk"               -> topK _,
+    "q_topk_grouped"       -> topKGrouped _,
     "q_union_all"          -> unionAll _,
     "q_intersect"          -> intersectYears _,
     "q_except"             -> exceptYears _,
@@ -288,6 +309,16 @@ object WindowSetSort {
     "q_topk" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
          ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+    // row_number (not rank): BoundedTopK returns exactly k rows with the
+    // same (score DESC, id ASC) total tie-break
+    "q_topk_grouped" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn
+         FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                      row_number() OVER (PARTITION BY o_custkey
+                        ORDER BY o_totalprice DESC, o_orderkey) AS rn
+               FROM orders)
+         WHERE rn <= 3
+         ORDER BY o_custkey, rn""",
     "q_union_all" ->
       """SELECT 1995 AS yr, o_orderkey FROM orders WHERE year(o_orderdate) = 1995
          UNION ALL
