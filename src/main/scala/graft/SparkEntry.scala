@@ -32,7 +32,7 @@ object SparkEntry {
       tables.Profile.queries ++ sc.Markers.queries ++ rel.Linkage.queries ++
       sc.H5Ingest.queries ++ llm.HeavyHitters.queries ++
       tables.Sorted.queries ++ tables.ZOrder.queries ++
-      rel.TpchDeep.queries
+      rel.TpchDeep.queries ++ stream.TopKStream.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -55,5 +55,5 @@ object SparkEntry {
       tables.Profile.oracle ++ sc.Markers.oracle ++ rel.Linkage.oracle ++
       sc.H5Ingest.oracle ++ llm.HeavyHitters.oracle ++
       tables.Sorted.oracle ++ tables.ZOrder.oracle ++
-      rel.TpchDeep.oracle
+      rel.TpchDeep.oracle ++ stream.TopKStream.oracle
 }
