@@ -3,7 +3,8 @@ package graft.zarr
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources._
@@ -33,7 +34,10 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   */
 class ZarrDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "zarr"
-  override def supportsExternalMetadata(): Boolean = false
+  // true so the WRITE path works against a store that doesn't exist yet:
+  // Spark then hands the DataFrame's schema to getTable instead of
+  // requiring inferSchema (which needs a committed .zarray) to succeed
+  override def supportsExternalMetadata(): Boolean = true
 
   private def pathOf(options: CaseInsensitiveStringMap): String = {
     val p = options.get("path")
@@ -46,7 +50,8 @@ class ZarrDataSource extends TableProvider with DataSourceRegister {
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: java.util.Map[String, String]): Table =
-    new ZarrTable(pathOf(new CaseInsensitiveStringMap(properties)))
+    new ZarrTable(pathOf(new CaseInsensitiveStringMap(properties)),
+      Option(schema))
 }
 
 object ZarrTable {
@@ -58,14 +63,21 @@ object ZarrTable {
       nullable = false)))
 }
 
-class ZarrTable(path: String) extends Table with SupportsRead {
+class ZarrTable(path: String, providedSchema: Option[StructType] = None)
+    extends Table with SupportsRead with SupportsWrite {
   private lazy val meta = ZarrIO.readMeta(path)
   override def name(): String = s"zarr:`$path`"
-  override def schema(): StructType = ZarrTable.schemaFor(meta)
+  // reads derive the schema from the committed .zarray; writes to a
+  // not-yet-existing store use the one Spark passed through getTable
+  override def schema(): StructType =
+    providedSchema.getOrElse(ZarrTable.schemaFor(meta))
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ZarrScanBuilder(path, meta)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new ZarrWriteBuilder(path, info)
 }
 
 class ZarrScanBuilder(path: String, meta: ZarrMeta)

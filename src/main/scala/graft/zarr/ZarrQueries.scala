@@ -71,11 +71,15 @@ object ZarrQueries {
       val n = emb.count()
       val distinctMax = emb.agg(max(col("id"))).head().getLong(0)
       require(distinctMax == n - 1, s"vec_id not 0..n-1 (n=$n max=$distinctMax)")
-      // width derived from the data, not hardcoded (same rationale as
-      // Similarity.lshPairs' derived dim)
-      val dim = emb.select(size(col("vec"))).limit(1).collect()
-        .headOption.map(_.getInt(0)).getOrElse(0)
-      ZarrSink.writeMatrix(emb, dir.toString, dim = dim, chunkRows = 128)
+      // the DSv2 write path (ZarrWrite): declared ordered distribution,
+      // two-phase boundary-band commit, meta-last. Every gate run routes
+      // the three oracle'd zarr queries through a store THIS wrote, so
+      // the writer is continuously proven against the DuckDB parquet
+      // twin (ZarrWriteSpec additionally pins it == ZarrSink.writeMatrix,
+      // the R2 imperative band writer, at the read layer)
+      emb.select(col("id").as("row_id"), col("vec"))
+        .write.format("zarr").option("chunk_rows", 128)
+        .mode("overwrite").save(dir.toString)
     }()
 
   /** Full scan through the zarr DSv2 source; hash-checked against DuckDB

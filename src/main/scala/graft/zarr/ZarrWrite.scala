@@ -1,0 +1,285 @@
+package graft.zarr
+
+import java.io.{DataInputStream, DataOutputStream}
+
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, LongType, StructType}
+
+/** DSv2 BATCH WRITE for the zarr source — `df.write.format("zarr")
+  * .mode("append"|"overwrite").save(dir)` over the same (row_id BIGINT,
+  * vec ARRAY<DOUBLE|FLOAT>) schema the read path produces. What the ad-hoc
+  * `ZarrSink.writeMatrix` (groupByKey(band).mapGroups) does imperatively,
+  * this does through Spark's writer contract, which buys three things the
+  * ad-hoc path can't express:
+  *
+  *  - **Declared distribution** (`RequiresDistributionAndOrdering`): the
+  *    write demands a GLOBAL RANGE partitioning + in-partition sort on
+  *    row_id, so Spark itself arranges each task to own a contiguous row
+  *    range — every writer streams whole chunk row-bands with O(band)
+  *    memory, and the planner (not user code) owns the exchange.
+  *  - **Two-phase commit**: tasks write full bands as final chunk objects
+  *    (idempotent full-object overwrites → safe under task retry /
+  *    speculation) and the ≤2 bands straddling a partition boundary as
+  *    staging partials named by (band, partition); the driver's commit
+  *    merges partials, writes the tail band, and writes `.zarray` LAST —
+  *    the metadata file is the commit point, so readers can never observe
+  *    a half-written store (no meta = no table), and `abort` just removes
+  *    staging.
+  *  - **Commit-time validation**: rows is discovered (max row_id + 1) and
+  *    the dense-ids invariant (exactly rows 0..n-1, no dupes, no holes —
+  *    the AnnData X row convention the read path assumes) is enforced by
+  *    counting, not trusted.
+  *
+  * Layout matches the read path: one column chunk per band
+  * (chunkCols = dim), dtype from the vec element type (float → `<f4`,
+  * double → `<f8`), zlib level 5 unless `option("zlib", "false")`.
+  * Chunk height via `option("chunk_rows", n)`, default 128.
+  */
+object ZarrWrite {
+  val ChunkRowsOption = "chunk_rows"
+  val ZlibOption = "zlib"
+
+  def validateSchema(schema: StructType): Unit = {
+    require(schema.length == 2 &&
+      schema(0).name == "row_id" && schema(0).dataType == LongType &&
+      schema(1).name == "vec" && (schema(1).dataType match {
+        case ArrayType(DoubleType, _) | ArrayType(FloatType, _) => true
+        case _ => false
+      }),
+      s"zarr write schema must be (row_id BIGINT, vec ARRAY<DOUBLE|FLOAT>), " +
+        s"got ${schema.simpleString}")
+  }
+
+  def dtypeFor(schema: StructType): String = schema(1).dataType match {
+    case ArrayType(FloatType, _) => "<f4"
+    case _ => "<f8"
+  }
+
+  def stagingDir(path: String, queryId: String) =
+    new HPath(path, s".staging-$queryId")
+}
+
+class ZarrWriteBuilder(path: String, info: LogicalWriteInfo)
+    extends WriteBuilder with SupportsTruncate {
+  private var truncateFirst = false
+  override def truncate(): WriteBuilder = { truncateFirst = true; this }
+  override def build(): Write = {
+    ZarrWrite.validateSchema(info.schema())
+    val chunkRows = Option(info.options.get(ZarrWrite.ChunkRowsOption))
+      .map(_.toInt).getOrElse(128)
+    require(chunkRows > 0, s"chunk_rows must be positive, got $chunkRows")
+    val zlib = Option(info.options.get(ZarrWrite.ZlibOption))
+      .forall(_.toBoolean)
+    new ZarrWriteImpl(path, info.queryId(), ZarrWrite.dtypeFor(info.schema()),
+      chunkRows, zlib, truncateFirst)
+  }
+}
+
+class ZarrWriteImpl(path: String, queryId: String, dtype: String,
+                    chunkRows: Int, zlib: Boolean, truncateFirst: Boolean)
+    extends Write with RequiresDistributionAndOrdering {
+  private def sortOrder: Array[SortOrder] = Array(
+    Expressions.sort(Expressions.column("row_id"), SortDirection.ASCENDING))
+  override def requiredDistribution(): Distribution =
+    Distributions.ordered(sortOrder)
+  override def requiredOrdering(): Array[SortOrder] = sortOrder
+  override def description(): String = s"zarr:`$path`"
+  override def toBatch: BatchWrite =
+    new ZarrBatchWrite(path, queryId, dtype, chunkRows, zlib, truncateFirst)
+}
+
+/** One task's outcome: rows written, the id range seen, the vec width,
+  * bands finalized directly, and boundary partials left in staging. */
+case class ZarrTaskCommit(partitionId: Int, rowCount: Long, maxId: Long,
+                          dim: Int, finalBands: Seq[Long],
+                          partials: Seq[(Long, String)])
+    extends WriterCommitMessage
+
+class ZarrBatchWrite(path: String, queryId: String, dtype: String,
+                     chunkRows: Int, zlib: Boolean, truncateFirst: Boolean)
+    extends BatchWrite {
+
+  private def fs(): (FileSystem, HPath) = {
+    val conf = ZarrIO.hadoopConf()
+    val p = new HPath(path)
+    (p.getFileSystem(conf), p)
+  }
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    val (f, p) = fs()
+    if (truncateFirst) f.delete(p, true)
+    else require(!f.exists(new HPath(p, ".zarray")),
+      s"zarr store already committed at $path — use mode(\"overwrite\")")
+    f.mkdirs(ZarrWrite.stagingDir(path, queryId))
+    new ZarrWriterFactory(path, queryId, dtype, chunkRows, zlib,
+      new SerializableHadoopConf(ZarrIO.hadoopConf()))
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val msgs = messages.map(_.asInstanceOf[ZarrTaskCommit])
+    val total = msgs.map(_.rowCount).sum
+    val rows = msgs.foldLeft(-1L)((m, c) => math.max(m, c.maxId)) + 1
+    require(total == rows,
+      s"zarr write: $total rows for id range [0, $rows) — row_id must be " +
+        "dense 0..n-1 (duplicate or missing ids)")
+    val dims = msgs.filter(_.rowCount > 0).map(_.dim).distinct
+    require(dims.length <= 1, s"zarr write: mixed vec widths $dims")
+    val dim = dims.headOption.getOrElse(0)
+    val meta = ZarrMeta(rows = rows, cols = dim, chunkRows = chunkRows,
+      chunkCols = math.max(dim, 1), dtype = dtype,
+      compressor = if (zlib) Some("zlib") else None, fillValue = 0.0)
+    val conf = ZarrIO.hadoopConf()
+    val (f, _) = fs()
+    // a band is EITHER finalized by the one task that saw all its rows,
+    // OR split into staging partials — never both (ids are unique, so a
+    // full band leaves no rows for another task)
+    val finals = msgs.flatMap(_.finalBands).toSet
+    val byBand = msgs.flatMap(_.partials).groupBy(_._1)
+    val overlap = byBand.keySet intersect finals
+    require(overlap.isEmpty, s"zarr write: bands $overlap both final and partial")
+    byBand.foreach { case (band, parts) =>
+      val buf = Array.fill(chunkRows * dim)(0.0)
+      var seen = 0
+      parts.foreach { case (_, name) =>
+        val in = new DataInputStream(
+          f.open(new HPath(ZarrWrite.stagingDir(path, queryId), name)))
+        try {
+          val pdim = in.readInt(); val count = in.readInt()
+          require(pdim == dim, s"partial $name: dim $pdim != $dim")
+          var k = 0
+          while (k < count) {
+            val r = in.readInt()
+            var c = 0
+            while (c < dim) { buf(r * dim + c) = in.readDouble(); c += 1 }
+            k += 1; seen += 1
+          }
+        } finally in.close()
+      }
+      require(seen <= chunkRows, s"band $band: $seen rows overflow the band")
+      ZarrIO.writeChunk(path, meta, band, 0, buf, conf)
+    }
+    // .zarray LAST: the commit point — no reader sees a store without it
+    ZarrIO.writeMeta(path, meta, conf)
+    f.delete(ZarrWrite.stagingDir(path, queryId), true)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    // no meta was written, so nothing readable exists; drop staging only
+    // (final chunks from completed tasks are orphan objects in an
+    // uncommitted dir — a re-run with mode("overwrite") clears them)
+    val (f, _) = fs()
+    f.delete(ZarrWrite.stagingDir(path, queryId), true)
+  }
+}
+
+class ZarrWriterFactory(path: String, queryId: String, dtype: String,
+                        chunkRows: Int, zlib: Boolean,
+                        sconf: SerializableHadoopConf)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new ZarrDataWriter(path, queryId, dtype, chunkRows, zlib, partitionId,
+      sconf)
+}
+
+/** Streams its (range-partitioned, sorted) slice band by band: whole
+  * bands become final chunk objects immediately; the ≤2 boundary bands
+  * go to staging as sparse (rowInBand, vec) runs. Memory = ONE band. */
+class ZarrDataWriter(path: String, queryId: String, dtype: String,
+                     chunkRows: Int, zlib: Boolean, partitionId: Int,
+                     sconf: SerializableHadoopConf)
+    extends DataWriter[InternalRow] {
+
+  private val floats = dtype == "<f4"
+  private var dim = -1
+  private var buf: Array[Double] = _
+  private var present: Array[Boolean] = _
+  private var band = -1L
+  private var bandCount = 0
+  private var lastId = -1L
+  private var rowCount = 0L
+  private val finalBands = Seq.newBuilder[Long]
+  private val partials = Seq.newBuilder[(Long, String)]
+  // provisional meta for chunk writes (ZarrIO.writeChunk reads only the
+  // chunk geometry / dtype / compressor from it, never rows)
+  private def chunkMeta = ZarrMeta(rows = 0L, cols = dim,
+    chunkRows = chunkRows, chunkCols = dim, dtype = dtype,
+    compressor = if (zlib) Some("zlib") else None, fillValue = 0.0)
+
+  override def write(row: InternalRow): Unit = {
+    val id = row.getLong(0)
+    require(id >= 0, s"zarr write: negative row_id $id")
+    require(id > lastId,
+      s"zarr write: row_id $id after $lastId — input not sorted/unique " +
+        "(the declared write ordering was not honored)")
+    lastId = id
+    val arr = row.getArray(1)
+    val vec = if (floats) arr.toFloatArray().map(_.toDouble)
+              else arr.toDoubleArray()
+    if (dim < 0) {
+      dim = vec.length
+      require(dim > 0, "zarr write: empty vec")
+      buf = new Array[Double](chunkRows * dim)
+      present = new Array[Boolean](chunkRows)
+    }
+    require(vec.length == dim,
+      s"zarr write: vec width ${vec.length} != $dim at row_id $id")
+    val b = id / chunkRows
+    if (b != band) { flush(); band = b }
+    val r = (id - b * chunkRows).toInt
+    System.arraycopy(vec, 0, buf, r * dim, dim)
+    present(r) = true
+    bandCount += 1
+    rowCount += 1
+  }
+
+  private def flush(): Unit = {
+    if (band >= 0 && bandCount > 0) {
+      if (bandCount == chunkRows) {
+        ZarrIO.writeChunk(path, chunkMeta, band, 0, buf, sconf.value)
+        finalBands += band
+      } else {
+        val name = s"band-$band-p$partitionId"
+        val out = new DataOutputStream(ZarrWrite.stagingDir(path, queryId)
+          .getFileSystem(sconf.value)
+          .create(new HPath(ZarrWrite.stagingDir(path, queryId), name), true))
+        try {
+          out.writeInt(dim); out.writeInt(bandCount)
+          var r = 0
+          while (r < chunkRows) {
+            if (present(r)) {
+              out.writeInt(r)
+              var c = 0
+              while (c < dim) { out.writeDouble(buf(r * dim + c)); c += 1 }
+            }
+            r += 1
+          }
+        } finally out.close()
+        partials += band -> name
+      }
+      java.util.Arrays.fill(buf, 0.0)
+      java.util.Arrays.fill(present, false)
+    }
+    bandCount = 0
+  }
+
+  override def commit(): WriterCommitMessage = {
+    flush()
+    ZarrTaskCommit(partitionId, rowCount, lastId, dim, finalBands.result(),
+      partials.result())
+  }
+
+  override def abort(): Unit = {
+    // best-effort: remove this task's partials so a retry can't double-feed
+    val sd = ZarrWrite.stagingDir(path, queryId)
+    val f = sd.getFileSystem(sconf.value)
+    partials.result().foreach { case (_, name) =>
+      f.delete(new HPath(sd, name), false)
+    }
+  }
+
+  override def close(): Unit = ()
+}

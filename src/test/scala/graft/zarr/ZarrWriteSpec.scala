@@ -1,0 +1,102 @@
+package graft.zarr
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** DSv2 write path: round-trips, the two-phase boundary-band commit,
+  * overwrite semantics, and the commit-time invariants. The session runs
+  * shuffle.partitions=4, so the declared ordered distribution range-
+  * partitions every write into ~4 slices with arbitrary band-straddling
+  * boundaries — each multi-partition test exercises staging partials.
+  * The writer's own `id > lastId` guard doubles as the proof that Spark
+  * honored the declared ordering (an unhonored sort throws, not corrupts). */
+class ZarrWriteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("zarr_w").resolve("m.zarr").toString
+
+  private def mat(n: Int, dim: Int) =
+    (0 until n).map(i => (i.toLong, (0 until dim).map(c =>
+      (i * dim + c).toDouble / 7.0))).toDF("row_id", "vec")
+
+  test("round-trip: 100×8, chunk_rows=16 (tail band + boundary partials)") {
+    val path = tmp()
+    mat(100, 8).write.format("zarr").option("chunk_rows", 16)
+      .mode("append").save(path)
+    // staging removed, meta committed with discovered geometry
+    val dir = new java.io.File(path)
+    assert(dir.listFiles().exists(_.getName == ".zarray"))
+    assert(!dir.listFiles().exists(_.getName.startsWith(".staging")))
+    val meta = ZarrIO.readMeta(path)
+    assert(meta.rows == 100 && meta.cols == 8 && meta.chunkRows == 16)
+    val back = spark.read.format("zarr").load(path)
+      .select(col("row_id"), col("vec")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val src = mat(100, 8).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(back == src)
+  }
+
+  test("overwrite replaces the store with no stale chunks") {
+    val path = tmp()
+    mat(100, 4).write.format("zarr").option("chunk_rows", 16)
+      .mode("append").save(path)
+    mat(40, 4).write.format("zarr").option("chunk_rows", 16)
+      .mode("overwrite").save(path)
+    assert(ZarrIO.readMeta(path).rows == 40)
+    assert(spark.read.format("zarr").load(path).count() == 40)
+    // 40 rows / 16 = 3 bands; a stale band-4 chunk from the first write
+    // would shadow-corrupt a later larger store
+    val chunks = new java.io.File(path).listFiles()
+      .map(_.getName).filter(_.matches("\\d+\\.\\d+")).sorted
+    assert(chunks.toSeq == Seq("0.0", "1.0", "2.0"), chunks.mkString(","))
+  }
+
+  test("append onto a committed store refuses loudly") {
+    val path = tmp()
+    mat(20, 4).write.format("zarr").mode("append").save(path)
+    val e = intercept[Exception] {
+      mat(20, 4).write.format("zarr").mode("append").save(path)
+    }
+    assert(e.getMessage.contains("already committed"), e.getMessage)
+  }
+
+  test("non-dense row_ids fail the commit-time density check") {
+    val path = tmp()
+    val sparse = mat(10, 4).filter(col("row_id") =!= 5)
+    val e = intercept[Exception] {
+      sparse.write.format("zarr").mode("append").save(path)
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(e).exists(_.contains("dense 0..n-1")), chain(e).mkString("|"))
+    // and nothing readable was committed
+    assert(!new java.io.File(path, ".zarray").exists())
+  }
+
+  test("float vecs write <f4 and read back as floats") {
+    val path = tmp()
+    (0L until 30L).map(i => (i, Seq.fill(4)(i.toFloat / 3.0f)))
+      .toDF("row_id", "vec")
+      .write.format("zarr").option("chunk_rows", 8).mode("append").save(path)
+    val meta = ZarrIO.readMeta(path)
+    assert(meta.dtype == "<f4")
+    val back = spark.read.format("zarr").load(path)
+    assert(back.schema("vec").dataType ==
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, containsNull = false))
+    assert(back.count() == 30)
+  }
+
+  test("DSv2 write == ZarrSink.writeMatrix byte-for-byte at the read layer") {
+    val a = tmp(); val b = tmp()
+    val df = mat(100, 8)
+    df.write.format("zarr").option("chunk_rows", 16).mode("append").save(a)
+    ZarrSink.writeMatrix(df.select(col("row_id").as("id"), col("vec")),
+      b, dim = 8, chunkRows = 16)
+    val ra = spark.read.format("zarr").load(a).orderBy("row_id").collect()
+    val rb = spark.read.format("zarr").load(b).orderBy("row_id").collect()
+    assert(ra.toSeq == rb.toSeq)
+  }
+}
