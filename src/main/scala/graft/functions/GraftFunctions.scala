@@ -37,6 +37,13 @@ object GraftFunctions {
       "l2_sq", l2SqBuilder, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dot_product", dotBuilder, "scala_udf")
+    // aggregator surface for SQL users — `SELECT g, exact_median(v) …`,
+    // `SELECT g, bounded_top3(score, id) …` (array<struct<score,id>>,
+    // descending, O(3) agg state; see BoundedTopK)
+    spark.udf.register("exact_median",
+      org.apache.spark.sql.functions.udaf(ExactMedian))
+    spark.udf.register("bounded_top3",
+      org.apache.spark.sql.functions.udaf(BoundedTopK(3)))
   }
 
   /** Column-API form of the native cosine expression (requires
@@ -95,5 +102,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       GraftFunctions.dotBuilder))
     ext.injectOptimizerRule(_ => graft.plans.LevenshteinThresholdRule)
+    // the rung-(c) physical operator (plans/AsOfJoinPlan.scala); runtime
+    // sessions without extensions get it via AsOf.ensureStrategy
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

@@ -45,6 +45,23 @@ object Sampling {
         min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
       .orderBy("lang", "split")
 
+  /** Deterministic global training-order shuffle: ORDER BY a
+    * content-addressed md5 key derived from (epoch-seed, doc_id). The
+    * permutation is a pure function of the data — stable across cluster
+    * sizes, task retries, and reruns (no rand(), no zipWithIndex), and a
+    * different epoch seed yields an independent order, which is exactly
+    * the pre-training epoch-shuffle contract. Plans as a range-
+    * partitioned sort on the 32-hex key: at 100 TB that is the sampled
+    * range exchange + per-partition sort Spark already does best, and
+    * downstream shard writers consume the order partition-by-partition
+    * (no global collection point). */
+  def sampleShuffle(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("shuffle_key",
+        md5(concat(lit("epoch7:"), col("doc_id").cast("string"))))
+      .select(col("shuffle_key"), col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy("shuffle_key")
+
   /** Symmetric int8 quantization of the embedding column: per-vector scale
     * 127/max|x|, q_i = floor(x·s + 0.5) ∈ [-127, 127], plus the max
     * dequantization error ‖x − q/s‖∞ (×1000 for a readable magnitude).
@@ -236,6 +253,7 @@ object Sampling {
     "q_contamination"     -> contamination _,
     "q_decontaminate"     -> decontaminate _,
     "q_sample_hash"       -> sampleHash _,
+    "q_sample_shuffle"    -> sampleShuffle _,
     "q_embed_quantize"    -> embedQuantize _,
     "q_sample_weighted"   -> sampleWeighted _,
     "q_sample_stratified" -> sampleStratified _,
@@ -358,6 +376,10 @@ object Sampling {
          SELECT label, CAST(count(1) AS BIGINT) AS n_vecs,
                 round(avg(dist) + 1e-6, 4) AS avg_dist
          FROM d GROUP BY label ORDER BY label""",
+    "q_sample_shuffle" ->
+      """SELECT md5('epoch7:' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
+                doc_id, lang, n_chars
+         FROM documents ORDER BY shuffle_key""",
     "q_sample_hash" ->
       """WITH b AS (
            SELECT lang, n_chars, doc_id,

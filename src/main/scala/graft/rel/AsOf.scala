@@ -66,15 +66,68 @@ object AsOf {
       .orderBy("event_id")
   }
 
-  val queries: Map[String, Q] = Map("q_join_asof" -> joinAsOf _)
+  /** Installs AsOfJoinStrategy on sessions not built with
+    * GraftExtensions (the extensions path injects it at build time;
+    * `extraStrategies` is the public runtime route). Idempotent. */
+  def ensureStrategy(s: SparkSession): Unit = {
+    val cur = s.experimental.extraStrategies
+    if (!cur.contains(graft.plans.AsOfJoinStrategy))
+      s.experimental.extraStrategies = cur :+ graft.plans.AsOfJoinStrategy
+  }
+
+  /** The rung-(c) native as-of join (plans/AsOfJoinPlan.scala): same
+    * semantics as [[asOfJoin]], planned as a dedicated co-partitioned
+    * streaming merge instead of union+window. Key/ts must be BIGINT;
+    * disambiguate overlapping column names on the build side first. */
+  def asOfJoinNative(probe: DataFrame, build: DataFrame,
+                     probeKey: String, probeTs: String,
+                     buildKey: String, buildTs: String): DataFrame = {
+    val s = probe.sparkSession
+    ensureStrategy(s)
+    val lPlan = probe.queryExecution.analyzed
+    val rPlan = build.queryExecution.analyzed
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+             n: String) = p.output.find(_.name == n).getOrElse(
+      throw new IllegalArgumentException(
+        s"column $n not in ${p.output.map(_.name).mkString(",")}"))
+    org.apache.spark.sql.graft.GraftSqlShim.ofRows(s,
+      graft.plans.AsOfJoinNode(lPlan, rPlan,
+        attr(lPlan, probeKey), attr(lPlan, probeTs),
+        attr(rPlan, buildKey), attr(rPlan, buildTs)))
+  }
+
+  /** q_join_asof through the native operator — same DuckDB ASOF JOIN
+    * oracle as the composed form, so the gate proves rung (a) == rung
+    * (c) == DuckDB on every run. */
+  def joinAsOfNative(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).withColumn("ts_us", unix_micros(col("ts")))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user_id"), col("ts_us").as("signup_us"))
+    asOfJoinNative(purchases, signups,
+      "user_id", "ts_us", "s_user_id", "signup_us")
+      .select(col("event_id"), col("user_id"),
+        col("ts_us").as("purchase_us"), col("signup_us"))
+      .orderBy("event_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_join_asof" -> joinAsOf _,
+    "q_join_asof_native" -> joinAsOfNative _)
+
+  private val asOfOracle =
+    """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS purchase_us,
+              epoch_us(s.ts) AS signup_us
+       FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+       ASOF JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+         ON p.user_id = s.user_id AND p.ts >= s.ts
+       ORDER BY p.event_id"""
 
   val oracle: Map[String, String] = Map(
-    "q_join_asof" ->
-      """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS purchase_us,
-                epoch_us(s.ts) AS signup_us
-         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-         ASOF JOIN (SELECT * FROM events WHERE event_type = 'signup') s
-           ON p.user_id = s.user_id AND p.ts >= s.ts
-         ORDER BY p.event_id""",
+    "q_join_asof" -> asOfOracle,
+    // identical oracle text by design: the two implementations must be
+    // indistinguishable at the result layer
+    "q_join_asof_native" -> asOfOracle,
   )
 }

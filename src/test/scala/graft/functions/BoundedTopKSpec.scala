@@ -50,6 +50,23 @@ class BoundedTopKSpec extends SparkSpec {
     assert(viaAgg.toSeq == viaWindow.toSeq)
   }
 
+  test("SQL surface: bounded_top3 equals the Column-API query") {
+    GraftFunctions.register(spark)
+    Tables.orders(spark, sf).createOrReplaceTempView("orders_btk")
+    val viaSql = spark.sql("""
+      SELECT o_custkey, t.pos + 1 AS rn, t.col.score AS o_totalprice,
+             t.col.id AS o_orderkey
+      FROM (SELECT o_custkey, bounded_top3(o_totalprice, o_orderkey) AS top
+            FROM orders_btk GROUP BY o_custkey)
+      LATERAL VIEW posexplode(top) t AS pos, col
+      ORDER BY o_custkey, rn""")
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+      .collect()
+    val viaApi = WindowSetSort.queries("q_topk_grouped")(spark, sf)
+      .withColumn("rn", col("rn").cast("long")).collect()
+    assert(viaSql.toSeq == viaApi.toSeq)
+  }
+
   test("the aggregation carries a partial (map-side) phase") {
     // the entire point of the bounded buffer: ObjectHashAggregate /
     // SortAggregate must show a partial_ mode before the exchange so a

@@ -121,6 +121,31 @@ class SamplingSpec extends SparkSpec {
     assert(hand == Map(1L -> ((3L, 3L, 1.0)), 2L -> ((6L, 3L, 0.5))))
   }
 
+  // ------------------------------------------------------- epoch shuffle --
+
+  test("epoch shuffle: deterministic, total, and epoch-decorrelated") {
+    val a = Sampling.sampleShuffle(spark, sf).collect()
+    val b = Sampling.sampleShuffle(spark, sf).collect()
+    assert(a.toSeq == b.toSeq, "same epoch must replay identically")
+    // total order: the md5 keys are unique (doc_id injective input)
+    val keys = a.map(_.getString(0))
+    assert(keys.distinct.length == keys.length)
+    assert(keys.sorted.toSeq == keys.toSeq)
+    // a different epoch seed is a genuinely different permutation, and
+    // NOT a global rotation/reversal of the same one: Spearman rank
+    // correlation of doc positions should be near zero
+    val ids = a.map(_.getLong(1))
+    val otherEpoch = graft.tables.Tables.documents(spark, sf)
+      .withColumn("k", md5(concat(lit("epoch8:"), col("doc_id").cast("string"))))
+      .orderBy("k").select("doc_id").collect().map(_.getLong(0))
+    val n = ids.length
+    val posA = ids.zipWithIndex.toMap
+    val posB = otherEpoch.zipWithIndex.toMap
+    val d2 = ids.map(id => { val d = posA(id) - posB(id); d.toDouble * d }).sum
+    val rho = 1.0 - 6.0 * d2 / (n.toDouble * (n.toDouble * n - 1))
+    assert(math.abs(rho) < 0.2, s"epoch orders correlate: rho=$rho")
+  }
+
   // -------------------------------------------------------------- BPE scan --
 
   test("BPE subtoken scan: tokens match the pre-tokenizer classes") {
