@@ -89,6 +89,32 @@ class ZarrWriteSpec extends SparkSpec {
     assert(back.count() == 30)
   }
 
+  test("a mid-job failure aborts: no .zarray, no staging left behind") {
+    val path = tmp()
+    val poison = org.apache.spark.sql.functions.udf { (id: Long) =>
+      if (id == 57L) throw new RuntimeException("poison row")
+      id
+    }
+    val df = mat(100, 4)
+      .withColumn("row_id", poison(col("row_id")))
+    intercept[Exception] {
+      df.write.format("zarr").option("chunk_rows", 16)
+        .mode("append").save(path)
+    }
+    val dir = new java.io.File(path)
+    // BatchWrite.abort ran: the commit point was never written and the
+    // staging dir was dropped — the dir may hold orphan chunk objects
+    // (documented), but nothing READABLE exists
+    assert(!new java.io.File(dir, ".zarray").exists())
+    assert(dir.listFiles() == null ||
+      !dir.listFiles().exists(_.getName.startsWith(".staging")))
+    intercept[Exception] { spark.read.format("zarr").load(path).count() }
+    // and a subsequent overwrite of the same path succeeds cleanly
+    mat(40, 4).write.format("zarr").option("chunk_rows", 16)
+      .mode("overwrite").save(path)
+    assert(spark.read.format("zarr").load(path).count() == 40)
+  }
+
   test("DSv2 write == ZarrSink.writeMatrix byte-for-byte at the read layer") {
     val a = tmp(); val b = tmp()
     val df = mat(100, 8)
