@@ -454,8 +454,64 @@ object Similarity {
       .orderBy(col("id1"))
   }
 
+  /** SPARSE cosine document similarity through an inverted index — the
+    * weighted complement to MinHash/SimHash (set overlap) and dense-
+    * embedding ANN (learned vectors): idf-weighted cosine over the
+    * 4-word-shingle space, computed as a POSTING-LIST JOIN.
+    *
+    * The scale argument is the join key: documents never pair all-vs-all
+    * — a pair exists only where a SHARED shingle's posting list joins it,
+    * and the df cap (shingles in > 20 docs are dropped from the space)
+    * bounds per-shingle work at df² ≤ 400 while removing exactly the
+    * near-zero-idf terms that contribute least weight. Everything is
+    * keyed aggregation: distinct doc-shingles (md5-60bit keys), df
+    * counts, per-doc norms, a self-join on the gram key, one sum per
+    * pair. This is the classic MapReduce pairwise-similarity shape
+    * (posting-join + partial sums) — no driver data path; the corpus
+    * count() scalar is one number.
+    *
+    * Definition note (shared verbatim by the oracle): the vector space
+    * IS the df≤20 shingle space — cosine is exact within it, not an
+    * approximation of the uncapped value; weights are idf = ln(N/df)
+    * with binary tf (distinct shingles). */
+  def sparseCosinePairs(s: SparkSession, d: String): DataFrame =
+    sparseCosine(Tables.documents(s, d))
+
+  /** Core of q_similarity_sparse over any (doc_id, text) frame. */
+  def sparseCosine(docs: DataFrame, minCosine: Double = 0.05,
+                   maxDf: Int = 20): DataFrame = {
+    val n = docs.count() // one scalar (idf base), not a data path
+    val grams = docs
+      .withColumn("toks", TextOps.tokens(col("text"))) // hoisted ONCE
+      .select(col("doc_id"),
+        explode(TextOps.wordNGrams(col("toks"), 4)).as("g"))
+      .select(col("doc_id"), Dedup.md5Hash60(col("g")).as("gh"))
+      .distinct()
+    val dfc = grams.groupBy(col("gh"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+    val weighted = grams.join(dfc, "gh")
+      .withColumn("w", log(lit(n.toDouble) / col("df")))
+    val norms = weighted.groupBy(col("doc_id"))
+      .agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+    val dots = weighted.as("a")
+      .join(weighted.as("b"),
+        col("a.gh") === col("b.gh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .agg(sum(col("a.w") * col("b.w")).as("dot"))
+    dots
+      .join(norms.select(col("doc_id").as("id1"), col("nrm").as("n1")), "id1")
+      .join(norms.select(col("doc_id").as("id2"), col("nrm").as("n2")), "id2")
+      .select(col("id1"), col("id2"),
+        round(col("dot") / (col("n1") * col("n2")) + lit(1e-9), 4)
+          .as("cosine"))
+      .filter(col("cosine") >= minCosine)
+      .orderBy("id1", "id2")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_similarity_knn" -> similarityKnn _,
+    "q_similarity_sparse" -> sparseCosinePairs _,
     "q_dedup_embedding" -> dedupEmbedding _,
     "q_similarity_lsh" -> similarityLsh _,
     "q_similarity_ivf" -> similarityIvf _,
@@ -464,6 +520,36 @@ object Similarity {
   )
 
   val oracle: Map[String, String] = Map(
+    // same space definition verbatim: 4-shingles, md5-60bit keys, df≤20,
+    // idf = ln(N/df), binary tf; threshold on the rounded cosine
+    "q_similarity_sparse" ->
+      """WITH tok AS (SELECT doc_id, str_split(text, ' ') AS ts
+                      FROM documents),
+         g0 AS (SELECT doc_id,
+                  unnest([array_to_string(ts[i+1:i+4], ' ')
+                          FOR i IN range(0, greatest(len(ts)-3, 0))]) AS g
+                FROM tok),
+         dg AS (SELECT DISTINCT doc_id,
+                  CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) AS gh
+                FROM g0),
+         n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+         dfc AS (SELECT gh, count(1) AS df FROM dg GROUP BY gh
+                 HAVING count(1) <= 20),
+         w AS (SELECT doc_id, dg.gh, ln(CAST(n.n AS DOUBLE) / df) AS w
+               FROM dg JOIN dfc USING (gh), n),
+         norms AS (SELECT doc_id, sqrt(sum(w*w)) AS nrm FROM w
+                   GROUP BY doc_id),
+         dots AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+                         sum(a.w * b.w) AS dot
+                  FROM w a JOIN w b
+                    ON a.gh = b.gh AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2)
+         SELECT id1, id2,
+                round(dot / (x.nrm * y.nrm) + 1e-9, 4) AS cosine
+         FROM dots JOIN norms x ON x.doc_id = id1
+                   JOIN norms y ON y.doc_id = id2
+         WHERE round(dot / (x.nrm * y.nrm) + 1e-9, 4) >= 0.05
+         ORDER BY id1, id2""",
     "q_similarity_knn" ->
       """SELECT id1, id2, round(cos0, 4) AS cosine FROM (
            SELECT a.vec_id AS id1, b.vec_id AS id2,
