@@ -549,9 +549,51 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** BM25 retrieval scoring (`q_text_bm25`): rank the corpus for a fixed
+    * term set with the standard Okapi formula (k1 = 1.2, b = 0.75,
+    * idf = ln(1 + (N - df + 0.5)/(df + 0.5))) — the scorer that sits on
+    * top of q_text_index's postings in a real retrieval stack.
+    *
+    * Scale shape: tf is computed ONLY for rows matching the query terms
+    * (the isin filter pushes to the scan), df/N/avgdl are two tiny
+    * aggregate frames broadcast into the score expression — per-doc work
+    * is O(|Q| matched terms), the final ranking is a rounded-score
+    * TakeOrdered, and nothing shuffles at corpus width except the
+    * per-(doc, term) counts for the matched terms. The rank key is the
+    * ROUNDED score with a doc_id tie-break, so ordering is total and
+    * engine-independent. */
+  def textBm25(s: SparkSession, d: String): DataFrame = {
+    val terms = Seq("dup", "vector", "merge")
+    val docs = Tables.documents(s, d)
+      .withColumn("toks", tokens(col("text")))
+      .select(col("doc_id"), col("toks"), size(col("toks")).as("dl"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    val tf = docs
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("t"))
+      .filter(col("t").isin(terms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("t"))
+      .agg(count(lit(1)).as("tf"))
+    val dfc = tf.select(col("doc_id"), col("t")).distinct()
+      .groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val k1 = lit(1.2); val b = lit(0.75)
+    tf.join(broadcast(dfc), "t")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("term_score",
+        col("idf") * col("tf") * (k1 + 1) /
+          (col("tf") + k1 * (lit(1.0) - b + b * col("dl") / col("avgdl"))))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("term_score")) + lit(1e-9), 4).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(20)
+  }
+
   // ------------------------------------------------------------- wiring --
 
   val queries: Map[String, Q] = Map(
+    "q_text_bm25"        -> textBm25 _,
     "q_text_tokenize"    -> textTokenize _,
     "q_text_stats"       -> textStats _,
     "q_text_quality"     -> textQuality _,
@@ -589,6 +631,26 @@ object TextOps {
        ORDER BY token"""
 
   val oracle: Map[String, String] = Map(
+    // Okapi BM25 k1=1.2 b=0.75; rank key = rounded score + doc_id
+    "q_text_bm25" ->
+      """WITH docs AS (SELECT doc_id, str_split(text, ' ') AS toks,
+                              len(str_split(text, ' ')) AS dl
+                       FROM documents),
+         stats AS (SELECT count(1) AS n_docs, avg(dl) AS avgdl FROM docs),
+         tf AS (SELECT doc_id, dl, t, count(1) AS tf
+                FROM (SELECT doc_id, dl, unnest(toks) AS t FROM docs)
+                WHERE t IN ('dup', 'vector', 'merge')
+                GROUP BY doc_id, dl, t),
+         dfc AS (SELECT t, count(DISTINCT doc_id) AS df FROM tf GROUP BY t)
+         SELECT doc_id,
+                round(sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                          * tf * 2.2
+                          / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)))
+                      + 1e-9, 4) AS bm25
+         FROM tf JOIN dfc USING (t), stats
+         GROUP BY doc_id
+         ORDER BY bm25 DESC, doc_id
+         LIMIT 20""",
     "q_text_index" -> textIndexOracleSql,
     "q_text_index_sharded" -> textIndexOracleSql,
     // OOV rate is a ratio of exact BIGINT counts — the double quotient
