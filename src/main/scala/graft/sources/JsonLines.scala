@@ -45,8 +45,67 @@ object JsonLines {
       .orderBy("lang", "source")
   }
 
+  /** The 7 planted malformed lines (fixture contract — the oracle's
+    * corrupt count is this list's length): truncated object,
+    * bracket break, bare text, unclosed array, mid-object start, bare
+    * comma, trailing comma. Two shapes were probed and deliberately
+    * EXCLUDED because Spark's Jackson front-end doesn't classify them
+    * corrupt: `{...} trailing garbage` parses the leading object and
+    * ignores the tail (the row comes out CLEAN), and an unterminated
+    * STRING literal can swallow the record entirely instead of
+    * surfacing it — planted corruption must be shapes the parser
+    * actually rejects per-line. */
+  private[sources] val CorruptLines = Seq(
+    """{"doc_id": 9001,""",
+    """{"doc_id": 9002, "text": ]}""",
+    """this is not json at all""",
+    """[1, 2, 3""",
+    """"doc_id": 9005}""",
+    """{,}""",
+    "{\"doc_id\": 9007, }")
+
+  /** documents-as-JSONL plus a file of malformed lines — the realistic
+    * ingest-edge shape (a crawler dump is never 100% clean). */
+  def dirtyDir(s: SparkSession, d: String): String =
+    Fixtures.cached("jsonl_dirty", "documents", d) { dir =>
+      Tables.documents(s, d).write.mode("overwrite").json(dir.toString)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir.toString, "part-corrupt.json"),
+        CorruptLines.mkString("", "\n", "\n").getBytes("UTF-8"))
+    } { dir =>
+      new java.io.File(dir.toString, "part-corrupt.json").exists()
+    }
+
+  /** Corrupt-record QUARANTINE (`q_jsonl_quarantine`): parse the dirty
+    * dump in PERMISSIVE mode with an explicit corrupt-record column —
+    * unparseable lines surface as rows with all data fields null and
+    * the RAW LINE preserved in `_corrupt_record` (reprocessable, not
+    * silently dropped like DROPMALFORMED, not job-fatal like FAILFAST).
+    * The summary proves the split is lossless both ways: the clean
+    * bucket's count + char sum must equal the parquet source exactly
+    * (no clean row quarantined, no corrupt row leaked in), the corrupt
+    * bucket must be exactly the planted lines. Scale: PERMISSIVE parse
+    * is per-line and splittable like any JSONL scan; the quarantine is
+    * a projection, not a second pass. */
+  def jsonlQuarantine(s: SparkSession, d: String): DataFrame = {
+    val schema = Tables.documents(s, d).schema
+      .add("_corrupt_record", org.apache.spark.sql.types.StringType)
+    val parsed = s.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(dirtyDir(s, d))
+    parsed
+      .withColumn("bucket",
+        when(col("_corrupt_record").isNull, "clean").otherwise("corrupt"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        coalesce(sum(col("n_chars")), lit(-1L)).as("sum_chars"))
+      .orderBy("bucket")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_jsonl_scan" -> jsonlScan _,
+    "q_jsonl_quarantine" -> jsonlQuarantine _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -55,5 +114,14 @@ object JsonLines {
                 CAST(sum(n_chars) AS BIGINT) AS sum_chars,
                 min(doc_id) AS min_doc, max(doc_id) AS max_doc
          FROM documents GROUP BY lang, source ORDER BY lang, source""",
+    // clean bucket == the parquet source exactly; corrupt == the 7
+    // planted lines (fixture contract, see CorruptLines)
+    "q_jsonl_quarantine" ->
+      """SELECT 'clean' AS bucket, CAST(count(1) AS BIGINT) AS n_rows,
+                CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         FROM documents
+         UNION ALL
+         SELECT 'corrupt', 7, -1
+         ORDER BY bucket""",
   )
 }
