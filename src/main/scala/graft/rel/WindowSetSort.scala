@@ -222,6 +222,24 @@ object WindowSetSort {
       .except(ordersOfYear(s, d, 1996).select(col("o_custkey")))
       .orderBy("o_custkey")
 
+  /** MULTISET set ops — the duplicate-preserving duals of except/
+    * intersect (bag semantics: a customer with 3 orders in 1995 and 1
+    * in 1996 keeps 2 rows under EXCEPT ALL, min(3,1)=1 under INTERSECT
+    * ALL). Spark plans both as a single count-based aggregation +
+    * generate (no join): per-key counts on each side, then replicate
+    * the key max(l-r, 0) / min(l, r) times — one shuffle, no pairwise
+    * matching, which is why bag semantics cost the same as distinct
+    * semantics at scale. */
+  def exceptAllYears(s: SparkSession, d: String): DataFrame =
+    ordersOfYear(s, d, 1995).select(col("o_custkey"))
+      .exceptAll(ordersOfYear(s, d, 1996).select(col("o_custkey")))
+      .orderBy("o_custkey")
+
+  def intersectAllYears(s: SparkSession, d: String): DataFrame =
+    ordersOfYear(s, d, 1995).select(col("o_custkey"))
+      .intersectAll(ordersOfYear(s, d, 1996).select(col("o_custkey")))
+      .orderBy("o_custkey")
+
   val queries: Map[String, Q] = Map(
     "q_window_rank"        -> windowRank _,
     "q_window_running_sum" -> windowRunningSum _,
@@ -237,6 +255,8 @@ object WindowSetSort {
     "q_union_all"          -> unionAll _,
     "q_intersect"          -> intersectYears _,
     "q_except"             -> exceptYears _,
+    "q_except_all"         -> exceptAllYears _,
+    "q_intersect_all"      -> intersectAllYears _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -332,6 +352,16 @@ object WindowSetSort {
     "q_except" ->
       """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
          EXCEPT
+         SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+         ORDER BY o_custkey""",
+    "q_except_all" ->
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+         EXCEPT ALL
+         SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+         ORDER BY o_custkey""",
+    "q_intersect_all" ->
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+         INTERSECT ALL
          SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
          ORDER BY o_custkey""",
   )

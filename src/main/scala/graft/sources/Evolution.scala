@@ -53,17 +53,48 @@ object Evolution {
       .orderBy("lang")
   }
 
+  /** The COMPUTE-side twin of mergeSchema (`q_union_evolve`): when the
+    * two generations arrive as separate DataFrames (different sources,
+    * not one parquet dir), `unionByName(allowMissingColumns = true)`
+    * aligns columns BY NAME and null-fills the missing ones — the
+    * positional `union` would silently mis-bind columns the moment two
+    * generations order them differently, the classic silent-corruption
+    * bug of evolving pipelines. Same oracle shape as the mergeSchema
+    * scan, proving the two evolution routes agree. */
+  def unionEvolve(s: SparkSession, d: String): DataFrame = {
+    val dir = evoDir(s, d)
+    val gen1 = s.read.parquet(s"$dir/gen1")
+    // deliberately reorder gen2's columns: by-name alignment must not
+    // care, and this is exactly where positional union corrupts
+    val gen2 = s.read.parquet(s"$dir/gen2")
+      .select("source", "n_chars", "doc_id", "lang")
+    gen1.unionByName(gen2, allowMissingColumns = true)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        count(col("source")).as("n_with_src"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_scan_schema_merge" -> schemaMergeScan _,
+    "q_union_evolve" -> unionEvolve _,
   )
 
+  private val evoOracle =
+    """SELECT lang, CAST(count(1) AS BIGINT) AS n_docs,
+              CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+              CAST(count(CASE WHEN doc_id % 2 = 1 THEN source END)
+                AS BIGINT) AS n_with_src,
+              min(doc_id) AS min_doc, max(doc_id) AS max_doc
+       FROM documents GROUP BY lang ORDER BY lang"""
+
   val oracle: Map[String, String] = Map(
-    "q_scan_schema_merge" ->
-      """SELECT lang, CAST(count(1) AS BIGINT) AS n_docs,
-                CAST(sum(n_chars) AS BIGINT) AS sum_chars,
-                CAST(count(CASE WHEN doc_id % 2 = 1 THEN source END)
-                  AS BIGINT) AS n_with_src,
-                min(doc_id) AS min_doc, max(doc_id) AS max_doc
-         FROM documents GROUP BY lang ORDER BY lang""",
+    "q_scan_schema_merge" -> evoOracle,
+    // same oracle by design: the storage-side (mergeSchema) and
+    // compute-side (unionByName) evolution routes must agree
+    "q_union_evolve" -> evoOracle,
   )
 }

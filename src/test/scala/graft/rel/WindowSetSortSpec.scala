@@ -52,4 +52,32 @@ class WindowSetSortSpec extends SparkSpec {
       graft.tables.Tables.events(spark, sf).count())
     viol.count() // force evaluation; no assertion on sign
   }
+
+  test("multiset set ops: per-key multiplicities follow the bag algebra") {
+    import graft.tables.Tables
+    def yearCounts(y: Int): Map[Long, Long] =
+      Tables.orders(spark, sf)
+        .filter(year(col("o_orderdate")) === y)
+        .groupBy("o_custkey").count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (c95, c96) = (yearCounts(1995), yearCounts(1996))
+    val exceptAll = WindowSetSort.exceptAllYears(spark, sf)
+      .groupBy("o_custkey").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expectEx = c95.map { case (k, n) =>
+      k -> math.max(n - c96.getOrElse(k, 0L), 0L) }.filter(_._2 > 0)
+    assert(exceptAll == expectEx)
+    val interAll = WindowSetSort.intersectAllYears(spark, sf)
+      .groupBy("o_custkey").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expectIn = c95.flatMap { case (k, n) =>
+      val m = math.min(n, c96.getOrElse(k, 0L)); if (m > 0) Some(k -> m) else None }
+    assert(interAll == expectIn)
+    // plan: count-based rewrite (aggregate + generate), NOT a join —
+    // the reason bag semantics cost one shuffle, same as distinct
+    val plan = planOf(WindowSetSort.exceptAllYears(spark, sf))
+    assert(plan.contains("Generate"), plan.take(1500))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("HashJoin"),
+      plan.take(1500))
+  }
 }
