@@ -587,7 +587,27 @@ object Relational {
       FROM walk GROUP BY root, depth ORDER BY root, depth""")
   }
 
+  /** SQL pipe syntax (`|>`, new Spark 4.x surface): the same
+    * scan→filter→aggregate→sort plan written as a linear pipeline —
+    * each stage consumes the previous one's output, the reading order
+    * IS the execution order (no inside-out subquery nesting), and
+    * Catalyst plans it identically to the classic form (the oracle is
+    * the classic form, so the gate proves plan equivalence by value). */
+  def sqlPipe(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+    s.sql("""
+      FROM lineitem
+      |> WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      |> AGGREGATE round(sum(l_extendedprice * (1 - l_discount)) + 1e-6, 2)
+                     AS revenue,
+                   CAST(count(1) AS BIGINT) AS n_rows
+         GROUP BY l_returnflag
+      |> ORDER BY l_returnflag""")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_sql_pipe"      -> sqlPipe _,
     "q_sql_tpch_q1"   -> sqlTpchQ1 _,
     "q_sql_tpch_q3"   -> sqlTpchQ3 _,
     "q_sql_tpch_q4"   -> sqlTpchQ4 _,
@@ -649,6 +669,16 @@ object Relational {
                 CAST(count(1) AS BIGINT) AS n_nodes,
                 min(id) AS min_id, max(id) AS max_id
          FROM walk GROUP BY root, depth ORDER BY root, depth""",
+    "q_sql_pipe" ->
+      """SELECT l_returnflag,
+                round(sum(l_extendedprice * (1 - l_discount)) + 1e-6, 2)
+                  AS revenue,
+                CAST(count(1) AS BIGINT) AS n_rows
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+         GROUP BY l_returnflag
+         ORDER BY l_returnflag""",
     "q_sql_tpch_q1" ->
       """SELECT l_returnflag, l_linestatus,
                 round(sum(l_quantity) + 1e-6, 2) AS sum_qty,

@@ -94,6 +94,27 @@ object ScalarFuncs {
         count(col("k")).as("n_with_k"))
       .orderBy("event_type")
 
+  /** VARIANT surface (new in Spark 4): `parse_json` converts the props
+    * string ONCE into the binary variant encoding, `variant_get`
+    * extracts typed fields from it — where q_json_funcs'
+    * get_json_object re-parses the JSON string on every extraction.
+    * Same aggregate, same oracle family; at 100 TB parse-once-extract-
+    * many wins whenever more than one field is touched, and the binary
+    * variant is what a modern lake stores for semi-structured columns.
+    * The schema_of_variant probe doubles as a type audit: every props
+    * row must carry the same {"k": BIGINT} shape. */
+  def variantFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("v", parse_json(col("props")))
+      .select(col("event_type"),
+        variant_get(col("v"), "$.k", "long").as("k"),
+        schema_of_variant(col("v")).as("vschema"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("sum_k"),
+        count(col("k")).as("n_with_k"),
+        countDistinct(col("vschema")).as("n_schemas"))
+      .orderBy("event_type")
+
   /** NULL-handling surface: coalesce/nullif/nvl2-style conditionals over
     * the left-join shape that actually produces NULLs. */
   def nullFuncs(s: SparkSession, d: String): DataFrame =
@@ -260,6 +281,7 @@ object ScalarFuncs {
     "q_math_funcs"   -> mathFuncs _,
     "q_array_funcs"  -> arrayFuncs _,
     "q_json_funcs"   -> jsonFuncs _,
+    "q_variant_funcs" -> variantFuncs _,
     "q_null_funcs"   -> nullFuncs _,
     "q_regex_funcs"  -> regexFuncs _,
     "q_agg_stats"    -> aggStats _,
@@ -305,6 +327,14 @@ object ScalarFuncs {
       """SELECT event_type,
                 CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
                 CAST(COUNT(props->>'$.k') AS BIGINT) AS n_with_k
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    // the variant route must produce json_funcs' numbers exactly, plus
+    // the single-schema audit (every props row is {"k": BIGINT})
+    "q_variant_funcs" ->
+      """SELECT event_type,
+                CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+                CAST(COUNT(props->>'$.k') AS BIGINT) AS n_with_k,
+                CAST(1 AS BIGINT) AS n_schemas
          FROM events GROUP BY event_type ORDER BY event_type""",
     "q_null_funcs" ->
       """WITH m AS (
