@@ -569,11 +569,18 @@ object TextOps {
       .select(col("doc_id"), col("toks"), size(col("toks")).as("dl"))
     val stats = docs.agg(count(lit(1)).as("n_docs"),
       avg(col("dl")).as("avgdl"))
+    // persisted: tf feeds both the score join and the df counts — tiny
+    // (≤ |docs|·|terms| rows) but derived from the corpus-wide explode,
+    // which would otherwise run twice. stats keeps its own scan: N and
+    // avgdl range over ALL docs, not just term-matched ones, so it
+    // cannot be derived from tf (two pruned scans total, down from
+    // three). Harness-released via clearCache between queries.
     val tf = docs
       .select(col("doc_id"), col("dl"), explode(col("toks")).as("t"))
       .filter(col("t").isin(terms: _*))
       .groupBy(col("doc_id"), col("dl"), col("t"))
       .agg(count(lit(1)).as("tf"))
+      .persist()
     val dfc = tf.select(col("doc_id"), col("t")).distinct()
       .groupBy(col("t")).agg(count(lit(1)).as("df"))
     val k1 = lit(1.2); val b = lit(0.75)

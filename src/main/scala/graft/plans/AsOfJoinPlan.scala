@@ -103,6 +103,13 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     left.execute().zipPartitions(right.execute()) { (probeIter, buildIter) =>
       new Iterator[InternalRow] {
         private val joined = new JoinedRow
+        // physical-operator contract: downstream consumers (collect's
+        // getByteArrayRdd, cache, exchanges) assume UnsafeRow — a raw
+        // JoinedRow escaping here is a ClassCastException the moment no
+        // ProjectExec happens to sit on top (SortMergeJoinExec carries
+        // the same final projection for the same reason)
+        private val toUnsafe = org.apache.spark.sql.catalyst.expressions
+          .UnsafeProjection.create(output, output)
         // single-row lookahead over the build side; rows are reused by
         // the upstream sort, so anything RETAINED must be copied
         private var bHead: InternalRow = _
@@ -141,13 +148,14 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
               if (!bHasHead) draining = false
             }
             if (lastBuild != null && lastKey == pKey)
-              nextOut = joined(p, lastBuild)
+              nextOut = toUnsafe(joined(p, lastBuild))
           }
         }
-        // LAZY advance: the JoinedRow (and the probe row it wraps) is
-        // reused in place, so the next row must not be computed until
-        // the consumer is done with the current one — hasNext/next
-        // both trigger at most one deferred computeNext()
+        // LAZY advance: the JoinedRow/UnsafeProjection buffers (and the
+        // probe row they wrap) are reused in place, so the next row must
+        // not be computed until the consumer is done with the current
+        // one — hasNext/next both trigger at most one deferred
+        // computeNext()
         override def hasNext: Boolean = {
           if (!computed) { computeNext(); computed = true }
           nextOut != null

@@ -87,9 +87,15 @@ object AsOf {
     val lPlan = probe.queryExecution.analyzed
     val rPlan = build.queryExecution.analyzed
     def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
-             n: String) = p.output.find(_.name == n).getOrElse(
-      throw new IllegalArgumentException(
-        s"column $n not in ${p.output.map(_.name).mkString(",")}"))
+             n: String) = {
+      val hits = p.output.filter(_.name == n)
+      // loud on duplicates: a silent first-match would bind the WRONG
+      // side's column after a join that kept both (no error, bad joins)
+      require(hits.length == 1,
+        s"column $n resolves to ${hits.length} attributes in " +
+          s"${p.output.map(_.name).mkString(",")} — rename to disambiguate")
+      hits.head
+    }
     org.apache.spark.sql.graft.GraftSqlShim.ofRows(s,
       graft.plans.AsOfJoinNode(lPlan, rPlan,
         attr(lPlan, probeKey), attr(lPlan, probeTs),

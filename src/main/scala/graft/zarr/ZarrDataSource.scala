@@ -67,10 +67,38 @@ class ZarrTable(path: String, providedSchema: Option[StructType] = None)
     extends Table with SupportsRead with SupportsWrite {
   private lazy val meta = ZarrIO.readMeta(path)
   override def name(): String = s"zarr:`$path`"
-  // reads derive the schema from the committed .zarray; writes to a
-  // not-yet-existing store use the one Spark passed through getTable
-  override def schema(): StructType =
-    providedSchema.getOrElse(ZarrTable.schemaFor(meta))
+  // The committed .zarray is authoritative when it exists: a
+  // user-specified schema that disagrees is REJECTED loudly — with
+  // supportsExternalMetadata=true Spark would otherwise report the
+  // user's types while the scan produces the store's (e.g. FLOAT rows
+  // read as DOUBLE → garbage/ClassCastException at codegen, the silent
+  // failure the old supportsExternalMetadata=false guard prevented).
+  // Only a not-yet-existing store (the write-to-new path, where
+  // inferSchema cannot run) takes the provided schema on faith.
+  override def schema(): StructType = {
+    val stored = try Some(ZarrTable.schemaFor(meta))
+                 catch { case _: Exception => None }
+    (stored, providedSchema) match {
+      case (Some(st), Some(user)) =>
+        // nullability is presentation, not physics, here (a write
+        // schema arrives with whatever nullability the DF carried) —
+        // compare names + types with nullability erased
+        def norm(dt: DataType): DataType = dt match {
+          case s: StructType => StructType(s.fields.map(f =>
+            StructField(f.name, norm(f.dataType), nullable = true)))
+          case ArrayType(e, _) => ArrayType(norm(e), containsNull = true)
+          case other => other
+        }
+        require(norm(user) == norm(st),
+          s"zarr:`$path` has schema ${st.simpleString}; the specified " +
+            s"schema ${user.simpleString} does not match — drop .schema() " +
+            "or make it identical")
+        st
+      case (Some(st), None) => st
+      case (None, Some(user)) => user
+      case (None, None) => ZarrTable.schemaFor(meta) // surface readMeta error
+    }
+  }
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)

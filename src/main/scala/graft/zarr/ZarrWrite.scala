@@ -21,14 +21,17 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, LongType, S
   *    row_id, so Spark itself arranges each task to own a contiguous row
   *    range — every writer streams whole chunk row-bands with O(band)
   *    memory, and the planner (not user code) owns the exchange.
-  *  - **Two-phase commit**: tasks write full bands as final chunk objects
-  *    (idempotent full-object overwrites → safe under task retry /
-  *    speculation) and the ≤2 bands straddling a partition boundary as
-  *    staging partials named by (band, partition); the driver's commit
-  *    merges partials, writes the tail band, and writes `.zarray` LAST —
-  *    the metadata file is the commit point, so readers can never observe
-  *    a half-written store (no meta = no table), and `abort` just removes
-  *    staging.
+  *  - **Two-phase commit with a swap**: the whole new store is built in
+  *    a query-unique temp sibling (`<path>.tmp-<queryId>`) — tasks write
+  *    full bands as final chunk objects there (band content is a pure
+  *    function of the rows, so speculative duplicates overwrite with
+  *    identical bytes) and the ≤2 boundary bands as staging partials
+  *    named by (band, partition, TASK-ATTEMPT) so a denied attempt can
+  *    neither clobber nor delete the winner's files; the driver's
+  *    commit merges partials, writes `.zarray` into the temp store, and
+  *    only then swaps it into place (delete-old + rename). The LIVE
+  *    store is untouched until that swap, so a failed overwrite loses
+  *    nothing, and `abort` just drops the temp sibling.
   *  - **Commit-time validation**: rows is discovered (max row_id + 1) and
   *    the dense-ids invariant (exactly rows 0..n-1, no dupes, no holes —
   *    the AnnData X row convention the read path assumes) is enforced by
@@ -59,8 +62,15 @@ object ZarrWrite {
     case _ => "<f8"
   }
 
+  /** The whole new store is built in a query-unique TEMP SIBLING and
+    * swapped in at commit (delete-old + rename) — the previously
+    * committed store stays readable until the new one is complete, so
+    * a failed overwrite can never destroy data. Staging partials live
+    * inside the temp store and vanish with it. */
+  def tmpDir(path: String, queryId: String) =
+    new HPath(path + s".tmp-$queryId")
   def stagingDir(path: String, queryId: String) =
-    new HPath(path, s".staging-$queryId")
+    new HPath(tmpDir(path, queryId), ".staging")
 }
 
 class ZarrWriteBuilder(path: String, info: LogicalWriteInfo)
@@ -111,9 +121,11 @@ class ZarrBatchWrite(path: String, queryId: String, dtype: String,
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     val (f, p) = fs()
-    if (truncateFirst) f.delete(p, true)
-    else require(!f.exists(new HPath(p, ".zarray")),
+    // the LIVE store is never touched here — overwrite only swaps at
+    // commit, so a failed job cannot destroy previously committed data
+    if (!truncateFirst) require(!f.exists(new HPath(p, ".zarray")),
       s"zarr store already committed at $path — use mode(\"overwrite\")")
+    f.delete(ZarrWrite.tmpDir(path, queryId), true) // stale same-query tmp
     f.mkdirs(ZarrWrite.stagingDir(path, queryId))
     new ZarrWriterFactory(path, queryId, dtype, chunkRows, zlib,
       new SerializableHadoopConf(ZarrIO.hadoopConf()))
@@ -141,6 +153,7 @@ class ZarrBatchWrite(path: String, queryId: String, dtype: String,
     val byBand = msgs.flatMap(_.partials).groupBy(_._1)
     val overlap = byBand.keySet intersect finals
     require(overlap.isEmpty, s"zarr write: bands $overlap both final and partial")
+    val tmp = ZarrWrite.tmpDir(path, queryId).toString
     byBand.foreach { case (band, parts) =>
       val buf = Array.fill(chunkRows * dim)(0.0)
       var seen = 0
@@ -160,19 +173,25 @@ class ZarrBatchWrite(path: String, queryId: String, dtype: String,
         } finally in.close()
       }
       require(seen <= chunkRows, s"band $band: $seen rows overflow the band")
-      ZarrIO.writeChunk(path, meta, band, 0, buf, conf)
+      ZarrIO.writeChunk(tmp, meta, band, 0, buf, conf)
     }
-    // .zarray LAST: the commit point — no reader sees a store without it
-    ZarrIO.writeMeta(path, meta, conf)
+    ZarrIO.writeMeta(tmp, meta, conf)
     f.delete(ZarrWrite.stagingDir(path, queryId), true)
+    // THE commit point: swap the finished store into place. rename is
+    // atomic on HDFS/local FS; on a rename-less object store this
+    // narrows the unreadable window to delete→rename instead of the
+    // whole job, and the old data survives every failure before here.
+    val (f2, live) = fs()
+    f2.delete(live, true)
+    require(f2.rename(ZarrWrite.tmpDir(path, queryId), live),
+      s"zarr commit: rename ${ZarrWrite.tmpDir(path, queryId)} -> $live failed")
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    // no meta was written, so nothing readable exists; drop staging only
-    // (final chunks from completed tasks are orphan objects in an
-    // uncommitted dir — a re-run with mode("overwrite") clears them)
+    // drop the whole in-flight temp store; the live store (if any) was
+    // never touched, so a failed overwrite loses NOTHING
     val (f, _) = fs()
-    f.delete(ZarrWrite.stagingDir(path, queryId), true)
+    f.delete(ZarrWrite.tmpDir(path, queryId), true)
   }
 }
 
@@ -182,7 +201,7 @@ class ZarrWriterFactory(path: String, queryId: String, dtype: String,
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new ZarrDataWriter(path, queryId, dtype, chunkRows, zlib, partitionId,
-      sconf)
+      taskId, sconf)
 }
 
 /** Streams its (range-partitioned, sorted) slice band by band: whole
@@ -190,8 +209,12 @@ class ZarrWriterFactory(path: String, queryId: String, dtype: String,
   * go to staging as sparse (rowInBand, vec) runs. Memory = ONE band. */
 class ZarrDataWriter(path: String, queryId: String, dtype: String,
                      chunkRows: Int, zlib: Boolean, partitionId: Int,
-                     sconf: SerializableHadoopConf)
+                     taskId: Long, sconf: SerializableHadoopConf)
     extends DataWriter[InternalRow] {
+
+  // everything this writer produces lands in the query's TEMP store —
+  // the live path is only touched by the driver's commit swap
+  private val tmpPath = ZarrWrite.tmpDir(path, queryId).toString
 
   private val floats = dtype == "<f4"
   private var dim = -1
@@ -239,10 +262,16 @@ class ZarrDataWriter(path: String, queryId: String, dtype: String,
   private def flush(): Unit = {
     if (band >= 0 && bandCount > 0) {
       if (bandCount == chunkRows) {
-        ZarrIO.writeChunk(path, chunkMeta, band, 0, buf, sconf.value)
+        // band content is a pure function of the input rows, so a
+        // speculative duplicate attempt overwrites with identical bytes
+        ZarrIO.writeChunk(tmpPath, chunkMeta, band, 0, buf, sconf.value)
         finalBands += band
       } else {
-        val name = s"band-$band-p$partitionId"
+        // taskId makes the name ATTEMPT-unique: a denied/zombie attempt
+        // can neither overwrite the winner's partial nor (see abort)
+        // delete it — the driver merges exactly the names the winning
+        // attempt reported in its commit message
+        val name = s"band-$band-p$partitionId-t$taskId"
         val out = new DataOutputStream(ZarrWrite.stagingDir(path, queryId)
           .getFileSystem(sconf.value)
           .create(new HPath(ZarrWrite.stagingDir(path, queryId), name), true))
@@ -273,7 +302,9 @@ class ZarrDataWriter(path: String, queryId: String, dtype: String,
   }
 
   override def abort(): Unit = {
-    // best-effort: remove this task's partials so a retry can't double-feed
+    // attempt-unique partial names mean this attempt's files can never
+    // be mistaken for the winner's; remove only our own (best-effort —
+    // the driver's job-level abort drops the whole temp store anyway)
     val sd = ZarrWrite.stagingDir(path, queryId)
     val f = sd.getFileSystem(sconf.value)
     partials.result().foreach { case (_, name) =>

@@ -89,7 +89,7 @@ class ZarrWriteSpec extends SparkSpec {
     assert(back.count() == 30)
   }
 
-  test("a mid-job failure aborts: no .zarray, no staging left behind") {
+  test("a mid-job failure aborts: no store, no temp sibling left behind") {
     val path = tmp()
     val poison = org.apache.spark.sql.functions.udf { (id: Long) =>
       if (id == 57L) throw new RuntimeException("poison row")
@@ -101,18 +101,53 @@ class ZarrWriteSpec extends SparkSpec {
       df.write.format("zarr").option("chunk_rows", 16)
         .mode("append").save(path)
     }
-    val dir = new java.io.File(path)
-    // BatchWrite.abort ran: the commit point was never written and the
-    // staging dir was dropped — the dir may hold orphan chunk objects
-    // (documented), but nothing READABLE exists
-    assert(!new java.io.File(dir, ".zarray").exists())
-    assert(dir.listFiles() == null ||
-      !dir.listFiles().exists(_.getName.startsWith(".staging")))
+    // BatchWrite.abort dropped the whole temp store; the live path was
+    // never created, and no .tmp-* sibling lingers
+    assert(!new java.io.File(path, ".zarray").exists())
+    val parent = new java.io.File(path).getParentFile
+    assert(!parent.listFiles().exists(_.getName.contains(".tmp-")),
+      parent.listFiles().map(_.getName).mkString(","))
     intercept[Exception] { spark.read.format("zarr").load(path).count() }
     // and a subsequent overwrite of the same path succeeds cleanly
     mat(40, 4).write.format("zarr").option("chunk_rows", 16)
       .mode("overwrite").save(path)
     assert(spark.read.format("zarr").load(path).count() == 40)
+  }
+
+  test("a FAILED overwrite leaves the previously committed store intact") {
+    val path = tmp()
+    mat(50, 4).write.format("zarr").option("chunk_rows", 16)
+      .mode("append").save(path)
+    val poison = org.apache.spark.sql.functions.udf { (id: Long) =>
+      if (id == 30L) throw new RuntimeException("poison row")
+      id
+    }
+    intercept[Exception] {
+      mat(80, 4).withColumn("row_id", poison(col("row_id")))
+        .write.format("zarr").option("chunk_rows", 16)
+        .mode("overwrite").save(path)
+    }
+    // the old store must still be fully readable — overwrite only swaps
+    // at commit, after the replacement is complete
+    assert(ZarrIO.readMeta(path).rows == 50)
+    assert(spark.read.format("zarr").load(path).count() == 50)
+    val parent = new java.io.File(path).getParentFile
+    assert(!parent.listFiles().exists(_.getName.contains(".tmp-")))
+  }
+
+  test("a user read-schema that disagrees with the store is rejected") {
+    val path = tmp()
+    mat(20, 4).write.format("zarr").mode("append").save(path) // <f8 store
+    // reading it as floats would silently produce garbage (the scan
+    // emits doubles regardless) — must fail loudly instead
+    val e = intercept[Exception] {
+      spark.read.format("zarr")
+        .schema("row_id BIGINT, vec ARRAY<FLOAT>").load(path).collect()
+    }
+    assert(e.getMessage.contains("does not match"), e.getMessage)
+    // an IDENTICAL user schema (modulo nullability) is fine
+    assert(spark.read.format("zarr")
+      .schema("row_id BIGINT, vec ARRAY<DOUBLE>").load(path).count() == 20)
   }
 
   test("DSv2 write == ZarrSink.writeMatrix byte-for-byte at the read layer") {
