@@ -606,7 +606,32 @@ object Relational {
       |> ORDER BY l_returnflag""")
   }
 
+  /** Parameterized SQL (named parameter markers, new Spark 4.x API):
+    * `spark.sql(text, args)` binds `:name` markers server-side as
+    * literals in the PLAN, not by string interpolation — the injection-
+    * safe, plan-cache-friendly way applications ship constants into
+    * queries. The oracle is the same text with constants inlined, so
+    * the gate proves binding semantics (types, timestamp handling)
+    * rather than trusting them. */
+  def sqlParams(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+    s.sql(
+      """SELECT l_returnflag,
+                round(sum(l_extendedprice * (1 - l_discount)) + 1e-6, 2)
+                  AS revenue,
+                CAST(count(1) AS BIGINT) AS n_rows
+         FROM lineitem
+         WHERE l_shipdate >= :lo AND l_shipdate < :hi
+           AND l_quantity <= :maxqty
+         GROUP BY l_returnflag
+         ORDER BY l_returnflag""",
+      Map("lo" -> java.sql.Timestamp.valueOf("1997-01-01 00:00:00"),
+        "hi" -> java.sql.Timestamp.valueOf("1998-01-01 00:00:00"),
+        "maxqty" -> Int.box(40)))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_sql_params"    -> sqlParams _,
     "q_sql_pipe"      -> sqlPipe _,
     "q_sql_tpch_q1"   -> sqlTpchQ1 _,
     "q_sql_tpch_q3"   -> sqlTpchQ3 _,
@@ -669,6 +694,17 @@ object Relational {
                 CAST(count(1) AS BIGINT) AS n_nodes,
                 min(id) AS min_id, max(id) AS max_id
          FROM walk GROUP BY root, depth ORDER BY root, depth""",
+    "q_sql_params" ->
+      """SELECT l_returnflag,
+                round(sum(l_extendedprice * (1 - l_discount)) + 1e-6, 2)
+                  AS revenue,
+                CAST(count(1) AS BIGINT) AS n_rows
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+           AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+           AND l_quantity <= 40
+         GROUP BY l_returnflag
+         ORDER BY l_returnflag""",
     "q_sql_pipe" ->
       """SELECT l_returnflag,
                 round(sum(l_extendedprice * (1 - l_discount)) + 1e-6, 2)
