@@ -44,7 +44,25 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, LongType, S
   */
 object ZarrWrite {
   val ChunkRowsOption = "chunk_rows"
+  val ChunkColsOption = "chunk_cols" // 0/absent = one column chunk (= dim)
   val ZlibOption = "zlib"
+
+  /** Slice a full row-band buffer (chunkRows × dim, row-major) into the
+    * j-th column chunk, padded to the full chunkRows × chunkCols shape
+    * (zarr edge chunks are full-size with fill padding). Shared by the
+    * task writers (whole bands) and the driver commit (merged bands). */
+  def colChunkSlice(buf: Array[Double], chunkRows: Int, dim: Int,
+                    chunkCols: Int, j: Int): Array[Double] = {
+    val out = new Array[Double](chunkRows * chunkCols)
+    val c0 = j * chunkCols
+    val width = math.min(chunkCols, dim - c0)
+    var r = 0
+    while (r < chunkRows) {
+      System.arraycopy(buf, r * dim + c0, out, r * chunkCols, width)
+      r += 1
+    }
+    out
+  }
 
   def validateSchema(schema: StructType): Unit = {
     require(schema.length == 2 &&
@@ -84,13 +102,17 @@ class ZarrWriteBuilder(path: String, info: LogicalWriteInfo)
     require(chunkRows > 0, s"chunk_rows must be positive, got $chunkRows")
     val zlib = Option(info.options.get(ZarrWrite.ZlibOption))
       .forall(_.toBoolean)
+    val chunkCols = Option(info.options.get(ZarrWrite.ChunkColsOption))
+      .map(_.toInt).getOrElse(0)
+    require(chunkCols >= 0, s"chunk_cols must be >= 0, got $chunkCols")
     new ZarrWriteImpl(path, info.queryId(), ZarrWrite.dtypeFor(info.schema()),
-      chunkRows, zlib, truncateFirst)
+      chunkRows, chunkCols, zlib, truncateFirst)
   }
 }
 
 class ZarrWriteImpl(path: String, queryId: String, dtype: String,
-                    chunkRows: Int, zlib: Boolean, truncateFirst: Boolean)
+                    chunkRows: Int, chunkCols: Int, zlib: Boolean,
+                    truncateFirst: Boolean)
     extends Write with RequiresDistributionAndOrdering {
   private def sortOrder: Array[SortOrder] = Array(
     Expressions.sort(Expressions.column("row_id"), SortDirection.ASCENDING))
@@ -99,7 +121,8 @@ class ZarrWriteImpl(path: String, queryId: String, dtype: String,
   override def requiredOrdering(): Array[SortOrder] = sortOrder
   override def description(): String = s"zarr:`$path`"
   override def toBatch: BatchWrite =
-    new ZarrBatchWrite(path, queryId, dtype, chunkRows, zlib, truncateFirst)
+    new ZarrBatchWrite(path, queryId, dtype, chunkRows, chunkCols, zlib,
+      truncateFirst)
 }
 
 /** One task's outcome: rows written, the id range seen, the vec width,
@@ -110,7 +133,8 @@ case class ZarrTaskCommit(partitionId: Int, rowCount: Long, maxId: Long,
     extends WriterCommitMessage
 
 class ZarrBatchWrite(path: String, queryId: String, dtype: String,
-                     chunkRows: Int, zlib: Boolean, truncateFirst: Boolean)
+                     chunkRows: Int, chunkColsOpt: Int, zlib: Boolean,
+                     truncateFirst: Boolean)
     extends BatchWrite {
 
   private def fs(): (FileSystem, HPath) = {
@@ -127,8 +151,8 @@ class ZarrBatchWrite(path: String, queryId: String, dtype: String,
       s"zarr store already committed at $path — use mode(\"overwrite\")")
     f.delete(ZarrWrite.tmpDir(path, queryId), true) // stale same-query tmp
     f.mkdirs(ZarrWrite.stagingDir(path, queryId))
-    new ZarrWriterFactory(path, queryId, dtype, chunkRows, zlib,
-      new SerializableHadoopConf(ZarrIO.hadoopConf()))
+    new ZarrWriterFactory(path, queryId, dtype, chunkRows, chunkColsOpt,
+      zlib, new SerializableHadoopConf(ZarrIO.hadoopConf()))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -141,8 +165,10 @@ class ZarrBatchWrite(path: String, queryId: String, dtype: String,
     val dims = msgs.filter(_.rowCount > 0).map(_.dim).distinct
     require(dims.length <= 1, s"zarr write: mixed vec widths $dims")
     val dim = dims.headOption.getOrElse(0)
+    val cc = if (chunkColsOpt > 0) math.min(chunkColsOpt, math.max(dim, 1))
+             else math.max(dim, 1)
     val meta = ZarrMeta(rows = rows, cols = dim, chunkRows = chunkRows,
-      chunkCols = math.max(dim, 1), dtype = dtype,
+      chunkCols = cc, dtype = dtype,
       compressor = if (zlib) Some("zlib") else None, fillValue = 0.0)
     val conf = ZarrIO.hadoopConf()
     val (f, _) = fs()
@@ -173,7 +199,12 @@ class ZarrBatchWrite(path: String, queryId: String, dtype: String,
         } finally in.close()
       }
       require(seen <= chunkRows, s"band $band: $seen rows overflow the band")
-      ZarrIO.writeChunk(tmp, meta, band, 0, buf, conf)
+      var j = 0
+      while (j * cc < math.max(dim, 1)) {
+        ZarrIO.writeChunk(tmp, meta, band, j,
+          ZarrWrite.colChunkSlice(buf, chunkRows, dim, cc, j), conf)
+        j += 1
+      }
     }
     ZarrIO.writeMeta(tmp, meta, conf)
     f.delete(ZarrWrite.stagingDir(path, queryId), true)
@@ -196,20 +227,21 @@ class ZarrBatchWrite(path: String, queryId: String, dtype: String,
 }
 
 class ZarrWriterFactory(path: String, queryId: String, dtype: String,
-                        chunkRows: Int, zlib: Boolean,
+                        chunkRows: Int, chunkColsOpt: Int, zlib: Boolean,
                         sconf: SerializableHadoopConf)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new ZarrDataWriter(path, queryId, dtype, chunkRows, zlib, partitionId,
-      taskId, sconf)
+    new ZarrDataWriter(path, queryId, dtype, chunkRows, chunkColsOpt, zlib,
+      partitionId, taskId, sconf)
 }
 
 /** Streams its (range-partitioned, sorted) slice band by band: whole
   * bands become final chunk objects immediately; the ≤2 boundary bands
   * go to staging as sparse (rowInBand, vec) runs. Memory = ONE band. */
 class ZarrDataWriter(path: String, queryId: String, dtype: String,
-                     chunkRows: Int, zlib: Boolean, partitionId: Int,
-                     taskId: Long, sconf: SerializableHadoopConf)
+                     chunkRows: Int, chunkColsOpt: Int, zlib: Boolean,
+                     partitionId: Int, taskId: Long,
+                     sconf: SerializableHadoopConf)
     extends DataWriter[InternalRow] {
 
   // everything this writer produces lands in the query's TEMP store —
@@ -226,10 +258,12 @@ class ZarrDataWriter(path: String, queryId: String, dtype: String,
   private var rowCount = 0L
   private val finalBands = Seq.newBuilder[Long]
   private val partials = Seq.newBuilder[(Long, String)]
+  private def chunkCols =
+    if (chunkColsOpt > 0) math.min(chunkColsOpt, dim) else dim
   // provisional meta for chunk writes (ZarrIO.writeChunk reads only the
   // chunk geometry / dtype / compressor from it, never rows)
   private def chunkMeta = ZarrMeta(rows = 0L, cols = dim,
-    chunkRows = chunkRows, chunkCols = dim, dtype = dtype,
+    chunkRows = chunkRows, chunkCols = chunkCols, dtype = dtype,
     compressor = if (zlib) Some("zlib") else None, fillValue = 0.0)
 
   override def write(row: InternalRow): Unit = {
@@ -263,8 +297,15 @@ class ZarrDataWriter(path: String, queryId: String, dtype: String,
     if (band >= 0 && bandCount > 0) {
       if (bandCount == chunkRows) {
         // band content is a pure function of the input rows, so a
-        // speculative duplicate attempt overwrites with identical bytes
-        ZarrIO.writeChunk(tmpPath, chunkMeta, band, 0, buf, sconf.value)
+        // speculative duplicate attempt overwrites with identical bytes;
+        // one object per COLUMN chunk of the band (chunk_cols option)
+        var j = 0
+        while (j * chunkCols < dim) {
+          ZarrIO.writeChunk(tmpPath, chunkMeta, band, j,
+            ZarrWrite.colChunkSlice(buf, chunkRows, dim, chunkCols, j),
+            sconf.value)
+          j += 1
+        }
         finalBands += band
       } else {
         // taskId makes the name ATTEMPT-unique: a denied/zombie attempt

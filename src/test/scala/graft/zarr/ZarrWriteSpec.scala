@@ -135,6 +135,24 @@ class ZarrWriteSpec extends SparkSpec {
     assert(!parent.listFiles().exists(_.getName.contains(".tmp-")))
   }
 
+  test("chunk_cols writes a 2-D chunk grid the reader reassembles") {
+    val path = tmp()
+    // 8 cols / chunk_cols=3 → 3 column chunks per band (last one padded)
+    mat(40, 8).write.format("zarr")
+      .option("chunk_rows", 16).option("chunk_cols", 3)
+      .mode("append").save(path)
+    val meta = ZarrIO.readMeta(path)
+    assert(meta.chunkCols == 3 && meta.colChunkCount == 3)
+    val names = new java.io.File(path).listFiles().map(_.getName)
+    assert(names.count(_.matches("\\d+\\.\\d+")) == 9, names.mkString(","))
+    assert(names.contains("0.2") && names.contains("2.1"))
+    val back = spark.read.format("zarr").load(path).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val src = mat(40, 8).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(back == src)
+  }
+
   test("a user read-schema that disagrees with the store is rejected") {
     val path = tmp()
     mat(20, 4).write.format("zarr").mode("append").save(path) // <f8 store
