@@ -153,6 +153,29 @@ class ZarrWriteSpec extends SparkSpec {
     assert(back == src)
   }
 
+  test("property: random (n, chunk_rows, chunk_cols, dim) round-trips") {
+    val rnd = new scala.util.Random(13)
+    for (round <- 1 to 6) {
+      val n = 1 + rnd.nextInt(120)
+      val dim = 1 + rnd.nextInt(10)
+      val cr = 1 + rnd.nextInt(40)
+      val cc = 1 + rnd.nextInt(dim + 2) // may exceed dim: clamped
+      val path = tmp()
+      mat(n, dim).write.format("zarr")
+        .option("chunk_rows", cr).option("chunk_cols", cc)
+        .mode("append").save(path)
+      val meta = ZarrIO.readMeta(path)
+      assert(meta.rows == n && meta.cols == dim && meta.chunkRows == cr)
+      assert(meta.chunkCols == math.min(cc, dim))
+      val back = spark.read.format("zarr").load(path).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      val src = mat(n, dim).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      assert(back == src,
+        s"round $round: n=$n dim=$dim cr=$cr cc=$cc mismatch")
+    }
+  }
+
   test("a user read-schema that disagrees with the store is rejected") {
     val path = tmp()
     mat(20, 4).write.format("zarr").mode("append").save(path) // <f8 store
