@@ -65,12 +65,104 @@ object OtherFormats {
         max(col("doc_id")).as("max_doc"))
       .orderBy("lang", "source")
 
+  private val CsvSchema =
+    "l_orderkey BIGINT, l_returnflag STRING, l_quantity DOUBLE, " +
+      "l_extendedprice DOUBLE, l_discount DOUBLE"
+
+  /** The 4 planted malformed CSV lines (fixture contract): bad BIGINT,
+    * short row, long row, bad DOUBLE — each probed to actually set the
+    * corrupt-record column in Spark 4.1's PERMISSIVE parser. An all-
+    * empty line (",,,,") is deliberately NOT planted: blank fields are
+    * legal NULLs, not corruption. Measured pitfall that shaped this
+    * fixture: with header=true AND a corrupt-record column in the
+    * schema, Spark 4.1 silently DROPS the first data row of the file
+    * when the corrupt column is projected (count() still sees it — a
+    * pruning-dependent double header skip), so the dirty fixture is
+    * written HEADERLESS. */
+  private[sources] val CorruptCsvLines = Seq(
+    "abc,R,1.0,100.0,0.05",
+    "7,R,2.0",
+    "7,R,2.0,100.0,0.05,extra,extra",
+    "7,R,notnum,100.0,0.05")
+
+  def dirtyCsvDir(s: SparkSession, d: String): String =
+    Fixtures.cached("csv_dirty", "lineitem", d) { dir =>
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_returnflag", "l_quantity",
+          "l_extendedprice", "l_discount")
+        .write.mode("overwrite").csv(dir.toString) // headerless, see above
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir.toString, "part-corrupt.csv"),
+        CorruptCsvLines.mkString("", "\n", "\n").getBytes("UTF-8"))
+    } { dir =>
+      new java.io.File(dir.toString, "part-corrupt.csv").exists()
+    }
+
+  /** CSV twin of q_jsonl_quarantine: PERMISSIVE + corrupt-record
+    * quarantine over the dirty dump. Two CSV-specific wrinkles the JSON
+    * twin doesn't have, both MEASURED on Spark 4.1:
+    *  - corruption classification is PER-PARSED-FIELD under the CSV
+    *    parser's column pruning: with only (l_quantity, _corrupt_record)
+    *    needed by the aggregate, 3 of the 4 planted lines (bad BIGINT in
+    *    an unread column, short row, long row) classified CLEAN — the
+    *    parser never touched the broken fields. A quarantine gate must
+    *    therefore run with spark.sql.csv.parser.columnPruning.enabled
+    *    = false (child session, the joinBloom conf-isolation pattern)
+    *    so every record is parsed whole before being declared clean;
+    *  - a corrupt row can still carry PARTIALLY parsed fields (the
+    *    bad-BIGINT line yields l_quantity=1.0), so the clean-side sum
+    *    is computed under the corrupt-flag condition — the source-exact
+    *    oracle proves no partial value leaks across the bucket. */
+  def csvQuarantine(s0: SparkSession, d: String): DataFrame = {
+    val dir = dirtyCsvDir(s0, d)
+    val s = s0.newSession()
+    s.conf.set("spark.sql.csv.parser.columnPruning.enabled", "false")
+    val parsed = s.read
+      .schema(CsvSchema + ", _corrupt_record STRING")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(dir)
+    // every column is aggregated: (a) a quarantine AUDIT should prove
+    // every field lossless, and (b) — the third measured CSV rule — a
+    // bad CAST only classifies a row corrupt if that column is
+    // REFERENCED by the query (even with parser pruning off, unparsed-
+    // column conversion errors pass silently); touching all five
+    // columns closes that hole
+    val clean = col("_corrupt_record").isNull
+    def cleanSum(c: org.apache.spark.sql.Column, dp: Int) =
+      coalesce(round(sum(when(clean, c)) + lit(1e-6), dp), lit(-1.0))
+    parsed
+      .withColumn("bucket", when(clean, "clean").otherwise("corrupt"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        cleanSum(col("l_quantity"), 2).as("sum_qty"),
+        cleanSum(col("l_extendedprice"), 2).as("sum_price"),
+        cleanSum(col("l_discount"), 4).as("sum_disc"),
+        coalesce(sum(when(clean, col("l_orderkey"))), lit(-1L)).as("sum_keys"),
+        count(when(clean, col("l_returnflag"))).as("n_flags"))
+      .orderBy("bucket")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_csv_scan" -> csvScan _,
+    "q_csv_quarantine" -> csvQuarantine _,
     "q_orc_scan" -> orcScan _,
   )
 
   val oracle: Map[String, String] = Map(
+    // clean bucket == the parquet source exactly; corrupt == the 4
+    // planted lines (fixture contract, see CorruptCsvLines)
+    "q_csv_quarantine" ->
+      """SELECT 'clean' AS bucket, CAST(count(1) AS BIGINT) AS n_rows,
+                round(sum(l_quantity) + 1e-6, 2) AS sum_qty,
+                round(sum(l_extendedprice) + 1e-6, 2) AS sum_price,
+                round(sum(l_discount) + 1e-6, 4) AS sum_disc,
+                CAST(sum(l_orderkey) AS BIGINT) AS sum_keys,
+                CAST(count(l_returnflag) AS BIGINT) AS n_flags
+         FROM lineitem
+         UNION ALL
+         SELECT 'corrupt', 4, -1.0, -1.0, -1.0, -1, 0
+         ORDER BY bucket""",
     "q_csv_scan" ->
       """SELECT l_returnflag, CAST(count(1) AS BIGINT) AS n_rows,
                 round(sum(l_quantity) + 1e-6, 2) AS sum_qty,

@@ -32,6 +32,27 @@ class QuarantineSpec extends SparkSpec {
     assert(leaky == 0)
   }
 
+  test("CSV quarantine: raw lines preserved; all 4 shapes classify corrupt") {
+    val dir = OtherFormats.dirtyCsvDir(spark, sf)
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.csv.parser.columnPruning.enabled", "false")
+    val parsed = s2.read
+      .schema("l_orderkey BIGINT, l_returnflag STRING, l_quantity DOUBLE, " +
+        "l_extendedprice DOUBLE, l_discount DOUBLE, _corrupt_record STRING")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(dir).cache()
+    val quarantined = parsed.filter(col("_corrupt_record").isNotNull)
+      // touch every column so unreferenced-column cast errors classify
+      // (the third measured CSV rule; see OtherFormats.csvQuarantine)
+      .select(col("_corrupt_record"), col("l_orderkey"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"), col("l_returnflag"))
+      .collect().map(_.getString(0)).toSet
+    parsed.unpersist()
+    assert(quarantined == OtherFormats.CorruptCsvLines.toSet,
+      s"got ${quarantined.toSeq.sorted}")
+  }
+
   test("clean bucket equals the parquet source exactly") {
     val rows = JsonLines.jsonlQuarantine(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
