@@ -74,6 +74,10 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // bounded-window WARN suppression, same rationale as Bench.main
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
     val queries = SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
     run(spark, sfDir, outDir, queries, SparkEntry.oracleSql)

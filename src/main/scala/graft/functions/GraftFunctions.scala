@@ -39,11 +39,21 @@ object GraftFunctions {
       "dot_product", dotBuilder, "scala_udf")
     // aggregator surface for SQL users — `SELECT g, exact_median(v) …`,
     // `SELECT g, bounded_top3(score, id) …` (array<struct<score,id>>,
-    // descending, O(3) agg state; see BoundedTopK)
-    spark.udf.register("exact_median",
-      org.apache.spark.sql.functions.udaf(ExactMedian))
-    spark.udf.register("bounded_top3",
-      org.apache.spark.sql.functions.udaf(BoundedTopK(3)))
+    // descending, O(3) agg state; see BoundedTopK).
+    // Guarded: udf.register WARNs "replaced a previously registered
+    // function" on every re-call, and register() runs once per query in
+    // a 186-query bench — that's hundreds of WARN lines crowding the
+    // driver's 2000-char stdout tail. createOrReplaceTempFunction above
+    // is silent; these two are the only loud ones.
+    val reg = spark.sessionState.functionRegistry
+    def missing(n: String) = !reg.functionExists(
+      org.apache.spark.sql.catalyst.FunctionIdentifier(n))
+    if (missing("exact_median"))
+      spark.udf.register("exact_median",
+        org.apache.spark.sql.functions.udaf(ExactMedian))
+    if (missing("bounded_top3"))
+      spark.udf.register("bounded_top3",
+        org.apache.spark.sql.functions.udaf(BoundedTopK(3)))
   }
 
   /** Column-API form of the native cosine expression (requires

@@ -27,20 +27,36 @@ import org.apache.spark.sql.types.LongType
   * code — rung (c) is allowed to exist only while rung (a) re-derives
   * its answers.
   *
-  * Semantics (inner as-of, DuckDB `ASOF JOIN` ties): for each probe row,
-  * the LATEST build row of the same key with build.ts <= probe.ts;
-  * probes with no prior build are dropped. Keys and timestamps are
-  * BIGINT (epoch micros/nanos) — the loaders' `ts_ns`/`unix_micros`
-  * convention; ordering on integers is total, so results are exact. */
+  * Semantics (DuckDB `ASOF JOIN` ties): for each probe row, the LATEST
+  * build row of the same key with build.ts <= probe.ts. Variants:
+  *  - `leftOuter=false` (inner): probes with no prior build are dropped;
+  *  - `leftOuter=true`: unmatched probes are kept with a null-padded
+  *    build side (DuckDB `ASOF LEFT JOIN`);
+  *  - `tolerance=Some(d)`: the match must additionally satisfy
+  *    build.ts >= probe.ts - d. Only the LATEST prior build can pass —
+  *    every earlier one is further from probe.ts — so the O(1)-state
+  *    merge is unchanged: keep the latest, test tolerance at emit.
+  * NULL semantics follow SQL joins: a NULL key or ts on either side
+  * never matches anything (probe side: dropped under inner, null-padded
+  * under left; build side: skipped). Round-7 advisory: the previous exec
+  * unboxed NULL to 0L and silently joined on key 0.
+  * Keys and timestamps are BIGINT (epoch micros/nanos) — the loaders'
+  * `ts_ns`/`unix_micros` convention; integer ordering is total, so
+  * results are exact. */
 case class AsOfJoinNode(left: LogicalPlan, right: LogicalPlan,
                         leftKey: Attribute, leftTs: Attribute,
-                        rightKey: Attribute, rightTs: Attribute)
+                        rightKey: Attribute, rightTs: Attribute,
+                        leftOuter: Boolean = false,
+                        tolerance: Option[Long] = None)
     extends BinaryNode {
   require(Seq(leftKey, leftTs, rightKey, rightTs).forall(_.dataType == LongType),
     "as-of join: key and ts must be BIGINT on both sides")
-  // inner semantics: every output row has a matched build side — no
-  // nullability widening needed on either side's attributes
-  override def output: Seq[Attribute] = left.output ++ right.output
+  require(tolerance.forall(_ >= 0L), "as-of join: tolerance must be >= 0")
+  // left-outer widens the build side to nullable (unmatched probes emit
+  // a null-padded build side); inner needs no widening
+  override def output: Seq[Attribute] =
+    left.output ++ (if (leftOuter) right.output.map(_.withNullability(true))
+                    else right.output)
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinNode =
     copy(left = newLeft, right = newRight)
@@ -52,18 +68,22 @@ case class AsOfJoinNode(left: LogicalPlan, right: LogicalPlan,
   * with Spark, this strategy claims only its own node. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinNode(l, r, lk, lts, rk, rts) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, lts, rk, rts) :: Nil
+    case AsOfJoinNode(l, r, lk, lts, rk, rts, outer, tol) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, lts, rk, rts, outer, tol) :: Nil
     case _ => Nil
   }
 }
 
 case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
                         leftKey: Attribute, leftTs: Attribute,
-                        rightKey: Attribute, rightTs: Attribute)
+                        rightKey: Attribute, rightTs: Attribute,
+                        leftOuter: Boolean = false,
+                        tolerance: Option[Long] = None)
     extends BinaryExecNode {
 
-  override def output: Seq[Attribute] = left.output ++ right.output
+  override def output: Seq[Attribute] =
+    left.output ++ (if (leftOuter) right.output.map(_.withNullability(true))
+                    else right.output)
 
   /** Co-partition both sides on the key: EnsureRequirements resolves two
     * ClusteredDistributions into compatible HashPartitionings (the same
@@ -121,7 +141,13 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
         // latest build row (copied) for the CURRENT probe key — O(1)
         // state regardless of key cardinality or rows per key
         private var lastKey = 0L
+        private var lastBuildTs = 0L
         private var lastBuild: InternalRow = _
+        // null-padded build side for unmatched probes under left-outer;
+        // a GenericInternalRow starts all-null, reused across emissions
+        // (toUnsafe copies into its own buffer before the row escapes)
+        private val nullRight = new org.apache.spark.sql.catalyst.expressions
+          .GenericInternalRow(right.output.size)
         private var nextOut: InternalRow = _
         private var computed = false
 
@@ -129,26 +155,47 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
           nextOut = null
           while (nextOut == null && probeIter.hasNext) {
             val p = probeIter.next()
-            val pKey = lk.eval(p).asInstanceOf[Long]
-            val pTs = lt.eval(p).asInstanceOf[Long]
-            if (lastBuild != null && lastKey != pKey) lastBuild = null
-            // drain build rows at or before (pKey, pTs): keys below pKey
-            // are dead (probe is key-ordered), rows of pKey with
-            // ts <= pTs improve the as-of candidate
-            var draining = bHasHead
-            while (draining) {
-              val bKey = rk.eval(bHead).asInstanceOf[Long]
-              if (bKey < pKey) advanceBuild()
-              else if (bKey == pKey &&
-                rt.eval(bHead).asInstanceOf[Long] <= pTs) {
-                lastBuild = bHead.copy()
-                lastKey = pKey
-                advanceBuild()
-              } else draining = false
-              if (!bHasHead) draining = false
+            // eval before unboxing: asInstanceOf[Long] on a NULL unboxes
+            // to 0L and silently joins on key 0 (round-7 advisory) — a
+            // NULL key/ts must behave like SQL: it matches nothing
+            val pKeyAny = lk.eval(p)
+            val pTsAny = lt.eval(p)
+            if (pKeyAny == null || pTsAny == null) {
+              if (leftOuter) nextOut = toUnsafe(joined(p, nullRight))
+            } else {
+              val pKey = pKeyAny.asInstanceOf[Long]
+              val pTs = pTsAny.asInstanceOf[Long]
+              if (lastBuild != null && lastKey != pKey) lastBuild = null
+              // drain build rows at or before (pKey, pTs): keys below pKey
+              // are dead (probe is key-ordered), rows of pKey with
+              // ts <= pTs improve the as-of candidate; NULL-keyed/ts'd
+              // build rows can never match any probe — skip them (they
+              // sort first within their group, so skipping keeps order)
+              var draining = bHasHead
+              while (draining) {
+                val bKeyAny = rk.eval(bHead)
+                val bTsAny = if (bKeyAny == null) null else rt.eval(bHead)
+                if (bKeyAny == null || bTsAny == null) advanceBuild()
+                else {
+                  val bKey = bKeyAny.asInstanceOf[Long]
+                  if (bKey < pKey) advanceBuild()
+                  else if (bKey == pKey && bTsAny.asInstanceOf[Long] <= pTs) {
+                    lastBuild = bHead.copy()
+                    lastKey = pKey
+                    lastBuildTs = bTsAny.asInstanceOf[Long]
+                    advanceBuild()
+                  } else draining = false
+                }
+                if (!bHasHead) draining = false
+              }
+              // tolerance tested at emit on the LATEST candidate only:
+              // any earlier build row has a smaller ts, hence is farther
+              // from pTs — if the latest misses the band, all do
+              val matched = lastBuild != null && lastKey == pKey &&
+                tolerance.forall(d => lastBuildTs >= pTs - d)
+              if (matched) nextOut = toUnsafe(joined(p, lastBuild))
+              else if (leftOuter) nextOut = toUnsafe(joined(p, nullRight))
             }
-            if (lastBuild != null && lastKey == pKey)
-              nextOut = toUnsafe(joined(p, lastBuild))
           }
         }
         // LAZY advance: the JoinedRow/UnsafeProjection buffers (and the

@@ -81,7 +81,9 @@ object AsOf {
     * disambiguate overlapping column names on the build side first. */
   def asOfJoinNative(probe: DataFrame, build: DataFrame,
                      probeKey: String, probeTs: String,
-                     buildKey: String, buildTs: String): DataFrame = {
+                     buildKey: String, buildTs: String,
+                     leftOuter: Boolean = false,
+                     tolerance: Option[Long] = None): DataFrame = {
     val s = probe.sparkSession
     ensureStrategy(s)
     val lPlan = probe.queryExecution.analyzed
@@ -99,7 +101,8 @@ object AsOf {
     org.apache.spark.sql.graft.GraftSqlShim.ofRows(s,
       graft.plans.AsOfJoinNode(lPlan, rPlan,
         attr(lPlan, probeKey), attr(lPlan, probeTs),
-        attr(rPlan, buildKey), attr(rPlan, buildTs)))
+        attr(rPlan, buildKey), attr(rPlan, buildTs),
+        leftOuter = leftOuter, tolerance = tolerance))
   }
 
   /** q_join_asof through the native operator — same DuckDB ASOF JOIN
@@ -118,9 +121,44 @@ object AsOf {
       .orderBy("event_id")
   }
 
+  /** Left as-of: every purchase kept; purchases with no prior signup get
+    * a NULL signup_us — DuckDB `ASOF LEFT JOIN` semantics. */
+  def joinAsOfLeft(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).withColumn("ts_us", unix_micros(col("ts")))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user_id"), col("ts_us").as("signup_us"))
+    asOfJoinNative(purchases, signups,
+      "user_id", "ts_us", "s_user_id", "signup_us", leftOuter = true)
+      .select(col("event_id"), col("user_id"),
+        col("ts_us").as("purchase_us"), col("signup_us"))
+      .orderBy("event_id")
+  }
+
+  /** Tolerance-bounded as-of (pandas merge_asof(tolerance=...) shape):
+    * the matched signup must lie within the trailing 1-day band
+    * [purchase.ts - 24h, purchase.ts]. Inner: out-of-band probes drop. */
+  val TolMicros: Long = 86400L * 1000000L
+  def joinAsOfTolerance(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).withColumn("ts_us", unix_micros(col("ts")))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user_id"), col("ts_us").as("signup_us"))
+    asOfJoinNative(purchases, signups,
+      "user_id", "ts_us", "s_user_id", "signup_us",
+      tolerance = Some(TolMicros))
+      .select(col("event_id"), col("user_id"),
+        col("ts_us").as("purchase_us"), col("signup_us"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_join_asof" -> joinAsOf _,
-    "q_join_asof_native" -> joinAsOfNative _)
+    "q_join_asof_native" -> joinAsOfNative _,
+    "q_join_asof_left" -> joinAsOfLeft _,
+    "q_join_asof_tol" -> joinAsOfTolerance _)
 
   private val asOfOracle =
     """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS purchase_us,
@@ -135,5 +173,25 @@ object AsOf {
     // identical oracle text by design: the two implementations must be
     // indistinguishable at the result layer
     "q_join_asof_native" -> asOfOracle,
+    "q_join_asof_left" ->
+      """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS purchase_us,
+                epoch_us(s.ts) AS signup_us
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+           ON p.user_id = s.user_id AND p.ts >= s.ts
+         ORDER BY p.event_id""",
+    // DuckDB ASOF has no tolerance clause; the latest-within-band match
+    // is equivalently max(ts) over the trailing band as a correlated
+    // scalar subquery (latest prior = max ts among candidates)
+    "q_join_asof_tol" ->
+      s"""SELECT event_id, user_id, purchase_us, signup_us FROM (
+            SELECT p.event_id, p.user_id, epoch_us(p.ts) AS purchase_us,
+              (SELECT max(epoch_us(s.ts)) FROM events s
+                WHERE s.event_type = 'signup' AND s.user_id = p.user_id
+                  AND epoch_us(s.ts) <= epoch_us(p.ts)
+                  AND epoch_us(s.ts) >= epoch_us(p.ts) - $TolMicros) AS signup_us
+            FROM events p WHERE p.event_type = 'purchase')
+          WHERE signup_us IS NOT NULL
+          ORDER BY event_id""",
   )
 }

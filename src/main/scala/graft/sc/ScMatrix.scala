@@ -157,6 +157,11 @@ object ScMatrix {
     * reuse one stats pass for ranking AND projection). */
   def hvgZheng17FromStats(stats: DataFrame, k: Int,
                           nBins: Int = 20): DataFrame = {
+    // unpartitioned window, bounded by construction: the stats frame is
+    // one row per gene (≤~30k at any matrix width) — the benign
+    // single-partition class. (A constant partitionBy(lit(0)) does NOT
+    // silence WindowExec's WARN: Catalyst folds the constant key away;
+    // Bench/Verify drop that logger to ERROR instead.)
     val binned = stats
       .withColumn("bin", ntile(nBins).over(
         org.apache.spark.sql.expressions.Window.orderBy(col("mu"), col("pos"))))

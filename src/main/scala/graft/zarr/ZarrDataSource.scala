@@ -76,8 +76,13 @@ class ZarrTable(path: String, providedSchema: Option[StructType] = None)
   // Only a not-yet-existing store (the write-to-new path, where
   // inferSchema cannot run) takes the provided schema on faith.
   override def schema(): StructType = {
+    // ONLY an absent store falls back to the user schema (the
+    // write-to-new path). A .zarray that exists but fails to parse
+    // must propagate: swallowing it made corruption indistinguishable
+    // from absence, and a subsequent overwrite would clobber a store
+    // whose metadata merely failed to parse (round-7 advisory).
     val stored = try Some(ZarrTable.schemaFor(meta))
-                 catch { case _: Exception => None }
+                 catch { case _: java.io.FileNotFoundException => None }
     (stored, providedSchema) match {
       case (Some(st), Some(user)) =>
         // nullability is presentation, not physics, here (a write

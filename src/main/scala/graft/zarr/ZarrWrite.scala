@@ -208,14 +208,29 @@ class ZarrBatchWrite(path: String, queryId: String, dtype: String,
     }
     ZarrIO.writeMeta(tmp, meta, conf)
     f.delete(ZarrWrite.stagingDir(path, queryId), true)
-    // THE commit point: swap the finished store into place. rename is
+    // THE commit point: swap the finished store into place via
+    // rename-ASIDE (round-7 advisory): live -> live.old first, tmp ->
+    // live second, delete live.old last. A crash between the renames
+    // leaves the prior store intact under live.old (recoverable by a
+    // single rename back), unlike delete-then-rename which destroyed
+    // the committed copy before the new one was in place. rename is
     // atomic on HDFS/local FS; on a rename-less object store this
-    // narrows the unreadable window to delete→rename instead of the
-    // whole job, and the old data survives every failure before here.
+    // narrows the unreadable window to the two renames.
     val (f2, live) = fs()
-    f2.delete(live, true)
-    require(f2.rename(ZarrWrite.tmpDir(path, queryId), live),
-      s"zarr commit: rename ${ZarrWrite.tmpDir(path, queryId)} -> $live failed")
+    val old = new org.apache.hadoop.fs.Path(live.toString + s".old-$queryId")
+    f2.delete(old, true) // stale remnant of an identically-named past query
+    val hadLive = f2.exists(live)
+    if (hadLive) require(f2.rename(live, old),
+      s"zarr commit: rename-aside $live -> $old failed; store untouched")
+    if (!f2.rename(ZarrWrite.tmpDir(path, queryId), live)) {
+      // restore the prior store before surfacing: a failed overwrite
+      // must lose nothing
+      if (hadLive) f2.rename(old, live)
+      throw new IllegalStateException(
+        s"zarr commit: rename ${ZarrWrite.tmpDir(path, queryId)} -> $live " +
+          s"failed${if (hadLive) "; prior store restored" else ""}")
+    }
+    if (hadLive) f2.delete(old, true)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

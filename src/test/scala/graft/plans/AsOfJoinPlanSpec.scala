@@ -43,13 +43,17 @@ class AsOfJoinPlanSpec extends SparkSpec {
         // the operator contract (like DuckDB's) does not define
         .groupBy(x => (x._1, x._2)).map(_._2.head).toSeq
         .toDF("bk", "bt", "bval")
+      // MULTISET compare (sorted Seq + explicit length), not Set: a
+      // duplicate-emission regression (e.g. a lookahead bug emitting a
+      // probe twice) must fail, and Set would collapse it (round-7
+      // advisory)
       val got = AsOf.asOfJoinNative(probe, build, "k", "t", "bk", "bt")
         .select("k", "t", "payload", "bt", "bval")
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
-          r.getLong(3), r.getInt(4))).toSet
+          r.getLong(3), r.getInt(4))).toSeq.sorted
       val b = build.collect().map(r =>
         (r.getLong(0), r.getLong(1), r.getInt(2)))
-      val expect = probe.collect().flatMap { r =>
+      val expect = probe.collect().toSeq.flatMap { r =>
         val (k, t, p) = (r.getLong(0), r.getLong(1), r.getInt(2))
         val cand = b.filter(x => x._1 == k && x._2 <= t)
         if (cand.isEmpty) None
@@ -57,10 +61,70 @@ class AsOfJoinPlanSpec extends SparkSpec {
           val best = cand.maxBy(_._2)
           Some((k, t, p, best._2, best._3))
         }
-      }.toSet
+      }.sorted
+      assert(got.length == expect.length,
+        s"round $round: ${got.length} rows vs model ${expect.length}")
       assert(got == expect, s"round $round: ${got.diff(expect).take(3)} / " +
         s"${expect.diff(got).take(3)}")
     }
+  }
+
+  test("NULL key/ts never matches (SQL semantics), on either side") {
+    // NULL probe key, NULL probe ts, NULL build key, NULL build ts —
+    // each must be invisible to the join; the old exec unboxed NULL to
+    // 0L and silently joined on key 0 (round-7 advisory)
+    val probe = Seq[(Option[Long], Option[Long], String)](
+      (Some(0L), Some(10L), "p_k0"),      // would collide with null-as-0L
+      (None, Some(10L), "p_nullk"),
+      (Some(1L), None, "p_nullt"),
+      (Some(1L), Some(10L), "p_ok"))
+      .toDF("k", "t", "tag")
+    val build = Seq[(Option[Long], Option[Long], String)](
+      (None, Some(5L), "b_nullk"),
+      (Some(0L), None, "b_nullt"),
+      (Some(1L), Some(5L), "b_ok"))
+      .toDF("bk", "bt", "bv")
+    val inner = AsOf.asOfJoinNative(probe, build, "k", "t", "bk", "bt")
+      .select("tag", "bv").collect().map(r => r.getString(0) -> r.getString(1))
+      .toList.sorted
+    // only the fully non-null pair joins; p_k0 must NOT pick up b_nullk
+    // (null key) or b_nullt (null ts)
+    assert(inner == List("p_ok" -> "b_ok"))
+    val left = AsOf.asOfJoinNative(probe, build, "k", "t", "bk", "bt",
+        leftOuter = true)
+      .select("tag", "bv").collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toList.sorted
+    assert(left == List("p_k0" -> None, "p_nullk" -> None,
+      "p_nullt" -> None, "p_ok" -> Some("b_ok")))
+  }
+
+  test("left-outer keeps unmatched probes null-padded; inner drops them") {
+    val probe = Seq((1L, 10L, "hit"), (1L, 2L, "early"), (9L, 5L, "nokey"))
+      .toDF("k", "t", "tag")
+    val build = Seq((1L, 3L, "b3")).toDF("bk", "bt", "bv")
+    val left = AsOf.asOfJoinNative(probe, build, "k", "t", "bk", "bt",
+        leftOuter = true)
+      .select("tag", "bt", "bv").collect()
+      .map(r => (r.getString(0), if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        Option(r.getString(2)))).toList.sortBy(_._1)
+    assert(left == List(
+      ("early", None, None), ("hit", Some(3L), Some("b3")),
+      ("nokey", None, None)))
+  }
+
+  test("tolerance bounds the match window; left+tolerance compose") {
+    val probe = Seq((1L, 100L, "in"), (1L, 200L, "out"), (1L, 103L, "edge"))
+      .toDF("k", "t", "tag")
+    val build = Seq((1L, 98L, "b98")).toDF("bk", "bt", "bv")
+    // tolerance 5: build at 98 matches probes in [98, 103]; probe 200 far
+    def run(outer: Boolean) =
+      AsOf.asOfJoinNative(probe, build, "k", "t", "bk", "bt",
+        leftOuter = outer, tolerance = Some(5L))
+        .select("tag", "bv").collect()
+        .map(r => r.getString(0) -> Option(r.getString(1))).toList.sorted
+    assert(run(false) == List("edge" -> Some("b98"), "in" -> Some("b98")))
+    assert(run(true) == List("edge" -> Some("b98"), "in" -> Some("b98"),
+      "out" -> None))
   }
 
   test("tie at equal timestamps matches; probe before any build drops") {
