@@ -323,9 +323,15 @@ object Dedup {
     jaccardPairs(tok, tau, Some(cand))
   }
 
-  /** MinHash-LSH near-dup pairs (verified). oracle:no — candidate recall
-    * depends on the engine hash; exactness checked in DedupSpec against
-    * dedupNgram's ground truth. */
+  /** MinHash-LSH near-dup pairs (verified). Oracle'd since r8 against
+    * the exact all-pairs Jaccard ground truth (same SQL as
+    * q_dedup_ngram): the verification stage already makes every emitted
+    * pair exact, and at this parameterization the CANDIDATE stage is
+    * complete too — a τ≥0.95 pair collides per band with probability
+    * j^rows ≈ 0.9025 (rows=2), so missing all 16 bands has probability
+    * ≤ 0.0975^16 ≈ 6e-17, and maxBucket=256 cannot drop a bucket when
+    * only 100 docs exist. Hash equality therefore pins end-to-end
+    * recall = 1, strictly stronger than the old rows-only check. */
   def dedupMinhash(s: SparkSession, d: String): DataFrame =
     minHashPairs(Tables.documents(s, d).filter(col("doc_id") < 100),
       numHashes = 32, bands = 16, tau = 0.95)
@@ -769,6 +775,28 @@ object Dedup {
                           ' +', ' ', 'g'))) IN (SELECT hc FROM cc)
                      OR doc_id IN (SELECT iid FROM near)) AS admit
          FROM inc ORDER BY doc_id""",
+    // identical oracle text as q_dedup_ngram BY DESIGN: the LSH route
+    // must reproduce the exact all-pairs ground truth — its verification
+    // stage makes emitted pairs exact, and the banding parameters make
+    // the candidate stage complete at this tau (see dedupMinhash docs)
+    "q_dedup_minhash" ->
+      """WITH tok AS (SELECT DISTINCT doc_id, unnest(str_split(text, ' ')) AS t
+                      FROM documents WHERE doc_id < 100),
+         tokh AS (SELECT doc_id,
+                         CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS th
+                  FROM tok),
+         sizes AS (SELECT doc_id, count(1) AS n FROM tok GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(1) AS x
+                   FROM tokh a JOIN tokh b
+                     ON a.th = b.th AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2)
+         SELECT id1, id2,
+                round(CAST(x AS DOUBLE) / (s1.n + s2.n - x) + 1e-9, 4)
+                  AS jaccard
+         FROM inter JOIN sizes s1 ON s1.doc_id = id1
+                    JOIN sizes s2 ON s2.doc_id = id2
+         WHERE round(CAST(x AS DOUBLE) / (s1.n + s2.n - x) + 1e-9, 4) >= 0.95
+         ORDER BY id1, id2""",
     "q_dedup_ngram" ->
       """WITH tok AS (SELECT DISTINCT doc_id, unnest(str_split(text, ' ')) AS t
                       FROM documents WHERE doc_id < 100),

@@ -221,8 +221,9 @@ object TextOps {
   }
 
   /** Language-ID confusion matrix (predicted × labeled lang) over the
-    * corpus (rows-only: the heuristic is not reasonably expressible in
-    * SQL; validated in TextOpsSpec on hand-written samples). */
+    * corpus. Oracle'd since r8: the heuristic is pure arithmetic over
+    * token membership, so the DuckDB twin is generated from the SAME
+    * LangMarkers map (langIdOracleSql) — marker drift is impossible. */
   def textLangId(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(langId(col("text")).as("predicted"), col("lang").as("labeled"))
@@ -525,8 +526,11 @@ object TextOps {
     * neighbours of the next), so it runs as `mapPartitions` — the same
     * no-Catalyst-expression-exists justification as the media codecs,
     * and the same batch shape: rows stay where the scan put them, no
-    * shuffle until the final order. Rows-only: the greedy rank-order
-    * loop is not SQL-expressible; golden encodes are spec-pinned. */
+    * shuffle until the final order. Oracle'd since r8: the greedy
+    * rank-order loop IS expressible as a DuckDB recursive CTE over a
+    * per-doc symbol list (one sweep per recursion step: min-rank pair
+    * via a map lookup lambda, left-to-right non-overlap via the
+    * even-offset-within-island rule) — see the oracle entry. */
   def textBpeEncode(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, d)
@@ -637,7 +641,104 @@ object TextOps {
        WHERE df >= 2 AND df * 10 <= n_docs * 8
        ORDER BY token"""
 
+  /** DuckDB twin of [[langId]], GENERATED from LangMarkers so the SQL
+    * can never drift from the Scala marker lists. Semantics mirrored
+    * 1:1: tokenize on the same regex, per-language marker-hit counts,
+    * CJK forces zh, all-zero scores → und, ties resolve to the
+    * lexicographically LAST language (hence the reverse-sorted CASE
+    * chain — first equal-to-max wins). */
+  private def langIdOracleSql: String = {
+    val langs = LangMarkers.toSeq.sortBy(_._1)
+    val scoreCols = langs.map { case (l, ms) =>
+      s"len(list_filter(toks, x -> list_contains([${ms.map("'" + _ + "'").mkString(", ")}], x))) AS s_$l"
+    }.mkString(",\n                ")
+    val g = langs.map("s_" + _._1).mkString("greatest(", ", ", ")")
+    val ties = langs.map(_._1).sorted.reverse.init
+      .map(l => s"WHEN s_$l = $g THEN '$l'").mkString("\n                ")
+    val last = langs.map(_._1).min
+    s"""WITH t AS (SELECT lang AS labeled,
+                str_split_regex(lower(text), '[^\\p{L}\\p{Nd}]+') AS toks,
+                regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') AS cjk
+                FROM documents),
+         s AS (SELECT labeled, cjk,
+                $scoreCols
+               FROM t),
+         p AS (SELECT labeled,
+                 CASE WHEN cjk THEN 'zh'
+                      WHEN $g = 0 THEN 'und'
+                      $ties
+                      ELSE '$last' END AS predicted
+               FROM s)
+         SELECT predicted, labeled, CAST(count(1) AS BIGINT) AS n
+         FROM p GROUP BY predicted, labeled
+         ORDER BY predicted, labeled"""
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_text_langid" -> langIdOracleSql,
+    // Greedy BPE encode as a recursive CTE: the merge table is derived
+    // from the corpus exactly like bpeMerges (top-64 adjacent-pair
+    // counts, (n DESC, pair) order), then each recursion step performs
+    // ONE sweep of bpeEncodeOne — best = min rank over adjacent pairs
+    // (map-literal lookup), merged left-to-right non-overlapping via
+    // the even-offset-within-island rule (within each maximal run of
+    // consecutive match positions, every second match is taken — the
+    // closed form of the sequential scan). A doc exits the recursion on
+    // the first sweep where no adjacent pair remains in the table.
+    "q_text_bpe_encode" ->
+      """WITH RECURSIVE
+         pt AS (SELECT doc_id,
+                       regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]') AS pre
+                FROM documents),
+         pairs AS (SELECT p.pre[i] || ' ' || p.pre[i + 1] AS pair
+                   FROM pt p, unnest(range(1, len(p.pre))) AS u(i)),
+         ranked AS (SELECT pair,
+                           CAST(row_number() OVER (ORDER BY n DESC, pair) - 1 AS INT)
+                             AS rank
+                    FROM (SELECT pair, count(1) AS n FROM pairs GROUP BY pair
+                          ORDER BY n DESC, pair LIMIT 64)),
+         mt AS (SELECT map(list(pair ORDER BY rank), list(rank ORDER BY rank)) AS M,
+                       list(pair ORDER BY rank) AS P
+                FROM ranked),
+         enc AS (
+           SELECT doc_id, len(pre) AS n_pre, pre AS s, false AS done FROM pt
+           UNION ALL
+           SELECT doc_id, n_pre,
+                  CASE WHEN best IS NULL THEN s ELSE
+                    list_transform(
+                      list_filter(range(1, len(s) + 1),
+                        k -> k = 1 OR NOT coalesce(t[k - 1], false)),
+                      k -> CASE WHEN coalesce(t[k], false)
+                                THEN s[k] || s[k + 1] ELSE s[k] END)
+                  END AS s,
+                  best IS NULL AS done
+           FROM (
+             SELECT doc_id, n_pre, s, best,
+                    list_transform(range(1, len(s)),
+                      i -> f[i] AND
+                           ((i - coalesce(list_max(
+                               list_filter(range(1, i), j -> NOT f[j])), 0)) % 2 = 1))
+                      AS t
+             FROM (
+               SELECT doc_id, n_pre, s, best,
+                      list_transform(range(1, len(s)),
+                        i -> (s[i] || ' ' || s[i + 1]) = P[best + 1]) AS f
+               FROM (
+                 SELECT e.doc_id, e.n_pre, e.s,
+                        list_min(list_filter(
+                          list_transform(range(1, len(e.s)),
+                            i -> map_extract(M, e.s[i] || ' ' || e.s[i + 1])[1]),
+                          r -> r IS NOT NULL)) AS best
+                 FROM enc e CROSS JOIN mt
+                 WHERE NOT e.done
+               ) CROSS JOIN mt
+             )
+           )
+         )
+         SELECT doc_id, CAST(n_pre AS INT) AS n_pretokens,
+                CAST(len(s) AS INT) AS n_bpe_tokens,
+                round(n_pre / CAST(len(s) AS DOUBLE), 4) AS compression
+         FROM enc WHERE done ORDER BY doc_id""",
     // Okapi BM25 k1=1.2 b=0.75; rank key = rounded score + doc_id
     "q_text_bm25" ->
       """WITH docs AS (SELECT doc_id, str_split(text, ' ') AS toks,

@@ -102,8 +102,13 @@ object ScQueries {
         round(col("disp_norm"), 6).as("disp_norm"))
       .orderBy(col("disp_norm").desc, col("pos1"))
 
-  /** R10 recipe_zheng17 end-to-end (no SQL oracle — covered by golden
-    * invariants in ScMatrixSpec; driver records rows-only). */
+  /** R10 recipe_zheng17 end-to-end. Oracle'd since r8: the recipe is a
+    * deterministic composition of six already-oracle'd stages, so its
+    * DuckDB twin composes their CTEs — filter_genes(≥1 cell) →
+    * normalize(median) → Zheng17-binned HVG top-16 → re-normalize →
+    * log1p → scale(clip 10) — and hash equality proves the COMPOSITION
+    * (stage wiring, median targets, projection reindex), which the
+    * per-stage oracles alone could not. */
   def scRecipe(s: SparkSession, d: String): DataFrame =
     ScMatrix.recipeZheng17(ScMatrix.counts(s, d), HVG_K)
       .select(col("id").as("vec_id"),
@@ -245,6 +250,54 @@ object ScQueries {
                disp_norm AS dn0
         FROM z ORDER BY dn0 DESC, pos LIMIT 16)
       ORDER BY disp_norm DESC, pos1""",
+    // recipe_zheng17 composed end-to-end. Mirrors ScMatrix.recipeZheng17
+    // stage by stage; every constant (1e-7 min-cells frac, 20 HVG bins,
+    // top-16, clip 10) matches the Scala call chain. Median row-sum
+    // targets use quantile_cont — the same linear-interpolation formula
+    // as Spark's exact percentile(., 0.5).
+    "q_sc_recipe" -> s"""$COUNTS_CTE,
+      x0 AS (SELECT vec_id, unnest(v) AS val,
+                    generate_subscripts(v, 1) AS pos FROM c),
+      st0 AS (SELECT pos, count(*) FILTER (WHERE val > 0.0) AS n_cells
+              FROM x0 GROUP BY pos),
+      keep0 AS (SELECT pos FROM st0
+                WHERE n_cells >= 1e-7 * (SELECT count(*) FROM embeddings)),
+      g AS (SELECT vec_id, x0.pos, val FROM x0 JOIN keep0 USING (pos)),
+      rs1 AS (SELECT vec_id, sum(val) AS rs FROM g GROUP BY vec_id),
+      med1 AS (SELECT quantile_cont(rs, 0.5) AS t FROM rs1),
+      n1 AS (SELECT vec_id, pos,
+                    val * (CASE WHEN rs = 0 THEN 1.0 ELSE t / rs END) AS val
+             FROM g JOIN rs1 USING (vec_id), med1),
+      st1 AS (SELECT pos, avg(val) AS mu,
+                     CASE WHEN avg(val) = 0 THEN NULL
+                          ELSE var_pop(val) / avg(val) END AS disp
+              FROM n1 GROUP BY pos),
+      b AS (SELECT pos, disp, ntile(20) OVER (ORDER BY mu, pos) AS bin
+            FROM st1),
+      z AS (SELECT pos,
+                   CASE WHEN stddev_pop(disp) OVER w IS NULL
+                          OR stddev_pop(disp) OVER w = 0 THEN disp
+                        ELSE (disp - avg(disp) OVER w)
+                             / stddev_pop(disp) OVER w END AS disp_norm
+            FROM b WINDOW w AS (PARTITION BY bin)),
+      hvg AS (SELECT pos FROM z
+              ORDER BY disp_norm DESC NULLS LAST, pos LIMIT 16),
+      h AS (SELECT vec_id, n1.pos, val FROM n1 JOIN hvg USING (pos)),
+      rs2 AS (SELECT vec_id, sum(val) AS rs FROM h GROUP BY vec_id),
+      med2 AS (SELECT quantile_cont(rs, 0.5) AS t FROM rs2),
+      l AS (SELECT vec_id, pos,
+                   ln(1.0 + val * (CASE WHEN rs = 0 THEN 1.0
+                                        ELSE t / rs END)) AS val
+            FROM h JOIN rs2 USING (vec_id), med2),
+      st2 AS (SELECT pos, avg(val) AS mu, stddev_pop(val) AS sigma
+              FROM l GROUP BY pos),
+      zz AS (SELECT vec_id,
+                    CASE WHEN sigma = 0 THEN 0.0
+                         ELSE least((val - mu) / sigma, 10.0) END AS zval
+             FROM l JOIN st2 USING (pos))
+      SELECT vec_id, round(sum(zval), 3) + 0.0 AS row_checksum,
+             CAST(count(1) AS INT) AS n_genes
+      FROM zz GROUP BY vec_id ORDER BY vec_id""",
     "q_sc_hvg_topk" -> s"""$COUNTS_CTE,
       x AS (SELECT vec_id, unnest(v) AS val,
                    generate_subscripts(v, 1) AS pos FROM c),
