@@ -30,7 +30,8 @@ object SparkEntry {
       sc.PageRank.queries ++ sources.Evolution.queries ++
       sc.Communities.queries ++ sources.OtherFormats.queries ++
       tables.Profile.queries ++ sc.Markers.queries ++ rel.Linkage.queries ++
-      sc.H5Ingest.queries ++ llm.HeavyHitters.queries ++
+      sc.H5Ingest.queries ++ sc.H5adIngest.queries ++
+      llm.HeavyHitters.queries ++
       tables.Sorted.queries ++ tables.ZOrder.queries ++
       rel.TpchDeep.queries ++ stream.TopKStream.queries
 
@@ -53,7 +54,8 @@ object SparkEntry {
       sc.PageRank.oracle ++ sources.Evolution.oracle ++
       sc.Communities.oracle ++ sources.OtherFormats.oracle ++
       tables.Profile.oracle ++ sc.Markers.oracle ++ rel.Linkage.oracle ++
-      sc.H5Ingest.oracle ++ llm.HeavyHitters.oracle ++
+      sc.H5Ingest.oracle ++ sc.H5adIngest.oracle ++
+      llm.HeavyHitters.oracle ++
       tables.Sorted.oracle ++ tables.ZOrder.oracle ++
       rel.TpchDeep.oracle ++ stream.TopKStream.oracle
 }

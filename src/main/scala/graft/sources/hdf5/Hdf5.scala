@@ -13,16 +13,21 @@ import java.util.zip.{Deflater, Inflater}
   *   - superblock version 0, little-endian, 8-byte offsets/lengths
   *   - version 1 object headers (with continuation-block support on read)
   *   - old-style groups: symbol-table B-tree v1 + local heap + SNOD
-  *   - datasets: fixed-point (i32/i64) + IEEE float (f32/f64) + fixed
-  *     length strings; dataspace v1 (1-D/2-D); data layout v3,
-  *     contiguous or chunked (B-tree v1 chunk index, multi-level)
+  *   - datasets: fixed-point (i8/i16/i32/i64) + IEEE float (f32/f64) +
+  *     fixed-length strings + VARIABLE-length strings (class-9 vlen over
+  *     global-heap collections — the h5py/AnnData string default);
+  *     dataspace v1 (0-D/1-D/2-D); data layout v3, contiguous or chunked
+  *     (B-tree v1 chunk index, multi-level)
   *   - filter pipeline v1/v2 with deflate (java.util.zip — no native dep)
+  *   - attribute messages (0x000C, v1): scalar/1-D of the scalar types
+  *     above plus fixed/vlen strings — where AnnData keeps its semantics
+  *     (encoding-type, shape, _index, column-order)
   *
   * Anything outside the subset (v2+ superblocks, v2 object headers,
   * dense/link-message groups, non-deflate filters, datatypes above) is
   * rejected with a clear error, never misread. Unknown MESSAGE types
-  * (attributes, fill values, mtimes...) are skipped by size, as the spec
-  * intends — so files carrying extra metadata still parse.
+  * (fill values, mtimes...) are skipped by size, as the spec intends —
+  * so files carrying extra metadata still parse.
   *
   * Scale posture: `H5Meta.open` reads only metadata (superblock, object
   * headers, B-trees — KBs); bulk data decodes on EXECUTORS from chunk /
@@ -36,11 +41,17 @@ object Hdf5 {
 
   // ----------------------------------------------------------- datatypes --
   sealed trait DType { def size: Int }
+  case object I8 extends DType { val size = 1 }
+  case object I16 extends DType { val size = 2 }
   case object I32 extends DType { val size = 4 }
   case object I64 extends DType { val size = 8 }
   case object F32 extends DType { val size = 4 }
   case object F64 extends DType { val size = 8 }
   case class FixedStr(size: Int) extends DType
+  /** Variable-length string: each element is a 16-byte descriptor
+    * (length u32, global-heap collection address u64, object index u32)
+    * resolved against a GCOL collection — the h5py string default. */
+  case object VlenStr extends DType { val size = 16 }
 
   /** One chunk (or contiguous range) of raw dataset bytes — the unit of
     * executor-side work. `elemOffset` = global element index of the first
@@ -52,6 +63,40 @@ object Hdf5 {
                          pieces: Seq[Piece]) {
     def nElems: Long = dims.product
   }
+
+  /** Parsed attribute value (subset: integer/float/string, scalar or
+    * 1-D; a scalar parses as a 1-element Seq). */
+  sealed trait AttrValue
+  case class AttrLongs(v: Seq[Long]) extends AttrValue
+  case class AttrDoubles(v: Seq[Double]) extends AttrValue
+  case class AttrStrings(v: Seq[String]) extends AttrValue
+
+  /** Full file inventory: datasets + per-object attributes (keyed by
+    * object path; root = ""). Groups appear in `attrs` only. */
+  case class H5File(datasets: Map[String, DatasetMeta],
+                    attrs: Map[String, Map[String, AttrValue]]) {
+    def attrStr(objPath: String, name: String): String =
+      attrs.getOrElse(objPath, Map.empty).get(name) match {
+        case Some(AttrStrings(Seq(s))) => s
+        case other => sys.error(s"$objPath@$name: expected scalar string attr, got $other")
+      }
+    def attrStrs(objPath: String, name: String): Seq[String] =
+      attrs.getOrElse(objPath, Map.empty).get(name) match {
+        case Some(AttrStrings(v)) => v
+        case other => sys.error(s"$objPath@$name: expected string attr, got $other")
+      }
+    def attrLongs(objPath: String, name: String): Seq[Long] =
+      attrs.getOrElse(objPath, Map.empty).get(name) match {
+        case Some(AttrLongs(v)) => v
+        case other => sys.error(s"$objPath@$name: expected integer attr, got $other")
+      }
+  }
+
+  /** Attribute payloads the writer knows how to encode. */
+  sealed trait AttrSpec
+  case class AttrStr(v: String) extends AttrSpec          // scalar vlen str
+  case class AttrStrArray(v: Seq[String]) extends AttrSpec // 1-D vlen str
+  case class AttrLongArray(v: Seq[Long]) extends AttrSpec  // 1-D i64
 }
 
 /** Little-endian growable buffer with back-patching — the writer's only
@@ -106,6 +151,8 @@ final class H5Writer {
   private def dtypeMsg(t: DType): Array[Byte] = {
     val b = new H5Buf
     t match {
+      case I8  => b.u8(0x10); b.u8(0x08); b.u8(0); b.u8(0); b.u32(1); b.u16(0); b.u16(8)
+      case I16 => b.u8(0x10); b.u8(0x08); b.u8(0); b.u8(0); b.u32(2); b.u16(0); b.u16(16)
       case I32 => b.u8(0x10); b.u8(0x08); b.u8(0); b.u8(0); b.u32(4); b.u16(0); b.u16(32)
       case I64 => b.u8(0x10); b.u8(0x08); b.u8(0); b.u8(0); b.u32(8); b.u16(0); b.u16(64)
       case F32 => b.u8(0x11); b.u8(0x20); b.u8(0x1f); b.u8(0); b.u32(4)
@@ -113,6 +160,9 @@ final class H5Writer {
       case F64 => b.u8(0x11); b.u8(0x20); b.u8(0x3f); b.u8(0); b.u32(8)
                   b.u16(0); b.u16(64); b.u8(52); b.u8(11); b.u8(0); b.u8(52); b.u32(1023)
       case FixedStr(n) => b.u8(0x13); b.u8(0); b.u8(0); b.u8(0); b.u32(n)
+      case VlenStr => // class 9 v1, type=string, UTF-8; 16-byte descriptor
+        b.u8(0x19); b.u8(0x01); b.u8(0x01); b.u8(0); b.u32(16)
+        b.u8(0x13); b.u8(0); b.u8(0); b.u8(0); b.u32(1) // base: 1-byte string
     }
     b.toArray
   }
@@ -143,6 +193,70 @@ final class H5Writer {
     val b = new H5Buf; b.u64(btree); b.u64(heap); b.toArray
   }
 
+  // ------------------------------------------------------- global heap --
+  /** One GCOL collection holding `items` (object indices 1..n); returns
+    * the collection address. Collection size field covers header +
+    * objects, per spec; no free-space object is emitted (exact fit). */
+  private def writeGcol(items: Seq[Array[Byte]]): Long = {
+    // 8-align the collection start: header and object headers are
+    // 8-multiples, so absolute pad8() after each object's data then
+    // equals the spec's relative 8-alignment within the collection
+    buf.pad8()
+    val addr = buf.pos
+    buf.bytes("GCOL".getBytes("ASCII"))
+    buf.u8(1); buf.zeros(3)
+    val sizePatch = buf.pos; buf.u64(0)
+    items.zipWithIndex.foreach { case (b, i) =>
+      buf.u16(i + 1); buf.u16(1); buf.u32(0); buf.u64(b.length.toLong)
+      buf.bytes(b); buf.pad8()
+    }
+    buf.patchU64(sizePatch, buf.pos - addr)
+    addr
+  }
+
+  /** vlen-string payload: strings go to global-heap collections (≤64 per
+    * collection, so multi-collection resolution is exercised by any
+    * dataset over 64 rows — libhdf5 similarly spreads collections), the
+    * dataset/attribute data itself is the packed 16-byte descriptors. */
+  private def vlenDescriptors(values: Seq[String]): Array[Byte] = {
+    val out = new H5Buf
+    values.grouped(64).foreach { grp =>
+      val bytes = grp.map(_.getBytes("UTF-8"))
+      val addr = writeGcol(bytes)
+      bytes.zipWithIndex.foreach { case (b, i) =>
+        out.u32(b.length.toLong); out.u64(addr); out.u32((i + 1).toLong)
+      }
+    }
+    out.toArray
+  }
+
+  // -------------------------------------------------------- attributes --
+  /** v1 attribute message: header, NUL-terminated name, datatype and
+    * dataspace messages (each 8-padded), then raw data. Any global-heap
+    * collections a vlen value needs are written BEFORE the message body
+    * (the buffer is append-only, so their addresses are final). */
+  private def attrMsg(name: String, spec: AttrSpec): (Int, Array[Byte]) = {
+    val (dt, ds, data) = spec match {
+      case AttrStr(v) =>
+        (dtypeMsg(VlenStr), dataspaceMsg(Seq()), vlenDescriptors(Seq(v)))
+      case AttrStrArray(v) =>
+        (dtypeMsg(VlenStr), dataspaceMsg(Seq(v.length.toLong)),
+          vlenDescriptors(v))
+      case AttrLongArray(v) =>
+        (dtypeMsg(I64), dataspaceMsg(Seq(v.length.toLong)),
+          rawBytes(I64, bb => v.foreach(bb.putLong), v.length))
+    }
+    val nb = name.getBytes("UTF-8") :+ 0.toByte
+    def p8(n: Int) = (n + 7) / 8 * 8
+    val b = new H5Buf
+    b.u8(1); b.u8(0); b.u16(nb.length); b.u16(dt.length); b.u16(ds.length)
+    b.bytes(nb); b.zeros(p8(nb.length) - nb.length)
+    b.bytes(dt); b.zeros(p8(dt.length) - dt.length)
+    b.bytes(ds); b.zeros(p8(ds.length) - ds.length)
+    b.bytes(data)
+    (0x000C, b.toArray)
+  }
+
   /** v1 object header: 12-byte prefix + 4 pad, then 8-byte-aligned
     * messages (type, padded size, flags, reserved ×3). */
   private def writeObjectHeader(msgs: Seq[(Int, Array[Byte])]): Long = {
@@ -164,14 +278,16 @@ final class H5Writer {
   }
 
   private def writeDataset(t: DType, dims: Seq[Long], raw: Array[Byte],
-                           chunkElems: Int, deflate: Boolean): Long = {
+                           chunkElems: Int, deflate: Boolean,
+                           attrs: Seq[(String, AttrSpec)] = Nil): Long = {
+    val attrMsgs = attrs.map { case (n, sp) => attrMsg(n, sp) }
     if (chunkElems <= 0) { // contiguous
       val dataAddr = buf.pos
       buf.bytes(raw)
       writeObjectHeader(Seq(
         0x0001 -> dataspaceMsg(dims),
         0x0003 -> dtypeMsg(t),
-        0x0008 -> contiguousLayoutMsg(dataAddr, raw.length.toLong)))
+        0x0008 -> contiguousLayoutMsg(dataAddr, raw.length.toLong)) ++ attrMsgs)
     } else { // chunked 1-D (+ deflate) with a B-tree v1 index
       require(dims.length == 1, "chunked writer is 1-D")
       val defl = new Deflater(6)
@@ -197,7 +313,7 @@ final class H5Writer {
         0x0001 -> dataspaceMsg(dims),
         0x0003 -> dtypeMsg(t),
         0x000b -> deflateMsg(6),
-        0x0008 -> chunkedLayoutMsg(btree, chunkElems.toLong, t.size)))
+        0x0008 -> chunkedLayoutMsg(btree, chunkElems.toLong, t.size)) ++ attrMsgs)
     }
   }
 
@@ -242,6 +358,15 @@ final class H5Writer {
     writeDataset(Hdf5.I32, Seq(values.length.toLong),
       rawBytes(Hdf5.I32, bb => values.foreach(bb.putInt), values.length),
       chunkElems, deflate)
+  def addI8(values: Array[Byte], chunkElems: Int = 0, deflate: Boolean = false): Long =
+    writeDataset(Hdf5.I8, Seq(values.length.toLong), values.clone(),
+      chunkElems, deflate)
+  /** Variable-length string dataset (h5py/AnnData string layout):
+    * strings in global-heap collections, data = 16-byte descriptors. */
+  def addVlenStr(values: Array[String],
+                 attrs: Seq[(String, Hdf5.AttrSpec)] = Nil): Long =
+    writeDataset(Hdf5.VlenStr, Seq(values.length.toLong),
+      vlenDescriptors(values.toSeq), chunkElems = 0, deflate = false, attrs)
   def addF64(values: Array[Double], chunkElems: Int = 0, deflate: Boolean = false): Long =
     writeDataset(Hdf5.F64, Seq(values.length.toLong),
       rawBytes(Hdf5.F64, bb => values.foreach(bb.putDouble), values.length),
@@ -278,7 +403,8 @@ final class H5Writer {
   /** Old-style group over already-written children: local heap (names) +
     * one SNOD + a 1-leaf symbol-table B-tree + the group's object
     * header. Returns the group OH address. */
-  def addGroup(children: Seq[(String, Long)]): Long = {
+  def addGroup(children: Seq[(String, Long)],
+               attrs: Seq[(String, Hdf5.AttrSpec)] = Nil): Long = {
     val sorted = children.sortBy(_._1)
     // heap data: offset 0 is the empty string (B-tree key 0), then each
     // name at an 8-aligned offset
@@ -309,7 +435,8 @@ final class H5Writer {
     buf.u64(0)                              // key 0: "" (heap offset 0)
     buf.u64(snodAddr)
     buf.u64(nameOff.last)                   // key 1: largest name in child
-    writeObjectHeader(Seq(0x0011 -> symbolTableMsg(btreeAddr, heapAddr)))
+    writeObjectHeader(Seq(0x0011 -> symbolTableMsg(btreeAddr, heapAddr)) ++
+      attrs.map { case (n, sp) => attrMsg(n, sp) })
   }
 
   /** Install `children` as the root group and return the file bytes. */
@@ -341,7 +468,12 @@ object H5Meta {
   }
 
   /** Parse the file's dataset inventory: path → meta. */
-  def open(path: String): Map[String, DatasetMeta] = {
+  def open(path: String): Map[String, DatasetMeta] = openFull(path).datasets
+
+  /** Full inventory: datasets + per-object attributes (groups included —
+    * AnnData's encoding-type/shape/_index/column-order live on group
+    * attributes). */
+  def openFull(path: String): H5File = {
     val r = new Reader(new RandomAccessFile(path, "r"))
     try {
       val sig = new Array[Byte](8)
@@ -360,9 +492,118 @@ object H5Meta {
       head.getLong       // root link name offset
       val rootOh = head.getLong
       val out = collection.mutable.Map[String, DatasetMeta]()
-      walkObject(r, rootOh, "", out)
-      out.toMap
+      val attrs = collection.mutable.Map[String, Map[String, AttrValue]]()
+      walkObject(r, rootOh, "", out, attrs)
+      H5File(out.toMap, attrs.toMap)
     } finally r.raf.close()
+  }
+
+  // ------------------------------------------------------- global heap --
+  /** Parse one GCOL collection: object index → bytes. Bounded read (the
+    * collection declares its own size). */
+  def readGcol(raf: RandomAccessFile, addr: Long): Map[Int, Array[Byte]] = {
+    val hdr = {
+      val b = new Array[Byte](16)
+      raf.seek(addr); raf.readFully(b)
+      ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+    }
+    require(new String(hdr.array(), 0, 4, "ASCII") == "GCOL",
+      s"bad global-heap collection at $addr")
+    require((hdr.get(4) & 0xff) == 1, s"global heap version at $addr")
+    hdr.position(8)
+    val collSize = hdr.getLong
+    val body = {
+      val b = new Array[Byte]((collSize - 16).toInt)
+      raf.seek(addr + 16); raf.readFully(b)
+      ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+    }
+    val out = collection.mutable.Map[Int, Array[Byte]]()
+    var done = false
+    while (!done && body.remaining() >= 16) {
+      val idx = body.getShort & 0xffff
+      body.getShort // ref count
+      body.getInt   // reserved
+      val size = body.getLong
+      if (idx == 0) done = true // free-space object terminates the walk
+      else {
+        val data = new Array[Byte](size.toInt)
+        body.get(data)
+        // objects are 8-aligned; skip the pad
+        val pad = (8 - (size % 8).toInt) % 8
+        body.position(body.position() + pad)
+        out(idx) = data
+      }
+    }
+    out.toMap
+  }
+
+  private def gheapString(r: Reader, collAddr: Long, index: Int,
+                          len: Int): String = {
+    val obj = readGcol(r.raf, collAddr).getOrElse(index,
+      sys.error(s"global heap $collAddr: no object $index"))
+    new String(obj, 0, math.min(len, obj.length), "UTF-8")
+  }
+
+  // -------------------------------------------------------- attributes --
+  /** v1 attribute message → (name, value). Subset: scalar/1-D of
+    * fixed-point, float, fixed-string, vlen-string. */
+  private def parseAttr(r: Reader, body: ByteBuffer): (String, AttrValue) = {
+    val ver = body.get() & 0xff
+    require(ver == 1, s"attribute message v$ver unsupported (subset: v1)")
+    body.get()
+    val nameSize = body.getShort & 0xffff
+    val dtSize = body.getShort & 0xffff
+    val dsSize = body.getShort & 0xffff
+    def p8(n: Int) = (n + 7) / 8 * 8
+    val arr = body.array()
+    val base = body.position()
+    var e = base
+    while (arr(e) != 0) e += 1
+    val name = new String(arr, base, e - base, "UTF-8")
+    val dtOff = base + p8(nameSize)
+    val dsOff = dtOff + p8(dtSize)
+    val dataOff = dsOff + p8(dsSize)
+    body.position(dtOff)
+    val cv = body.get() & 0xff; val clazz = cv & 0x0f
+    body.get(); body.get(); body.get()
+    val size = body.getInt
+    body.position(dsOff)
+    require((body.get() & 0xff) == 1, s"attr $name: dataspace version")
+    val rank = body.get() & 0xff
+    body.position(dsOff + 8)
+    val dims = (0 until rank).map(_ => body.getLong)
+    val n = dims.product.toInt // rank 0 (scalar) → 1
+    val value = (clazz, size) match {
+      case (0, sz) => AttrLongs((0 until n).map { i =>
+        body.position(dataOff + i * sz)
+        sz match {
+          case 1 => body.get().toLong
+          case 2 => body.getShort.toLong
+          case 4 => body.getInt.toLong
+          case 8 => body.getLong
+          case _ => sys.error(s"attr $name: int size $sz")
+        }
+      })
+      case (1, 4) => AttrDoubles((0 until n).map { i =>
+        body.position(dataOff + i * 4); body.getFloat.toDouble })
+      case (1, 8) => AttrDoubles((0 until n).map { i =>
+        body.position(dataOff + i * 8); body.getDouble })
+      case (3, sz) => AttrStrings((0 until n).map { i =>
+        var end = dataOff + i * sz
+        val stop = dataOff + (i + 1) * sz
+        while (end < stop && arr(end) != 0) end += 1
+        new String(arr, dataOff + i * sz, end - (dataOff + i * sz), "UTF-8")
+      })
+      case (9, 16) => AttrStrings((0 until n).map { i =>
+        body.position(dataOff + i * 16)
+        val len = body.getInt
+        val addr = body.getLong
+        val idx = body.getInt
+        gheapString(r, addr, idx, len)
+      })
+      case (c, sz) => sys.error(s"attr $name: datatype class $c size $sz unsupported")
+    }
+    (name, value)
   }
 
   // one parsed v1 object header: message type → payloads (may repeat)
@@ -398,8 +639,12 @@ object H5Meta {
   }
 
   private def walkObject(r: Reader, addr: Long, path: String,
-                         out: collection.mutable.Map[String, DatasetMeta]): Unit = {
+                         out: collection.mutable.Map[String, DatasetMeta],
+                         attrsOut: collection.mutable.Map[String, Map[String, AttrValue]]): Unit = {
     val msgs = readMessages(r, addr)
+    val objAttrs = msgs.filter(_._1 == 0x000C)
+      .map { case (_, b) => parseAttr(r, b) }.toMap
+    if (objAttrs.nonEmpty) attrsOut(path) = objAttrs
     val symtab = msgs.find(_._1 == 0x0011)
     if (symtab.isDefined) { // group
       val st = symtab.get._2
@@ -440,7 +685,7 @@ object H5Meta {
               entries.position(40 * j)
               val nameOff = entries.getLong
               val oh = entries.getLong
-              walkObject(r, oh, s"$path/${name(nameOff)}", out)
+              walkObject(r, oh, s"$path/${name(nameOff)}", out, attrsOut)
             }
           }
         }
@@ -459,13 +704,22 @@ object H5Meta {
       val clazz = cv & 0x0f
       val bits = Array(dt.get(), dt.get(), dt.get())
       val size = dt.getInt
-      require((bits(0) & 1) == 0, s"$path: big-endian unsupported")
+      // byte-order bit is only defined for fixed-point/float classes;
+      // class 9 (vlen) reuses bit 0 for its type field
+      require(clazz > 1 || (bits(0) & 1) == 0, s"$path: big-endian unsupported")
       val dtype: DType = (clazz, size) match {
+        case (0, 1) => I8
+        case (0, 2) => I16
         case (0, 4) => I32
         case (0, 8) => I64
         case (1, 4) => F32
         case (1, 8) => F64
         case (3, n) => FixedStr(n)
+        case (9, 16) =>
+          // vlen: bits0 low nibble 1 = string (sequences unsupported)
+          require((bits(0) & 0x0f) == 1,
+            s"$path: vlen sequences unsupported (vlen strings only)")
+          VlenStr
         case (c, n) => sys.error(s"$path: datatype class $c size $n unsupported")
       }
       val deflated = msgs.find(_._1 == 0x000b).map(_._2).exists { m =>

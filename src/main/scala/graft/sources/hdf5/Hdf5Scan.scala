@@ -66,15 +66,113 @@ object Hdf5Scan {
     }
   }
 
-  /** (idx, val long) from an I32/I64 dataset. */
+  /** (idx, val long) from an I8/I16/I32/I64 dataset. */
   def scanLongs(s: SparkSession, file: String, dsPath: String): DataFrame = {
     import org.apache.spark.sql.types.LongType
     val m = meta(file, dsPath)
     m.dtype match {
       case I64 => scan(s, file, m, LongType, (bb, o) => bb.getLong(o))
       case I32 => scan(s, file, m, LongType, (bb, o) => bb.getInt(o).toLong)
+      case I16 => scan(s, file, m, LongType, (bb, o) => bb.getShort(o).toLong)
+      case I8  => scan(s, file, m, LongType, (bb, o) => bb.get(o).toLong)
       case t => throw new IllegalArgumentException(s"$dsPath: $t is not int")
     }
+  }
+
+  /** (idx, val string) from a VARIABLE-length string dataset (the
+    * h5py/AnnData layout): pieces decode to 16-byte descriptors, the
+    * strings resolve against global-heap collections — each task caches
+    * the collections it touches, so a piece costs one GCOL read per
+    * distinct collection, not per row. */
+  def scanVlenStrings(s: SparkSession, file: String, dsPath: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val m = meta(file, dsPath)
+    require(m.dtype == VlenStr,
+      s"$dsPath: ${m.dtype} is not a vlen string")
+    val pieces = splitPieces(m.pieces, VlenStr.size)
+    val slices = math.max(1, math.min(pieces.size, 32))
+    val rdd = s.sparkContext.parallelize(pieces, slices)
+      .mapPartitions { ps =>
+        val raf = new java.io.RandomAccessFile(file, "r")
+        val gcolCache = collection.mutable.Map[Long, Map[Int, Array[Byte]]]()
+        val rows = ps.flatMap { p =>
+          val bb = java.nio.ByteBuffer
+            .wrap(H5Meta.decodePiece(file, p, VlenStr.size))
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          (0L until p.nElems).iterator.map { i =>
+            val o = (i * 16).toInt
+            val len = bb.getInt(o)
+            val addr = bb.getLong(o + 4)
+            val idx = bb.getInt(o + 12)
+            val coll = gcolCache.getOrElseUpdate(addr,
+              H5Meta.readGcol(raf, addr))
+            val obj = coll.getOrElse(idx,
+              sys.error(s"$dsPath: global heap $addr has no object $idx"))
+            Row(p.elemOffset + i,
+              new String(obj, 0, math.min(len, obj.length), "UTF-8"))
+          }
+        }
+        // RAF must outlive the iterator; TaskContext closes it at task end
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => raf.close()))
+        rows
+      }
+    s.createDataFrame(rdd, StructType(Seq(
+      StructField("idx", LongType, nullable = false),
+      StructField("val", StringType, nullable = false))))
+  }
+
+  /** Driver-side full read of a SMALL vlen-string dataset (categorical
+    * categories, var_names — the bounded-stats class). */
+  def readVlenStrings(file: String, dsPath: String): Array[String] = {
+    val m = meta(file, dsPath)
+    require(m.nElems <= (1L << 20),
+      s"$dsPath has ${m.nElems} elems — use scanVlenStrings, not a driver read")
+    require(m.dtype == VlenStr, s"$dsPath: ${m.dtype} is not a vlen string")
+    val raf = new java.io.RandomAccessFile(file, "r")
+    try {
+      val gcolCache = collection.mutable.Map[Long, Map[Int, Array[Byte]]]()
+      val out = new Array[String](m.nElems.toInt)
+      m.pieces.foreach { p =>
+        val bb = ByteBuffer.wrap(H5Meta.decodePiece(file, p, VlenStr.size))
+          .order(ByteOrder.LITTLE_ENDIAN)
+        (0 until p.nElems.toInt).foreach { i =>
+          val o = i * 16
+          val len = bb.getInt(o)
+          val addr = bb.getLong(o + 4)
+          val idx = bb.getInt(o + 12)
+          val coll = gcolCache.getOrElseUpdate(addr, H5Meta.readGcol(raf, addr))
+          val obj = coll.getOrElse(idx,
+            sys.error(s"$dsPath: global heap $addr has no object $idx"))
+          out(p.elemOffset.toInt + i) =
+            new String(obj, 0, math.min(len, obj.length), "UTF-8")
+        }
+      }
+      out
+    } finally raf.close()
+  }
+
+  /** Driver-side full read for SMALL float datasets (per-gene scores —
+    * the bounded-stats class). */
+  def readDoubles(file: String, dsPath: String): Array[Double] = {
+    val m = meta(file, dsPath)
+    require(m.nElems <= (1L << 22),
+      s"$dsPath has ${m.nElems} elems — use scanDoubles, not a driver read")
+    val out = new Array[Double](m.nElems.toInt)
+    val elemSize = m.dtype.size
+    m.pieces.foreach { p =>
+      val bb = ByteBuffer.wrap(H5Meta.decodePiece(file, p, elemSize))
+        .order(ByteOrder.LITTLE_ENDIAN)
+      (0 until p.nElems.toInt).foreach { i =>
+        out(p.elemOffset.toInt + i) = m.dtype match {
+          case F64 => bb.getDouble(i * 8)
+          case F32 => bb.getFloat(i * 4).toDouble
+          case t => sys.error(s"$dsPath: $t is not float")
+        }
+      }
+    }
+    out
   }
 
   /** (idx, val string) from a fixed-length string dataset (null-padded,
@@ -106,8 +204,13 @@ object Hdf5Scan {
       val bb = ByteBuffer.wrap(H5Meta.decodePiece(file, p, elemSize))
         .order(ByteOrder.LITTLE_ENDIAN)
       (0 until p.nElems.toInt).foreach { i =>
-        out(p.elemOffset.toInt + i) =
-          if (m.dtype == I32) bb.getInt(i * 4).toLong else bb.getLong(i * 8)
+        out(p.elemOffset.toInt + i) = m.dtype match {
+          case I8  => bb.get(i).toLong
+          case I16 => bb.getShort(i * 2).toLong
+          case I32 => bb.getInt(i * 4).toLong
+          case I64 => bb.getLong(i * 8)
+          case t => sys.error(s"$dsPath: $t is not int")
+        }
       }
     }
     out

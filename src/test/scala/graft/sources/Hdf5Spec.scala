@@ -16,6 +16,72 @@ class Hdf5Spec extends SparkSpec {
     f.toString
   }
 
+  test("vlen strings round-trip across multiple global-heap collections") {
+    // 150 strings of varying length: >64 forces multiple GCOL
+    // collections (the writer caps 64/collection), so the reader's
+    // per-collection cache and cross-collection resolution are both hit
+    val strs = Array.tabulate(150)(i => "s" * (i % 17) + s"-$i")
+    val w = new H5Writer
+    val ds = w.addVlenStr(strs)
+    val path = tmp("vlen")
+    w.writeTo(path, Seq("names" -> ds))
+    val got = Hdf5Scan.scanVlenStrings(spark, path, "/names")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(got.length == strs.length)
+    got.foreach { case (i, v) => assert(v == strs(i.toInt)) }
+    // driver-side bounded read agrees with the distributed scan
+    assert(Hdf5Scan.readVlenStrings(path, "/names").toSeq == strs.toSeq)
+  }
+
+  test("i8/i16 datasets and group/dataset attributes round-trip") {
+    import Hdf5._
+    val w = new H5Writer
+    val codes = Array.tabulate(100)(i => (i % 3 - 1).toByte)
+    val dsCodes = w.addI8(codes)
+    val dsX = w.addF64(Array(1.5, 2.5))
+    val grp = w.addGroup(Seq("codes" -> dsCodes, "x" -> dsX),
+      attrs = Seq(
+        "encoding-type" -> AttrStr("categorical"),
+        "column-order" -> AttrStrArray(Seq("a", "b", "c")),
+        "shape" -> AttrLongArray(Seq(7L, 9L))))
+    val path = tmp("attrs")
+    w.writeTo(path, Seq("g" -> grp))
+    val f = H5Meta.openFull(path)
+    assert(f.attrStr("/g", "encoding-type") == "categorical")
+    assert(f.attrStrs("/g", "column-order") == Seq("a", "b", "c"))
+    assert(f.attrLongs("/g", "shape") == Seq(7L, 9L))
+    // i8 values (negative included) survive sign-extension
+    val got = Hdf5Scan.scanLongs(spark, path, "/g/codes")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    got.foreach { case (i, v) => assert(v == codes(i.toInt).toLong) }
+    assert(Hdf5Scan.readLongs(path, "/g/codes").toSeq ==
+      codes.map(_.toLong).toSeq)
+  }
+
+  test("h5ad ingest equals the parquet-derived model row for row") {
+    val sfDir = sf
+    val got = graft.sc.H5adIngest.h5adIngest(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    // model: same derivations straight from the parquet (independent of
+    // every hdf5 code path)
+    val model = graft.tables.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => abs(x.cast("double"))).as("v"))
+      .collect().map { r =>
+        val id = r.getLong(0)
+        val v = r.getSeq[Double](1)
+        val nz = v.zipWithIndex.filter(_._1 != 0.0)
+        val checksum = math.rint(nz.foldLeft(0.0)(_ + _._1) * 1e4) / 1e4
+        val weighted = math.rint(nz.foldLeft(0.0)((a, e) =>
+          a + e._1 * (e._2 * 0.25 + 1.0)) * 1e4) / 1e4
+        (s"CELL-$id", graft.sc.H5adIngest.Categories((id % 3).toInt),
+          nz.length.toLong, checksum, weighted)
+      }.sortBy(_._1)
+    assert(got.length == model.length && got.nonEmpty)
+    assert(got.toSeq == model.toSeq)
+  }
+
   test("f64 chunked+deflate round-trips bit-exactly") {
     val vals = Array.tabulate(10000)(i => math.sin(i) * 1e3)
     val w = new H5Writer
