@@ -22,12 +22,26 @@ import org.apache.hadoop.fs.{FileSystem, Path => HPath}
   * reference read Zarr off GCS [recalled:med]; a 100 TB corpus lives in
   * object storage, so local-only chunk I/O would make the DSv2 a toy.
   */
+/** Sharding-codec parameters: inner chunk shape + index layout. */
+case class ShardSpec(innerRows: Int, innerCols: Int,
+                     indexAtEnd: Boolean = true, indexCrc: Boolean = true)
+    extends Serializable
+
 case class ZarrMeta(rows: Long, cols: Int, chunkRows: Int, chunkCols: Int,
                     dtype: String, compressor: Option[String],
-                    fillValue: Double) {
+                    fillValue: Double,
+                    // v3 additions (format 2 stores leave the defaults):
+                    // chunk-key separator, and for the sharding codec the
+                    // INNER chunk shape — chunkRows/chunkCols then describe
+                    // the SHARD (= one stored object = one scan partition)
+                    format: Int = 2, sep: String = ".",
+                    inner: Option[ShardSpec] = None) {
   require(ZarrIO.BytesPerElem.contains(dtype),
     s"unsupported zarr dtype $dtype " +
       s"(supported: ${ZarrIO.BytesPerElem.keys.mkString(", ")})")
+  require(inner.forall(sp =>
+    chunkRows % sp.innerRows == 0 && chunkCols % sp.innerCols == 0),
+    "sharding: inner chunk shape must divide the shard shape")
   def bytesPerElem: Int = ZarrIO.BytesPerElem(dtype)
   def rowChunkCount: Int = (((rows + chunkRows - 1) / chunkRows)).toInt
   def colChunkCount: Int = (cols + chunkCols - 1) / chunkCols
@@ -73,11 +87,20 @@ object ZarrIO {
     (p.getFileSystem(conf), p)
   }
 
-  /** Parse `<path>/.zarray` (Jackson ships with Spark). */
+  /** Parse the store's committed metadata: v2 `.zarray` when present,
+    * else v3 `zarr.json` (Zarr3.readMeta). A store with neither
+    * surfaces `.zarray`'s FileNotFoundException — the "absent store"
+    * signal the DSv2 schema() contract keys on. */
   def readMeta(path: String, conf: Configuration = hadoopConf()): ZarrMeta = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val (fs, p) = fsOf(path, conf)
-    val in = fs.open(new HPath(p, ".zarray"))
+    val in =
+      try fs.open(new HPath(p, ".zarray"))
+      catch { case fnf: java.io.FileNotFoundException =>
+        if (fs.exists(new HPath(p, "zarr.json")))
+          return Zarr3.readMeta(path, conf)
+        throw fnf
+      }
     val node = try mapper.readTree(in) finally in.close()
     require(node.get("zarr_format").asInt() == 2, "only zarr v2 supported")
     require(node.get("shape").size() == 2, "only 2-D zarr arrays supported")
@@ -120,7 +143,13 @@ object ZarrIO {
     try out.write(json.getBytes("UTF-8")) finally out.close()
   }
 
-  /** Chunk object name for grid cell (i, j) — zarr v2 "."-joined indices. */
+  /** Chunk object name for grid cell (i, j): zarr v2 "."-joined indices;
+    * v3 default chunk-key encoding prefixes "c" and joins with the
+    * configured separator (`c/0/1` subpaths on a directory store). */
+  def chunkPath(path: String, meta: ZarrMeta, i: Long, j: Int): HPath =
+    if (meta.format == 3) new HPath(path, s"c${meta.sep}$i${meta.sep}$j")
+    else new HPath(path, s"$i${meta.sep}$j")
+
   def chunkPath(path: String, i: Long, j: Int): HPath =
     new HPath(path, s"$i.$j")
 
@@ -136,8 +165,10 @@ object ZarrIO {
   def readChunk(path: String, meta: ZarrMeta, i: Long, j: Int,
                 conf: Configuration = hadoopConf()): Array[Double] = {
     val n = meta.chunkRows * meta.chunkCols
+    if (meta.format == 3 && meta.inner.isDefined)
+      return Zarr3.readShard(path, meta, i, j, conf)
     val (fs, _) = fsOf(path, conf)
-    val cp = chunkPath(path, i, j)
+    val cp = chunkPath(path, meta, i, j)
     // one RPC for existence+length on object stores (getFileStatus);
     // chunks are bounded (chunkRows×chunkCols×8 B) so toInt is safe
     val status =
@@ -147,13 +178,26 @@ object ZarrIO {
     val raw = new Array[Byte](status.getLen.toInt)
     val in = fs.open(cp)
     try in.readFully(0, raw) finally in.close()
+    decodeChunkBytes(raw, meta, n)
+  }
+
+  /** codec pipeline + dtype decode of one chunk's stored bytes
+    * (shared by the v2 path, v3 whole chunks, and v3 inner chunks). */
+  private[zarr] def decodeChunkBytes(raw: Array[Byte], meta: ZarrMeta,
+                                     n: Int): Array[Double] = {
     val bytes = meta.compressor match {
       case Some("zlib") => inflate(raw, n * meta.bytesPerElem)
+      case Some("gzip") => gunzip(raw, n * meta.bytesPerElem)
       case _ => raw
     }
+    decodeDoubles(bytes, meta.dtype, n)
+  }
+
+  private[zarr] def decodeDoubles(bytes: Array[Byte], dtype: String,
+                                  n: Int): Array[Double] = {
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     val out = new Array[Double](n)
-    meta.dtype match {
+    dtype match {
       case "<f4" =>
         val fb = buf.asFloatBuffer(); var k = 0
         while (k < n) { out(k) = fb.get(k).toDouble; k += 1 }
@@ -211,10 +255,11 @@ object ZarrIO {
     val bytes = buf.array()
     val out = meta.compressor match {
       case Some("zlib") => deflate(bytes)
+      case Some("gzip") => gzip(bytes)
       case _ => bytes
     }
     val (fs, _) = fsOf(path, conf)
-    val os = fs.create(chunkPath(path, i, j), true)
+    val os = fs.create(chunkPath(path, meta, i, j), true)
     try os.write(out) finally os.close()
   }
 
@@ -225,7 +270,29 @@ object ZarrIO {
     bos.toByteArray
   }
 
-  private def inflate(raw: Array[Byte], expected: Int): Array[Byte] = {
+  private[zarr] def gunzip(raw: Array[Byte], expected: Int): Array[Byte] = {
+    val in = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(raw))
+    try {
+      val out = new Array[Byte](expected)
+      var off = 0
+      while (off < expected) {
+        val n = in.read(out, off, expected - off)
+        require(n > 0, s"zarr gzip chunk: truncated at $off/$expected")
+        off += n
+      }
+      out
+    } finally in.close()
+  }
+
+  private[zarr] def gzip(bytes: Array[Byte]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val gos = new java.util.zip.GZIPOutputStream(bos)
+    gos.write(bytes); gos.close()
+    bos.toByteArray
+  }
+
+  private[zarr] def inflate(raw: Array[Byte], expected: Int): Array[Byte] = {
     val inf = new Inflater()
     inf.setInput(raw)
     val out = new Array[Byte](expected)

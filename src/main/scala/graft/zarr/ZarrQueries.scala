@@ -121,19 +121,54 @@ object ZarrQueries {
         .select(col("row_id").as("vec_id"), col("vec")),
       absX = abs, firstVal = false)
 
+  /** One-time parquet → zarr V3 SHARDED store conversion (zarr.json,
+    * c/i/j keys, sharding_indexed with gzip'd inner chunks and a
+    * crc32c-sealed end index): 128-row shards of 32-row inner chunks,
+    * so every read crosses the shard index and multi-inner assembly. */
+  def fixtureV3(s: SparkSession, sfDir: String): String =
+    graft.tables.Fixtures.cached("zarr3", "embeddings.zarr3", sfDir) { dir =>
+      val emb = Tables.embeddings(s, sfDir)
+        .select(col("vec_id").as("id"),
+          transform(col("embedding"), _.cast("double")).as("vec"))
+      val dim = emb.select(size(col("vec"))).limit(1).head().getInt(0)
+      Zarr3Sink.writeMatrix(emb, dir.toString, dim,
+        shardRows = 128, innerRows = 32, gzip = true)
+    }()
+
+  /** q_zarr_scan's v3 twin: same scan, same DuckDB oracle, the store a
+    * v3 SHARDED one — a hash match proves zarr.json parsing, the c/i/j
+    * key encoding, the shard index walk (crc32c verified), and gzip'd
+    * inner-chunk assembly are all byte-faithful, and that the engine is
+    * store-generation-independent. */
+  def zarrScanV3(s: SparkSession, d: String): DataFrame = {
+    val p = fixtureV3(s, d)
+    s.read.format("zarr").load(p)
+      .select(col("row_id"),
+        round(aggregate(col("vec"), lit(0.0), (a, x) => a + x), 4)
+          .as("checksum"),
+        size(col("vec")).as("dim"))
+      .orderBy("row_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_zarr_scan"     -> zarrScan _,
+    "q_zarr_scan_v3"  -> zarrScanV3 _,
     "q_zarr_pruned"   -> zarrPruned _,
     "q_zarr_pipeline" -> zarrPipeline _,
   )
 
+  private val zarrScanOracle =
+    """SELECT CAST(vec_id AS BIGINT) AS row_id,
+              round(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE))), 4) AS checksum,
+              CAST(len(embedding) AS INT) AS dim
+       FROM embeddings ORDER BY row_id"""
+
   val oracle: Map[String, String] = Map(
-    "q_zarr_scan" ->
-      """SELECT CAST(vec_id AS BIGINT) AS row_id,
-                round(list_sum(list_transform(embedding,
-                      x -> CAST(x AS DOUBLE))), 4) AS checksum,
-                CAST(len(embedding) AS INT) AS dim
-         FROM embeddings ORDER BY row_id""",
+    "q_zarr_scan" -> zarrScanOracle,
+    // identical oracle text by design: v2 and v3 stores of the same
+    // data must be indistinguishable at the result layer
+    "q_zarr_scan_v3" -> zarrScanOracle,
     "q_zarr_pruned" ->
       """SELECT CAST(vec_id AS BIGINT) AS row_id,
                 round(list_sum(list_transform(embedding,
