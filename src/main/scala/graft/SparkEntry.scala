@@ -33,7 +33,8 @@ object SparkEntry {
       sc.H5Ingest.queries ++ sc.H5adIngest.queries ++
       llm.HeavyHitters.queries ++
       tables.Sorted.queries ++ tables.ZOrder.queries ++
-      rel.TpchDeep.queries ++ stream.TopKStream.queries
+      rel.TpchDeep.queries ++ stream.TopKStream.queries ++
+      stream.StateMetrics.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -57,5 +58,6 @@ object SparkEntry {
       sc.H5Ingest.oracle ++ sc.H5adIngest.oracle ++
       llm.HeavyHitters.oracle ++
       tables.Sorted.oracle ++ tables.ZOrder.oracle ++
-      rel.TpchDeep.oracle ++ stream.TopKStream.oracle
+      rel.TpchDeep.oracle ++ stream.TopKStream.oracle ++
+      stream.StateMetrics.oracle
 }

@@ -41,9 +41,19 @@ object PageRank {
 
   /** The operator proper: PageRank over ANY (id1, id2) edge list —
     * returns (id, r) unrounded. Public so specs exercise the SAME
-    * update arithmetic on closed-form graphs (PageRankSpec's ring). */
+    * update arithmetic on closed-form graphs (PageRankSpec's ring).
+    *
+    * `redistributeDangling=true` selects the NORMALIZING variant for
+    * general graphs: each round the mass sitting on sinks (nodes with
+    * no out-edges) is redistributed uniformly —
+    * r' = (1-d)/n + d·(cs + dm/n) — so ranks sum to 1 every round
+    * (Page et al.'s stochastic-matrix completion). The dangling mass dm
+    * is a ONE-ROW aggregate broadcast into the update (the bounded-
+    * stats class, like the normalize-target median) — nothing about
+    * the round's shape changes: still one keyed join + one keyed agg. */
   def pageRankOnEdges(rawEdges: DataFrame, iters: Int = Iters,
-                      damping: Double = Damping): DataFrame = {
+                      damping: Double = Damping,
+                      redistributeDangling: Boolean = false): DataFrame = {
     val edges = rawEdges.select(col("id1"), col("id2"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // out-degree per source, attached once so each round's contribution
@@ -60,15 +70,35 @@ object PageRank {
     // n is a bounded single-scalar fetch (the IVF-fit class) feeding the
     // per-node constants; everything per-node stays distributed
     val n = nodes.count().toDouble
+    // sinks = nodes that never source an edge (anti join against the
+    // out-degree table); only materialized when redistribution is on
+    val sinks =
+      if (redistributeDangling)
+        Some(nodes.join(deg.select(col("id1").as("id")), Seq("id"), "left_anti")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      else None
     var ranks = nodes.withColumn("r", lit(1.0 / n)).localCheckpoint()
     for (i <- 1 to iters) {
       val contrib = edgesD.join(ranks, col("id1") === col("id"))
         .groupBy(col("id2"))
         .agg(sum(col("r") / col("od").cast("double")).as("cs"))
-      ranks = nodes.join(contrib, col("id") === col("id2"), "left")
-        .select(col("id"),
-          (lit((1.0 - damping) / n) +
-            lit(damping) * coalesce(col("cs"), lit(0.0))).as("r"))
+      ranks = sinks match {
+        case None =>
+          nodes.join(contrib, col("id") === col("id2"), "left")
+            .select(col("id"),
+              (lit((1.0 - damping) / n) +
+                lit(damping) * coalesce(col("cs"), lit(0.0))).as("r"))
+        case Some(sk) =>
+          // this round's dangling mass: 1-row aggregate, broadcast in
+          val dm = sk.join(ranks, Seq("id"))
+            .agg(coalesce(sum(col("r")), lit(0.0)).as("dm"))
+          nodes.join(contrib, col("id") === col("id2"), "left")
+            .crossJoin(broadcast(dm))
+            .select(col("id"),
+              (lit((1.0 - damping) / n) +
+                lit(damping) * (coalesce(col("cs"), lit(0.0)) +
+                  col("dm") / lit(n))).as("r"))
+      }
       // cut lineage every SECOND round: plans two joins deep stay cheap
       // to analyze, and halving the eager materializations halves the
       // per-round job count (and, at scale, the rank-table writes)
@@ -78,12 +108,25 @@ object PageRank {
     // checkpointed RDD, so the scaffolding caches can drop now instead
     // of pinning memory for the rest of a Verify/test session
     edges.unpersist(); edgesD.unpersist(); nodes.unpersist()
+    sinks.foreach(_.unpersist())
     ranks
   }
 
   def pageRank(s: SparkSession, d: String, k: Int = 10, maxId: Long = 200,
                iters: Int = Iters, damping: Double = Damping): DataFrame =
     pageRankOnEdges(Neighbors.knnEdges(s, d, k, maxId), iters, damping)
+      .select(col("id"), round(col("r") + lit(1e-9), 6).as("pr"))
+      .orderBy("id")
+
+  /** The normalizing variant on a SINK-BEARING graph: kNN edges with
+    * sources restricted to id < 150, so nodes 150..199 appear only as
+    * targets — pure sinks. With redistribution on, ranks sum to 1
+    * every round (PageRankSpec gates the invariant at ±1e-9); the
+    * DuckDB oracle unrolls the dangling-mass term per iteration. */
+  def pageRankDangling(s: SparkSession, d: String): DataFrame =
+    pageRankOnEdges(
+      Neighbors.knnEdges(s, d, 10, 200).filter(col("id1") < 150),
+      redistributeDangling = true)
       .select(col("id"), round(col("r") + lit(1e-9), 6).as("pr"))
       .orderBy("id")
 
@@ -142,6 +185,7 @@ object PageRank {
 
   val queries: Map[String, Q] = Map(
     "q_graph_pagerank" -> ((s: SparkSession, d: String) => pageRank(s, d)),
+    "q_graph_pagerank_dangling" -> (pageRankDangling _),
     "q_graph_triangles" -> ((s: SparkSession, d: String) => triangles(s, d)),
   )
 
@@ -174,9 +218,48 @@ object PageRank {
                   JOIN deg d ON d.id1 = p.id
              GROUP BY e.id2) c USING (id))"""
     }.mkString
+    // dangling variant: sources restricted (sinks exist), and each
+    // round carries a dang_i CTE — the mass on out-degree-0 nodes —
+    // folded back uniformly, mirroring the Spark broadcast scalar
+    val headerD = knnSubstrate +
+      """,
+         eds AS MATERIALIZED (SELECT id1, id2 FROM ed WHERE id1 < 150),
+         deg AS MATERIALIZED (
+           SELECT id1, count(*) AS od FROM eds GROUP BY id1),
+         nodes AS MATERIALIZED (
+           SELECT id1 AS id FROM eds UNION SELECT id2 FROM eds),
+         nn AS MATERIALIZED (
+           SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+         pr0 AS (SELECT id, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS r
+                 FROM nodes)"""
+    // pr_{i-1} is referenced TWICE per round (dangling mass + the
+    // contribution join); MATERIALIZED stops DuckDB's CTE inlining from
+    // doubling the expansion per level (2^10 substrate scans blew the
+    // fd limit otherwise)
+    val roundsD = (1 to Iters).map { i =>
+      s""", dang$i AS MATERIALIZED (
+           SELECT coalesce(sum(p.r), CAST(0 AS DOUBLE)) AS dm
+           FROM pr${i - 1} p LEFT JOIN deg d ON d.id1 = p.id
+           WHERE d.id1 IS NULL)
+         , pr$i AS MATERIALIZED (
+           SELECT no.id,
+                  CAST(0.15 AS DOUBLE) / (SELECT n FROM nn)
+                  + CAST(0.85 AS DOUBLE)
+                    * (coalesce(c.cs, CAST(0 AS DOUBLE))
+                       + (SELECT dm FROM dang$i) / (SELECT n FROM nn)) AS r
+           FROM nodes no LEFT JOIN (
+             SELECT e.id2 AS id, sum(p.r / CAST(d.od AS DOUBLE)) AS cs
+             FROM pr${i - 1} p
+                  JOIN eds e ON p.id = e.id1
+                  JOIN deg d ON d.id1 = p.id
+             GROUP BY e.id2) c USING (id))"""
+    }.mkString
     Map(
       "q_graph_pagerank" ->
         (header + rounds +
+          s" SELECT id, round(r + 1e-9, 6) AS pr FROM pr$Iters ORDER BY id"),
+      "q_graph_pagerank_dangling" ->
+        (headerD + roundsD +
           s" SELECT id, round(r + 1e-9, 6) AS pr FROM pr$Iters ORDER BY id"),
       "q_graph_triangles" ->
         (knnSubstrate + """,

@@ -60,6 +60,37 @@ class PageRankSpec extends SparkSpec {
     assert(r2 < 1.0 - 1e-6, s"mass after sink drain = $r2")
   }
 
+  test("dangling redistribution: ranks sum to 1 on a sink-bearing graph") {
+    import spark.implicits._
+    // star with three sinks: 0 -> {1,2,3}; without redistribution this
+    // graph drains (previous test); with it, mass is conserved exactly
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("id1", "id2")
+    for (iters <- Seq(1, 2, 10)) {
+      val sum = PageRank.pageRankOnEdges(star, iters = iters,
+          redistributeDangling = true)
+        .agg(org.apache.spark.sql.functions.sum("r")).head().getDouble(0)
+      assert(math.abs(sum - 1.0) < 1e-9, s"iters=$iters sum=$sum")
+    }
+    // closed form after 1 round (n=4, d=0.85): sinks held 3/4 of the
+    // mass, so every node gets (1-d)/4 + d*(3/4)/4; node 0 additionally
+    // nothing (no in-edges beyond redistribution), targets get d*(1/4)/3
+    val r1 = PageRank.pageRankOnEdges(star, iters = 1,
+        redistributeDangling = true)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val base = 0.15 / 4 + 0.85 * (3.0 / 4) / 4
+    assert(math.abs(r1(0L) - base) < 1e-12)
+    Seq(1L, 2L, 3L).foreach(id =>
+      assert(math.abs(r1(id) - (base + 0.85 * (1.0 / 4) / 3)) < 1e-12))
+    // sink-free graph: both variants coincide (dangling mass is 0)
+    val ring = Seq((0L, 1L), (1L, 2L), (2L, 0L)).toDF("id1", "id2")
+    val a = PageRank.pageRankOnEdges(ring, iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val b = PageRank.pageRankOnEdges(ring, iters = 5,
+        redistributeDangling = true)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    a.foreach { case (id, v) => assert(math.abs(v - b(id)) < 1e-15) }
+  }
+
   test("triangles: 4-clique counts 3 per node with cc=1; a path has none") {
     import spark.implicits._
     // K4 on {0,1,2,3}: every node sits in C(3,2)=3 triangles, cc = 1
