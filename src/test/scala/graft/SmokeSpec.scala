@@ -28,14 +28,17 @@ class SmokeSpec extends SparkSpec {
     // The correctness gate only hashes queries with oracle SQL; a query
     // silently missing BOTH would never be checked at all. Pin the split.
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // Declared rows-only set: approximate / non-SQL-expressible ops.
+    // Declared rows-only set: approximate / engine-internal ops. r8
+    // oracled four former members (q_sc_recipe, q_text_langid,
+    // q_text_bpe_encode, q_dedup_minhash) and added the state-store
+    // diagnostic (engine-internal metrics by contract).
     val declaredRowsOnly = Set(
       "q_agg_approx_distinct", // HLL estimate; DuckDB's sketch differs
-      "q_agg_approx_percentile", "q_agg_sketch_merge", "q_dedup_minhash",
+      "q_agg_approx_percentile", "q_agg_sketch_merge",
       "q_multimodal_binfile", "q_multimodal_features", "q_sc_pca",
-      "q_sc_recipe", "q_similarity_ivf", "q_similarity_lsh",
-      "q_similarity_pq", "q_similarity_recall", "q_text_bpe_encode",
-      "q_text_langid")
+      "q_similarity_ivf", "q_similarity_lsh",
+      "q_similarity_pq", "q_similarity_recall",
+      "q_stream_state_metrics")
     assert(noOracle == declaredRowsOnly,
       s"undeclared rows-only queries: ${(noOracle -- declaredRowsOnly).toSeq.sorted}; " +
         s"stale declarations: ${(declaredRowsOnly -- noOracle).toSeq.sorted}")
