@@ -29,25 +29,25 @@ object GraftFunctions {
   val dotBuilder: Seq[Expression] => Expression =
     exprs => DotProduct(exprs(0), exprs(1))
 
-  /** Idempotent runtime registration. */
+  /** Idempotent runtime registration. EVERY path is guarded by a
+    * functionExists check: both udf.register and
+    * createOrReplaceTempFunction WARN "replaced a previously registered
+    * function" on re-registration, and register() runs once per query
+    * in a 190-query bench — hundreds of WARN lines crowding the
+    * driver's 2000-char stdout tail otherwise. */
   def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_sim", cosineBuilder, "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "l2_sq", l2SqBuilder, "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "dot_product", dotBuilder, "scala_udf")
-    // aggregator surface for SQL users — `SELECT g, exact_median(v) …`,
-    // `SELECT g, bounded_top3(score, id) …` (array<struct<score,id>>,
-    // descending, O(3) agg state; see BoundedTopK).
-    // Guarded: udf.register WARNs "replaced a previously registered
-    // function" on every re-call, and register() runs once per query in
-    // a 186-query bench — that's hundreds of WARN lines crowding the
-    // driver's 2000-char stdout tail. createOrReplaceTempFunction above
-    // is silent; these two are the only loud ones.
     val reg = spark.sessionState.functionRegistry
     def missing(n: String) = !reg.functionExists(
       org.apache.spark.sql.catalyst.FunctionIdentifier(n))
+    if (missing("cosine_sim"))
+      reg.createOrReplaceTempFunction("cosine_sim", cosineBuilder, "scala_udf")
+    if (missing("l2_sq"))
+      reg.createOrReplaceTempFunction("l2_sq", l2SqBuilder, "scala_udf")
+    if (missing("dot_product"))
+      reg.createOrReplaceTempFunction("dot_product", dotBuilder, "scala_udf")
+    // aggregator surface for SQL users — `SELECT g, exact_median(v) …`,
+    // `SELECT g, bounded_top3(score, id) …` (array<struct<score,id>>,
+    // descending, O(3) agg state; see BoundedTopK)
     if (missing("exact_median"))
       spark.udf.register("exact_median",
         org.apache.spark.sql.functions.udaf(ExactMedian))

@@ -113,6 +113,59 @@ object H5adIngest {
     file.toString
   }
 
+  /** CSC twin of the fixture: same matrix, X stored gene-major
+    * (`encoding-type="csc_matrix"`, indptr over the var axis, indices =
+    * obs rows) — the other orientation AnnData ships. */
+  def fixtureCsc(s: SparkSession, sfDir: String): String = synchronized {
+    val key = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    val root = new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"graft_h5adc$key")
+    val file = new java.io.File(root, "adata_csc.h5ad")
+    val marker = new java.io.File(root, "_DONE")
+    if (marker.exists()) return file.toString
+    root.mkdirs()
+    val rows = Tables.embeddings(s, sfDir)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => abs(x.cast("double"))).as("v"))
+      .orderBy("vec_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val nVar = rows.head._2.length
+    val data = Vector.newBuilder[Double]
+    val indices = Vector.newBuilder[Int]
+    val indptr = Vector.newBuilder[Long]
+    var nnz = 0L
+    indptr += 0L
+    var g = 0
+    while (g < nVar) { // gene-major walk
+      rows.foreach { case (id, v) =>
+        if (v(g) != 0.0) { data += v(g); indices += id.toInt; nnz += 1 }
+      }
+      indptr += nnz
+      g += 1
+    }
+    val w = new H5Writer
+    val xGrp = w.addGroup(
+      Seq(
+        "data" -> w.addF64(data.result().toArray, chunkElems = 4096, deflate = true),
+        "indices" -> w.addI32(indices.result().toArray, chunkElems = 4096, deflate = true),
+        "indptr" -> w.addI64(indptr.result().toArray)),
+      attrs = Seq(
+        "encoding-type" -> AttrStr("csc_matrix"),
+        "encoding-version" -> AttrStr("0.1.0"),
+        "shape" -> AttrLongArray(Seq(rows.length.toLong, nVar.toLong))))
+    val obsGrp = w.addGroup(
+      Seq("obs_names" -> w.addVlenStr(rows.map(r => s"CELL-${r._1}"))),
+      attrs = Seq(
+        "encoding-type" -> AttrStr("dataframe"),
+        "encoding-version" -> AttrStr("0.2.0"),
+        "_index" -> AttrStr("obs_names"),
+        "column-order" -> AttrStrArray(Seq.empty)))
+    w.writeTo(file.toString, Seq("X" -> xGrp, "obs" -> obsGrp))
+    new java.io.FileOutputStream(marker).close()
+    file.toString
+  }
+
   /** Ingest the .h5ad fixture: attribute-driven CSR assembly + obs/var
     * frame reads, summarized per cell. Exercises vlen strings (obs
     * index, categories, var index), categorical decode, group attrs,
@@ -164,8 +217,11 @@ object H5adIngest {
       .agg(count(lit(1)).as("n_genes"),
         sort_array(collect_list(
           struct(col("gene"), col("val"), col("score")))).as("gv"))
-      .join(broadcast(obsNames), Seq("row"))
-      .join(broadcast(codes), Seq("row"))
+      // obs-axis joins stay UNHINTED: obs grows with the cell count, so
+      // forcing a broadcast would ship the whole axis at scale — AQE
+      // picks broadcast when the side is actually small
+      .join(obsNames, Seq("row"))
+      .join(codes, Seq("row"))
       .select(col("barcode"), col("batch"), col("n_genes"),
         // gene-ascending folds = the oracle's ORDER BY pos — identical
         // doubles in, identical rounded checksums out
@@ -177,7 +233,45 @@ object H5adIngest {
       .orderBy("barcode")
   }
 
-  val queries: Map[String, Q] = Map("q_h5ad_ingest" -> h5adIngest _)
+  /** CSC ingest: indptr spans the VAR axis (gene-bounded driver read),
+    * each nnz's gene comes from its indptr range and its CELL from the
+    * indices value — the broadcast range join flips to the gene axis
+    * (always bounded), and the obs-axis joins stay equi/unhinted. Same
+    * per-cell summary, so the q_h5_ingest oracle SQL is shared. */
+  def h5adIngestCsc(s: SparkSession, d: String): DataFrame = {
+    val file = fixtureCsc(s, d)
+    val f = H5Meta.openFull(file)
+    require(f.attrStr("/X", "encoding-type") == "csc_matrix",
+      s"unsupported X encoding ${f.attrStr("/X", "encoding-type")}")
+    val shape = f.attrLongs("/X", "shape")
+    val indptr = Hdf5Scan.readLongs(file, "/X/indptr")
+    require(shape.length == 2 && shape(1).toInt == indptr.length - 1,
+      s"X shape $shape inconsistent with indptr ${indptr.length}")
+    val obsIndex = f.attrStr("/obs", "_index")
+    val obsNames = Hdf5Scan.scanVlenStrings(s, file, s"/obs/$obsIndex")
+      .select(col("idx").as("row"), col("val").as("barcode"))
+    val genes = s.createDataFrame(
+      (0 until indptr.length - 1).map(g => (g.toLong, indptr(g), indptr(g + 1))))
+      .toDF("gene", "lo", "hi")
+    val data = Hdf5Scan.scanDoubles(s, file, "/X/data")
+    val rowsIdx = Hdf5Scan.scanLongs(s, file, "/X/indices")
+      .withColumnRenamed("val", "row")
+    data.join(rowsIdx, "idx")
+      .join(broadcast(genes),
+        col("idx") >= col("lo") && col("idx") < col("hi"))
+      .groupBy("row")
+      .agg(count(lit(1)).as("n_genes"),
+        sort_array(collect_list(struct(col("gene"), col("val")))).as("gv"))
+      .join(obsNames, Seq("row"))
+      .select(col("barcode"), col("n_genes"),
+        round(aggregate(col("gv"), lit(0.0),
+          (a, e) => a + e.getField("val")), 4).as("checksum"))
+      .orderBy("barcode")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_h5ad_ingest" -> h5adIngest _,
+    "q_h5ad_ingest_csc" -> h5adIngestCsc _)
 
   val oracle: Map[String, String] = Map(
     // recomputes the fixture's derivations from the SAME parquet:
@@ -201,6 +295,20 @@ object H5adIngest {
                 round(list_sum(list(val ORDER BY pos)), 4) AS checksum,
                 round(list_sum(list(val * ((pos - 1) * 0.25 + 1.0)
                                     ORDER BY pos)), 4) AS weighted
+         FROM nz GROUP BY vec_id ORDER BY barcode""",
+    // CSC orientation must land on the identical per-cell summary the
+    // 10x-CSC oracle (q_h5_ingest) pins — same SQL by design
+    "q_h5ad_ingest_csc" ->
+      """WITH c AS (SELECT vec_id,
+                           list_transform(embedding,
+                             x -> abs(CAST(x AS DOUBLE))) AS v
+                    FROM embeddings),
+         x AS (SELECT vec_id, unnest(v) AS val,
+                      generate_subscripts(v, 1) AS pos FROM c),
+         nz AS (SELECT * FROM x WHERE val <> 0)
+         SELECT 'CELL-' || CAST(vec_id AS VARCHAR) AS barcode,
+                CAST(count(1) AS BIGINT) AS n_genes,
+                round(list_sum(list(val ORDER BY pos)), 4) AS checksum
          FROM nz GROUP BY vec_id ORDER BY barcode""",
   )
 }
