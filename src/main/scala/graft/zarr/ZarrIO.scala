@@ -128,6 +128,7 @@ object ZarrIO {
 
   def writeMeta(path: String, meta: ZarrMeta,
                 conf: Configuration = hadoopConf()): Unit = {
+    if (meta.format == 3) return Zarr3.writeMeta(path, meta, conf)
     val comp = meta.compressor match {
       case Some("zlib") => """{"id":"zlib","level":5}"""
       case _ => "null"

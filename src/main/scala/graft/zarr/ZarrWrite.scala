@@ -46,6 +46,10 @@ object ZarrWrite {
   val ChunkRowsOption = "chunk_rows"
   val ChunkColsOption = "chunk_cols" // 0/absent = one column chunk (= dim)
   val ZlibOption = "zlib"
+  // 2 (default) writes a .zarray store; 3 writes a zarr.json v3 store
+  // (c/i/j keys, bytes+gzip codecs). Same two-phase band commit either
+  // way — only metadata, key layout, and codec naming change.
+  val FormatOption = "format"
 
   /** Slice a full row-band buffer (chunkRows × dim, row-major) into the
     * j-th column chunk, padded to the full chunkRows × chunkCols shape
@@ -105,14 +109,17 @@ class ZarrWriteBuilder(path: String, info: LogicalWriteInfo)
     val chunkCols = Option(info.options.get(ZarrWrite.ChunkColsOption))
       .map(_.toInt).getOrElse(0)
     require(chunkCols >= 0, s"chunk_cols must be >= 0, got $chunkCols")
+    val format = Option(info.options.get(ZarrWrite.FormatOption))
+      .map(_.toInt).getOrElse(2)
+    require(format == 2 || format == 3, s"format must be 2 or 3, got $format")
     new ZarrWriteImpl(path, info.queryId(), ZarrWrite.dtypeFor(info.schema()),
-      chunkRows, chunkCols, zlib, truncateFirst)
+      chunkRows, chunkCols, zlib, truncateFirst, format)
   }
 }
 
 class ZarrWriteImpl(path: String, queryId: String, dtype: String,
                     chunkRows: Int, chunkCols: Int, zlib: Boolean,
-                    truncateFirst: Boolean)
+                    truncateFirst: Boolean, format: Int = 2)
     extends Write with RequiresDistributionAndOrdering {
   private def sortOrder: Array[SortOrder] = Array(
     Expressions.sort(Expressions.column("row_id"), SortDirection.ASCENDING))
@@ -122,7 +129,7 @@ class ZarrWriteImpl(path: String, queryId: String, dtype: String,
   override def description(): String = s"zarr:`$path`"
   override def toBatch: BatchWrite =
     new ZarrBatchWrite(path, queryId, dtype, chunkRows, chunkCols, zlib,
-      truncateFirst)
+      truncateFirst, format)
 }
 
 /** One task's outcome: rows written, the id range seen, the vec width,
@@ -134,8 +141,13 @@ case class ZarrTaskCommit(partitionId: Int, rowCount: Long, maxId: Long,
 
 class ZarrBatchWrite(path: String, queryId: String, dtype: String,
                      chunkRows: Int, chunkColsOpt: Int, zlib: Boolean,
-                     truncateFirst: Boolean)
+                     truncateFirst: Boolean, format: Int = 2)
     extends BatchWrite {
+
+  /** store-generation knobs shared by task chunk writes + commit meta */
+  private def sep = if (format == 3) "/" else "."
+  private def comp: Option[String] =
+    if (!zlib) None else Some(if (format == 3) "gzip" else "zlib")
 
   private def fs(): (FileSystem, HPath) = {
     val conf = ZarrIO.hadoopConf()
@@ -147,12 +159,13 @@ class ZarrBatchWrite(path: String, queryId: String, dtype: String,
     val (f, p) = fs()
     // the LIVE store is never touched here — overwrite only swaps at
     // commit, so a failed job cannot destroy previously committed data
-    if (!truncateFirst) require(!f.exists(new HPath(p, ".zarray")),
+    if (!truncateFirst) require(!f.exists(new HPath(p, ".zarray")) &&
+      !f.exists(new HPath(p, "zarr.json")),
       s"zarr store already committed at $path — use mode(\"overwrite\")")
     f.delete(ZarrWrite.tmpDir(path, queryId), true) // stale same-query tmp
     f.mkdirs(ZarrWrite.stagingDir(path, queryId))
     new ZarrWriterFactory(path, queryId, dtype, chunkRows, chunkColsOpt,
-      zlib, new SerializableHadoopConf(ZarrIO.hadoopConf()))
+      zlib, new SerializableHadoopConf(ZarrIO.hadoopConf()), format)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -169,7 +182,7 @@ class ZarrBatchWrite(path: String, queryId: String, dtype: String,
              else math.max(dim, 1)
     val meta = ZarrMeta(rows = rows, cols = dim, chunkRows = chunkRows,
       chunkCols = cc, dtype = dtype,
-      compressor = if (zlib) Some("zlib") else None, fillValue = 0.0)
+      compressor = comp, fillValue = 0.0, format = format, sep = sep)
     val conf = ZarrIO.hadoopConf()
     val (f, _) = fs()
     // a band is EITHER finalized by the one task that saw all its rows,
@@ -243,11 +256,11 @@ class ZarrBatchWrite(path: String, queryId: String, dtype: String,
 
 class ZarrWriterFactory(path: String, queryId: String, dtype: String,
                         chunkRows: Int, chunkColsOpt: Int, zlib: Boolean,
-                        sconf: SerializableHadoopConf)
+                        sconf: SerializableHadoopConf, format: Int = 2)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new ZarrDataWriter(path, queryId, dtype, chunkRows, chunkColsOpt, zlib,
-      partitionId, taskId, sconf)
+      partitionId, taskId, sconf, format)
 }
 
 /** Streams its (range-partitioned, sorted) slice band by band: whole
@@ -256,7 +269,7 @@ class ZarrWriterFactory(path: String, queryId: String, dtype: String,
 class ZarrDataWriter(path: String, queryId: String, dtype: String,
                      chunkRows: Int, chunkColsOpt: Int, zlib: Boolean,
                      partitionId: Int, taskId: Long,
-                     sconf: SerializableHadoopConf)
+                     sconf: SerializableHadoopConf, format: Int = 2)
     extends DataWriter[InternalRow] {
 
   // everything this writer produces lands in the query's TEMP store —
@@ -279,7 +292,10 @@ class ZarrDataWriter(path: String, queryId: String, dtype: String,
   // chunk geometry / dtype / compressor from it, never rows)
   private def chunkMeta = ZarrMeta(rows = 0L, cols = dim,
     chunkRows = chunkRows, chunkCols = chunkCols, dtype = dtype,
-    compressor = if (zlib) Some("zlib") else None, fillValue = 0.0)
+    compressor =
+      if (!zlib) None else Some(if (format == 3) "gzip" else "zlib"),
+    fillValue = 0.0, format = format,
+    sep = if (format == 3) "/" else ".")
 
   override def write(row: InternalRow): Unit = {
     val id = row.getLong(0)

@@ -100,6 +100,27 @@ class Zarr3Spec extends SparkSpec {
     assert(got(0) == Seq(0.0, 1.0, 2.0) && got(5) == Seq(15.0, 16.0, 17.0))
   }
 
+  test("DSv2 write with format=3 produces a readable v3 store") {
+    val df = embeddings
+    val path = tmpDir("dsv2w") + "/store.zarr"
+    df.select(col("id").as("row_id"), col("vec"))
+      .write.format("zarr")
+      .option("chunk_rows", 16).option("format", 3)
+      .mode("overwrite").save(path)
+    val meta = ZarrIO.readMeta(path)
+    assert(meta.format == 3 && meta.sep == "/" &&
+      meta.compressor.contains("gzip") && meta.inner.isEmpty)
+    // the v3 store came out of the same two-phase commit: zarr.json
+    // present, chunk keys under c/
+    assert(new java.io.File(path, "zarr.json").exists())
+    assert(new java.io.File(path, "c/0/0").exists())
+    val back = spark.read.format("zarr").load(path)
+      .select(col("row_id").as("id"), col("vec"))
+    assert(back.count() == df.count())
+    assert(back.join(df.withColumnRenamed("vec", "vec0"), Seq("id"))
+      .filter(col("vec") =!= col("vec0")).count() == 0)
+  }
+
   test("v3 pruning: row_id range keeps only intersecting shards") {
     val df = embeddings
     val path = tmpDir("prune")
