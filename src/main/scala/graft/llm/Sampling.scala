@@ -90,6 +90,43 @@ object Sampling {
       .orderBy("vec_id")
   }
 
+  /** Johnson–Lindenstrauss random projection of the embedding column
+    * down to ProjK dims: y_j = (Σ_i x_i · s(i,j)) / √k with
+    * s(i,j) = ±1 chosen by the parity of md5("p:i:j") — Achlioptas
+    * (2003)'s database-friendly ±1 JL variant, with the sign matrix
+    * derived from a hash BOTH engines compute identically, so the
+    * projection is hash-verifiable end to end (no engine RNG anywhere).
+    *
+    * Scale shape: pure per-row codegen'd HOF arithmetic (k·d
+    * multiply-adds), no shuffle, no broadcast, no driver state — the
+    * dimensionality-reduction pass an indexing pipeline runs before
+    * storing vectors at corpus scale (4× fewer bytes at k=16 over
+    * d=64 before any quantization). Output = projected checksum and
+    * norm per vector; distance preservation is spec-gated. */
+  val ProjK = 16
+  def embedProjectVecs(df: DataFrame): DataFrame = {
+    def sign(i: Column, j: Column): Column =
+      when(conv(substring(md5(concat_ws(":", lit("p"),
+            i.cast("string"), j.cast("string"))), 1, 1), 16, 10)
+          .cast("int") % 2 === 0, lit(1.0))
+        .otherwise(lit(-1.0))
+    df.withColumn("y", transform(sequence(lit(0), lit(ProjK - 1)), j =>
+        aggregate(sequence(lit(0), size(col("v")) - 1), lit(0.0),
+          (a, i) => a + element_at(col("v"), i + 1) * sign(i, j))
+          / sqrt(lit(ProjK.toDouble))))
+  }
+
+  def embedProject(s: SparkSession, d: String): DataFrame =
+    embedProjectVecs(
+      Tables.embeddings(s, d).select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v")))
+      .select(col("vec_id"),
+        round(aggregate(col("y"), lit(0.0), (a, x) => a + x) + lit(1e-9), 4)
+          .as("proj_sum"),
+        round(sqrt(aggregate(col("y"), lit(0.0), (a, x) => a + x * x))
+          + lit(1e-9), 4).as("proj_norm"))
+      .orderBy("vec_id")
+
   /** Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
     * key_i = u_i^(1/w_i) with u_i derived from the doc's hash, top-k by
     * key. Deterministic (content-hash u, not rand) and one-pass
@@ -259,9 +296,31 @@ object Sampling {
     "q_sample_stratified" -> sampleStratified _,
     "q_sample_temperature" -> sampleTemperature _,
     "q_embed_centroid"    -> embedCentroid _,
+    "q_embed_project"     -> embedProject _,
   )
 
   val oracle: Map[String, String] = Map(
+    // sign matrix derived from md5 parity in BOTH engines; folds in
+    // index order on both sides (aggregate left fold == list_sum over
+    // an index-ordered comprehension), scaled by the exact double 1/4
+    "q_embed_project" ->
+      """WITH c AS (SELECT vec_id,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings),
+         p AS (SELECT vec_id,
+                 [list_sum(list_transform(range(1, len(v) + 1),
+                    i -> v[i] * (CASE WHEN CAST('0x' ||
+                        substr(md5('p:' || CAST(i - 1 AS VARCHAR) || ':' ||
+                          CAST(j AS VARCHAR)), 1, 1) AS INT) % 2 = 0
+                      THEN 1.0 ELSE -1.0 END)))
+                  / sqrt(16.0)
+                  FOR j IN range(0, 16)] AS y
+               FROM c)
+         SELECT vec_id,
+                round(list_sum(y) + 1e-9, 4) AS proj_sum,
+                round(sqrt(list_sum(list_transform(y, t -> t * t)))
+                  + 1e-9, 4) AS proj_norm
+         FROM p ORDER BY vec_id""",
     "q_decontaminate" ->
       """WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks,
                   CASE WHEN CAST('0x' ||

@@ -129,6 +129,49 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Gopher-style quality rule battery (Rae et al. 2021 §A1.1, public):
+    * the standard pretraining heuristics as per-document flags — word
+    * count in [50, 100k], mean word length in [3, 10], ≥80% of words
+    * containing a letter, symbol-to-word ratio (#, ellipsis) ≤ 0.1,
+    * ≥2 distinct common words present — plus the conjunction `keep`.
+    * Pure codegen'd per-row arithmetic (one scan, no shuffle before the
+    * final order), and every rule is plain SQL, so the whole battery is
+    * hash-verified against DuckDB — unlike a classifier, these rules
+    * ARE the spec, so the oracle proves the implementation exactly. */
+  def textGopher(s: SparkSession, d: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val n = size(toks).cast("double")
+    val meanLen = aggregate(transform(toks, t => length(t).cast("double")),
+      lit(0.0), (a, x) => a + x) / n
+    val alphaRatio =
+      size(filter(toks, t => t.rlike("[a-z]"))).cast("double") / n
+    val hashCount = length(col("text")) -
+      length(translate(col("text"), "#", ""))
+    val ellipsisCount = (length(col("text")) -
+      length(regexp_replace(col("text"), lit("\\.\\.\\."), lit("")))) / 3
+    val symbolRatio = (hashCount + ellipsisCount).cast("double") / n
+    val nStop = size(filter(array_distinct(toks),
+      t => t.isin(CommonTokens: _*)))
+    Tables.documents(s, d).select(
+        col("doc_id"),
+        size(toks).as("n_words"),
+        round(meanLen + lit(1e-9), 4).as("mean_word_len"),
+        round(alphaRatio + lit(1e-9), 4).as("alpha_ratio"),
+        round(symbolRatio + lit(1e-9), 4).as("symbol_ratio"),
+        nStop.as("n_stopwords"))
+      .withColumn("word_count_ok",
+        col("n_words") >= 50 && col("n_words") <= 100000)
+      .withColumn("mean_len_ok",
+        col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0)
+      .withColumn("alpha_ok", col("alpha_ratio") >= 0.8)
+      .withColumn("symbol_ok", col("symbol_ratio") <= 0.1)
+      .withColumn("stopword_ok", col("n_stopwords") >= 2)
+      .withColumn("keep",
+        col("word_count_ok") && col("mean_len_ok") && col("alpha_ok") &&
+          col("symbol_ok") && col("stopword_ok"))
+      .orderBy("doc_id")
+  }
+
   /** Document fingerprints: canonical md5 over the sorted distinct token
     * set, plus a winnowing-style rolling fingerprint — 3-gram rolling
     * hashes, min over a 4-gram sliding window, distinct mins summarized.
@@ -608,6 +651,7 @@ object TextOps {
     "q_text_tokenize"    -> textTokenize _,
     "q_text_stats"       -> textStats _,
     "q_text_quality"     -> textQuality _,
+    "q_text_gopher"      -> textGopher _,
     "q_text_classifier"  -> textClassifier _,
     "q_text_fingerprint" -> textFingerprint _,
     "q_text_langid"      -> textLangId _,
@@ -676,6 +720,40 @@ object TextOps {
 
   val oracle: Map[String, String] = Map(
     "q_text_langid" -> langIdOracleSql,
+    // rule thresholds restated literally; the stopword IN-list is
+    // generated from the same CommonTokens the Scala side filters on
+    "q_text_gopher" -> {
+      val stops = CommonTokens.map("'" + _ + "'").mkString(", ")
+      s"""WITH t AS (SELECT doc_id, text, str_split(text, ' ') AS toks
+                     FROM documents),
+         m AS (SELECT doc_id,
+                 CAST(len(toks) AS INT) AS n_words,
+                 round(list_sum(list_transform(toks,
+                     x -> CAST(length(x) AS DOUBLE))) / len(toks)
+                   + 1e-9, 4) AS mean_word_len,
+                 round(CAST(len(list_filter(toks,
+                     x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+                   / len(toks) + 1e-9, 4) AS alpha_ratio,
+                 round((CAST(length(text) - length(replace(text, '#', ''))
+                     AS DOUBLE)
+                   + (length(text) - length(replace(text, '...', ''))) / 3.0)
+                   / len(toks) + 1e-9, 4) AS symbol_ratio,
+                 CAST(len(list_filter(list_distinct(toks),
+                     x -> x IN ($stops))) AS INT) AS n_stopwords
+               FROM t)
+         SELECT doc_id, n_words, mean_word_len, alpha_ratio, symbol_ratio,
+                n_stopwords,
+                n_words >= 50 AND n_words <= 100000 AS word_count_ok,
+                mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS mean_len_ok,
+                alpha_ratio >= 0.8 AS alpha_ok,
+                symbol_ratio <= 0.1 AS symbol_ok,
+                n_stopwords >= 2 AS stopword_ok,
+                (n_words >= 50 AND n_words <= 100000)
+                  AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+                  AND alpha_ratio >= 0.8 AND symbol_ratio <= 0.1
+                  AND n_stopwords >= 2 AS keep
+         FROM m ORDER BY doc_id"""
+    },
     // Greedy BPE encode as a recursive CTE: the merge table is derived
     // from the corpus exactly like bpeMerges (top-64 adjacent-pair
     // counts, (n DESC, pair) order), then each recursion step performs
