@@ -38,11 +38,41 @@ object Privacy {
         col("c_mktsegment"))
       .orderBy("c_custkey")
 
+  /** k-anonymity audit over the quasi-identifier pair
+    * (c_nationkey, bal_band): every combination's population, whether
+    * it breaks k = 50 (re-identifiable: an attacker who knows a
+    * target's nation + balance band narrows to < k candidates), and
+    * how many rows the band must absorb to heal (k - n). This is the
+    * audit that decides which bands [[piiMask]]'s generalization must
+    * widen. Scale shape: ONE keyed aggregation on the quasi-identifier
+    * — the grouping domain is (nations × bands), tiny by construction,
+    * and the scan reads two columns. */
+  val KAnon = 50
+  def kAnonAudit(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .select(col("c_nationkey"),
+        (floor(col("c_acctbal") / 1000) * 1000).cast("long").as("bal_band"))
+      .groupBy("c_nationkey", "bal_band")
+      .agg(count(lit(1)).as("n"))
+      .select(col("c_nationkey"), col("bal_band"), col("n"),
+        (col("n") < KAnon).as("at_risk"),
+        greatest(lit(KAnon.toLong) - col("n"), lit(0L)).as("deficit"))
+      .orderBy("c_nationkey", "bal_band")
+
   val queries: Map[String, Q] = Map(
     "q_pii_mask" -> piiMask _,
+    "q_privacy_kanon" -> kAnonAudit _,
   )
 
   val oracle: Map[String, String] = Map(
+    "q_privacy_kanon" ->
+      s"""SELECT c_nationkey,
+                CAST(floor(c_acctbal / 1000) * 1000 AS BIGINT) AS bal_band,
+                CAST(count(1) AS BIGINT) AS n,
+                count(1) < $KAnon AS at_risk,
+                greatest($KAnon - count(1), 0) AS deficit
+         FROM customer
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     // DuckDB regexp_replace is first-match-only without the 'g' flag;
     // Spark's replaces all occurrences, so the flag is load-bearing.
     "q_pii_mask" ->

@@ -210,6 +210,46 @@ object ScalarFuncs {
   def statsMi(s: SparkSession, d: String): DataFrame =
     miTable(Tables.documents(s, d), "lang", "source")
 
+  /** Grid-KS two-sample drift test: the Kolmogorov–Smirnov D statistic
+    * between the click and purchase `value` distributions, evaluated on
+    * a fixed 99-point percentile grid of the POOLED sample — the
+    * distributed-safe formulation. Exact KS needs a globally ordered
+    * CDF walk (a full-sort bottleneck at corpus scale); the grid form
+    * is one exact-percentile broadcast (99 doubles) + ONE conditional
+    * aggregation pass — no sort, no window, no second scan — and is
+    * what drift monitors actually evaluate. Deterministic: the grid is
+    * exact interpolated percentiles, bit-identical across engines (the
+    * same linear-interpolation contract the normalize-median relies
+    * on), so D is hash-verified, not approximated. */
+  def statsKs(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_type").as("et"), col("value").cast("double").as("v"))
+    val grid = ev.agg(
+      expr(s"percentile(v, array(${KsFracs.mkString(",")}))").as("g"))
+    val n1 = sum(when(col("et") === "click", 1).otherwise(0))
+      .cast("long").as("n1")
+    val n2 = sum(when(col("et") === "purchase", 1).otherwise(0))
+      .cast("long").as("n2")
+    val cdfCols = (0 until KsFracs.length).flatMap { k =>
+      Seq(
+        sum(when(col("et") === "click" &&
+            col("v") <= element_at(col("g"), k + 1), 1).otherwise(0))
+          .cast("double").as(s"c$k"),
+        sum(when(col("et") === "purchase" &&
+            col("v") <= element_at(col("g"), k + 1), 1).otherwise(0))
+          .cast("double").as(s"p$k"))
+    }
+    val wide = ev.crossJoin(broadcast(grid))
+      .agg(n1, (n2 +: cdfCols): _*)
+    val dStat = KsFracs.indices.map(k =>
+        abs(col(s"c$k") / col("n1") - col(s"p$k") / col("n2")))
+      .reduce(greatest(_, _))
+    wide.select(col("n1"), col("n2"),
+      round(dStat + lit(1e-9), 6).as("d_stat"))
+  }
+  private val KsFracs: Seq[Double] = (1 to 99).map(_ / 100.0)
+
   /** Winsorized aggregation: clip the value column at the group's exact
     * p05/p95 before averaging — the standard outlier-robust feature
     * cleaning step (heavy tails move the mean; clipping bounds their
@@ -274,6 +314,7 @@ object ScalarFuncs {
 
   val queries: Map[String, Q] = Map(
     "q_stats_mi"     -> statsMi _,
+    "q_stats_ks"     -> statsKs _,
     "q_outliers_mad" -> outliersMad _,
     "q_agg_winsor"   -> aggWinsor _,
     "q_string_funcs" -> stringFuncs _,
@@ -360,6 +401,30 @@ object ScalarFuncs {
          FROM part ORDER BY p_partkey""",
     // operand ORDER inside each term mirrors the Spark expression
     // left-to-right so both engines run the identical IEEE op sequence
+    // same 99-point pooled percentile grid (quantile_cont == Spark's
+    // exact percentile interpolation), same conditional-count CDFs
+    "q_stats_ks" -> {
+      val fr = KsFracs.mkString(", ")
+      s"""WITH ev AS (SELECT event_type AS et, CAST(value AS DOUBLE) AS v
+                      FROM events
+                      WHERE event_type IN ('click', 'purchase')),
+         g AS (SELECT quantile_cont(v, [$fr]) AS q FROM ev),
+         pts AS (SELECT ix, q[ix] AS gp
+                 FROM g, unnest(range(1, ${KsFracs.length + 1})) AS t(ix)),
+         c AS (SELECT ix,
+                 CAST(count(1) FILTER (WHERE et = 'click' AND v <= gp)
+                   AS DOUBLE) AS c1,
+                 CAST(count(1) FILTER (WHERE et = 'purchase' AND v <= gp)
+                   AS DOUBLE) AS c2
+               FROM ev CROSS JOIN pts GROUP BY ix),
+         n AS (SELECT
+                 CAST(count(1) FILTER (WHERE et = 'click') AS BIGINT) AS n1,
+                 CAST(count(1) FILTER (WHERE et = 'purchase') AS BIGINT) AS n2
+               FROM ev)
+         SELECT n1, n2, round(max(abs(c1 / n1 - c2 / n2)) + 1e-9, 6)
+                  AS d_stat
+         FROM c, n GROUP BY n1, n2"""
+    },
     "q_stats_mi" ->
       """WITH joint AS (SELECT lang, source, CAST(count(1) AS BIGINT) AS n_xy
                         FROM documents GROUP BY 1, 2),
