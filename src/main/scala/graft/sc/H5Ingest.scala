@@ -31,15 +31,17 @@ object H5Ingest {
 
   val BarcodeWidth = 20
 
-  /** One-time embeddings.parquet → matrix.h5 (CSC, 10x layout). */
-  def fixture(s: SparkSession, sfDir: String): String = synchronized {
-    val key = sfDir.replaceAll("[^A-Za-z0-9]", "_")
-    val root = new java.io.File(
-      System.getProperty("java.io.tmpdir"), s"graft_h5$key")
-    val file = new java.io.File(root, "matrix.h5")
-    val marker = new java.io.File(root, "_DONE")
-    if (marker.exists()) return file.toString
-    root.mkdirs()
+  /** One-time embeddings.parquet → matrix.h5 (CSC, 10x layout). Routed
+    * through Fixtures.cached for the marker + cross-process FileLock
+    * (two unlocked concurrent builders would interleave into one file —
+    * the hazard the h5ad fixtures were also cured of in r8). */
+  def fixture(s: SparkSession, sfDir: String): String =
+    graft.tables.Fixtures.cached("h5", "matrix.h5", sfDir) { file =>
+      buildFixture(s, sfDir, file.toString)
+    }()
+
+  private def buildFixture(s: SparkSession, sfDir: String,
+                           path: String): Unit = {
     val rows = Tables.embeddings(s, sfDir)
       .select(col("vec_id"),
         transform(col("embedding"), x => abs(x.cast("double"))).as("v"))
@@ -69,9 +71,7 @@ object H5Ingest {
     val grp = w.addGroup(Seq(
       "data" -> dsData, "indices" -> dsIdx, "indptr" -> dsPtr,
       "shape" -> dsShape, "barcodes" -> dsBc))
-    w.writeTo(file.toString, Seq("matrix" -> grp))
-    new java.io.FileOutputStream(marker).close()
-    file.toString
+    w.writeTo(path, Seq("matrix" -> grp))
   }
 
   /** Ingest the h5 fixture and summarize per cell, with the barcode read

@@ -40,15 +40,17 @@ object H5adIngest {
   val Categories: Array[String] = Array("batchA", "batchB", "batchC")
 
   /** One-time embeddings.parquet → adata.h5ad in the AnnData v0.1.0
-    * group layout (CSR X + obs/var dataframe groups + categorical). */
-  def fixture(s: SparkSession, sfDir: String): String = synchronized {
-    val key = sfDir.replaceAll("[^A-Za-z0-9]", "_")
-    val root = new java.io.File(
-      System.getProperty("java.io.tmpdir"), s"graft_h5ad$key")
-    val file = new java.io.File(root, "adata.h5ad")
-    val marker = new java.io.File(root, "_DONE")
-    if (marker.exists()) return file.toString
-    root.mkdirs()
+    * group layout (CSR X + obs/var dataframe groups + categorical).
+    * Routed through Fixtures.cached for the marker + cross-process
+    * FileLock — Verify and Bench can run concurrently in one container,
+    * and two unlocked writers would interleave into the same file. */
+  def fixture(s: SparkSession, sfDir: String): String =
+    graft.tables.Fixtures.cached("h5ad", "adata.h5ad", sfDir) { file =>
+      buildFixture(s, sfDir, file.toString)
+    }()
+
+  private def buildFixture(s: SparkSession, sfDir: String,
+                           path: String): Unit = {
     val rows = Tables.embeddings(s, sfDir)
       .select(col("vec_id"),
         transform(col("embedding"), x => abs(x.cast("double"))).as("v"))
@@ -107,23 +109,20 @@ object H5adIngest {
         "encoding-version" -> AttrStr("0.2.0"),
         "_index" -> AttrStr("var_names"),
         "column-order" -> AttrStrArray(Seq("gene_score"))))
-    w.writeTo(file.toString,
-      Seq("X" -> xGrp, "obs" -> obsGrp, "var" -> varGrp))
-    new java.io.FileOutputStream(marker).close()
-    file.toString
+    w.writeTo(path, Seq("X" -> xGrp, "obs" -> obsGrp, "var" -> varGrp))
   }
 
   /** CSC twin of the fixture: same matrix, X stored gene-major
     * (`encoding-type="csc_matrix"`, indptr over the var axis, indices =
-    * obs rows) — the other orientation AnnData ships. */
-  def fixtureCsc(s: SparkSession, sfDir: String): String = synchronized {
-    val key = sfDir.replaceAll("[^A-Za-z0-9]", "_")
-    val root = new java.io.File(
-      System.getProperty("java.io.tmpdir"), s"graft_h5adc$key")
-    val file = new java.io.File(root, "adata_csc.h5ad")
-    val marker = new java.io.File(root, "_DONE")
-    if (marker.exists()) return file.toString
-    root.mkdirs()
+    * obs rows) — the other orientation AnnData ships. Same
+    * Fixtures.cached locking as [[fixture]]. */
+  def fixtureCsc(s: SparkSession, sfDir: String): String =
+    graft.tables.Fixtures.cached("h5adc", "adata_csc.h5ad", sfDir) { file =>
+      buildFixtureCsc(s, sfDir, file.toString)
+    }()
+
+  private def buildFixtureCsc(s: SparkSession, sfDir: String,
+                              path: String): Unit = {
     val rows = Tables.embeddings(s, sfDir)
       .select(col("vec_id"),
         transform(col("embedding"), x => abs(x.cast("double"))).as("v"))
@@ -161,9 +160,7 @@ object H5adIngest {
         "encoding-version" -> AttrStr("0.2.0"),
         "_index" -> AttrStr("obs_names"),
         "column-order" -> AttrStrArray(Seq.empty)))
-    w.writeTo(file.toString, Seq("X" -> xGrp, "obs" -> obsGrp))
-    new java.io.FileOutputStream(marker).close()
-    file.toString
+    w.writeTo(path, Seq("X" -> xGrp, "obs" -> obsGrp))
   }
 
   /** Ingest the .h5ad fixture: attribute-driven CSR assembly + obs/var

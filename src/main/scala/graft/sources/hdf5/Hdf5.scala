@@ -537,10 +537,21 @@ object H5Meta {
     out.toMap
   }
 
-  private def gheapString(r: Reader, collAddr: Long, index: Int,
-                          len: Int): String = {
-    val obj = readGcol(r.raf, collAddr).getOrElse(index,
-      sys.error(s"global heap $collAddr: no object $index"))
+  /** Resolve ONE vlen-string descriptor — 16 bytes at `off` in `bb`:
+    * length u32, collection address u64, object index u32 — against a
+    * caller-held GCOL cache (one collection read per distinct address,
+    * not per string). The single source of truth for descriptor layout
+    * and the len-vs-stored truncation rule; shared by the executor
+    * scans, the driver reads, and attribute parsing. */
+  def resolveVlen(raf: RandomAccessFile,
+                  cache: collection.mutable.Map[Long, Map[Int, Array[Byte]]],
+                  bb: ByteBuffer, off: Int, what: String): String = {
+    val len = bb.getInt(off)
+    val addr = bb.getLong(off + 4)
+    val idx = bb.getInt(off + 12)
+    val coll = cache.getOrElseUpdate(addr, readGcol(raf, addr))
+    val obj = coll.getOrElse(idx,
+      sys.error(s"$what: global heap $addr has no object $idx"))
     new String(obj, 0, math.min(len, obj.length), "UTF-8")
   }
 
@@ -565,8 +576,15 @@ object H5Meta {
     val dataOff = dsOff + p8(dsSize)
     body.position(dtOff)
     val cv = body.get() & 0xff; val clazz = cv & 0x0f
-    body.get(); body.get(); body.get()
+    val bits0 = body.get() & 0xff
+    body.get(); body.get()
     val size = body.getInt
+    // fixed-point sign bit (bit 3): the subset reads SIGNED ints only —
+    // get().toLong below sign-extends, which would turn an unsigned 255
+    // into -1; reject instead of misreading (same philosophy as the
+    // dataset path's explicit subset rejection)
+    require(clazz != 0 || (bits0 & 0x08) != 0,
+      s"attr $name: unsigned fixed-point attributes unsupported")
     body.position(dsOff)
     require((body.get() & 0xff) == 1, s"attr $name: dataspace version")
     val rank = body.get() & 0xff
@@ -594,13 +612,11 @@ object H5Meta {
         while (end < stop && arr(end) != 0) end += 1
         new String(arr, dataOff + i * sz, end - (dataOff + i * sz), "UTF-8")
       })
-      case (9, 16) => AttrStrings((0 until n).map { i =>
-        body.position(dataOff + i * 16)
-        val len = body.getInt
-        val addr = body.getLong
-        val idx = body.getInt
-        gheapString(r, addr, idx, len)
-      })
+      case (9, 16) => {
+        val cache = collection.mutable.Map[Long, Map[Int, Array[Byte]]]()
+        AttrStrings((0 until n).map(i =>
+          resolveVlen(r.raf, cache, body, dataOff + i * 16, s"attr $name")))
+      }
       case (c, sz) => sys.error(s"attr $name: datatype class $c size $sz unsupported")
     }
     (name, value)

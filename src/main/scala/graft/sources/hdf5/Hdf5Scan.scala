@@ -101,16 +101,8 @@ object Hdf5Scan {
             .wrap(H5Meta.decodePiece(file, p, VlenStr.size))
             .order(java.nio.ByteOrder.LITTLE_ENDIAN)
           (0L until p.nElems).iterator.map { i =>
-            val o = (i * 16).toInt
-            val len = bb.getInt(o)
-            val addr = bb.getLong(o + 4)
-            val idx = bb.getInt(o + 12)
-            val coll = gcolCache.getOrElseUpdate(addr,
-              H5Meta.readGcol(raf, addr))
-            val obj = coll.getOrElse(idx,
-              sys.error(s"$dsPath: global heap $addr has no object $idx"))
             Row(p.elemOffset + i,
-              new String(obj, 0, math.min(len, obj.length), "UTF-8"))
+              H5Meta.resolveVlen(raf, gcolCache, bb, (i * 16).toInt, dsPath))
           }
         }
         // RAF must outlive the iterator; TaskContext closes it at task end
@@ -138,15 +130,8 @@ object Hdf5Scan {
         val bb = ByteBuffer.wrap(H5Meta.decodePiece(file, p, VlenStr.size))
           .order(ByteOrder.LITTLE_ENDIAN)
         (0 until p.nElems.toInt).foreach { i =>
-          val o = i * 16
-          val len = bb.getInt(o)
-          val addr = bb.getLong(o + 4)
-          val idx = bb.getInt(o + 12)
-          val coll = gcolCache.getOrElseUpdate(addr, H5Meta.readGcol(raf, addr))
-          val obj = coll.getOrElse(idx,
-            sys.error(s"$dsPath: global heap $addr has no object $idx"))
           out(p.elemOffset.toInt + i) =
-            new String(obj, 0, math.min(len, obj.length), "UTF-8")
+            H5Meta.resolveVlen(raf, gcolCache, bb, i * 16, dsPath)
         }
       }
       out

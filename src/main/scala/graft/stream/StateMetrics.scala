@@ -42,6 +42,10 @@ object StateMetrics {
       .select(col("user_id"), col("ts"))
       .orderBy("ts", "user_id").limit(SliceRows)
       .as[(Long, java.sql.Timestamp)].collect()
+    // loud on an empty table: grouped(0) below would otherwise throw an
+    // opaque IllegalArgumentException after the stream already started
+    require(slice.length >= Waves,
+      s"state-metrics diagnostic needs >= $Waves events, got ${slice.length}")
     val perWave = (slice.length + Waves - 1) / Waves
     val ms = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(Long, java.sql.Timestamp)]

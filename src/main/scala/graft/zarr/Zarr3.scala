@@ -194,6 +194,13 @@ object Zarr3 {
     }
     val codecs = meta.inner match {
       case Some(sp) =>
+        // the WRITER only produces the end+crc32c layout; a ShardSpec
+        // asking for anything else must fail here, not round-trip
+        // corrupted (readShard honors the flags, so a mismatch between
+        // what was asked and what was written shifts every index read)
+        require(sp.indexAtEnd && sp.indexCrc,
+          "v3 writer emits index_location=end with crc32c only — " +
+            s"got $sp; use the default ShardSpec flags")
         s"""[{"name":"sharding_indexed","configuration":{""" +
           s""""chunk_shape":[${sp.innerRows},${sp.innerCols}],""" +
           s""""codecs":$innerCodecs,""" +
@@ -220,6 +227,8 @@ object Zarr3 {
   def writeShard(path: String, meta: ZarrMeta, i: Long, j: Int,
                  values: Array[Double], conf: Configuration): Unit = {
     val sp = meta.inner.get
+    require(sp.indexAtEnd && sp.indexCrc,
+      s"v3 shard writer emits index_location=end with crc32c only — got $sp")
     require(values.length == meta.chunkRows * meta.chunkCols)
     val gridR = meta.chunkRows / sp.innerRows
     val gridC = meta.chunkCols / sp.innerCols
