@@ -266,9 +266,71 @@ object H5adIngest {
       .orderBy("barcode")
   }
 
+  /** DENSE-X twin: X as a 2-D CHUNKED float64 dataset
+    * (`encoding-type="array"`, the h5py default for a dense matrix) —
+    * 64×16 tiles so every read crosses tile boundaries on BOTH axes
+    * (32 tiles at 500×64). Same Fixtures.cached locking. */
+  def fixtureDense(s: SparkSession, sfDir: String): String =
+    graft.tables.Fixtures.cached("h5add", "adata_dense.h5ad", sfDir) { file =>
+      val rows = Tables.embeddings(s, sfDir)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => abs(x.cast("double"))).as("v"))
+        .orderBy("vec_id")
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      val nVar = rows.head._2.length
+      val flat = new Array[Double](rows.length * nVar)
+      rows.zipWithIndex.foreach { case ((_, v), r) =>
+        var g = 0
+        while (g < nVar) { flat(r * nVar + g) = v(g); g += 1 }
+      }
+      val w = new H5Writer
+      val xDs = w.addF64_2dChunked(flat, rows.length, nVar,
+        chunkRows = 64, chunkCols = 16, deflate = true)
+      // AnnData stores dense X as the dataset itself; its encoding
+      // attrs sit ON the dataset (no triplet group)
+      val xGrp = w.addGroup(Seq("X_data" -> xDs),
+        attrs = Seq(
+          "encoding-type" -> AttrStr("array"),
+          "encoding-version" -> AttrStr("0.2.0")))
+      val obsGrp = w.addGroup(
+        Seq("obs_names" -> w.addVlenStr(rows.map(r => s"CELL-${r._1}"))),
+        attrs = Seq(
+          "encoding-type" -> AttrStr("dataframe"),
+          "encoding-version" -> AttrStr("0.2.0"),
+          "_index" -> AttrStr("obs_names"),
+          "column-order" -> AttrStrArray(Seq.empty)))
+      w.writeTo(file.toString, Seq("X" -> xGrp, "obs" -> obsGrp))
+    }()
+
+  /** Dense-X ingest: the 2-D chunked scan emits (row, col, val) one
+    * task batch per tile; zeros are dropped post-scan so the per-cell
+    * summary (and its oracle) is identical to the sparse routes —
+    * proving all three X encodings land on the same numbers. */
+  def h5adIngestDense(s: SparkSession, d: String): DataFrame = {
+    val file = fixtureDense(s, d)
+    val f = H5Meta.openFull(file)
+    require(f.attrStr("/X", "encoding-type") == "array",
+      s"unsupported X encoding ${f.attrStr("/X", "encoding-type")}")
+    val obsIndex = f.attrStr("/obs", "_index")
+    val obsNames = Hdf5Scan.scanVlenStrings(s, file, s"/obs/$obsIndex")
+      .select(col("idx").as("row"), col("val").as("barcode"))
+    Hdf5Scan.scanMatrix(s, file, "/X/X_data")
+      .filter(col("val") =!= 0.0)
+      .groupBy("row")
+      .agg(count(lit(1)).as("n_genes"),
+        sort_array(collect_list(struct(col("col"), col("val")))).as("gv"))
+      .join(obsNames, Seq("row"))
+      .select(col("barcode"), col("n_genes"),
+        round(aggregate(col("gv"), lit(0.0),
+          (a, e) => a + e.getField("val")), 4).as("checksum"))
+      .orderBy("barcode")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_h5ad_ingest" -> h5adIngest _,
-    "q_h5ad_ingest_csc" -> h5adIngestCsc _)
+    "q_h5ad_ingest_csc" -> h5adIngestCsc _,
+    "q_h5ad_ingest_dense" -> h5adIngestDense _)
 
   val oracle: Map[String, String] = Map(
     // recomputes the fixture's derivations from the SAME parquet:
@@ -292,6 +354,21 @@ object H5adIngest {
                 round(list_sum(list(val ORDER BY pos)), 4) AS checksum,
                 round(list_sum(list(val * ((pos - 1) * 0.25 + 1.0)
                                     ORDER BY pos)), 4) AS weighted
+         FROM nz GROUP BY vec_id ORDER BY barcode""",
+    // dense-X must land on the identical per-cell summary as the
+    // sparse orientations — same SQL by design (three X encodings,
+    // one ground truth)
+    "q_h5ad_ingest_dense" ->
+      """WITH c AS (SELECT vec_id,
+                           list_transform(embedding,
+                             x -> abs(CAST(x AS DOUBLE))) AS v
+                    FROM embeddings),
+         x AS (SELECT vec_id, unnest(v) AS val,
+                      generate_subscripts(v, 1) AS pos FROM c),
+         nz AS (SELECT * FROM x WHERE val <> 0)
+         SELECT 'CELL-' || CAST(vec_id AS VARCHAR) AS barcode,
+                CAST(count(1) AS BIGINT) AS n_genes,
+                round(list_sum(list(val ORDER BY pos)), 4) AS checksum
          FROM nz GROUP BY vec_id ORDER BY barcode""",
     // CSC orientation must land on the identical per-cell summary the
     // 10x-CSC oracle (q_h5_ingest) pins — same SQL by design

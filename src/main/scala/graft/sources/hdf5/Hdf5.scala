@@ -53,11 +53,19 @@ object Hdf5 {
     * resolved against a GCOL collection — the h5py string default. */
   case object VlenStr extends DType { val size = 16 }
 
+  /** A 2-D chunk's grid placement: element offsets of its top-left
+    * corner and the (padded, full-size) tile shape. */
+  case class Tile(rowOff: Long, colOff: Int, rows: Int, cols: Int)
+
   /** One chunk (or contiguous range) of raw dataset bytes — the unit of
     * executor-side work. `elemOffset` = global element index of the first
-    * element; `storedSize` = on-disk bytes (compressed if deflated). */
+    * element; `storedSize` = on-disk bytes (compressed if deflated).
+    * 2-D chunked datasets carry their grid placement in `tile` (their
+    * elements are NOT globally contiguous — decode must map through the
+    * tile geometry). */
   case class Piece(fileOffset: Long, storedSize: Long, elemOffset: Long,
-                   nElems: Long, deflated: Boolean)
+                   nElems: Long, deflated: Boolean,
+                   tile: Option[Tile] = None)
 
   case class DatasetMeta(path: String, dtype: DType, dims: Seq[Long],
                          pieces: Seq[Piece]) {
@@ -180,6 +188,13 @@ final class H5Writer {
     val b = new H5Buf
     b.u8(3); b.u8(2); b.u8(2) // v3, chunked, dimensionality = rank+1 = 2 (1-D data)
     b.u64(btreeAddr); b.u32(chunkElems); b.u32(elemSize)
+    b.toArray
+  }
+  private def chunkedLayoutMsg2d(btreeAddr: Long, chunkRows: Int,
+                                 chunkCols: Int, elemSize: Int): Array[Byte] = {
+    val b = new H5Buf
+    b.u8(3); b.u8(2); b.u8(3) // v3, chunked, dimensionality = rank+1 = 3
+    b.u64(btreeAddr); b.u32(chunkRows); b.u32(chunkCols); b.u32(elemSize)
     b.toArray
   }
   private def deflateMsg(level: Int): Array[Byte] = {
@@ -305,10 +320,10 @@ final class H5Writer {
             }
           val addr = buf.pos
           buf.bytes(out)
-          (addr, out.length.toLong, i.toLong * chunkElems)
+          (addr, out.length.toLong, Seq(i.toLong * chunkElems))
       }.toVector
       defl.end()
-      val btree = writeChunkBtree(chunks, dims.head, maxLeaf = 64)
+      val btree = writeChunkBtree(chunks, Seq(dims.head), maxLeaf = 64)
       writeObjectHeader(Seq(
         0x0001 -> dataspaceMsg(dims),
         0x0003 -> dtypeMsg(t),
@@ -320,33 +335,34 @@ final class H5Writer {
   /** B-tree v1, node type 1 (chunk index): leaves of ≤maxLeaf entries and
     * one internal level above when there is more than one leaf — so the
     * reader's multi-level walk is exercised by any dataset with more than
-    * maxLeaf chunks. Keys are (stored size, filter mask, elem offset, 0);
-    * each node carries entries+1 keys. */
-  private def writeChunkBtree(chunks: Vector[(Long, Long, Long)],
-                              totalElems: Long, maxLeaf: Int): Long = {
-    def key(b: H5Buf, size: Long, off: Long): Unit = {
-      b.u32(size); b.u32(0); b.u64(off); b.u64(0)
+    * maxLeaf chunks. Keys are (stored size, filter mask, per-dim corner
+    * offsets, 0); each node carries entries+1 keys. Rank-generic: 1-D
+    * chunks pass a single offset, 2-D pass (rowOff, colOff). */
+  private def writeChunkBtree(chunks: Vector[(Long, Long, Seq[Long])],
+                              endKey: Seq[Long], maxLeaf: Int): Long = {
+    def key(b: H5Buf, size: Long, offs: Seq[Long]): Unit = {
+      b.u32(size); b.u32(0); offs.foreach(b.u64); b.u64(0)
     }
-    def writeNode(level: Int, entries: Vector[(Long, Long, Long)],
-                  endOff: Long): Long = {
+    def writeNode(level: Int, entries: Vector[(Long, Long, Seq[Long])],
+                  endOff: Seq[Long]): Long = {
       val addr = buf.pos
       buf.bytes("TREE".getBytes("ASCII"))
       buf.u8(1); buf.u8(level); buf.u16(entries.length)
       buf.u64(Undef); buf.u64(Undef)
-      entries.foreach { case (child, size, off) =>
-        key(buf, size, off); buf.u64(child)
+      entries.foreach { case (child, size, offs) =>
+        key(buf, size, offs); buf.u64(child)
       }
       key(buf, 0, endOff)
       addr
     }
     val leaves = chunks.grouped(maxLeaf).toVector
-    if (leaves.length == 1) writeNode(0, leaves.head, totalElems)
+    if (leaves.length == 1) writeNode(0, leaves.head, endKey)
     else {
       val leafAddrs = leaves.zipWithIndex.map { case (leaf, i) =>
-        val end = if (i + 1 < leaves.length) leaves(i + 1).head._3 else totalElems
+        val end = if (i + 1 < leaves.length) leaves(i + 1).head._3 else endKey
         (writeNode(0, leaf, end), 0L, leaf.head._3)
       }
-      writeNode(1, leafAddrs, totalElems)
+      writeNode(1, leafAddrs, endKey)
     }
   }
 
@@ -375,6 +391,61 @@ final class H5Writer {
     writeDataset(Hdf5.F32, Seq(values.length.toLong),
       rawBytes(Hdf5.F32, bb => values.foreach(bb.putFloat), values.length),
       chunkElems, deflate)
+  /** 2-D CHUNKED (+deflate) f64 dataset — the h5py default layout for a
+    * dense matrix (AnnData dense X). Row-major tiles, every stored tile
+    * FULL-SIZE with zero padding at the edges (libhdf5's convention,
+    * which is what lets the reader treat nElems as chunkRows·chunkCols
+    * unconditionally); B-tree keys carry the (rowOff, colOff) corner. */
+  def addF64_2dChunked(values: Array[Double], rows: Int, cols: Int,
+                       chunkRows: Int, chunkCols: Int,
+                       deflate: Boolean = true): Long = {
+    require(values.length == rows * cols, "values must be rows*cols row-major")
+    val defl = new Deflater(6)
+    val chunks = (for {
+      r0 <- 0 until rows by chunkRows
+      c0 <- 0 until cols by chunkCols
+    } yield {
+      val bb = ByteBuffer.allocate(chunkRows * chunkCols * 8)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      var r = 0
+      while (r < chunkRows) {
+        var c = 0
+        while (c < chunkCols) {
+          bb.putDouble(
+            if (r0 + r < rows && c0 + c < cols)
+              values((r0 + r) * cols + (c0 + c))
+            else 0.0)
+          c += 1
+        }
+        r += 1
+      }
+      val raw = bb.array()
+      val enc =
+        if (!deflate) raw
+        else {
+          defl.reset(); defl.setInput(raw); defl.finish()
+          val tmp = new Array[Byte](raw.length + 64)
+          val acc = new java.io.ByteArrayOutputStream()
+          while (!defl.finished()) {
+            val n = defl.deflate(tmp); acc.write(tmp, 0, n)
+          }
+          acc.toByteArray
+        }
+      val addr = buf.pos
+      buf.bytes(enc)
+      (addr, enc.length.toLong, Seq(r0.toLong, c0.toLong))
+    }).toVector
+    defl.end()
+    val btree = writeChunkBtree(chunks, Seq(rows.toLong, cols.toLong),
+      maxLeaf = 64)
+    val msgs = Seq(
+      0x0001 -> dataspaceMsg(Seq(rows.toLong, cols.toLong)),
+      0x0003 -> dtypeMsg(F64)) ++
+      (if (deflate) Seq(0x000b -> deflateMsg(6)) else Nil) :+
+      (0x0008 -> chunkedLayoutMsg2d(btree, chunkRows, chunkCols, 8))
+    writeObjectHeader(msgs)
+  }
+
   def addI64_2d(values: Array[Long], rows: Long, cols: Long): Long = {
     val raw = rawBytes(Hdf5.I64, bb => values.foreach(bb.putLong), values.length)
     val dataAddr = buf.pos
@@ -766,11 +837,15 @@ object H5Meta {
           require(!deflated, s"$path: deflate on contiguous layout")
           if (dataAddr == Undef || dataSize == 0) Seq.empty
           else Seq(Piece(dataAddr, dataSize, 0L, dims.product, deflated = false))
-        case 2 => // chunked, B-tree v1
+        case 2 => // chunked, B-tree v1; dimensionality = data rank + 1
           val dimensionality = layout.get() & 0xff
-          require(dimensionality == 2, s"$path: only 1-D chunked supported")
+          require(dimensionality == 2 || dimensionality == 3,
+            s"$path: only 1-D/2-D chunked supported")
           val btree = layout.getLong
-          val chunkElems = layout.getInt.toLong & 0xffffffffL
+          // chunk shape: one u32 per data dim, then the element size
+          val chunkDims = (0 until dimensionality - 1)
+            .map(_ => layout.getInt.toLong & 0xffffffffL)
+          val chunkElems = chunkDims.product
           val total = dims.product
           val acc = collection.mutable.ArrayBuffer[Piece]()
           def walk(nodeAddr: Long): Unit = {
@@ -787,12 +862,19 @@ object H5Meta {
               body.position((keySize + 8) * i)
               val storedSize = body.getInt.toLong & 0xffffffffL
               body.getInt // filter mask
-              val elemOff = body.getLong
+              // per-dim element offsets of the chunk's corner
+              val offs = (0 until dimensionality - 1).map(_ => body.getLong)
               body.position((keySize + 8) * i + keySize)
               val child = body.getLong
               if (level > 0) walk(child)
-              else acc += Piece(child, storedSize, elemOff,
-                math.min(chunkElems, total - elemOff), deflated)
+              else if (dimensionality == 2)
+                acc += Piece(child, storedSize, offs.head,
+                  math.min(chunkElems, total - offs.head), deflated)
+              else // 2-D: stored chunks are FULL-SIZE (fill-padded edges)
+                acc += Piece(child, storedSize,
+                  offs.head * dims(1) + offs(1), chunkElems, deflated,
+                  tile = Some(Tile(offs.head, offs(1).toInt,
+                    chunkDims.head.toInt, chunkDims(1).toInt)))
             }
           }
           if (btree != Undef) walk(btree)

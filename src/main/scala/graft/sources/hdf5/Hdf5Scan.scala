@@ -177,6 +177,57 @@ object Hdf5Scan {
     })
   }
 
+  /** (row, col, val double) from a 2-D dataset — contiguous or 2-D
+    * CHUNKED (the h5py dense-matrix default). One Spark task batch per
+    * tile; stored tiles are full-size, so edge padding is clipped
+    * against the dataspace dims here. Elements of a tile are NOT
+    * globally contiguous — (row, col) come from the tile geometry. */
+  def scanMatrix(s: SparkSession, file: String, dsPath: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+    val m = meta(file, dsPath)
+    require(m.dims.length == 2, s"$dsPath: rank ${m.dims.length}, need 2")
+    val elemSize = m.dtype.size
+    val nRows = m.dims.head
+    val nCols = m.dims(1)
+    val dtype = m.dtype
+    def get(bb: ByteBuffer, o: Int): Double = dtype match {
+      case F64 => bb.getDouble(o)
+      case F32 => bb.getFloat(o).toDouble
+      case I64 => bb.getLong(o).toDouble
+      case I32 => bb.getInt(o).toDouble
+      case I16 => bb.getShort(o).toDouble
+      case I8  => bb.get(o).toDouble
+      case t => sys.error(s"$dsPath: $t is not numeric")
+    }
+    // contiguous pieces (no tile) still split linearly; tiles decode whole
+    val pieces = splitPieces(m.pieces.filter(_.tile.isEmpty), elemSize) ++
+      m.pieces.filter(_.tile.isDefined)
+    val slices = math.max(1, math.min(pieces.size, 32))
+    val rdd = s.sparkContext.parallelize(pieces, slices).flatMap { p =>
+      val bb = ByteBuffer.wrap(H5Meta.decodePiece(file, p, elemSize))
+        .order(ByteOrder.LITTLE_ENDIAN)
+      p.tile match {
+        case Some(t) =>
+          for {
+            r <- (0 until t.rows).iterator
+            c <- (0 until t.cols).iterator
+            if t.rowOff + r < nRows && t.colOff + c < nCols
+          } yield Row(t.rowOff + r, (t.colOff + c).toLong,
+            get(bb, (r * t.cols + c) * elemSize))
+        case None =>
+          (0L until p.nElems).iterator.map { i =>
+            val g = p.elemOffset + i
+            Row(g / nCols, g % nCols, get(bb, (i * elemSize).toInt))
+          }
+      }
+    }
+    s.createDataFrame(rdd, StructType(Seq(
+      StructField("row", LongType, nullable = false),
+      StructField("col", LongType, nullable = false),
+      StructField("val", DoubleType, nullable = false))))
+  }
+
   /** Driver-side full read for SMALL datasets (indptr, shape — the
     * bounded-stats class; do NOT use on data/indices). */
   def readLongs(file: String, dsPath: String): Array[Long] = {

@@ -58,6 +58,27 @@ class Hdf5Spec extends SparkSpec {
       codes.map(_.toLong).toSeq)
   }
 
+  test("2-D chunked dataset round-trips with edge-tile clipping") {
+    // 10×7 matrix in 4×3 tiles: both axes have partial edge tiles, so
+    // the padded-tile write + clipped read paths are both exercised
+    val rows = 10; val cols = 7
+    val vals = Array.tabulate(rows * cols)(i => i * 1.25 - 3.0)
+    val w = new H5Writer
+    val ds = w.addF64_2dChunked(vals, rows, cols,
+      chunkRows = 4, chunkCols = 3, deflate = true)
+    val path = tmp("m2d")
+    w.writeTo(path, Seq("x" -> ds))
+    val m = H5Meta.open(path)("/x")
+    assert(m.dims == Seq(10L, 7L))
+    assert(m.pieces.length == 9 && m.pieces.forall(_.tile.isDefined))
+    val got = Hdf5Scan.scanMatrix(spark, path, "/x")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    assert(got.length == rows * cols) // padding clipped, nothing lost
+    got.foreach { case ((r, c), v) =>
+      assert(v == vals((r * cols + c).toInt), s"($r,$c)")
+    }
+  }
+
   test("h5ad ingest equals the parquet-derived model row for row") {
     val sfDir = sf
     val got = graft.sc.H5adIngest.h5adIngest(spark, sfDir)
