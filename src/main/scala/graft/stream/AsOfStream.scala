@@ -23,10 +23,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * "latest dimension value per key", and why the operator can run
   * forever on a 100 TB/day stream.
   *
-  * Emission is append-mode and final (one output per sealed probe,
-  * inner semantics: probes with no prior build emit nothing); ties at
-  * equal build ts resolve by (ts, payload) max — spec inputs keep build
-  * (key, ts) unique, matching the batch operator's contract.
+  * Emission is append-mode and final (at most one output per sealed
+  * probe; inner drops unmatched probes, the LEFT form null-pads them —
+  * the variant lives entirely in the emission lambda, exactly like the
+  * batch exec's); ties at equal build ts resolve by (ts, payload) max —
+  * spec inputs keep build (key, ts) unique, matching the batch
+  * operator's contract.
   *
   * Late-arrival contract (the standard watermark one): a tick arriving
   * more than the watermark delay behind the stream head is OUTSIDE the
@@ -45,14 +47,38 @@ object AsOfStream {
 
   case class AsOfMatch(key: Long, probe_payload: Long, probe_ns: Long,
                        build_payload: Long, build_ns: Long)
+  /** Left-outer emission: unmatched sealed probes keep None build
+    * fields (→ nullable columns), mirroring the batch exec's
+    * null-padded right side. */
+  case class AsOfLeftMatch(key: Long, probe_payload: Long, probe_ns: Long,
+                           build_payload: Option[Long], build_ns: Option[Long])
 
   /** (ts_ns, payload) pairs pending per side. Public: encoder codegen. */
   case class AsOfBuf(probes: List[(Long, Long)], builds: List[(Long, Long)])
 
+  /** Inner streaming as-of: unmatched sealed probes emit nothing. */
   def streamingAsOf(ticks: Dataset[AsOfTick]): Dataset[AsOfMatch] = {
     import ticks.sparkSession.implicits._
+    asOfCore[AsOfMatch](ticks, (key, pId, pNs, b) =>
+      b.map { case (bNs, bId) => AsOfMatch(key, pId, pNs, bId, bNs) })
+  }
+
+  /** Left-outer streaming as-of: every sealed probe emits exactly once,
+    * null-padded when no prior build exists — same sealing, state, and
+    * compaction as the inner form (the variant lives entirely in the
+    * emission lambda, like the batch exec's). */
+  def streamingAsOfLeft(ticks: Dataset[AsOfTick]): Dataset[AsOfLeftMatch] = {
+    import ticks.sparkSession.implicits._
+    asOfCore[AsOfLeftMatch](ticks, (key, pId, pNs, b) =>
+      Some(AsOfLeftMatch(key, pId, pNs, b.map(_._2), b.map(_._1))))
+  }
+
+  private def asOfCore[T](ticks: Dataset[AsOfTick],
+      emitOne: (Long, Long, Long, Option[(Long, Long)]) => Option[T])
+      (implicit enc: org.apache.spark.sql.Encoder[T]): Dataset[T] = {
+    import ticks.sparkSession.implicits._
     ticks.groupByKey(_.key)
-      .flatMapGroupsWithState[AsOfBuf, AsOfMatch](
+      .flatMapGroupsWithState[AsOfBuf, T](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (key: Long, rows: Iterator[AsOfTick], state: GroupState[AsOfBuf]) =>
           val wmNs = state.getCurrentWatermarkMs() * 1000000L
@@ -67,11 +93,8 @@ object AsOfStream {
           val (ready, pending) = probes.partition(_._1 <= wmNs)
           val emit = ready.sortBy(identity).flatMap { case (pNs, pId) =>
             val cands = builds.filter(_._1 <= pNs)
-            if (cands.isEmpty) None
-            else {
-              val b = cands.max
-              Some(AsOfMatch(key, pId, pNs, b._2, b._1))
-            }
+            emitOne(key, pId, pNs,
+              if (cands.isEmpty) None else Some(cands.max))
           }
           // build retention: newer-than-wm verbatim + the one dominating
           // at-or-below-wm row (serves every future probe)
