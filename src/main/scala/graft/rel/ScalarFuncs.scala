@@ -245,8 +245,14 @@ object ScalarFuncs {
     val dStat = KsFracs.indices.map(k =>
         abs(col(s"c$k") / col("n1") - col(s"p$k") / col("n2")))
       .reduce(greatest(_, _))
+    // a zero-row side is a degenerate input where Spark (NULL) and
+    // DuckDB (inf/NaN) division semantics diverge — fail loudly instead
+    // of producing an engine-dependent non-answer
     wide.select(col("n1"), col("n2"),
-      round(dStat + lit(1e-9), 6).as("d_stat"))
+      when(col("n1") > 0 && col("n2") > 0, round(dStat + lit(1e-9), 6))
+        .otherwise(raise_error(lit(
+          "statsKs: a compared side has zero rows")).cast("double"))
+        .as("d_stat"))
   }
   private val KsFracs: Seq[Double] = (1 to 99).map(_ / 100.0)
 

@@ -285,11 +285,11 @@ object H5adIngest {
         while (g < nVar) { flat(r * nVar + g) = v(g); g += 1 }
       }
       val w = new H5Writer
+      // AnnData stores dense X as the 2-D DATASET ITSELF (no wrapper
+      // group); its encoding attrs sit ON the dataset — matching the
+      // real h5py layout is what makes this a container-format test
       val xDs = w.addF64_2dChunked(flat, rows.length, nVar,
-        chunkRows = 64, chunkCols = 16, deflate = true)
-      // AnnData stores dense X as the dataset itself; its encoding
-      // attrs sit ON the dataset (no triplet group)
-      val xGrp = w.addGroup(Seq("X_data" -> xDs),
+        chunkRows = 64, chunkCols = 16, deflate = true,
         attrs = Seq(
           "encoding-type" -> AttrStr("array"),
           "encoding-version" -> AttrStr("0.2.0")))
@@ -300,7 +300,7 @@ object H5adIngest {
           "encoding-version" -> AttrStr("0.2.0"),
           "_index" -> AttrStr("obs_names"),
           "column-order" -> AttrStrArray(Seq.empty)))
-      w.writeTo(file.toString, Seq("X" -> xGrp, "obs" -> obsGrp))
+      w.writeTo(file.toString, Seq("X" -> xDs, "obs" -> obsGrp))
     }()
 
   /** Dense-X ingest: the 2-D chunked scan emits (row, col, val) one
@@ -315,7 +315,7 @@ object H5adIngest {
     val obsIndex = f.attrStr("/obs", "_index")
     val obsNames = Hdf5Scan.scanVlenStrings(s, file, s"/obs/$obsIndex")
       .select(col("idx").as("row"), col("val").as("barcode"))
-    Hdf5Scan.scanMatrix(s, file, "/X/X_data")
+    Hdf5Scan.scanMatrix(s, file, "/X")
       .filter(col("val") =!= 0.0)
       .groupBy("row")
       .agg(count(lit(1)).as("n_genes"),

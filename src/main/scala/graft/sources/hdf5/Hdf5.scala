@@ -308,28 +308,32 @@ final class H5Writer {
       val defl = new Deflater(6)
       val chunks = raw.grouped(chunkElems * t.size).zipWithIndex.map {
         case (c, i) =>
-          val out =
-            if (!deflate) c
-            else {
-              defl.reset(); defl.setInput(c); defl.finish()
-              val tmp = new Array[Byte](c.length + 64)
-              var n = 0
-              val acc = new java.io.ByteArrayOutputStream()
-              while (!defl.finished()) { n = defl.deflate(tmp); acc.write(tmp, 0, n) }
-              acc.toByteArray
-            }
+          val out = if (!deflate) c else compress(defl, c)
           val addr = buf.pos
           buf.bytes(out)
           (addr, out.length.toLong, Seq(i.toLong * chunkElems))
       }.toVector
       defl.end()
       val btree = writeChunkBtree(chunks, Seq(dims.head), maxLeaf = 64)
+      // the filter-pipeline message must track the actual chunk
+      // encoding: raw chunks with a declared deflate filter would be
+      // fed to the reader's Inflater
       writeObjectHeader(Seq(
         0x0001 -> dataspaceMsg(dims),
-        0x0003 -> dtypeMsg(t),
-        0x000b -> deflateMsg(6),
+        0x0003 -> dtypeMsg(t)) ++
+        (if (deflate) Seq(0x000b -> deflateMsg(6)) else Nil) ++ Seq(
         0x0008 -> chunkedLayoutMsg(btree, chunkElems.toLong, t.size)) ++ attrMsgs)
     }
+  }
+
+  private def compress(defl: Deflater, raw: Array[Byte]): Array[Byte] = {
+    defl.reset(); defl.setInput(raw); defl.finish()
+    val tmp = new Array[Byte](raw.length + 64)
+    val acc = new java.io.ByteArrayOutputStream()
+    while (!defl.finished()) {
+      val n = defl.deflate(tmp); acc.write(tmp, 0, n)
+    }
+    acc.toByteArray
   }
 
   /** B-tree v1, node type 1 (chunk index): leaves of ≤maxLeaf entries and
@@ -398,8 +402,10 @@ final class H5Writer {
     * unconditionally); B-tree keys carry the (rowOff, colOff) corner. */
   def addF64_2dChunked(values: Array[Double], rows: Int, cols: Int,
                        chunkRows: Int, chunkCols: Int,
-                       deflate: Boolean = true): Long = {
+                       deflate: Boolean = true,
+                       attrs: Seq[(String, Hdf5.AttrSpec)] = Nil): Long = {
     require(values.length == rows * cols, "values must be rows*cols row-major")
+    val attrMsgs = attrs.map { case (n, sp) => attrMsg(n, sp) }
     val defl = new Deflater(6)
     val chunks = (for {
       r0 <- 0 until rows by chunkRows
@@ -420,17 +426,7 @@ final class H5Writer {
         r += 1
       }
       val raw = bb.array()
-      val enc =
-        if (!deflate) raw
-        else {
-          defl.reset(); defl.setInput(raw); defl.finish()
-          val tmp = new Array[Byte](raw.length + 64)
-          val acc = new java.io.ByteArrayOutputStream()
-          while (!defl.finished()) {
-            val n = defl.deflate(tmp); acc.write(tmp, 0, n)
-          }
-          acc.toByteArray
-        }
+      val enc = if (!deflate) raw else compress(defl, raw)
       val addr = buf.pos
       buf.bytes(enc)
       (addr, enc.length.toLong, Seq(r0.toLong, c0.toLong))
@@ -438,11 +434,12 @@ final class H5Writer {
     defl.end()
     val btree = writeChunkBtree(chunks, Seq(rows.toLong, cols.toLong),
       maxLeaf = 64)
-    val msgs = Seq(
+    val msgs = (Seq(
       0x0001 -> dataspaceMsg(Seq(rows.toLong, cols.toLong)),
       0x0003 -> dtypeMsg(F64)) ++
       (if (deflate) Seq(0x000b -> deflateMsg(6)) else Nil) :+
-      (0x0008 -> chunkedLayoutMsg2d(btree, chunkRows, chunkCols, 8))
+      (0x0008 -> chunkedLayoutMsg2d(btree, chunkRows, chunkCols, 8))) ++
+      attrMsgs
     writeObjectHeader(msgs)
   }
 

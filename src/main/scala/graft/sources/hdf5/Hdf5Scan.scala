@@ -35,6 +35,17 @@ object Hdf5Scan {
     H5Meta.open(file).getOrElse(dsPath,
       throw new IllegalArgumentException(s"$file: no dataset $dsPath"))
 
+  /** The linear (idx, val) entry points assume globally contiguous
+    * row-major elements; a 2-D CHUNKED dataset's tiles are NOT (their
+    * elemOffset is a corner, their nElems padded) — sending one through
+    * scanDoubles would scramble indices silently. Loud gate instead. */
+  private def metaLinear(file: String, dsPath: String): DatasetMeta = {
+    val m = meta(file, dsPath)
+    require(m.pieces.forall(_.tile.isEmpty),
+      s"$dsPath is 2-D chunked — use scanMatrix, not a linear scan/read")
+    m
+  }
+
   private def scan(s: SparkSession, file: String, m: DatasetMeta,
                    valType: org.apache.spark.sql.types.DataType,
                    decode: (ByteBuffer, Int) => Any): DataFrame = {
@@ -58,7 +69,7 @@ object Hdf5Scan {
   /** (idx, val double) from an F32/F64 dataset. */
   def scanDoubles(s: SparkSession, file: String, dsPath: String): DataFrame = {
     import org.apache.spark.sql.types.DoubleType
-    val m = meta(file, dsPath)
+    val m = metaLinear(file, dsPath)
     m.dtype match {
       case F64 => scan(s, file, m, DoubleType, (bb, o) => bb.getDouble(o))
       case F32 => scan(s, file, m, DoubleType, (bb, o) => bb.getFloat(o).toDouble)
@@ -69,7 +80,7 @@ object Hdf5Scan {
   /** (idx, val long) from an I8/I16/I32/I64 dataset. */
   def scanLongs(s: SparkSession, file: String, dsPath: String): DataFrame = {
     import org.apache.spark.sql.types.LongType
-    val m = meta(file, dsPath)
+    val m = metaLinear(file, dsPath)
     m.dtype match {
       case I64 => scan(s, file, m, LongType, (bb, o) => bb.getLong(o))
       case I32 => scan(s, file, m, LongType, (bb, o) => bb.getInt(o).toLong)
@@ -87,7 +98,7 @@ object Hdf5Scan {
   def scanVlenStrings(s: SparkSession, file: String, dsPath: String): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
-    val m = meta(file, dsPath)
+    val m = metaLinear(file, dsPath)
     require(m.dtype == VlenStr,
       s"$dsPath: ${m.dtype} is not a vlen string")
     val pieces = splitPieces(m.pieces, VlenStr.size)
@@ -118,7 +129,7 @@ object Hdf5Scan {
   /** Driver-side full read of a SMALL vlen-string dataset (categorical
     * categories, var_names — the bounded-stats class). */
   def readVlenStrings(file: String, dsPath: String): Array[String] = {
-    val m = meta(file, dsPath)
+    val m = metaLinear(file, dsPath)
     require(m.nElems <= (1L << 20),
       s"$dsPath has ${m.nElems} elems — use scanVlenStrings, not a driver read")
     require(m.dtype == VlenStr, s"$dsPath: ${m.dtype} is not a vlen string")
@@ -141,7 +152,7 @@ object Hdf5Scan {
   /** Driver-side full read for SMALL float datasets (per-gene scores —
     * the bounded-stats class). */
   def readDoubles(file: String, dsPath: String): Array[Double] = {
-    val m = meta(file, dsPath)
+    val m = metaLinear(file, dsPath)
     require(m.nElems <= (1L << 22),
       s"$dsPath has ${m.nElems} elems — use scanDoubles, not a driver read")
     val out = new Array[Double](m.nElems.toInt)
@@ -164,7 +175,7 @@ object Hdf5Scan {
     * the 10x barcodes convention). */
   def scanStrings(s: SparkSession, file: String, dsPath: String): DataFrame = {
     import org.apache.spark.sql.types.StringType
-    val m = meta(file, dsPath)
+    val m = metaLinear(file, dsPath)
     val width = m.dtype match {
       case FixedStr(w) => w
       case t => throw new IllegalArgumentException(s"$dsPath: $t is not string")
@@ -231,7 +242,7 @@ object Hdf5Scan {
   /** Driver-side full read for SMALL datasets (indptr, shape — the
     * bounded-stats class; do NOT use on data/indices). */
   def readLongs(file: String, dsPath: String): Array[Long] = {
-    val m = meta(file, dsPath)
+    val m = metaLinear(file, dsPath)
     require(m.nElems <= (1L << 22),
       s"$dsPath has ${m.nElems} elems — use scanLongs, not a driver read")
     val out = new Array[Long](m.nElems.toInt)
