@@ -172,6 +172,38 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Unigram log-probability quality score — the CCNet-style
+    * perplexity proxy (public: Wenzek et al. 2020 rank corpora by LM
+    * score; the unigram form is its join-only distributed core): fit a
+    * Laplace-smoothed unigram model on the corpus' top-K vocabulary,
+    * score every document by its mean token log-prob. Low scores flag
+    * gibberish/rare-token text, the standard pretraining quality cut.
+    *
+    * Scale shape: one token-count pass (keyed agg), a top-K vocab
+    * (bounded: K rows, broadcastable by size), one left join of the
+    * token stream against it (OOV → floor probability — the vocab CAP
+    * is what keeps the model bounded at 100 TB, not an accident), one
+    * per-doc agg. No driver state; the only sub-linear structure is the
+    * K-row vocab. */
+  val LogProbVocabK = 200
+  def textLogProb(s: SparkSession, d: String): DataFrame = {
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+    val vocab = tok.groupBy("t").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("t")).limit(LogProbVocabK)
+    val total = tok.agg(count(lit(1)).as("n_tok"))
+    tok.join(broadcast(vocab), Seq("t"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        // Laplace: p = (c+1)/(n_tok + K + 1); OOV mass = the +1 floor
+        log((coalesce(col("c"), lit(0L)) + lit(1L)).cast("double") /
+          (col("n_tok") + lit(LogProbVocabK + 1)).cast("double")).as("lp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(col("lp")) + lit(1e-9), 4).as("mean_logp"))
+      .orderBy("doc_id")
+  }
+
   /** Document fingerprints: canonical md5 over the sorted distinct token
     * set, plus a winnowing-style rolling fingerprint — 3-gram rolling
     * hashes, min over a 4-gram sliding window, distinct mins summarized.
@@ -652,6 +684,7 @@ object TextOps {
     "q_text_stats"       -> textStats _,
     "q_text_quality"     -> textQuality _,
     "q_text_gopher"      -> textGopher _,
+    "q_text_logprob"     -> textLogProb _,
     "q_text_classifier"  -> textClassifier _,
     "q_text_fingerprint" -> textFingerprint _,
     "q_text_langid"      -> textLangId _,
@@ -720,6 +753,19 @@ object TextOps {
 
   val oracle: Map[String, String] = Map(
     "q_text_langid" -> langIdOracleSql,
+    // same top-K vocab (count DESC, token tiebreak), same Laplace
+    // arithmetic; avg over per-token ln of identical doubles
+    "q_text_logprob" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(str_split(text, ' ')) AS t
+                       FROM documents),
+         vocab AS (SELECT t, count(1) AS c FROM tok GROUP BY t
+                   ORDER BY c DESC, t LIMIT $LogProbVocabK),
+         n AS (SELECT CAST(count(1) AS BIGINT) AS n_tok FROM tok)
+         SELECT doc_id, CAST(count(1) AS BIGINT) AS n_tokens,
+                round(avg(ln(CAST(coalesce(v.c, 0) + 1 AS DOUBLE)
+                  / (n_tok + ${LogProbVocabK + 1}))) + 1e-9, 4) AS mean_logp
+         FROM tok LEFT JOIN vocab v USING (t), n
+         GROUP BY doc_id ORDER BY doc_id""",
     // rule thresholds restated literally; the stopword IN-list is
     // generated from the same CommonTokens the Scala side filters on
     "q_text_gopher" -> {
