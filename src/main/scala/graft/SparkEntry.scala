@@ -34,7 +34,10 @@ object SparkEntry {
       llm.HeavyHitters.queries ++
       tables.Sorted.queries ++ tables.ZOrder.queries ++
       rel.TpchDeep.queries ++ stream.TopKStream.queries ++
-      stream.StateMetrics.queries
+      stream.StateMetrics.queries ++ rel.MoreJoins.queries ++
+      llm.LmScore.queries ++ sc.Bfs.queries ++
+      sc.QcMetrics.queries ++ sc.ScoreGenes.queries ++
+      llm.PrefixJoin.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -59,5 +62,8 @@ object SparkEntry {
       llm.HeavyHitters.oracle ++
       tables.Sorted.oracle ++ tables.ZOrder.oracle ++
       rel.TpchDeep.oracle ++ stream.TopKStream.oracle ++
-      stream.StateMetrics.oracle
+      stream.StateMetrics.oracle ++ rel.MoreJoins.oracle ++
+      llm.LmScore.oracle ++ sc.Bfs.oracle ++
+      sc.QcMetrics.oracle ++ sc.ScoreGenes.oracle ++
+      llm.PrefixJoin.oracle
 }

@@ -228,7 +228,7 @@ object Dedup {
   // ----------------------------------------------------- n-gram jaccard --
 
   /** Distinct token set per doc, relational form (doc_id, t). */
-  private def tokenSets(docs: DataFrame): DataFrame =
+  private[llm] def tokenSets(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
       .distinct()
 

@@ -104,15 +104,32 @@ object Sampling {
     * d=64 before any quantization). Output = projected checksum and
     * norm per vector; distance preservation is spec-gated. */
   val ProjK = 16
-  def embedProjectVecs(df: DataFrame): DataFrame = {
-    def sign(i: Column, j: Column): Column =
-      when(conv(substring(md5(concat_ws(":", lit("p"),
-            i.cast("string"), j.cast("string"))), 1, 1), 16, 10)
-          .cast("int") % 2 === 0, lit(1.0))
-        .otherwise(lit(-1.0))
+
+  /** s(i,j) computed ONCE on the driver with the same md5 definition the
+    * oracle replays — the matrix is row-independent, so hashing it
+    * per row (the first-cut form) did k·d md5 calls PER VECTOR: ~5M
+    * digests per pass at sf0.1, 6.7 s of pure hashing for a 1024-entry
+    * constant. Precomputed it's a (k × d) literal the executors fold
+    * against — at reference scale (k=16, d=28k) that's ~3.5 MB of plan
+    * literal, still the bounded-stats class. */
+  private def signMatrix(dim: Int): Seq[Seq[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def sign(i: Int, j: Int): Double = {
+      val hex = md.digest(s"p:$i:$j".getBytes("UTF-8"))
+        .take(1).map("%02x".format(_)).mkString
+      if (Integer.parseInt(hex.substring(0, 1), 16) % 2 == 0) 1.0 else -1.0
+    }
+    (0 until ProjK).map(j => (0 until dim).map(i => sign(i, j)))
+  }
+
+  /** `dim` must equal every row's vector length (64 for the embeddings
+    * table); a shorter row would fold NULL into its tail sums. */
+  def embedProjectVecs(df: DataFrame, dim: Int = 64): DataFrame = {
+    val s = typedLit(signMatrix(dim))
     df.withColumn("y", transform(sequence(lit(0), lit(ProjK - 1)), j =>
-        aggregate(sequence(lit(0), size(col("v")) - 1), lit(0.0),
-          (a, i) => a + element_at(col("v"), i + 1) * sign(i, j))
+        aggregate(sequence(lit(0), lit(dim - 1)), lit(0.0),
+          (a, i) => a + element_at(col("v"), i + 1) *
+            element_at(element_at(s, j + 1), i + 1))
           / sqrt(lit(ProjK.toDouble))))
   }
 

@@ -606,6 +606,23 @@ object Relational {
       |> ORDER BY l_returnflag""")
   }
 
+  /** GROUP BY ALL / ORDER BY ALL (the Spark-4 ⋂ DuckDB convenience
+    * dialect): every non-aggregate select item becomes a grouping key,
+    * the full select list the sort key — killing the stale-GROUP-BY-list
+    * bug class in hand-maintained reports. Catalyst expands both at
+    * analysis time to the explicit form; the oracle IS the explicit
+    * form, so the gate proves the expansion by value. */
+  def sqlGroupByAll(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+    s.sql("""
+      SELECT l_returnflag, l_linestatus,
+             CAST(count(1) AS BIGINT) AS n_rows,
+             round(sum(l_quantity) + 1e-6, 2) AS sum_qty
+      FROM lineitem
+      GROUP BY ALL
+      ORDER BY ALL""")
+  }
+
   /** Parameterized SQL (named parameter markers, new Spark 4.x API):
     * `spark.sql(text, args)` binds `:name` markers server-side as
     * literals in the PLAN, not by string interpolation — the injection-
@@ -633,6 +650,7 @@ object Relational {
   val queries: Map[String, Q] = Map(
     "q_sql_params"    -> sqlParams _,
     "q_sql_pipe"      -> sqlPipe _,
+    "q_sql_group_by_all" -> sqlGroupByAll _,
     "q_sql_tpch_q1"   -> sqlTpchQ1 _,
     "q_sql_tpch_q3"   -> sqlTpchQ3 _,
     "q_sql_tpch_q4"   -> sqlTpchQ4 _,
@@ -705,6 +723,14 @@ object Relational {
            AND l_quantity <= 40
          GROUP BY l_returnflag
          ORDER BY l_returnflag""",
+    // the EXPLICIT expansion GROUP BY ALL / ORDER BY ALL must produce
+    "q_sql_group_by_all" ->
+      """SELECT l_returnflag, l_linestatus,
+                CAST(count(1) AS BIGINT) AS n_rows,
+                round(sum(l_quantity) + 1e-6, 2) AS sum_qty
+         FROM lineitem
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus, n_rows, sum_qty""",
     "q_sql_pipe" ->
       """SELECT l_returnflag,
                 round(sum(l_extendedprice * (1 - l_discount)) + 1e-6, 2)

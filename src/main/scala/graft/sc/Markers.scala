@@ -99,6 +99,66 @@ object Markers {
       .orderBy("label", "rnk")
   }
 
+  /** rank_genes_groups, WILCOXON flavor — the rank-sum test scanpy
+    * users reach for when expression is non-normal (method='wilcoxon'
+    * [recalled:high]). Tie-corrected normal approximation:
+    * z = (R₁ − n₁(N+1)/2) / σ with
+    * σ² = n₁n₂/12 · ((N+1) − Σ(t³−t)/(N(N−1))).
+    *
+    * The scale trick: per-gene average ranks are computed on the
+    * DISTINCT-VALUE frame ((pos, val) counts + a cumulative-count
+    * window partitioned by gene), NEVER by ranking cell-level rows — at
+    * 1.3M×28k the cell-level window is a 36-billion-row sort per gene,
+    * the distinct-value frame is bounded by distinct values. Ranks join
+    * back keyed on (pos, val), and the rank-sum agg is the same
+    * |groups|×|genes| frame as the t-test flavor. Average ranks are
+    * exact .0/.5 doubles and their sums stay exact (< 2⁵³), so the only
+    * float-discipline point is the final z (rounded 4 dp, ordered with
+    * pos tiebreak). */
+  def scMarkersWilcoxon(s: SparkSession, d: String): DataFrame =
+    wilcoxonFor(labeled(s, d), TOP_K)
+
+  /** The rank-sum core over any (label, vec) frame. */
+  def wilcoxonFor(m: DataFrame, topK: Int): DataFrame = {
+    val x = m
+      .select(col("label"), posexplode(col("vec")).as(Seq("pos", "val")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vc = x.groupBy("pos", "val").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // average rank of a tied value group = (cum-exclusive) + (c+1)/2
+    val wv = Window.partitionBy("pos").orderBy("val")
+    val ranked = vc.withColumn("cum", sum(col("c")).over(wv))
+      .select(col("pos"), col("val"),
+        ((col("cum") - col("c")).cast("double") +
+          (col("c") + 1).cast("double") / 2.0).as("avg_rank"))
+    val ties = vc.groupBy("pos")
+      .agg(sum(col("c") * col("c") * col("c") - col("c")).as("tsum"))
+    val grp = x.join(ranked, Seq("pos", "val"))
+      .groupBy("label", "pos")
+      .agg(count(lit(1)).as("n1"), sum(col("avg_rank")).as("r1"))
+    val totals = x.groupBy("pos").agg(count(lit(1)).as("nn"))
+    val n2 = col("nn") - col("n1")
+    val mu = col("n1").cast("double") * (col("nn") + 1).cast("double") / 2.0
+    val sig2 = col("n1").cast("double") * n2.cast("double") / 12.0 *
+      ((col("nn") + 1).cast("double") -
+        col("tsum").cast("double") /
+          (col("nn").cast("double") * (col("nn") - 1).cast("double")))
+    val scored = grp
+      .join(broadcast(totals), Seq("pos"))
+      .join(broadcast(ties), Seq("pos"))
+      .select(col("label"), col("pos"),
+        (round(when(sig2 > 0.0, (col("r1") - mu) / sqrt(sig2))
+          .otherwise(0.0) + lit(1e-9), 4) + lit(0.0)).as("z"),
+        round(col("r1") + lit(1e-9), 2).as("rank_sum"))
+    val w = Window.partitionBy("label").orderBy(col("z").desc, col("pos"))
+    val out = scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select(col("label"), col("rnk"),
+        (col("pos") + 1).cast("int").as("pos1"), col("z"), col("rank_sum"))
+      .orderBy("label", "rnk")
+    out
+  }
+
   /** regress_out: per-gene simple linear regression of expression on the
     * per-cell total-count covariate (the scanpy default nuisance
     * regressor); emits slope, intercept, and residual RMS per gene.
@@ -193,11 +253,57 @@ object Markers {
 
   val queries: Map[String, Q] = Map(
     "q_sc_markers"     -> scMarkers _,
+    "q_sc_markers_wilcoxon" -> scMarkersWilcoxon _,
     "q_sc_regress_out" -> scRegressOut _,
     "q_sc_downsample"  -> scDownsample _,
   )
 
   val oracle: Map[String, String] = Map(
+    // distinct-value average ranks (exact .0/.5 doubles), tie-corrected
+    // σ², identical op sequence for μ/σ²/z, rank on ROUNDED z + pos
+    "q_sc_markers_wilcoxon" ->
+      """WITH c AS (SELECT vec_id, label,
+                           list_transform(embedding,
+                             x -> abs(CAST(x AS DOUBLE))) AS v
+                    FROM embeddings),
+         x AS (SELECT label, unnest(v) AS val,
+                      generate_subscripts(v, 1) AS pos FROM c),
+         vc AS (SELECT pos, val, CAST(count(*) AS BIGINT) AS cnt
+                FROM x GROUP BY pos, val),
+         rk AS (SELECT pos, val,
+                       CAST(sum(cnt) OVER (PARTITION BY pos ORDER BY val)
+                            - cnt AS DOUBLE)
+                       + CAST(cnt + 1 AS DOUBLE) / 2.0 AS avg_rank
+                FROM vc),
+         tt AS (SELECT pos, sum(cnt * cnt * cnt - cnt) AS tsum
+                FROM vc GROUP BY pos),
+         g AS (SELECT label, pos, CAST(count(*) AS BIGINT) AS n1,
+                      sum(avg_rank) AS r1
+               FROM x JOIN rk USING (pos, val) GROUP BY label, pos),
+         tot AS (SELECT pos, CAST(count(*) AS BIGINT) AS nn
+                 FROM x GROUP BY pos),
+         j AS (SELECT label, pos, r1,
+                      CAST(n1 AS DOUBLE) * CAST(nn + 1 AS DOUBLE) / 2.0
+                        AS mu,
+                      CAST(n1 AS DOUBLE) * CAST(nn - n1 AS DOUBLE) / 12.0 *
+                        (CAST(nn + 1 AS DOUBLE) - CAST(tsum AS DOUBLE) /
+                          (CAST(nn AS DOUBLE) * CAST(nn - 1 AS DOUBLE)))
+                        AS sig2
+               FROM g JOIN tot USING (pos) JOIN tt USING (pos)),
+         sc AS (SELECT label, pos,
+                       round(CASE WHEN sig2 > CAST(0 AS DOUBLE)
+                                  THEN (r1 - mu) / sqrt(sig2)
+                                  ELSE CAST(0 AS DOUBLE) END + 1e-9, 4)
+                         + 0.0 AS z,
+                       round(r1 + 1e-9, 2) AS rank_sum
+                FROM j),
+         r AS (SELECT label, pos, z, rank_sum,
+                      row_number() OVER (PARTITION BY label
+                        ORDER BY z DESC, pos) AS rnk
+               FROM sc)
+         SELECT label, CAST(rnk AS INT) AS rnk, CAST(pos AS INT) AS pos1,
+                z, rank_sum
+         FROM r WHERE rnk <= 5 ORDER BY label, rnk""",
     // identical op sequence: sums of doubles → Welch t → round(·,4) →
     // rank on the ROUNDED t with pos tiebreak
     "q_sc_markers" ->

@@ -171,6 +171,20 @@ object Events {
           col("p_ts") < col("s_ts") + expr("INTERVAL 1 HOUR"))
       .select(col("signup_id"), col("user_id"), col("p_ts"), col("value"))
 
+  /** LEFT-OUTER twin of [[intervalJoinPairs]]: signups with no in-window
+    * purchase survive null-padded. In streaming this is the shape whose
+    * unmatched rows are emitted only once the watermark PROVES no match
+    * can still arrive (state eviction = emission trigger) —
+    * StreamStreamJoinSpec drives exactly that through MemoryStreams. */
+  def intervalJoinPairsLeft(signups: DataFrame,
+                            purchases: DataFrame): DataFrame =
+    signups.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("p_ts") >= col("s_ts") &&
+          col("p_ts") < col("s_ts") + expr("INTERVAL 1 HOUR"),
+        "left_outer")
+      .select(col("signup_id"), col("user_id"), col("p_ts"), col("value"))
+
   /** Stream-stream interval join (batch twin): for each signup, the
     * purchases by the same user within 1 hour AFTER it. Written once as a
     * DataFrame transform; StreamStreamJoinSpec drives the identical join
@@ -221,6 +235,25 @@ object Events {
     intervalJoin(Tables.events(s, d))
       .orderBy("signup_id")
 
+  /** Per-signup rollup KEEPING zero-purchase signups (n_purchases = 0,
+    * NULL value) — the conversion-funnel view where the unconverted
+    * rows are the point. Same one-shuffle equi-join scale shape as
+    * q_stream_join; count(value) counts only matched rows. */
+  def streamJoinLeft(s: SparkSession, d: String): DataFrame = {
+    val events = Tables.events(s, d)
+    val signups = events.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("event_id").as("signup_id"),
+        col("ts").as("s_ts"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("value"))
+    intervalJoinPairsLeft(signups, purchases)
+      .groupBy(col("signup_id"), col("user_id"))
+      .agg(count(col("value")).as("n_purchases"),
+        round(sum(col("value")) + lit(1e-6), 4).as("purchase_value"))
+      .orderBy("signup_id")
+  }
+
   def streamDedup(s: SparkSession, d: String): DataFrame =
     dedupKeys(Tables.events(s, d))
       .orderBy("user_id", "event_type")
@@ -262,6 +295,7 @@ object Events {
     "q_stream_sliding"  -> streamSliding _,
     "q_stream_session"  -> streamSession _,
     "q_stream_join"     -> streamJoin _,
+    "q_stream_join_left" -> streamJoinLeft _,
     "q_stream_dedup"    -> streamDedup _,
     "q_cohort_retention" -> streamCohort _,
   )
@@ -333,6 +367,21 @@ object Events {
                 CAST(count(1) AS BIGINT) AS n_purchases,
                 round(sum(p.value) + 1e-6, 4) AS purchase_value
          FROM s JOIN p ON s.user_id = p.user_id
+              AND p.p_ts >= s.s_ts
+              AND p.p_ts < s.s_ts + INTERVAL 1 HOUR
+         GROUP BY s.signup_id, s.user_id
+         ORDER BY signup_id""",
+    // count(p.value) counts only matched rows; unmatched signups keep
+    // n_purchases = 0 and NULL purchase_value
+    "q_stream_join_left" ->
+      """WITH s AS (SELECT user_id, event_id AS signup_id, ts AS s_ts
+                    FROM events WHERE event_type = 'signup'),
+           p AS (SELECT user_id, ts AS p_ts, value
+                 FROM events WHERE event_type = 'purchase')
+         SELECT s.signup_id, s.user_id,
+                CAST(count(p.value) AS BIGINT) AS n_purchases,
+                round(sum(p.value) + 1e-6, 4) AS purchase_value
+         FROM s LEFT JOIN p ON s.user_id = p.user_id
               AND p.p_ts >= s.s_ts
               AND p.p_ts < s.s_ts + INTERVAL 1 HOUR
          GROUP BY s.signup_id, s.user_id

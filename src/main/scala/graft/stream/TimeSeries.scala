@@ -32,7 +32,12 @@ import graft.tables.Tables
 object TimeSeries {
   type Q = (SparkSession, String) => DataFrame
 
-  def resampleHourly(s: SparkSession, d: String): DataFrame = {
+  /** The shared dense (series × hour) grid: one keyed agg over the raw
+    * stream (persisted — calendar-sized), cross-joined onto the full
+    * hour range, observed cells carrying (n, av) and gap cells NULL.
+    * Both fill strategies (forward fill, linear interpolation) are
+    * windows OVER this one frame. */
+  private def hourlyGrid(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
       .select(col("event_type"), col("ts"), col("value"))
     val hourly = ev
@@ -46,12 +51,59 @@ object TimeSeries {
       .select(explode(sequence(col("h0"), col("h1"),
         expr("INTERVAL 1 HOUR"))).as("h"))
       .crossJoin(broadcast(hourly.select("event_type").distinct()))
+    grid.join(hourly, Seq("event_type", "h"), "left")
+  }
+
+  def resampleHourly(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("event_type").orderBy("h")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    grid.join(hourly, Seq("event_type", "h"), "left")
+    hourlyGrid(s, d)
       .select(col("event_type"), unix_micros(col("h")).as("hour_us"),
         coalesce(col("n"), lit(0L)).as("n"),
         last(col("av"), ignoreNulls = true).over(w).as("value_ff"))
+      .orderBy("event_type", "hour_us")
+  }
+
+  /** Linear-interpolation gap fill over the same dense grid — the other
+    * standard regularization next to forward fill: a gap cell takes the
+    * value on the straight line between its bracketing observations,
+    * proportional to its time offset; cells before the first or after
+    * the last observation of a series stay NULL (nothing to bracket).
+    * Observed cells pass through unchanged.
+    *
+    * Scale shape identical to resampleHourly: the four bracketing
+    * columns (prev/next value and hour) are two cumulative windows over
+    * the calendar-sized grid, partitioned on the series key — no extra
+    * scan of the raw stream, no self-join. Hour stamps in micros are
+    * exact integer-valued doubles (< 2^53), so the interpolation
+    * fraction is bit-identical cross-engine; the result is rounded at
+    * 4 dp per repo float discipline. */
+  def tsInterpolate(s: SparkSession, d: String): DataFrame =
+    interpolateGrid(hourlyGrid(s, d)
+      .select(col("event_type"), unix_micros(col("h")).as("hour_us"),
+        col("n"), col("av")))
+
+  /** The fill stage alone, over any (event_type, hour_us, n, av) grid
+    * frame with NULL av in gap cells — split out for planted-gap spec
+    * fixtures. */
+  def interpolateGrid(g: DataFrame): DataFrame = {
+    val wPrev = Window.partitionBy("event_type").orderBy("hour_us")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy("event_type").orderBy("hour_us")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsH = when(col("av").isNotNull, col("hour_us"))
+    val pv = last(col("av"), ignoreNulls = true).over(wPrev)
+    val ph = last(obsH, ignoreNulls = true).over(wPrev)
+    val nv = first(col("av"), ignoreNulls = true).over(wNext)
+    val nh = first(obsH, ignoreNulls = true).over(wNext)
+    val frac = (col("hour_us") - ph).cast("double") /
+      (nh - ph).cast("double")
+    g.select(col("event_type"), col("hour_us"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        (round(
+          when(col("av").isNotNull, col("av"))
+            .otherwise(pv + (nv - pv) * frac) + lit(1e-9), 4) + lit(0.0))
+          .as("value_li"))
       .orderBy("event_type", "hour_us")
   }
 
@@ -144,6 +196,7 @@ object TimeSeries {
     "q_ts_resample" -> resampleHourly _,
     "q_ts_anomaly" -> tsAnomaly _,
     "q_ts_ewma" -> tsEwma _,
+    "q_ts_interpolate" -> tsInterpolate _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -239,5 +292,45 @@ object TimeSeries {
                               AND a.hour_us
          GROUP BY a.event_type, a.hour_us, a.value_ff
          ORDER BY a.event_type, a.hour_us""",
+    // same dense-grid CTEs as q_ts_resample; the fill is the mirrored
+    // pair of cumulative IGNORE NULLS windows. epoch_us stamps are exact
+    // doubles (< 2^53) so the fraction is bit-identical cross-engine.
+    "q_ts_interpolate" ->
+      """WITH ev AS (SELECT event_type,
+                            CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+                            value
+                     FROM events),
+         hourly AS (SELECT event_type, h, CAST(count(1) AS BIGINT) AS n,
+                           round(avg(value) + 1e-6, 4) AS av
+                    FROM ev GROUP BY event_type, h),
+         b AS (SELECT min(h) AS h0, max(h) AS h1 FROM ev),
+         grid AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR))
+                    AS h
+                  FROM b),
+         tg AS (SELECT DISTINCT event_type FROM events),
+         g2 AS (SELECT tg.event_type, grid.h FROM grid CROSS JOIN tg),
+         j AS (SELECT g2.event_type, epoch_us(g2.h) AS hour_us,
+                      coalesce(hourly.n, 0) AS n, hourly.av
+               FROM g2 LEFT JOIN hourly
+                 ON g2.event_type = hourly.event_type AND g2.h = hourly.h),
+         f AS (SELECT event_type, hour_us, n, av,
+                      last_value(av IGNORE NULLS) OVER wp AS pv,
+                      last_value(CASE WHEN av IS NOT NULL THEN hour_us END
+                                 IGNORE NULLS) OVER wp AS ph,
+                      first_value(av IGNORE NULLS) OVER wn AS nv,
+                      first_value(CASE WHEN av IS NOT NULL THEN hour_us END
+                                  IGNORE NULLS) OVER wn AS nh
+               FROM j
+               WINDOW wp AS (PARTITION BY event_type ORDER BY hour_us
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wn AS (PARTITION BY event_type ORDER BY hour_us
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+         SELECT event_type, hour_us, n,
+                round(CASE WHEN av IS NOT NULL THEN av
+                           ELSE pv + (nv - pv) *
+                             (CAST(hour_us - ph AS DOUBLE) /
+                              CAST(nh - ph AS DOUBLE)) END + 1e-9, 4) + 0.0
+                  AS value_li
+         FROM f ORDER BY event_type, hour_us""",
   )
 }

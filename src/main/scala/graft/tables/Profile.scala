@@ -124,12 +124,45 @@ object Profile {
       .orderBy("rule")
   }
 
+  /** `Dataset.observe` — audit metrics piggybacked on the MAIN job: the
+    * accumulator-backed aggregates ride the existing scan, so at 100 TB
+    * a pipeline gets its row/sum/violation counters for free instead of
+    * paying a second pass (the Observation API is Spark's sanctioned
+    * replacement for hand-rolled accumulators). Here the observed plan
+    * is a lineitem scan driven by a noop write; the query RESULT is the
+    * observed metrics row itself, so the DuckDB oracle value-proves
+    * that observe's accumulator path aggregates exactly like a
+    * groupBy-less agg would. The metrics land on the driver as one
+    * bounded row (the bounded-stats class). */
+  def obsMetrics(s: SparkSession, d: String): DataFrame = {
+    val obs = org.apache.spark.sql.Observation()
+    Tables.lineitem(s, d)
+      .observe(obs,
+        count(lit(1)).as("n_rows"),
+        round(sum(col("l_quantity")) + lit(1e-6), 2).as("sum_qty"),
+        count(when(col("l_discount") > 0.05, 1)).as("n_heavy_discount"))
+      .write.format("noop").mode("overwrite").save()
+    val m = obs.get
+    import s.implicits._
+    Seq((m("n_rows").asInstanceOf[Long],
+        m("sum_qty").asInstanceOf[Double],
+        m("n_heavy_discount").asInstanceOf[Long]))
+      .toDF("n_rows", "sum_qty", "n_heavy_discount")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_profile_table" -> profileTable _,
     "q_dq_rules"      -> dqRules _,
+    "q_obs_metrics"   -> obsMetrics _,
   )
 
   val oracle: Map[String, String] = Map(
+    "q_obs_metrics" ->
+      """SELECT CAST(count(1) AS BIGINT) AS n_rows,
+                round(sum(l_quantity) + 1e-6, 2) AS sum_qty,
+                CAST(count(CASE WHEN l_discount > 0.05 THEN 1 END)
+                     AS BIGINT) AS n_heavy_discount
+         FROM lineitem""",
     // counts are exact BIGINTs; pass_rate is a ratio of exact counts —
     // identical doubles on both engines (the q_text_oov precedent)
     "q_dq_rules" ->

@@ -38,6 +38,28 @@ class MarkersSpec extends SparkSpec {
     assert(math.abs(out((0, 2)) + out((1, 2))) < 1e-9)
   }
 
+  test("wilcoxon: hand-computed tie-corrected rank-sum z") {
+    // gene 1: label0 {5,7,9} vs label1 {1,2,5} → ranks 1,2,3.5,3.5,5,6
+    // R0 = 3.5+5+6 = 14.5, mu = 10.5, tsum = 2³−2 = 6,
+    // σ² = (9/12)(7 − 6/30) = 5.1 → z0 = 4/√5.1 ≈ 1.7713
+    // gene 2: all-equal → σ² = 0 → z = 0 (guard)
+    val m = Seq(
+      (0, Seq(5.0, 1.0)), (0, Seq(7.0, 1.0)), (0, Seq(9.0, 1.0)),
+      (1, Seq(1.0, 1.0)), (1, Seq(2.0, 1.0)), (1, Seq(5.0, 1.0)))
+      .toDF("label", "vec")
+    val out = Markers.wilcoxonFor(m, topK = 2)
+      .select("label", "pos1", "z", "rank_sum")
+      .as[(Int, Int, Double, Double)].collect()
+      .map { case (l, p, z, r) => ((l, p), (z, r)) }.toMap
+    assert(math.abs(out((0, 1))._1 - 1.7713) < 5e-4, out.toString)
+    assert(out((0, 1))._2 === 14.5)
+    // two groups: z antisymmetric, rank sums complementary
+    assert(math.abs(out((1, 1))._1 + out((0, 1))._1) < 1e-9)
+    assert(out((1, 1))._2 === 6.5)
+    // degenerate all-equal gene guards to z = 0
+    assert(out((0, 2))._1 === 0.0 && out((1, 2))._1 === 0.0)
+  }
+
   test("regress_out: exactly linear data recovers slope, zero residual") {
     // gene k = k * tot/3 exactly (vec = [t/3, 2t/3] with tot = t):
     // slope_1 = 1/3, slope_2 = 2/3, intercept 0, resid 0

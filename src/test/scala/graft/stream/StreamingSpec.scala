@@ -234,6 +234,64 @@ class StreamStreamJoinSpec extends graft.SparkSpec {
     assert(got == want && want.map(_.head).contains(10L), s"got $got")
     assert(want.size == 2, s"boundary semantics drifted: $want")
   }
+
+  test("left-outer emits unmatched signups only after the watermark " +
+    "proves no match can arrive") {
+    val evs = Seq(
+      Ev(20, t("2024-01-01 10:00:00"), 1, "signup", 0.0),
+      Ev(21, t("2024-01-01 10:30:00"), 1, "purchase", 5.0),  // matches 20
+      Ev(22, t("2024-01-01 10:00:00"), 2, "signup", 0.0))    // never matches
+    val ms = MemoryStream[Ev]
+    ms.addData(evs: _*)
+    val wm = ms.toDF().withWatermark("ts", "10 minutes")
+    val sgn = wm.filter($"event_type" === "signup")
+      .select($"user_id", $"event_id".as("signup_id"), $"ts".as("s_ts"))
+    val pur = wm.filter($"event_type" === "purchase")
+      .select($"user_id".as("p_user"), $"ts".as("p_ts"), $"value")
+    val q = Events.intervalJoinPairsLeft(sgn, pur)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("ssj_left_out").start()
+    q.processAllAvailable()
+    val early = spark.table("ssj_left_out").collect()
+      .map(r => r.getLong(1)).toSet
+    // watermark hasn't passed signup 22's window yet: no null-padded row
+    assert(!early.contains(2L) || spark.table("ssj_left_out")
+      .filter($"user_id" === 2L && $"p_ts".isNotNull).count() > 0,
+      s"unmatched emitted before watermark: $early")
+    // advance the watermark far past every join window. Two subtleties:
+    // (1) the watermark is recomputed at batch END and outer-null
+    // emission happens in the FOLLOWING batch → two sentinel batches;
+    // (2) the event_type filters are pushed BELOW each branch's
+    // EventTimeWatermarkExec, so a sentinel only advances a branch's
+    // watermark if it SURVIVES that branch's filter — and the global
+    // watermark is the min across branches. Each sentinel batch is
+    // therefore a matched signup+purchase pair (user 9), which also
+    // keeps the streamed output equal to the batch twin (matched pairs
+    // emit immediately; a lone sentinel signup would be held forever).
+    ms.addData(Ev(23, t("2024-01-02 00:00:00"), 9, "signup", 0.0),
+      Ev(24, t("2024-01-02 00:01:00"), 9, "purchase", 1.0))
+    q.processAllAvailable()
+    ms.addData(Ev(25, t("2024-01-03 00:00:00"), 9, "signup", 0.0),
+      Ev(26, t("2024-01-03 00:01:00"), 9, "purchase", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ssj_left_out").collect()
+      .map(r => (r.getLong(1), Option(r.get(2)))).toSet
+    // matched signup with its purchase ts, unmatched signup null-padded
+    assert(rows.exists { case (u, p) => u == 1L && p.nonEmpty })
+    assert(rows.exists { case (u, p) => u == 2L && p.isEmpty }, s"got $rows")
+    // and the streamed multiset equals the batch left-outer twin
+    val bs = evs.toDF().filter($"event_type" === "signup")
+      .select($"user_id", $"event_id".as("signup_id"), $"ts".as("s_ts"))
+    val bp = evs.toDF().filter($"event_type" === "purchase")
+      .select($"user_id".as("p_user"), $"ts".as("p_ts"), $"value")
+    val want = Events.intervalJoinPairsLeft(bs, bp).collect()
+      .map(_.toSeq).toSet
+    // sentinel (user 9) rows are outside the batch fixture — exclude them
+    val got = spark.table("ssj_left_out").filter($"user_id" =!= 9L)
+      .collect().map(_.toSeq).toSet
+    assert(got == want, s"streamed $got != batch $want")
+  }
 }
 
 /** Streaming exact dedup: dropDuplicates keeps per-key state and emits the
