@@ -37,7 +37,8 @@ object SparkEntry {
       stream.StateMetrics.queries ++ rel.MoreJoins.queries ++
       llm.LmScore.queries ++ sc.Bfs.queries ++
       sc.QcMetrics.queries ++ sc.ScoreGenes.queries ++
-      llm.PrefixJoin.queries
+      llm.PrefixJoin.queries ++ llm.ImageHash.queries ++
+      llm.Selection.queries ++ llm.AudioFp.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -65,5 +66,6 @@ object SparkEntry {
       stream.StateMetrics.oracle ++ rel.MoreJoins.oracle ++
       llm.LmScore.oracle ++ sc.Bfs.oracle ++
       sc.QcMetrics.oracle ++ sc.ScoreGenes.oracle ++
-      llm.PrefixJoin.oracle
+      llm.PrefixJoin.oracle ++ llm.ImageHash.oracle ++
+      llm.Selection.oracle ++ llm.AudioFp.oracle
 }

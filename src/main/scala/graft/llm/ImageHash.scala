@@ -1,0 +1,197 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Perceptual image hashing (dHash) over the media lake + banded
+  * hamming near-dup pairs — image-level dedup, the multimodal sibling
+  * of the SimHash text rung (reference has no image ops; this is the
+  * training-data-pipeline extension surface, SURVEY §2B).
+  *
+  * The hash is the classic difference hash (dHash): downscale to a
+  * 9×8 luma grid, emit one bit per horizontally adjacent cell pair
+  * (left mean > right mean), 8×8 = 64 bits. Two deliberate choices
+  * make it ORACLE-ABLE — the first hash-verified path through the
+  * real binary decoders:
+  *
+  *  - INTEGER luma (299r + 587g + 114b — Rec.601 ×1000): no float
+  *    enters the pipeline, so DuckDB can recompute the hash bit-exactly
+  *    from first principles (the media fixture's payloads are
+  *    deterministic byte cycles of document text, so the oracle
+  *    re-derives every pixel with `ord(substr(text, …))` arithmetic and
+  *    proves the WHOLE decode path: PPM token grammar, BMP bottom-up
+  *    row order, BGR swap, and 4-byte row padding — any decode bug
+  *    scrambles block sums and flips hash bits).
+  *  - CROSS-SCALED block comparison (S_a·C_b > S_b·C_a instead of
+  *    means): division never happens, block sizes may differ by ±1
+  *    pixel, and the comparison stays in exact BIGINT range
+  *    (S ≤ 255000·|block| ≈ 2^25, S·C ≈ 2^31).
+  *
+  * Scale shape: decode+hash is one `mapPartitions` pass over the media
+  * scan (binary codec — the documented no-Catalyst-expression-exists
+  * case, same as the feature extractor), no shuffle before the
+  * presentation sort. Near-dup pairs are banded-LSH (16 disjoint 4-bit
+  * bands): hamming ≤ 15 < 16 bands ⇒ pigeonhole guarantees a shared
+  * exact band, so the band-equality join is a COMPLETE candidate
+  * generator — never all-pairs — and the all-pairs DuckDB oracle
+  * re-proves that completeness at every gate run.
+  */
+object ImageHash {
+  type Q = (SparkSession, String) => DataFrame
+
+  val GridW = 9 // 9 columns → 8 horizontal comparisons per row
+  val GridH = 8
+
+  /** 64-bit integer dHash of an interleaved-RGB image. Pure integer:
+    * bit(gy, c) = luma-sum cross-scaled compare of blocks (gy,c) and
+    * (gy,c+1); bit index = gy*8 + c. */
+  def dhash64(w: Int, h: Int, rgb: Array[Byte]): Long = {
+    require(rgb.length == 3 * w * h, s"rgb length ${rgb.length} != 3*$w*$h")
+    val s = Array.ofDim[Long](GridH, GridW)
+    val c = Array.ofDim[Long](GridH, GridW)
+    var p = 0
+    val n = w * h
+    while (p < n) {
+      val x = p % w
+      val y = p / w
+      val gx = x * GridW / w
+      val gy = y * GridH / h
+      val lum = 299L * (rgb(3 * p) & 0xff) +
+        587L * (rgb(3 * p + 1) & 0xff) +
+        114L * (rgb(3 * p + 2) & 0xff)
+      s(gy)(gx) += lum
+      c(gy)(gx) += 1
+      p += 1
+    }
+    var hash = 0L
+    var gy = 0
+    while (gy < GridH) {
+      var col = 0
+      while (col < GridW - 1) {
+        if (s(gy)(col) * c(gy)(col + 1) > s(gy)(col + 1) * c(gy)(col))
+          hash |= 1L << (gy * 8 + col)
+        col += 1
+      }
+      gy += 1
+    }
+    hash
+  }
+
+  /** Per-image hash table over the media lake's real image formats:
+    * (id, format, w, h, phash). Decode errors are NOT caught — a
+    * corrupt payload must surface, not silently hash to garbage. */
+  def phashTable(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Multimodal.syntheticMedia(s, d).as[Multimodal.MediaRow]
+      .filter(col("format").isin("ppm", "bmp"))
+      .mapPartitions { rows =>
+        rows.map { m =>
+          val (w, h, rgb) = m.format match {
+            case "ppm" => MediaCodecs.decodePpmRgb(m.payload)
+            case _     => MediaCodecs.decodeBmpRgb(m.payload)
+          }
+          (m.id, m.format, w, h, dhash64(w, h, rgb))
+        }
+      }
+      .toDF("id", "format", "w", "h", "phash")
+  }
+
+  /** Banded-LSH near-dup pairs over a (id, phash) frame. Completeness:
+    * a pair at hamming ≤ maxHamming differs in ≤ maxHamming bands, so
+    * with maxHamming < 64/bandBits bands at least one band is untouched
+    * and the equality join finds the pair (Manku et al., WWW'07 — the
+    * same argument as the SimHash text rung). Shuffle is keyed on
+    * (band, value): linear in corpus size, never all-pairs; the exact
+    * hamming check runs on candidates only. */
+  def nearDupPairs(hashes: DataFrame, maxHamming: Int,
+                   bandBits: Int = 4): DataFrame = {
+    require(64 % bandBits == 0, "bandBits must divide 64")
+    val bands = 64 / bandBits
+    require(maxHamming < bands,
+      s"banding complete only for maxHamming < $bands")
+    val mask = (1L << bandBits) - 1
+    val banded = hashes.select(col("id"), col("phash"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      // arithmetic shiftright sign-extends on negative hashes; the
+      // band mask keeps only the intended low bits
+      .withColumn("bval", expr(s"(phash >> (band * $bandBits)) & $mask"))
+    val a = banded.select(col("id").as("id1"), col("phash").as("h1"),
+      col("band"), col("bval"))
+    val b = banded.select(col("id").as("id2"), col("phash").as("h2"),
+      col("band"), col("bval"))
+    a.join(b, Seq("band", "bval"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2", "h1", "h2").distinct()
+      .withColumn("hamming", bit_count(expr("h1 ^ h2")).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id1", "id2", "hamming")
+  }
+
+  // ---------------------------------------------------------- queries --
+
+  def phashQ(s: SparkSession, d: String): DataFrame =
+    phashTable(s, d).orderBy("id")
+
+  def nearDupQ(s: SparkSession, d: String): DataFrame =
+    nearDupPairs(phashTable(s, d).select("id", "phash"), maxHamming = 15)
+      .orderBy("id1", "id2")
+
+  val queries: Map[String, Q] = Map(
+    "q_multimodal_phash"   -> phashQ _,
+    "q_multimodal_neardup" -> nearDupQ _,
+  )
+
+  // The oracle re-derives every pixel from the document text (the
+  // fixture's payload contract: rgb byte i = text byte i % len) and
+  // recomputes the hash independently — decode + hash proven bit-exact.
+  // Bit 63 cannot be built as 1<<63 in DuckDB (signed overflow); it is
+  // added as the BIGINT minimum, which is the same two's-complement
+  // value Scala's 1L<<63 produces.
+  private val phashCte =
+    """WITH img AS (
+         SELECT doc_id AS id,
+                CASE WHEN doc_id % 5 = 0 THEN 'ppm' ELSE 'bmp' END AS format,
+                CAST(doc_id % 64 + 16 AS INT) AS w,
+                CAST(doc_id % 32 + 16 AS INT) AS h,
+                text, length(text) AS len
+         FROM documents WHERE doc_id % 5 IN (0, 4)),
+       px AS (
+         SELECT id, format, w, h,
+                CAST((p % w) * 9 // w AS INT) AS gx,
+                CAST((p // w) * 8 // h AS INT) AS gy,
+                299 * ord(substr(text, CAST((3*p)   % len AS INT) + 1, 1))
+              + 587 * ord(substr(text, CAST((3*p+1) % len AS INT) + 1, 1))
+              + 114 * ord(substr(text, CAST((3*p+2) % len AS INT) + 1, 1))
+                AS lum
+         FROM img, LATERAL (SELECT unnest(range(0, CAST(w AS BIGINT) * h)) AS p)),
+       blocks AS (
+         SELECT id, format, w, h, gy, gx,
+                SUM(lum) AS s, COUNT(*) AS c
+         FROM px GROUP BY id, format, w, h, gy, gx),
+       bits AS (
+         SELECT a.id, a.format, a.w, a.h, a.gy, a.gx,
+                CASE WHEN a.s * b.c > b.s * a.c THEN 1 ELSE 0 END AS bit
+         FROM blocks a
+         JOIN blocks b ON a.id = b.id AND a.gy = b.gy AND b.gx = a.gx + 1
+         WHERE a.gx < 8),
+       ph AS (
+         SELECT id, format, w, h,
+                CAST(SUM(CASE
+                  WHEN bit = 1 AND gy*8+gx = 63 THEN -9223372036854775807 - 1
+                  WHEN bit = 1 THEN (CAST(1 AS BIGINT) << CAST(gy*8+gx AS INT))
+                  ELSE 0 END) AS BIGINT) AS phash
+         FROM bits GROUP BY id, format, w, h)"""
+
+  val oracle: Map[String, String] = Map(
+    "q_multimodal_phash" ->
+      (phashCte + "\n SELECT id, format, w, h, phash FROM ph ORDER BY id"),
+    "q_multimodal_neardup" ->
+      (phashCte +
+        """
+        SELECT a.id AS id1, b.id AS id2,
+               CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+        FROM ph a JOIN ph b ON a.id < b.id
+        WHERE bit_count(xor(a.phash, b.phash)) <= 15
+        ORDER BY id1, id2"""),
+  )
+}

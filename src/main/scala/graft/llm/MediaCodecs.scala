@@ -24,10 +24,12 @@ object MediaCodecs {
     out
   }
 
-  /** Decode PPM P6 → (w, h, grayscale luma in [0,1], Rec.601 weights).
-    * Handles the format's token grammar: '#' comments and arbitrary
-    * whitespace between the magic, dims, and maxval tokens. */
-  def decodePpm(bytes: Array[Byte]): (Int, Int, Array[Float]) = {
+  /** Decode PPM P6 → (w, h, raw RGB bytes, r,g,b interleaved, top-down)
+    * — the exact inverse of encodePpm. Handles the format's token
+    * grammar: '#' comments and arbitrary whitespace between the magic,
+    * dims, and maxval tokens. The luma decoder below builds on this so
+    * header parsing has a single source of truth. */
+  def decodePpmRgb(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
     var i = 0
     def skipWs(): Unit = {
       var go = true
@@ -52,16 +54,28 @@ object MediaCodecs {
     i += 1 // exactly one whitespace byte after maxval, per spec
     val n = w * h
     require(bytes.length - i >= 3 * n, "truncated PPM payload")
+    (w, h, java.util.Arrays.copyOfRange(bytes, i, i + 3 * n))
+  }
+
+  /** Decode PPM P6 → (w, h, grayscale luma in [0,1], Rec.601 weights). */
+  def decodePpm(bytes: Array[Byte]): (Int, Int, Array[Float]) = {
+    val (w, h, rgb) = decodePpmRgb(bytes)
+    (w, h, rgbToLuma(rgb))
+  }
+
+  /** Shared Rec.601 luma kernel: interleaved RGB bytes → [0,1] floats. */
+  def rgbToLuma(rgb: Array[Byte]): Array[Float] = {
+    val n = rgb.length / 3
     val px = new Array[Float](n)
     var k = 0
     while (k < n) {
-      val r = bytes(i + 3 * k) & 0xff
-      val g = bytes(i + 3 * k + 1) & 0xff
-      val b = bytes(i + 3 * k + 2) & 0xff
+      val r = rgb(3 * k) & 0xff
+      val g = rgb(3 * k + 1) & 0xff
+      val b = rgb(3 * k + 2) & 0xff
       px(k) = (0.299f * r + 0.587f * g + 0.114f * b) / 255.0f
       k += 1
     }
-    (w, h, px)
+    px
   }
 
   // --------------------------------------------------- BMP 24-bit BI_RGB --
@@ -96,10 +110,10 @@ object MediaCodecs {
     buf.array()
   }
 
-  /** Decode 24-bit BI_RGB BMP → (w, h, grayscale luma in [0,1], Rec.601)
-    * — same normalization as decodePpm so image features are
-    * format-independent for identical pixels. */
-  def decodeBmp(bytes: Array[Byte]): (Int, Int, Array[Float]) = {
+  /** Decode 24-bit BI_RGB BMP → (w, h, raw RGB bytes, r,g,b interleaved,
+    * top-down) — the exact inverse of encodeBmp: undoes the BGR byte
+    * order, the bottom-up row order, and the 4-byte row padding. */
+  def decodeBmpRgb(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     require(bytes.length >= 54 &&
       buf.get(0) == 'B'.toByte && buf.get(1) == 'M'.toByte, "not a BMP")
@@ -111,22 +125,30 @@ object MediaCodecs {
     require(buf.getInt(30) == 0, "only uncompressed BI_RGB supported")
     val rowBytes = (3 * w + 3) / 4 * 4
     require(bytes.length - dataOff >= rowBytes * h, "truncated BMP payload")
-    val px = new Array[Float](w * h)
+    val rgb = new Array[Byte](3 * w * h)
     var y = 0
     while (y < h) {
       val fileRow = h - 1 - y // stored bottom-up
       var x = 0
       while (x < w) {
         val k = dataOff + fileRow * rowBytes + 3 * x
-        val b = bytes(k) & 0xff
-        val g = bytes(k + 1) & 0xff
-        val r = bytes(k + 2) & 0xff
-        px(y * w + x) = (0.299f * r + 0.587f * g + 0.114f * b) / 255.0f
+        val o = 3 * (y * w + x)
+        rgb(o) = bytes(k + 2)     // R
+        rgb(o + 1) = bytes(k + 1) // G
+        rgb(o + 2) = bytes(k)     // B
         x += 1
       }
       y += 1
     }
-    (w, h, px)
+    (w, h, rgb)
+  }
+
+  /** Decode 24-bit BI_RGB BMP → (w, h, grayscale luma in [0,1], Rec.601)
+    * — same normalization as decodePpm so image features are
+    * format-independent for identical pixels. */
+  def decodeBmp(bytes: Array[Byte]): (Int, Int, Array[Float]) = {
+    val (w, h, rgb) = decodeBmpRgb(bytes)
+    (w, h, rgbToLuma(rgb))
   }
 
   // --------------------------------------------------------- WAV PCM16 --
