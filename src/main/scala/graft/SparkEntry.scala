@@ -38,7 +38,8 @@ object SparkEntry {
       llm.LmScore.queries ++ sc.Bfs.queries ++
       sc.QcMetrics.queries ++ sc.ScoreGenes.queries ++
       llm.PrefixJoin.queries ++ llm.ImageHash.queries ++
-      llm.Selection.queries ++ llm.AudioFp.queries
+      llm.Selection.queries ++ llm.AudioFp.queries ++
+      rel.SpatialGrid.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -67,5 +68,6 @@ object SparkEntry {
       llm.LmScore.oracle ++ sc.Bfs.oracle ++
       sc.QcMetrics.oracle ++ sc.ScoreGenes.oracle ++
       llm.PrefixJoin.oracle ++ llm.ImageHash.oracle ++
-      llm.Selection.oracle ++ llm.AudioFp.oracle
+      llm.Selection.oracle ++ llm.AudioFp.oracle ++
+      rel.SpatialGrid.oracle
 }

@@ -240,7 +240,36 @@ object WindowSetSort {
       .intersectAll(ordersOfYear(s, d, 1996).select(col("o_custkey")))
       .orderBy("o_custkey")
 
+  /** EXACT distributed weighted median per group: the smallest value v
+    * whose cumulative weight reaches half the group's total —
+    * lineitem extendedprice weighted by quantity, grouped by
+    * (returnflag, linestatus).
+    *
+    * Determinism/scale: the cumulative sum uses the default RANGE
+    * frame (all peers of the current value included), so tied values
+    * are order-independent — no tie-break column needed; weights are
+    * integer-valued (cast long), so every cumulative sum is exact
+    * BIGINT and the half-total comparison is the integer
+    * 2·cumw ≥ totw (no division, no doubles until the output). One
+    * window shuffle keyed on the group + one keyed agg; per-group
+    * state is a running sum — no reducer materializes a group. */
+  def weightedMedian(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(
+      col("l_returnflag"), col("l_linestatus"),
+      col("l_extendedprice").as("v"),
+      col("l_quantity").cast("long").as("w"))
+    val part = Window.partitionBy("l_returnflag", "l_linestatus")
+    val cum = part.orderBy("v") // RANGE frame by default: peers included
+    li.withColumn("cw", sum(col("w")).over(cum))
+      .withColumn("tw", sum(col("w")).over(part))
+      .filter(col("cw") * 2 >= col("tw"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(min(col("v")).as("weighted_median"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_agg_weighted_median" -> weightedMedian _,
     "q_window_rank"        -> windowRank _,
     "q_window_running_sum" -> windowRunningSum _,
     "q_window_lag"         -> windowLag _,
@@ -260,6 +289,19 @@ object WindowSetSort {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_agg_weighted_median" ->
+      """WITH t AS (SELECT l_returnflag, l_linestatus, l_extendedprice AS v,
+                  CAST(l_quantity AS BIGINT) AS w,
+                  sum(CAST(l_quantity AS BIGINT)) OVER (
+                    PARTITION BY l_returnflag, l_linestatus ORDER BY
+                    l_extendedprice) AS cw,
+                  sum(CAST(l_quantity AS BIGINT)) OVER (
+                    PARTITION BY l_returnflag, l_linestatus) AS tw
+           FROM lineitem)
+         SELECT l_returnflag, l_linestatus, min(v) AS weighted_median
+         FROM t WHERE cw * 2 >= tw
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
     // values are raw prices (no float accumulation) — no epsilon needed;
     // -1 sentinel keeps customers with <3 orders non-null (uniform dtype)
     "q_window_nav" ->

@@ -80,4 +80,23 @@ class WindowSetSortSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("HashJoin"),
       plan.take(1500))
   }
+
+  test("weighted median matches the brute-force per-group definition") {
+    import graft.tables.Tables
+    val got = WindowSetSort.weightedMedian(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val groups = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("l_extendedprice"), col("l_quantity").cast("long").as("w"))
+      .collect()
+      .groupBy(r => (r.getString(0), r.getString(1)))
+    val want = groups.map { case (k, rows) =>
+      val sorted = rows.map(r => (r.getDouble(2), r.getLong(3))).sortBy(_._1)
+      val tot = sorted.map(_._2).sum
+      var cum = 0L
+      k -> sorted.find { case (_, w) => cum += w; cum * 2 >= tot }.get._1
+    }
+    assert(got == want && got.nonEmpty)
+  }
 }
