@@ -39,7 +39,8 @@ object SparkEntry {
       sc.QcMetrics.queries ++ sc.ScoreGenes.queries ++
       llm.PrefixJoin.queries ++ llm.ImageHash.queries ++
       llm.Selection.queries ++ llm.AudioFp.queries ++
-      rel.SpatialGrid.queries
+      rel.SpatialGrid.queries ++ rel.IntervalJoin.queries ++
+      sc.Sssp.queries ++ stream.Acf.queries ++ stream.Sessionize.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -69,5 +70,6 @@ object SparkEntry {
       sc.QcMetrics.oracle ++ sc.ScoreGenes.oracle ++
       llm.PrefixJoin.oracle ++ llm.ImageHash.oracle ++
       llm.Selection.oracle ++ llm.AudioFp.oracle ++
-      rel.SpatialGrid.oracle
+      rel.SpatialGrid.oracle ++ rel.IntervalJoin.oracle ++
+      sc.Sssp.oracle ++ stream.Acf.oracle ++ stream.Sessionize.oracle
 }
