@@ -40,7 +40,8 @@ object SparkEntry {
       llm.PrefixJoin.queries ++ llm.ImageHash.queries ++
       llm.Selection.queries ++ llm.AudioFp.queries ++
       rel.SpatialGrid.queries ++ rel.IntervalJoin.queries ++
-      sc.Sssp.queries ++ stream.Acf.queries ++ stream.Sessionize.queries
+      sc.Sssp.queries ++ stream.Acf.queries ++ stream.Sessionize.queries ++
+      llm.KnnClassify.queries ++ llm.ParagraphDedup.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -71,5 +72,6 @@ object SparkEntry {
       llm.PrefixJoin.oracle ++ llm.ImageHash.oracle ++
       llm.Selection.oracle ++ llm.AudioFp.oracle ++
       rel.SpatialGrid.oracle ++ rel.IntervalJoin.oracle ++
-      sc.Sssp.oracle ++ stream.Acf.oracle ++ stream.Sessionize.oracle
+      sc.Sssp.oracle ++ stream.Acf.oracle ++ stream.Sessionize.oracle ++
+      llm.KnnClassify.oracle ++ llm.ParagraphDedup.oracle
 }

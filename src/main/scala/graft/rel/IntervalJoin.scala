@@ -36,12 +36,12 @@ object IntervalJoin {
 
   def intervalJoin(s: SparkSession, d: String): DataFrame = {
     val epoch = lit("1970-01-01").cast("date")
-    // promo windows: [o_orderdate, +14d] on high-value orders
+    // promo windows: [o_orderdate, +7d] on high-value orders
     val promos = Tables.orders(s, d)
-      .filter(col("o_totalprice") > 450000)
+      .filter(col("o_totalprice") > 498000)
       .select(col("o_orderkey"),
         datediff(col("o_orderdate").cast("date"), epoch).as("a_s"))
-      .withColumn("a_e", col("a_s") + lit(14))
+      .withColumn("a_e", col("a_s") + lit(7))
     // shipment windows: [l_shipdate, +(qty%7+3)d] on near-full lines
     val ships = Tables.lineitem(s, d)
       .filter(col("l_quantity") >= 48)
@@ -76,8 +76,8 @@ object IntervalJoin {
            SELECT o_orderkey,
                   datediff('day', DATE '1970-01-01',
                            CAST(o_orderdate AS DATE)) AS a_s
-           FROM orders WHERE o_totalprice > 450000),
-         a2 AS (SELECT o_orderkey, a_s, a_s + 14 AS a_e FROM a),
+           FROM orders WHERE o_totalprice > 498000),
+         a2 AS (SELECT o_orderkey, a_s, a_s + 7 AS a_e FROM a),
          b AS (
            SELECT l_orderkey, l_linenumber,
                   datediff('day', DATE '1970-01-01',

@@ -12,10 +12,10 @@ class IntervalJoinSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
       .sorted
     val epoch = lit("1970-01-01").cast("date")
-    val a = Tables.orders(spark, sf).filter($"o_totalprice" > 450000)
+    val a = Tables.orders(spark, sf).filter($"o_totalprice" > 498000)
       .select($"o_orderkey",
         datediff($"o_orderdate".cast("date"), epoch).as("a_s"))
-      .withColumn("a_e", $"a_s" + lit(14))
+      .withColumn("a_e", $"a_s" + lit(7))
     val b = Tables.lineitem(spark, sf).filter($"l_quantity" >= 48)
       .select($"l_orderkey", $"l_linenumber",
         datediff($"l_shipdate".cast("date"), epoch).as("b_s"),
