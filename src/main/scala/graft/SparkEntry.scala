@@ -41,7 +41,8 @@ object SparkEntry {
       llm.Selection.queries ++ llm.AudioFp.queries ++
       rel.SpatialGrid.queries ++ rel.IntervalJoin.queries ++
       sc.Sssp.queries ++ stream.Acf.queries ++ stream.Sessionize.queries ++
-      llm.KnnClassify.queries ++ llm.ParagraphDedup.queries
+      llm.KnnClassify.queries ++ llm.ParagraphDedup.queries ++
+      rel.BitmapAgg.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -73,5 +74,6 @@ object SparkEntry {
       llm.Selection.oracle ++ llm.AudioFp.oracle ++
       rel.SpatialGrid.oracle ++ rel.IntervalJoin.oracle ++
       sc.Sssp.oracle ++ stream.Acf.oracle ++ stream.Sessionize.oracle ++
-      llm.KnnClassify.oracle ++ llm.ParagraphDedup.oracle
+      llm.KnnClassify.oracle ++ llm.ParagraphDedup.oracle ++
+      rel.BitmapAgg.oracle
 }

@@ -154,11 +154,50 @@ object AsOf {
       .orderBy("event_id")
   }
 
+  /** NEAREST as-of (pandas merge_asof(direction='nearest')): each
+    * purchase matches the signup with the smallest |Δts| either side,
+    * ties to the EARLIER signup. Same one-shuffle union trick as the
+    * composed backward form, but TWO frames over the SINGLE
+    * (key, ts)-sort: a trailing last(ignoreNulls) gives the latest
+    * prior, a leading first(ignoreNulls) gives the earliest following —
+    * Spark plans one exchange + one sort feeding both windows, so
+    * nearest costs the same shuffle as backward. A build row at equal
+    * ts sorts before the probe (side asc) and wins via the prior frame
+    * with Δ = 0. */
+  def joinAsOfNearest(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).withColumn("ts_us", unix_micros(col("ts")))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        lit(1).as("__side"), lit(null).cast("long").as("__b"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(lit(null).cast("long").as("event_id"), col("user_id"),
+        col("ts_us"), lit(0).as("__side"), col("ts_us").as("__b"))
+    val ord = Window.partitionBy("user_id")
+      .orderBy(col("ts_us").asc, col("__side").asc)
+    val wPrev = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    purchases.unionByName(signups)
+      .withColumn("prev_us", last(col("__b"), ignoreNulls = true).over(wPrev))
+      .withColumn("next_us", first(col("__b"), ignoreNulls = true).over(wNext))
+      .filter(col("__side") === 1)
+      .withColumn("signup_us",
+        when(col("prev_us").isNull, col("next_us"))
+          .when(col("next_us").isNull, col("prev_us"))
+          .when(col("ts_us") - col("prev_us") <=
+            col("next_us") - col("ts_us"), col("prev_us"))
+          .otherwise(col("next_us")))
+      .filter(col("signup_us").isNotNull)
+      .select(col("event_id"), col("user_id"),
+        col("ts_us").as("purchase_us"), col("signup_us"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_join_asof" -> joinAsOf _,
     "q_join_asof_native" -> joinAsOfNative _,
     "q_join_asof_left" -> joinAsOfLeft _,
-    "q_join_asof_tol" -> joinAsOfTolerance _)
+    "q_join_asof_tol" -> joinAsOfTolerance _,
+    "q_join_asof_nearest" -> joinAsOfNearest _)
 
   private val asOfOracle =
     """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS purchase_us,
@@ -193,5 +232,19 @@ object AsOf {
             FROM events p WHERE p.event_type = 'purchase')
           WHERE signup_us IS NOT NULL
           ORDER BY event_id""",
+    // nearest has no native DuckDB form: rank all same-user candidates
+    // by |Δ| with the earlier-signup tiebreak and keep rank 1 — the
+    // naive O(per-user pairs) mirror of the one-sort window plan
+    "q_join_asof_nearest" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS p_us
+                    FROM events WHERE event_type = 'purchase'),
+         b AS (SELECT user_id, epoch_us(ts) AS s_us
+               FROM events WHERE event_type = 'signup'),
+         c AS (SELECT p.event_id, p.user_id, p.p_us, b.s_us,
+                      row_number() OVER (PARTITION BY p.event_id
+                        ORDER BY abs(p.p_us - b.s_us), b.s_us) AS rk
+               FROM p JOIN b USING (user_id))
+         SELECT event_id, user_id, p_us AS purchase_us, s_us AS signup_us
+         FROM c WHERE rk = 1 ORDER BY event_id""",
   )
 }
