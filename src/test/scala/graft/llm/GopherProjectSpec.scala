@@ -53,6 +53,27 @@ class GopherProjectSpec extends SparkSpec {
     assert(minR > 0.1 && maxR < 4.0, s"ratio range [$minR, $maxR]")
   }
 
+  test("unrolled projection is bit-identical to the HOF fold it replaced") {
+    val vecs = graft.tables.Tables.embeddings(spark, sf)
+      .filter(col("vec_id") < 50)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val got = Sampling.embedProjectVecs(vecs).select("vec_id", "y")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    // the original nested-HOF formulation, inlined as the reference
+    val s = typedLit(Sampling.signMatrixForSpec(64))
+    val want = vecs.withColumn("y",
+        transform(sequence(lit(0), lit(Sampling.ProjK - 1)), j =>
+          aggregate(sequence(lit(0), lit(63)),
+            lit(0.0),
+            (a, i) => a + element_at(col("v"), i + 1) *
+              element_at(element_at(s, j + 1), i + 1))
+            / sqrt(lit(Sampling.ProjK.toDouble))))
+      .select("vec_id", "y")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(got == want)
+  }
+
   test("JL projection is deterministic (hash-derived signs, no RNG)") {
     val vecs = graft.tables.Tables.embeddings(spark, sf)
       .filter(col("vec_id") < 20)
