@@ -42,7 +42,8 @@ object SparkEntry {
       rel.SpatialGrid.queries ++ rel.IntervalJoin.queries ++
       sc.Sssp.queries ++ stream.Acf.queries ++ stream.Sessionize.queries ++
       llm.KnnClassify.queries ++ llm.ParagraphDedup.queries ++
-      rel.BitmapAgg.queries ++ sc.LinkPredict.queries
+      rel.BitmapAgg.queries ++ sc.LinkPredict.queries ++
+      sc.KCore.queries ++ rel.Incremental.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -75,5 +76,6 @@ object SparkEntry {
       rel.SpatialGrid.oracle ++ rel.IntervalJoin.oracle ++
       sc.Sssp.oracle ++ stream.Acf.oracle ++ stream.Sessionize.oracle ++
       llm.KnnClassify.oracle ++ llm.ParagraphDedup.oracle ++
-      rel.BitmapAgg.oracle ++ sc.LinkPredict.oracle
+      rel.BitmapAgg.oracle ++ sc.LinkPredict.oracle ++
+      sc.KCore.oracle ++ rel.Incremental.oracle
 }
