@@ -92,8 +92,41 @@ object BitmapAgg {
   private def hSql(c: String): String =
     s"conv(substring(md5(concat('hll:', CAST($c AS STRING))), 1, 15), 16, 10)"
 
+  /** Distinct-set ALGEBRA on bitmaps — |A|, |B|, |A∪B| directly from
+    * per-bucket bitmaps (union = the same `bitmap_construct_agg` over
+    * BOTH slices), |A∩B| and |A\B| by inclusion–exclusion. This is how
+    * a rollup store answers "customers active in BOTH years" without a
+    * distinct-join: three mergeable counters instead of a shuffle of
+    * the raw id sets. A = custkeys ordering in 1995, B = 1996.
+    *
+    * Scale shape: one scan of the filtered fact slice, keyed agg to
+    * (slice, bucket) bitmaps (fixed 4 KB state, map-side OR-combine),
+    * then bucket-level counts reduce to ONE row. Exactness of the
+    * derived set sizes is proven by the INTERSECT/EXCEPT count
+    * oracle. */
+  def bitmapSetOps(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .select(col("o_custkey"), year(col("o_orderdate")).as("yr"))
+      .filter(col("yr").isin(1995, 1996))
+    def cnt(df: DataFrame): DataFrame = df
+      .groupBy(expr("bitmap_bucket_number(o_custkey)").as("bkt"))
+      .agg(expr("bitmap_construct_agg(bitmap_bit_position(o_custkey))")
+        .as("bm"))
+      .agg(sum(expr("bitmap_count(bm)")).as("n"))
+    val a = cnt(o.filter(col("yr") === 1995))
+    val b = cnt(o.filter(col("yr") === 1996))
+    val u = cnt(o) // union: same agg over both slices at once
+    a.select(col("n").as("n_a"))
+      .crossJoin(b.select(col("n").as("n_b")))
+      .crossJoin(u.select(col("n").as("n_union")))
+      .select(col("n_a"), col("n_b"), col("n_union"),
+        (col("n_a") + col("n_b") - col("n_union")).as("n_both"),
+        (col("n_union") - col("n_b")).as("n_only_a"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_agg_bitmap_distinct" -> bitmapDistinct _,
+    "q_agg_bitmap_setops" -> bitmapSetOps _,
     "q_agg_hll" -> hllDistinct _)
 
   val oracle: Map[String, String] = Map(
@@ -101,6 +134,20 @@ object BitmapAgg {
       """SELECT o_orderpriority,
                 CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust
          FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q_agg_bitmap_setops" ->
+      """WITH a AS (SELECT DISTINCT o_custkey FROM orders
+                    WHERE year(o_orderdate) = 1995),
+         b AS (SELECT DISTINCT o_custkey FROM orders
+               WHERE year(o_orderdate) = 1996),
+         u AS (SELECT o_custkey FROM a UNION SELECT o_custkey FROM b),
+         i AS (SELECT o_custkey FROM a INTERSECT
+               SELECT o_custkey FROM b),
+         oa AS (SELECT o_custkey FROM a EXCEPT SELECT o_custkey FROM b)
+         SELECT CAST((SELECT count(*) FROM a) AS BIGINT) AS n_a,
+                CAST((SELECT count(*) FROM b) AS BIGINT) AS n_b,
+                CAST((SELECT count(*) FROM u) AS BIGINT) AS n_union,
+                CAST((SELECT count(*) FROM i) AS BIGINT) AS n_both,
+                CAST((SELECT count(*) FROM oa) AS BIGINT) AS n_only_a""",
     // DuckDB REBUILDS the identical sketch: same md5-derived buckets,
     // same integer rho, same fixed-point register sum, same estimate
     // arithmetic (e0 literals force DOUBLE, not DECIMAL, so the IEEE

@@ -16,6 +16,19 @@ class BitmapAggSpec extends SparkSpec {
     assert(got == want && got.nonEmpty)
   }
 
+  test("bitmap set algebra equals direct distinct set operations") {
+    val r = BitmapAgg.bitmapSetOps(spark, sf).collect()(0)
+    val o = Tables.orders(spark, sf)
+      .select(col("o_custkey"), year(col("o_orderdate")).as("yr"))
+    val a = o.filter(col("yr") === 1995).select("o_custkey").distinct()
+    val b = o.filter(col("yr") === 1996).select("o_custkey").distinct()
+    assert(r.getLong(0) == a.count())
+    assert(r.getLong(1) == b.count())
+    assert(r.getLong(2) == a.union(b).distinct().count())
+    assert(r.getLong(3) == a.intersect(b).count())
+    assert(r.getLong(4) == a.except(b).count())
+  }
+
   test("bitmap plan has map-side partial aggregation, no expand") {
     val plan = planOf(BitmapAgg.bitmapDistinct(spark, sf))
     // count(DISTINCT) plans an Expand; the bitmap form must not
