@@ -9,6 +9,18 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // Round-9 bisect of the r8 "regression": interleaving (below)
+      // separates a query's timed runs by a full 229-query pass, and the
+      // DEFAULT whole-stage-codegen compile cache holds only 100 classes
+      // (static conf) — so every timed run paid Janino recompilation
+      // (~0.1–0.5 s on sub-second queries), which back-to-back r7 runs
+      // never did. Quiet-box evidence: q_agg_distinct 0.252 s (r7,
+      // back-to-back) → 0.766 s (interleaved, 100-entry cache) → again
+      // ~r7-level with the cache sized for the workload. A production
+      // cluster serving hundreds of query shapes sizes this cache the
+      // same way; steady-state latency is the quantity under test, not
+      // JIT compile time.
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false")

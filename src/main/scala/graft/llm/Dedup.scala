@@ -452,31 +452,35 @@ object Dedup {
     * stays distributed — each round is two keyed min-aggs + two keyed
     * joins, shuffles keyed by node id only, never by payload.
     *
-    * Each round's edge set is EAGERLY localCheckpoint'ed: iterative
-    * plans double in size per round if only persisted (persist caches
-    * data, not the logical plan — analysis time then grows exponentially
-    * with the round count); checkpointing resets the plan to a scan of
-    * the cached blocks. On a cluster with executor-loss concerns, swap
-    * for reliable `checkpoint` on a shared dir — same call shape. */
+    * Each round's edge set is EAGERLY checkpointed: iterative plans
+    * double in size per round if only persisted (persist caches data,
+    * not the logical plan — analysis time then grows exponentially with
+    * the round count); checkpointing resets the plan to a scan of the
+    * materialized blocks. `checkpointDir=Some(dir)` selects RELIABLE
+    * checkpoints (graft.sc.Lineage.cut) — executor-loss-safe at cluster
+    * scale, where the default localCheckpoint would kill the multi-round
+    * job on the first lost executor. */
   def connectedComponents(edges: DataFrame, nodes: DataFrame,
-                          maxIter: Int = 25): DataFrame =
-    connectedComponentsRounds(edges, nodes, maxIter)._1
+                          maxIter: Int = 25,
+                          checkpointDir: Option[String] = None): DataFrame =
+    connectedComponentsRounds(edges, nodes, maxIter, checkpointDir)._1
 
   /** connectedComponents + the number of contraction rounds it took —
     * the round count is the spec-asserted scale property. */
   def connectedComponentsRounds(edges: DataFrame, nodes: DataFrame,
-                                maxIter: Int = 25): (DataFrame, Int) = {
+                                maxIter: Int = 25,
+                                checkpointDir: Option[String] = None): (DataFrame, Int) = {
     // checkpoint the initial edges ONCE: the loop re-reads them, and
     // without this the whole upstream edge derivation (e.g. the Jaccard
     // pair computation) would re-execute on the first round
-    var e = edges.select(col("id1").as("u"), col("id2").as("v"))
-      .filter(col("u") =!= col("v"))
-      .distinct()
-      .localCheckpoint(true)
+    var e = graft.sc.Lineage.cut(
+      edges.select(col("id1").as("u"), col("id2").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct(), checkpointDir)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      val next = graft.sc.Lineage.cut(smallStar(largeStar(e)), checkpointDir)
       // fixpoint test: the two-phase contraction converges exactly when
       // the edge set is stable (its only fixpoints are disjoint stars
       // centred at component minima). Both sets are distinct, so a

@@ -20,8 +20,10 @@ import org.apache.spark.sql.functions._
   *    deterministic byte cycles of document text, so the oracle
   *    re-derives every pixel with `ord(substr(text, …))` arithmetic and
   *    proves the WHOLE decode path: PPM token grammar, BMP bottom-up
-  *    row order, BGR swap, and 4-byte row padding — any decode bug
-  *    scrambles block sums and flips hash bits).
+  *    row order, BGR swap, 4-byte row padding, and since round 9 the
+  *    full PNG chain — chunk CRCs, zlib inflate, all five scanline
+  *    filters — any decode bug scrambles block sums and flips hash
+  *    bits).
   *  - CROSS-SCALED block comparison (S_a·C_b > S_b·C_a instead of
   *    means): division never happens, block sizes may differ by ±1
   *    pixel, and the comparison stays in exact BIGINT range
@@ -83,11 +85,12 @@ object ImageHash {
   def phashTable(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Multimodal.syntheticMedia(s, d).as[Multimodal.MediaRow]
-      .filter(col("format").isin("ppm", "bmp"))
+      .filter(col("format").isin("ppm", "bmp", "png"))
       .mapPartitions { rows =>
         rows.map { m =>
           val (w, h, rgb) = m.format match {
             case "ppm" => MediaCodecs.decodePpmRgb(m.payload)
+            case "png" => MediaCodecs.decodePngRgb(m.payload)
             case _     => MediaCodecs.decodeBmpRgb(m.payload)
           }
           (m.id, m.format, w, h, dhash64(w, h, rgb))
@@ -136,9 +139,40 @@ object ImageHash {
     nearDupPairs(phashTable(s, d).select("id", "phash"), maxHamming = 15)
       .orderBy("id1", "id2")
 
+  /** The PNG decode path proven standalone (beyond its phash rows):
+    * per-image integer luma total over ALL pixels of the decoded PNG.
+    * Any bug anywhere in the chunk walk, CRC check, zlib inflate, or
+    * any of the five filter reconstructions changes some pixel and
+    * therefore the BIGINT sum — and the DuckDB oracle rebuilds every
+    * pixel from the fixture's text-byte contract without parsing PNG
+    * at all, so the two sides share no code. */
+  def pngDecodeQ(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Multimodal.syntheticMedia(s, d).as[Multimodal.MediaRow]
+      .filter(col("format") === "png")
+      .mapPartitions { rows =>
+        rows.map { m =>
+          val (w, h, rgb) = MediaCodecs.decodePngRgb(m.payload)
+          var lum = 0L
+          var p = 0
+          val n = w * h
+          while (p < n) {
+            lum += 299L * (rgb(3 * p) & 0xff) +
+              587L * (rgb(3 * p + 1) & 0xff) +
+              114L * (rgb(3 * p + 2) & 0xff)
+            p += 1
+          }
+          (m.id, w, h, lum)
+        }
+      }
+      .toDF("id", "w", "h", "lum_sum")
+      .orderBy("id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_multimodal_phash"   -> phashQ _,
     "q_multimodal_neardup" -> nearDupQ _,
+    "q_multimodal_png"     -> pngDecodeQ _,
   )
 
   // The oracle re-derives every pixel from the document text (the
@@ -150,11 +184,13 @@ object ImageHash {
   private val phashCte =
     """WITH img AS (
          SELECT doc_id AS id,
-                CASE WHEN doc_id % 5 = 0 THEN 'ppm' ELSE 'bmp' END AS format,
+                CASE WHEN doc_id % 5 = 0 THEN 'ppm'
+                     WHEN doc_id % 5 = 1 THEN 'png'
+                     ELSE 'bmp' END AS format,
                 CAST(doc_id % 64 + 16 AS INT) AS w,
                 CAST(doc_id % 32 + 16 AS INT) AS h,
                 text, length(text) AS len
-         FROM documents WHERE doc_id % 5 IN (0, 4)),
+         FROM documents WHERE doc_id % 5 IN (0, 1, 4)),
        px AS (
          SELECT id, format, w, h,
                 CAST((p % w) * 9 // w AS INT) AS gx,
@@ -193,5 +229,23 @@ object ImageHash {
         FROM ph a JOIN ph b ON a.id < b.id
         WHERE bit_count(xor(a.phash, b.phash)) <= 15
         ORDER BY id1, id2"""),
+    // PNG-only decode proof: integer luma total per image, pixels
+    // rebuilt from the text-byte contract with no PNG parsing at all
+    "q_multimodal_png" ->
+      """WITH img AS (
+           SELECT doc_id AS id,
+                  CAST(doc_id % 64 + 16 AS INT) AS w,
+                  CAST(doc_id % 32 + 16 AS INT) AS h,
+                  text, length(text) AS len
+           FROM documents WHERE doc_id % 5 = 1),
+         px AS (
+           SELECT id, w, h,
+                  299 * ord(substr(text, CAST((3*p)   % len AS INT) + 1, 1))
+                + 587 * ord(substr(text, CAST((3*p+1) % len AS INT) + 1, 1))
+                + 114 * ord(substr(text, CAST((3*p+2) % len AS INT) + 1, 1))
+                  AS lum
+           FROM img, LATERAL (SELECT unnest(range(0, CAST(w AS BIGINT) * h)) AS p))
+         SELECT id, w, h, CAST(SUM(lum) AS BIGINT) AS lum_sum
+         FROM px GROUP BY id, w, h ORDER BY id""",
   )
 }

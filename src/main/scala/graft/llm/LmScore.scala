@@ -24,10 +24,17 @@ import graft.tables.Tables
   * (map-side combine) build the model; the scoring pass joins each
   * document bigram against the model on (w1,w2) and w1. Both model
   * frames are VOCABULARY-sized, not corpus-sized — |V| unigrams and
-  * ≤|V|² observed bigrams — so they broadcast, and the scoring pass is
-  * one scan of the corpus with two broadcast hash joins + one keyed agg
-  * back to doc_id. At 100 TB the only shuffle is the model-build agg and
-  * the final per-doc agg; nothing is ever all-pairs. Docs with <2 tokens
+  * ≤|V|² OBSERVED bigrams. The broadcast claim is therefore a
+  * BOUNDED-VOCABULARY statement (round-8 advisory): it holds for this
+  * fixture's ~40-token vocabulary and for any controlled tag/label
+  * vocabulary, but at a natural-language |V|~30k the ≤|V|² bound is
+  * ~1e9 rows and only the (much smaller) observed-bigram count decides;
+  * when that frame outgrows the broadcast threshold Spark's planner
+  * falls back to a shuffle hash join on (w1,w2) — same plan shape, one
+  * extra keyed shuffle, still never all-pairs. The scoring pass is one
+  * scan of the corpus with two model joins + one keyed agg back to
+  * doc_id; at 100 TB the only shuffles are the model-build agg, the
+  * model join (if not broadcast), and the final per-doc agg. Docs with <2 tokens
   * have no bigrams and score NULL (kept, flagged by n_bigrams=0 — a
   * filter consumer decides their fate, the scorer doesn't). */
 object LmScore {

@@ -4,11 +4,13 @@ import java.nio.{ByteBuffer, ByteOrder}
 
 /** Pure-JVM media codecs for the multimodal pipeline: PPM P6 (binary RGB
   * image), BMP 24-bit BI_RGB (the little-endian/bottom-up/row-padded
-  * classic), and WAV PCM16 (RIFF audio) — public, header+raw-payload
-  * formats decodable without native libraries, which is exactly what this
-  * container offers. These make the decode stage REAL for three of the
-  * five media formats; compressed formats (jpeg/mp4) keep the documented
-  * deterministic stub.
+  * classic), PNG 8-bit truecolor (a REAL compressed format — chunk
+  * grammar + CRC32 + zlib DEFLATE via java.util.zip + all five scanline
+  * filters, from the public ISO/IEC 15948 spec), and WAV PCM16 (RIFF
+  * audio) — all decodable without native libraries, which is exactly
+  * what this container offers. These make the decode stage REAL for
+  * four of the five media formats; mp4 keeps the documented
+  * deterministic stub (no pure-JVM route exists here).
   */
 object MediaCodecs {
 
@@ -148,6 +150,179 @@ object MediaCodecs {
     * format-independent for identical pixels. */
   def decodeBmp(bytes: Array[Byte]): (Int, Int, Array[Float]) = {
     val (w, h, rgb) = decodeBmpRgb(bytes)
+    (w, h, rgbToLuma(rgb))
+  }
+
+  // ------------------------------------------------- PNG truecolor RGB --
+
+  private val PngSig =
+    Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  private def be32(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) |
+      ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+
+  /** Paeth predictor (PNG spec §9.4): nearest of left/up/up-left to
+    * the linear gradient p = a + b - c, ties won in that order. */
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  private def zlibDeflate(bytes: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val dos = new java.util.zip.DeflaterOutputStream(bos,
+      new java.util.zip.Deflater(6))
+    dos.write(bytes); dos.close()
+    bos.toByteArray
+  }
+
+  private def zlibInflate(raw: Array[Byte], expected: Int): Array[Byte] = {
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(raw)
+    val out = new Array[Byte](expected)
+    var off = 0
+    while (off < expected && !inf.finished()) {
+      val n = inf.inflate(out, off, expected - off)
+      if (n == 0 && inf.needsInput())
+        throw new java.io.IOException("truncated PNG IDAT stream")
+      off += n
+    }
+    inf.end()
+    require(off == expected, s"PNG IDAT: $off bytes, expected $expected")
+    out
+  }
+
+  /** Encode w×h RGB bytes as a PNG (public spec, ISO/IEC 15948): 8-bit
+    * truecolor (color type 2), non-interlaced, one IDAT. The scanline
+    * filter is `y % 5` — every filter type the spec defines (None, Sub,
+    * Up, Average, Paeth) appears in any image with h ≥ 5, so a
+    * round-trip through [[decodePngRgb]] exercises ALL five
+    * reconstruction paths, not just the trivial one. */
+  def encodePng(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length == 3 * w * h, s"rgb length ${rgb.length} != 3*$w*$h")
+    val bpr = 3 * w
+    val raw = new Array[Byte]((bpr + 1) * h)
+    var y = 0
+    while (y < h) {
+      val ft = y % 5
+      raw(y * (bpr + 1)) = ft.toByte
+      var x = 0
+      while (x < bpr) {
+        val cur = rgb(y * bpr + x) & 0xff
+        val left = if (x >= 3) rgb(y * bpr + x - 3) & 0xff else 0
+        val up = if (y > 0) rgb((y - 1) * bpr + x) & 0xff else 0
+        val ul = if (x >= 3 && y > 0) rgb((y - 1) * bpr + x - 3) & 0xff else 0
+        val v = ft match {
+          case 0 => cur
+          case 1 => cur - left
+          case 2 => cur - up
+          case 3 => cur - (left + up) / 2
+          case _ => cur - paeth(left, up, ul)
+        }
+        raw(y * (bpr + 1) + 1 + x) = v.toByte
+        x += 1
+      }
+      y += 1
+    }
+    val ihdr = ByteBuffer.allocate(13)
+      .putInt(w).putInt(h)
+      .put(8.toByte)  // bit depth
+      .put(2.toByte)  // color type: truecolor RGB
+      .put(0.toByte).put(0.toByte).put(0.toByte) // deflate, adaptive, no interlace
+      .array()
+    val idat = zlibDeflate(raw)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(PngSig)
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      val t = typ.getBytes("US-ASCII")
+      val hdr = ByteBuffer.allocate(4).putInt(data.length).array()
+      out.write(hdr)
+      out.write(t); out.write(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(t); crc.update(data)
+      out.write(ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array())
+    }
+    chunk("IHDR", ihdr)
+    chunk("IDAT", idat)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** Decode an 8-bit truecolor non-interlaced PNG → (w, h, raw RGB,
+    * top-down) — the exact inverse of encodePng, but a REAL spec
+    * decoder: walks the chunk list verifying every CRC, concatenates
+    * multiple IDATs, inflates the zlib stream, and reconstructs all
+    * five scanline filters against previously reconstructed bytes
+    * (not the filtered ones — the classic unfilter bug). Ancillary
+    * chunks are skipped per spec; unsupported critical features
+    * (palette, alpha, 16-bit, interlace) fail loudly. */
+  def decodePngRgb(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
+    require(bytes.length > 8 && PngSig.indices.forall(i => bytes(i) == PngSig(i)),
+      "not a PNG payload")
+    var i = 8
+    var w = -1; var h = -1
+    var sawIhdr = false; var sawIend = false
+    val idat = new java.io.ByteArrayOutputStream()
+    while (!sawIend && i + 12 <= bytes.length) {
+      val len = be32(bytes, i)
+      require(len >= 0 && i + 12 + len <= bytes.length,
+        s"truncated PNG chunk at offset $i")
+      val typ = new String(bytes, i + 4, 4, "US-ASCII")
+      val crc = new java.util.zip.CRC32()
+      crc.update(bytes, i + 4, 4 + len)
+      require(crc.getValue.toInt == be32(bytes, i + 8 + len),
+        s"PNG $typ chunk CRC mismatch")
+      typ match {
+        case "IHDR" =>
+          require(len == 13, "malformed IHDR")
+          w = be32(bytes, i + 8); h = be32(bytes, i + 12)
+          require(w > 0 && h > 0, s"bad PNG dims ${w}x$h")
+          require(bytes(i + 16) == 8, "only 8-bit PNG supported")
+          require(bytes(i + 17) == 2, "only truecolor RGB PNG supported")
+          require(bytes(i + 20) == 0, "interlaced PNG not supported")
+          sawIhdr = true
+        case "IDAT" => idat.write(bytes, i + 8, len)
+        case "IEND" => sawIend = true
+        case _ => () // ancillary (tEXt/pHYs/…): skip per spec
+      }
+      i += 12 + len
+    }
+    require(sawIhdr && sawIend, "missing IHDR/IEND chunk")
+    val bpr = 3 * w
+    val raw = zlibInflate(idat.toByteArray, (bpr + 1) * h)
+    val rgb = new Array[Byte](bpr * h)
+    var y = 0
+    while (y < h) {
+      val ft = raw(y * (bpr + 1)) & 0xff
+      require(ft <= 4, s"bad PNG filter type $ft on row $y")
+      var x = 0
+      while (x < bpr) {
+        val f = raw(y * (bpr + 1) + 1 + x) & 0xff
+        val left = if (x >= 3) rgb(y * bpr + x - 3) & 0xff else 0
+        val up = if (y > 0) rgb((y - 1) * bpr + x) & 0xff else 0
+        val ul = if (x >= 3 && y > 0) rgb((y - 1) * bpr + x - 3) & 0xff else 0
+        val v = ft match {
+          case 0 => f
+          case 1 => f + left
+          case 2 => f + up
+          case 3 => f + (left + up) / 2
+          case _ => f + paeth(left, up, ul)
+        }
+        rgb(y * bpr + x) = v.toByte
+        x += 1
+      }
+      y += 1
+    }
+    (w, h, rgb)
+  }
+
+  /** Decode PNG → (w, h, grayscale luma in [0,1], Rec.601) — same
+    * normalization as decodePpm/decodeBmp so image features are
+    * format-independent for identical pixels. */
+  def decodePng(bytes: Array[Byte]): (Int, Int, Array[Float]) = {
+    val (w, h, rgb) = decodePngRgb(bytes)
     (w, h, rgbToLuma(rgb))
   }
 

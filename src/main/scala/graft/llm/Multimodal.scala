@@ -8,14 +8,16 @@ import graft.tables.Tables
   * with typed metadata, plus decode → feature-extract → resize /
   * frame-sample stages.
   *
-  * Round 2: the decode stage is REAL for the two formats a bare JVM can
-  * decode — PPM P6 images and WAV PCM16 audio (MediaCodecs; header parse
-  * + raw payload, no native libs). The media fixture writes genuine
-  * PPM/WAV bytes and the pipeline decodes them back; golden tests pin
-  * exact pixel/sample values. Compressed formats (jpeg/mp4) keep the
-  * documented deterministic stub — this container ships no image/audio
-  * libraries (builder brief), and swapping the stub for a real codec
-  * changes only that function body.
+  * The decode stage is REAL for four of the five media formats — PPM P6
+  * and BMP 24-bit (header + raw payload), PNG 8-bit truecolor (a real
+  * COMPRESSED decode: chunk walk, CRC32, zlib inflate, all five
+  * scanline filters — MediaCodecs, from the public spec), and WAV PCM16
+  * audio. The media fixture writes genuine encodings and the pipeline
+  * decodes them back; golden tests pin exact pixel/sample values and
+  * the phash/png oracles re-derive pixels from first principles in
+  * DuckDB. Only mp4 keeps the documented deterministic stub — no
+  * pure-JVM video route exists in this container, and swapping the stub
+  * for a real codec changes only that function body.
   *
   * Scale design: decode runs as Dataset.mapPartitions — one JVM-side
   * batch iterator per input split (the Scala analogue of mapInPandas
@@ -41,7 +43,7 @@ object Multimodal {
     * UTF-8 text bytes for the stub formats. Written as parquet so the read path is
     * an ordinary binary-column scan. */
   def mediaFixture(s: SparkSession, sfDir: String): String =
-    graft.tables.Fixtures.cached("media2", "media.parquet", sfDir) { dir =>
+    graft.tables.Fixtures.cached("media3", "media.parquet", sfDir) { dir =>
       import s.implicits._
       Tables.documents(s, sfDir)
         .select(col("doc_id"), col("text")).as[(Long, String)]
@@ -49,17 +51,30 @@ object Multimodal {
         .write.mode("overwrite").parquet(dir.toString)
     }()
 
-  /** Deterministic row synthesis (driver of the fixture above). */
+  /** Deterministic row synthesis (driver of the fixture above). The
+    * pixel contract every image-format oracle re-derives from first
+    * principles: rgb byte i = text byte (i % len). The media fixture's
+    * oracles index that text by CHARACTER (ord/substr) while this
+    * builder cycles UTF-8 BYTES — the two agree only while the corpus
+    * is pure ASCII, so the assumption is asserted here and a violation
+    * fails with a clear message instead of an opaque oracle hash
+    * mismatch (round-8 advisory). */
   def mkRow(id: Long, text: String): MediaRow = {
-    val fmt = Seq("ppm", "jpeg", "wav", "mp4", "bmp")((id % 5).toInt)
+    val fmt = Seq("ppm", "png", "wav", "mp4", "bmp")((id % 5).toInt)
     val w = (id % 64 + 16).toInt
     val h = (id % 32 + 16).toInt
     val nFrames = if (fmt == "mp4") (id % 30 + 2).toInt else 1
     val bytes = text.getBytes("UTF-8")
+    require(bytes.length == text.length,
+      s"media fixture doc $id: non-ASCII text — the DuckDB media oracles " +
+        "index text by character and would silently diverge from the " +
+        "byte-cycled payload; regenerate the corpus ASCII-only or extend " +
+        "the oracles to byte indexing")
     def cycled(n: Int): Array[Byte] =
       Array.tabulate(n)(i => bytes(i % bytes.length))
     val payload = fmt match {
       case "ppm" => MediaCodecs.encodePpm(w, h, cycled(3 * w * h))
+      case "png" => MediaCodecs.encodePng(w, h, cycled(3 * w * h))
       case "bmp" => MediaCodecs.encodeBmp(w, h, cycled(3 * w * h))
       case "wav" => MediaCodecs.encodeWav(8000,
         Array.tabulate(w * h)(i =>
@@ -149,6 +164,9 @@ object Multimodal {
           case "bmp" => // same luma kernel behind a second REAL decoder
             val (w, h, px) = MediaCodecs.decodeBmp(m.payload)
             MediaFeatures(m.id, m.format, 1, meanPool(px, w, h, poolFactor))
+          case "png" => // REAL compressed decode: CRC + inflate + unfilter
+            val (w, h, px) = MediaCodecs.decodePng(m.payload)
+            MediaFeatures(m.id, m.format, 1, meanPool(px, w, h, poolFactor))
           case "wav" =>
             val (_, samples) = MediaCodecs.decodeWav(m.payload)
             MediaFeatures(m.id, m.format, 1,
@@ -161,7 +179,7 @@ object Multimodal {
               meanPool(px, m.width, m.height, poolFactor)
             }
             MediaFeatures(m.id, m.format, frames.size, feats)
-          case _ => // jpeg: stub (no JVM-only decoder exists)
+          case _ => // unknown compressed format: documented stub
             val px = decodeStub(m.payload, m.width, m.height)
             MediaFeatures(m.id, m.format, 1,
               meanPool(px, m.width, m.height, poolFactor))

@@ -88,6 +88,13 @@ object PrefixJoin {
     candidatesFrom(rankedSets(tok), tau)
 
   def dedupPrefix(s: SparkSession, d: String): DataFrame = {
+    // persisted: three consumers (candidate gen + both verify joins)
+    // and the RESULT plan still references it, so no in-function
+    // unpersist is possible without recomputing rankedSets per consumer.
+    // Lifecycle is harness-released — Bench/Verify clearCache between
+    // queries (the Selection.textDsir contract); direct library callers
+    // that loop this function should clearCache or unpersist the
+    // returned plan's cached lineage themselves (round-8 advisory).
     val ranked = rankedSets(Dedup.tokenSets(Tables.documents(s, d)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = candidatesFrom(ranked, TAU)

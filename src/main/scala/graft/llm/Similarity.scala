@@ -425,6 +425,25 @@ object Similarity {
     * regressions (bad fit sample, too few probes) surface as rows here,
     * not as silent result drift. Rows-only: KMeans cells are
     * engine-specific; the recall floor itself is gated in LlmOpsSpec. */
+  /** The EXACT brute-force top-k side of the recall audit, shared by
+    * [[similarityRecall]] and the hash-verified
+    * [[similarityRecallExact]]: the bounded query set broadcasts and
+    * sweeps the corpus once; ranking is over the ROUNDED cosine with an
+    * id2 tie-break so the top-k set is deterministic in both engines. */
+  def exactTopKForQueries(e: DataFrame, qids: DataFrame, k: Int): DataFrame = {
+    val qvecs = e.join(broadcast(qids), Seq("id"), "left_semi")
+      .select(col("id").as("id1"), col("v").as("v1"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id1").orderBy(col("cosine").desc, col("id2"))
+    broadcast(qvecs)
+      .join(e.select(col("id").as("id2"), col("v").as("v2")),
+        col("id1") =!= col("id2"))
+      .select(col("id1"), col("id2"),
+        round(safeCosine(col("v1"), col("v2")), 4).as("cosine"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+  }
+
   def similarityRecall(s: SparkSession, d: String): DataFrame = {
     GraftFunctions.register(s)
     val k = 5
@@ -434,17 +453,7 @@ object Similarity {
       .orderBy(col("_h")).limit(64).select(col("id"))
     val approx = ivfTopK(e, k, probeIds = Some(qids))
       .select(col("id1"), col("id2"), lit(1L).as("hit"))
-    val qvecs = e.join(broadcast(qids), Seq("id"), "left_semi")
-      .select(col("id").as("id1"), col("v").as("v1"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("id1").orderBy(col("cosine").desc, col("id2"))
-    val exact = broadcast(qvecs)
-      .join(e.select(col("id").as("id2"), col("v").as("v2")),
-        col("id1") =!= col("id2"))
-      .select(col("id1"), col("id2"),
-        round(safeCosine(col("v1"), col("v2")), 4).as("cosine"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
+    val exact = exactTopKForQueries(e, qids, k)
     exact.join(approx, Seq("id1", "id2"), "left")
       .groupBy(col("id1"))
       .agg(count(lit(1)).as("n_exact"),
@@ -452,6 +461,27 @@ object Similarity {
       .select(col("id1"), col("n_exact"), col("n_hit"),
         round(col("n_hit") / col("n_exact"), 4).as("recall"))
       .orderBy(col("id1"))
+  }
+
+  /** The recall audit's GROUND TRUTH, hash-verified (round-8 advisory:
+    * the exact side is deterministic, so it should not hide inside a
+    * rows-only query). Same exactTopKForQueries code path the audit
+    * uses; only the query sample differs — a Knuth multiplicative hash
+    * over the id, because the audit's xxhash64 does not exist in the
+    * oracle engine, while `(id·2654435761) mod 2^32` is exact BIGINT
+    * arithmetic in both. The KMeans-dependent IVF side stays rows-only
+    * in q_similarity_recall. */
+  def similarityRecallExact(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val e = Tables.embeddings(s, d).select(col("vec_id").as("id"),
+      transform(col("embedding"), _.cast("double")).as("v"))
+    val qids = e.select(col("id"),
+        ((col("id") * lit(2654435761L)) % lit(4294967296L)).as("_h"))
+      .orderBy(col("_h"), col("id")).limit(64).select(col("id"))
+    exactTopKForQueries(e, qids, k = 5)
+      // row_number is INT in Spark, BIGINT in DuckDB — align the dump
+      .withColumn("rk", col("rk").cast("bigint"))
+      .orderBy("id1", "rk")
   }
 
   /** SPARSE cosine document similarity through an inverted index — the
@@ -529,6 +559,7 @@ object Similarity {
     "q_similarity_ivf" -> similarityIvf _,
     "q_similarity_pq"  -> similarityPq _,
     "q_similarity_recall" -> similarityRecall _,
+    "q_similarity_recall_exact" -> similarityRecallExact _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -562,6 +593,28 @@ object Similarity {
                    JOIN norms y ON y.doc_id = id2
          WHERE round(dot / (x.nrm * y.nrm) + 1e-9, 4) >= 0.05
          ORDER BY id1, id2""",
+    // ground truth of the recall audit: same window/tie-break/rounding
+    // as the Spark exactTopKForQueries; the query sample is the shared
+    // Knuth-hash order — exact BIGINT arithmetic in both engines
+    "q_similarity_recall_exact" ->
+      """WITH e AS (
+           SELECT vec_id AS id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         q AS (SELECT id FROM e
+               ORDER BY (id * 2654435761) % 4294967296, id LIMIT 64),
+         pairs AS (
+           SELECT a.id AS id1, b.id AS id2,
+                  round(list_cosine_similarity(a.v, b.v), 4) AS cosine
+           FROM e a JOIN e b ON a.id <> b.id
+           WHERE a.id IN (SELECT id FROM q)),
+         rk AS (
+           SELECT id1, id2, cosine,
+                  row_number() OVER (PARTITION BY id1
+                                     ORDER BY cosine DESC, id2) AS rk
+           FROM pairs)
+         SELECT id1, id2, cosine, rk FROM rk WHERE rk <= 5
+         ORDER BY id1, rk""",
     "q_similarity_knn" ->
       """SELECT id1, id2, round(cos0, 4) AS cosine FROM (
            SELECT a.vec_id AS id1, b.vec_id AS id2,

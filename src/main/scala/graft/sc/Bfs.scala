@@ -28,22 +28,21 @@ object Bfs {
     * list — public so specs can drive closed-form graphs (path, star,
     * disconnected pair) through the same joins. Returns (id, d) for
     * every node within `hops` of the smallest node id. */
-  def bfsOnEdges(canonicalEdges: DataFrame, hops: Int = Hops): DataFrame = {
+  def bfsOnEdges(canonicalEdges: DataFrame, hops: Int = Hops,
+                 checkpointDir: Option[String] = None): DataFrame = {
     val sym = canonicalEdges.select(col("a").as("v"), col("b").as("nbr"))
       .unionAll(canonicalEdges.select(col("b").as("v"), col("a").as("nbr")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var settled = sym.agg(min(col("v")).as("id"))
-      .withColumn("d", lit(0)).localCheckpoint()
+    var settled = Lineage.cut(sym.agg(min(col("v")).as("id"))
+      .withColumn("d", lit(0)), checkpointDir)
     var frontier = settled.select("id")
     for (h <- 1 to hops) {
-      frontier = frontier
+      frontier = Lineage.cut(frontier
         .join(sym.select(col("v").as("id"), col("nbr")), "id")
         .select(col("nbr").as("id")).distinct()
-        .join(settled, Seq("id"), "left_anti")
-        .localCheckpoint()
-      settled = settled
-        .unionAll(frontier.withColumn("d", lit(h)))
-        .localCheckpoint()
+        .join(settled, Seq("id"), "left_anti"), checkpointDir)
+      settled = Lineage.cut(settled
+        .unionAll(frontier.withColumn("d", lit(h))), checkpointDir)
     }
     sym.unpersist()
     settled

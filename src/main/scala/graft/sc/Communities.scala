@@ -33,14 +33,15 @@ object Communities {
     * list — public so specs drive closed-form graphs through the SAME
     * joins (CommunitiesSpec's two-clique bridge). */
   def labelPropagationOnEdges(canonicalEdges: DataFrame,
-                              rounds: Int = Rounds): DataFrame = {
+                              rounds: Int = Rounds,
+                              checkpointDir: Option[String] = None): DataFrame = {
     val sym = canonicalEdges.select(col("a").as("v"), col("b").as("nbr"))
       .unionAll(canonicalEdges.select(col("b").as("v"), col("a").as("nbr")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // seed: every node (taken straight off the edges, read once — no
     // persist needed) starts as its own label
-    var labels = sym.select(col("v").as("id")).distinct()
-      .withColumn("lbl", col("id")).localCheckpoint()
+    var labels = Lineage.cut(sym.select(col("v").as("id")).distinct()
+      .withColumn("lbl", col("id")), checkpointDir)
     for (i <- 1 to rounds) {
       // every node appears as some v with ≥1 labeled neighbor, so this
       // winner frame IS the full next labeling — no join-back needed
@@ -53,7 +54,7 @@ object Communities {
         .agg(max(struct(col("c"), (-col("nlbl")).as("neg"))).as("m"))
         .select(col("v").as("id"), (-col("m.neg")).as("lbl"))
       // lineage cut every second round — see pageRankOnEdges
-      if (i % 2 == 0 || i == rounds) labels = labels.localCheckpoint()
+      if (i % 2 == 0 || i == rounds) labels = Lineage.cut(labels, checkpointDir)
     }
     sym.unpersist()
     labels

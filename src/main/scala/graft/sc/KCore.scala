@@ -28,18 +28,19 @@ object KCore {
     * list. Returns (id, deg) of nodes surviving `rounds` peels at
     * threshold k, with deg = degree INSIDE the surviving subgraph. */
   def kCore(canonicalEdges: DataFrame, k: Int = K,
-            rounds: Int = Rounds): DataFrame = {
-    var edges = canonicalEdges.select(col("a"), col("b")).localCheckpoint()
+            rounds: Int = Rounds,
+            checkpointDir: Option[String] = None): DataFrame = {
+    var edges = Lineage.cut(canonicalEdges.select(col("a"), col("b")),
+      checkpointDir)
     for (_ <- 1 to rounds) {
       val deg = edges.select(col("a").as("v"))
         .unionAll(edges.select(col("b").as("v")))
         .groupBy("v").agg(count(lit(1)).as("deg"))
       val keep = deg.filter(col("deg") >= k).select("v")
-      edges = edges
+      edges = Lineage.cut(edges
         .join(keep.select(col("v").as("a")), Seq("a"), "left_semi")
         .join(keep.select(col("v").as("b")), Seq("b"), "left_semi")
-        .select(col("a"), col("b"))
-        .localCheckpoint()
+        .select(col("a"), col("b")), checkpointDir)
     }
     edges.select(col("a").as("v"))
       .unionAll(edges.select(col("b").as("v")))

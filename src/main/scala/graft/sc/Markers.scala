@@ -118,7 +118,11 @@ object Markers {
   def scMarkersWilcoxon(s: SparkSession, d: String): DataFrame =
     wilcoxonFor(labeled(s, d), TOP_K)
 
-  /** The rank-sum core over any (label, vec) frame. */
+  /** The rank-sum core over any (label, vec) frame. Both persists feed
+    * multiple consumers referenced by the RESULT plan, so they cannot
+    * unpersist in-function; lifecycle is harness-released (Bench/Verify
+    * clearCache between queries — the Selection.textDsir contract).
+    * Looping library callers should clearCache themselves. */
   def wilcoxonFor(m: DataFrame, topK: Int): DataFrame = {
     val x = m
       .select(col("label"), posexplode(col("vec")).as(Seq("pos", "val")))

@@ -51,9 +51,16 @@ object PageRank {
     * is a ONE-ROW aggregate broadcast into the update (the bounded-
     * stats class, like the normalize-target median) — nothing about
     * the round's shape changes: still one keyed join + one keyed agg. */
+  /** `checkpointDir=Some(dir)` selects RELIABLE checkpointing for the
+    * per-round lineage cuts (see [[Lineage.cut]]): localCheckpoint is
+    * executor-local, so at cluster scale one lost executor kills a
+    * 10-round job irrecoverably; a durable dir trades one DFS
+    * write+read per cut for restartability. Results are identical
+    * either way (CheckpointModeSpec). */
   def pageRankOnEdges(rawEdges: DataFrame, iters: Int = Iters,
                       damping: Double = Damping,
-                      redistributeDangling: Boolean = false): DataFrame = {
+                      redistributeDangling: Boolean = false,
+                      checkpointDir: Option[String] = None): DataFrame = {
     val edges = rawEdges.select(col("id1"), col("id2"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // out-degree per source, attached once so each round's contribution
@@ -77,7 +84,7 @@ object PageRank {
         Some(nodes.join(deg.select(col("id1").as("id")), Seq("id"), "left_anti")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       else None
-    var ranks = nodes.withColumn("r", lit(1.0 / n)).localCheckpoint()
+    var ranks = Lineage.cut(nodes.withColumn("r", lit(1.0 / n)), checkpointDir)
     for (i <- 1 to iters) {
       val contrib = edgesD.join(ranks, col("id1") === col("id"))
         .groupBy(col("id2"))
@@ -102,7 +109,7 @@ object PageRank {
       // cut lineage every SECOND round: plans two joins deep stay cheap
       // to analyze, and halving the eager materializations halves the
       // per-round job count (and, at scale, the rank-table writes)
-      if (i % 2 == 0 || i == iters) ranks = ranks.localCheckpoint()
+      if (i % 2 == 0 || i == iters) ranks = Lineage.cut(ranks, checkpointDir)
     }
     // the eager localCheckpoint above cut ranks' lineage to the
     // checkpointed RDD, so the scaffolding caches can drop now instead

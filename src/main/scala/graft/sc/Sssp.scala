@@ -30,21 +30,21 @@ object Sssp {
     * list — public so specs can drive closed-form graphs through the
     * same joins. Returns (id, dist) = exact min cost over all paths of
     * ≤ `rounds` edges from the smallest node id. */
-  def ssspOnEdges(weightedEdges: DataFrame, rounds: Int = Rounds): DataFrame = {
+  def ssspOnEdges(weightedEdges: DataFrame, rounds: Int = Rounds,
+                  checkpointDir: Option[String] = None): DataFrame = {
     val sym = weightedEdges
       .select(col("a").as("v"), col("b").as("nbr"), col("w"))
       .unionAll(weightedEdges
         .select(col("b").as("v"), col("a").as("nbr"), col("w")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var dist = sym.agg(min(col("v")).as("id"))
-      .withColumn("dist", lit(0L)).localCheckpoint()
+    var dist = Lineage.cut(sym.agg(min(col("v")).as("id"))
+      .withColumn("dist", lit(0L)), checkpointDir)
     for (_ <- 1 to rounds) {
       val relaxed = dist
         .join(sym.select(col("v").as("id"), col("nbr"), col("w")), "id")
         .select(col("nbr").as("id"), (col("dist") + col("w")).as("dist"))
-      dist = dist.unionAll(relaxed)
-        .groupBy("id").agg(min(col("dist")).as("dist"))
-        .localCheckpoint()
+      dist = Lineage.cut(dist.unionAll(relaxed)
+        .groupBy("id").agg(min(col("dist")).as("dist")), checkpointDir)
     }
     sym.unpersist()
     dist

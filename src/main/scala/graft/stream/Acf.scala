@@ -30,6 +30,10 @@ object Acf {
   val MaxLag = 6
 
   def acf(s: SparkSession, d: String): DataFrame = {
+    // persisted: the lag self-join reads it twice and the result plan
+    // keeps referencing it — harness-released via Bench/Verify
+    // clearCache (the Selection.textDsir contract); looping library
+    // callers should clearCache themselves (round-8 advisory)
     val hourly = Tables.events(s, d)
       .groupBy(expr("ts_ns div 3600000000000").as("hb"))
       .agg(count(lit(1)).as("cnt"))

@@ -133,7 +133,15 @@ object Profile {
     * observed metrics row itself, so the DuckDB oracle value-proves
     * that observe's accumulator path aggregates exactly like a
     * groupBy-less agg would. The metrics land on the driver as one
-    * bounded row (the bounded-stats class). */
+    * bounded row (the bounded-stats class).
+    *
+    * EAGER by necessity (round-8 advisory): Observation.get blocks on a
+    * completed job, so unlike every other Q-map entry this one runs its
+    * full lineitem scan at CONSTRUCTION time and returns the already-
+    * materialized one-row frame. A caller building the query map's
+    * DataFrames without executing them pays that scan here — acceptable
+    * for the gate/bench harnesses (they always execute), documented for
+    * anyone else. */
   def obsMetrics(s: SparkSession, d: String): DataFrame = {
     val obs = org.apache.spark.sql.Observation()
     Tables.lineitem(s, d)

@@ -46,7 +46,8 @@ class ZarrDataSource extends TableProvider with DataSourceRegister {
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    ZarrTable.schemaFor(ZarrIO.readMeta(pathOf(options)))
+    ZarrTable.schemaFor(ZarrIO.readMeta(
+      ZarrVersioned.resolve(pathOf(options), ZarrIO.hadoopConf())))
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: java.util.Map[String, String]): Table =
@@ -65,7 +66,15 @@ object ZarrTable {
 
 class ZarrTable(path: String, providedSchema: Option[StructType] = None)
     extends Table with SupportsRead with SupportsWrite {
-  private lazy val meta = ZarrIO.readMeta(path)
+  // Versioned stores (ZarrVersioned, the default write commit protocol)
+  // resolve their `current` pointer ONCE here, at table-resolution time:
+  // every chunk read of this scan then targets that immutable version
+  // dir, so a commit landing mid-query cannot mix versions (snapshot
+  // isolation, modulo GC of the superseded version). Flat stores
+  // resolve to themselves. The WRITE path keeps the store ROOT — the
+  // writer manages versions itself.
+  private lazy val readPath = ZarrVersioned.resolve(path, ZarrIO.hadoopConf())
+  private lazy val meta = ZarrIO.readMeta(readPath)
   override def name(): String = s"zarr:`$path`"
   // The committed .zarray is authoritative when it exists: a
   // user-specified schema that disagrees is REJECTED loudly — with
@@ -108,7 +117,7 @@ class ZarrTable(path: String, providedSchema: Option[StructType] = None)
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ZarrScanBuilder(path, meta)
+    new ZarrScanBuilder(readPath, meta)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new ZarrWriteBuilder(path, info)
 }

@@ -50,6 +50,16 @@ object ZarrWrite {
   // (c/i/j keys, bytes+gzip codecs). Same two-phase band commit either
   // way — only metadata, key layout, and codec naming change.
   val FormatOption = "format"
+  // Commit protocol (round-8 advisory — the reference's deployment target
+  // was Zarr on GCS, where directory rename is not atomic):
+  //   "versioned" (default) — build the store under <path>/v<N>-<qid>/;
+  //     THE commit is one atomic PUT of the tiny <path>/current pointer
+  //     (ZarrVersioned). Object-store safe; readable via this DSv2 (the
+  //     read path resolves the pointer transparently).
+  //   "rename" — the flat spec-standard layout (.zarray at the store
+  //     root) committed by rename-aside swap. Atomic on HDFS/local FS;
+  //     use when external zarr tools must read the store directly.
+  val CommitOption = "commit"
 
   /** Slice a full row-band buffer (chunkRows × dim, row-major) into the
     * j-th column chunk, padded to the full chunkRows × chunkCols shape
@@ -84,15 +94,15 @@ object ZarrWrite {
     case _ => "<f8"
   }
 
-  /** The whole new store is built in a query-unique TEMP SIBLING and
-    * swapped in at commit (delete-old + rename) — the previously
-    * committed store stays readable until the new one is complete, so
-    * a failed overwrite can never destroy data. Staging partials live
-    * inside the temp store and vanish with it. */
+  /** rename mode only: the whole new store is built in a query-unique
+    * TEMP SIBLING and swapped in at commit (rename-aside) — the
+    * previously committed store stays readable until the new one is
+    * complete, so a failed overwrite can never destroy data. (In
+    * versioned mode the work dir is a version dir INSIDE the store and
+    * the swap is a pointer PUT — see ZarrVersioned.) Staging partials
+    * live inside the work dir and vanish with it either way. */
   def tmpDir(path: String, queryId: String) =
     new HPath(path + s".tmp-$queryId")
-  def stagingDir(path: String, queryId: String) =
-    new HPath(tmpDir(path, queryId), ".staging")
 }
 
 class ZarrWriteBuilder(path: String, info: LogicalWriteInfo)
@@ -112,14 +122,19 @@ class ZarrWriteBuilder(path: String, info: LogicalWriteInfo)
     val format = Option(info.options.get(ZarrWrite.FormatOption))
       .map(_.toInt).getOrElse(2)
     require(format == 2 || format == 3, s"format must be 2 or 3, got $format")
+    val commitMode = Option(info.options.get(ZarrWrite.CommitOption))
+      .getOrElse("versioned")
+    require(commitMode == "versioned" || commitMode == "rename",
+      s"commit must be 'versioned' or 'rename', got $commitMode")
     new ZarrWriteImpl(path, info.queryId(), ZarrWrite.dtypeFor(info.schema()),
-      chunkRows, chunkCols, zlib, truncateFirst, format)
+      chunkRows, chunkCols, zlib, truncateFirst, format, commitMode)
   }
 }
 
 class ZarrWriteImpl(path: String, queryId: String, dtype: String,
                     chunkRows: Int, chunkCols: Int, zlib: Boolean,
-                    truncateFirst: Boolean, format: Int = 2)
+                    truncateFirst: Boolean, format: Int = 2,
+                    commitMode: String = "versioned")
     extends Write with RequiresDistributionAndOrdering {
   private def sortOrder: Array[SortOrder] = Array(
     Expressions.sort(Expressions.column("row_id"), SortDirection.ASCENDING))
@@ -129,7 +144,7 @@ class ZarrWriteImpl(path: String, queryId: String, dtype: String,
   override def description(): String = s"zarr:`$path`"
   override def toBatch: BatchWrite =
     new ZarrBatchWrite(path, queryId, dtype, chunkRows, chunkCols, zlib,
-      truncateFirst, format)
+      truncateFirst, format, commitMode)
 }
 
 /** One task's outcome: rows written, the id range seen, the vec width,
@@ -141,13 +156,32 @@ case class ZarrTaskCommit(partitionId: Int, rowCount: Long, maxId: Long,
 
 class ZarrBatchWrite(path: String, queryId: String, dtype: String,
                      chunkRows: Int, chunkColsOpt: Int, zlib: Boolean,
-                     truncateFirst: Boolean, format: Int = 2)
+                     truncateFirst: Boolean, format: Int = 2,
+                     commitMode: String = "versioned")
     extends BatchWrite {
 
   /** store-generation knobs shared by task chunk writes + commit meta */
   private def sep = if (format == 3) "/" else "."
   private def comp: Option[String] =
     if (!zlib) None else Some(if (format == 3) "gzip" else "zlib")
+
+  // resolved ONCE, together, on the driver (createBatchWriterFactory and
+  // commit run on the same instance): the version the pointer named when
+  // this write began, and the dir this write builds into. A single lazy
+  // pair, because reading the pointer lazily at two separate times is
+  // exactly the bug class this protocol exists to kill — an oldVersion
+  // first forced AFTER the commit-point PUT would read the NEW pointer
+  // and GC the just-committed store. Versioned mode builds INSIDE the
+  // store under a query-unique version dir; rename mode a temp sibling.
+  private lazy val resolvedDirs: (Option[String], String) =
+    if (commitMode == "versioned") {
+      val old = ZarrVersioned.readPointer(path, ZarrIO.hadoopConf())
+      val next = ZarrVersioned.nextVersionNameFrom(old, queryId)
+      (old, new HPath(path, next).toString)
+    } else (None, ZarrWrite.tmpDir(path, queryId).toString)
+  private def oldVersion: Option[String] = resolvedDirs._1
+  private def workDir: String = resolvedDirs._2
+  private def stagingDir = new HPath(workDir, ".staging")
 
   private def fs(): (FileSystem, HPath) = {
     val conf = ZarrIO.hadoopConf()
@@ -157,14 +191,15 @@ class ZarrBatchWrite(path: String, queryId: String, dtype: String,
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     val (f, p) = fs()
-    // the LIVE store is never touched here — overwrite only swaps at
-    // commit, so a failed job cannot destroy previously committed data
+    // the LIVE store is never touched here — overwrite only commits at
+    // the end, so a failed job cannot destroy previously committed data.
+    // "committed" = flat-layout metadata at the root OR a version pointer.
     if (!truncateFirst) require(!f.exists(new HPath(p, ".zarray")) &&
-      !f.exists(new HPath(p, "zarr.json")),
+      !f.exists(new HPath(p, "zarr.json")) && oldVersion.isEmpty,
       s"zarr store already committed at $path — use mode(\"overwrite\")")
-    f.delete(ZarrWrite.tmpDir(path, queryId), true) // stale same-query tmp
-    f.mkdirs(ZarrWrite.stagingDir(path, queryId))
-    new ZarrWriterFactory(path, queryId, dtype, chunkRows, chunkColsOpt,
+    f.delete(new HPath(workDir), true) // stale same-query remnant
+    f.mkdirs(stagingDir)
+    new ZarrWriterFactory(workDir, dtype, chunkRows, chunkColsOpt,
       zlib, new SerializableHadoopConf(ZarrIO.hadoopConf()), format)
   }
 
@@ -192,13 +227,12 @@ class ZarrBatchWrite(path: String, queryId: String, dtype: String,
     val byBand = msgs.flatMap(_.partials).groupBy(_._1)
     val overlap = byBand.keySet intersect finals
     require(overlap.isEmpty, s"zarr write: bands $overlap both final and partial")
-    val tmp = ZarrWrite.tmpDir(path, queryId).toString
+    ZarrVersioned.failpoint("after-tasks")
     byBand.foreach { case (band, parts) =>
       val buf = Array.fill(chunkRows * dim)(0.0)
       var seen = 0
       parts.foreach { case (_, name) =>
-        val in = new DataInputStream(
-          f.open(new HPath(ZarrWrite.stagingDir(path, queryId), name)))
+        val in = new DataInputStream(f.open(new HPath(stagingDir, name)))
         try {
           val pdim = in.readInt(); val count = in.readInt()
           require(pdim == dim, s"partial $name: dim $pdim != $dim")
@@ -214,67 +248,90 @@ class ZarrBatchWrite(path: String, queryId: String, dtype: String,
       require(seen <= chunkRows, s"band $band: $seen rows overflow the band")
       var j = 0
       while (j * cc < math.max(dim, 1)) {
-        ZarrIO.writeChunk(tmp, meta, band, j,
+        ZarrIO.writeChunk(workDir, meta, band, j,
           ZarrWrite.colChunkSlice(buf, chunkRows, dim, cc, j), conf)
         j += 1
       }
     }
-    ZarrIO.writeMeta(tmp, meta, conf)
-    f.delete(ZarrWrite.stagingDir(path, queryId), true)
-    // THE commit point: swap the finished store into place via
-    // rename-ASIDE (round-7 advisory): live -> live.old first, tmp ->
-    // live second, delete live.old last. A crash between the renames
-    // leaves the prior store intact under live.old (recoverable by a
-    // single rename back), unlike delete-then-rename which destroyed
-    // the committed copy before the new one was in place. rename is
-    // atomic on HDFS/local FS; on a rename-less object store this
-    // narrows the unreadable window to the two renames.
-    val (f2, live) = fs()
-    val old = new org.apache.hadoop.fs.Path(live.toString + s".old-$queryId")
-    f2.delete(old, true) // stale remnant of an identically-named past query
-    val hadLive = f2.exists(live)
-    if (hadLive) require(f2.rename(live, old),
-      s"zarr commit: rename-aside $live -> $old failed; store untouched")
-    if (!f2.rename(ZarrWrite.tmpDir(path, queryId), live)) {
-      // restore the prior store before surfacing: a failed overwrite
-      // must lose nothing
-      if (hadLive) f2.rename(old, live)
-      throw new IllegalStateException(
-        s"zarr commit: rename ${ZarrWrite.tmpDir(path, queryId)} -> $live " +
-          s"failed${if (hadLive) "; prior store restored" else ""}")
+    ZarrVersioned.failpoint("after-merge")
+    ZarrIO.writeMeta(workDir, meta, conf)
+    f.delete(stagingDir, true)
+    ZarrVersioned.failpoint("before-commit-point")
+    if (commitMode == "versioned") {
+      // THE commit point: one atomic small-object PUT of the version
+      // pointer (ZarrVersioned scaladoc). No rename anywhere in the
+      // protocol — safe on GCS/S3-style stores, the reference's actual
+      // deployment target. A crash at ANY failpoint above leaves the
+      // old pointer, and therefore the old store, fully live.
+      val version = new HPath(workDir).getName
+      ZarrVersioned.writePointer(path, version, conf)
+      ZarrVersioned.failpoint("after-commit-point")
+      // best-effort: a GC failure must never fail a committed write
+      try ZarrVersioned.gcAfterCommit(path, oldVersion, conf)
+      catch { case scala.util.control.NonFatal(_) => () }
+    } else {
+      // rename mode: swap the finished store into place via rename-ASIDE
+      // (round-7 advisory): live -> live.old first, tmp -> live second,
+      // delete live.old last. A crash between the renames leaves the
+      // prior store intact under live.old (recoverable by a single
+      // rename back). rename is atomic on HDFS/local FS; on a
+      // rename-less object store use the default versioned mode instead.
+      val (f2, live) = fs()
+      val old = new org.apache.hadoop.fs.Path(live.toString + s".old-$queryId")
+      f2.delete(old, true) // stale remnant of an identically-named past query
+      val hadLive = f2.exists(live)
+      if (hadLive) require(f2.rename(live, old),
+        s"zarr commit: rename-aside $live -> $old failed; store untouched")
+      if (!f2.rename(new HPath(workDir), live)) {
+        // restore the prior store before surfacing: a failed overwrite
+        // must lose nothing
+        if (hadLive) f2.rename(old, live)
+        throw new IllegalStateException(
+          s"zarr commit: rename $workDir -> $live " +
+            s"failed${if (hadLive) "; prior store restored" else ""}")
+      }
+      if (hadLive) f2.delete(old, true)
     }
-    if (hadLive) f2.delete(old, true)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    // drop the whole in-flight temp store; the live store (if any) was
-    // never touched, so a failed overwrite loses NOTHING
+    // drop the whole in-flight work dir (temp sibling or uncommitted
+    // version dir); the live store was never touched and the pointer
+    // never moved, so a failed overwrite loses NOTHING. One exception:
+    // if commit() already moved the pointer and THEN threw (e.g. during
+    // post-commit GC), the write IS committed — Spark still calls abort
+    // on any commit exception, and deleting the now-live version dir
+    // here would corrupt a committed store.
     val (f, _) = fs()
-    f.delete(ZarrWrite.tmpDir(path, queryId), true)
+    val committed = commitMode == "versioned" &&
+      ZarrVersioned.readPointer(path, ZarrIO.hadoopConf())
+        .contains(new HPath(workDir).getName)
+    if (!committed) f.delete(new HPath(workDir), true)
   }
 }
 
-class ZarrWriterFactory(path: String, queryId: String, dtype: String,
+class ZarrWriterFactory(workDir: String, dtype: String,
                         chunkRows: Int, chunkColsOpt: Int, zlib: Boolean,
                         sconf: SerializableHadoopConf, format: Int = 2)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new ZarrDataWriter(path, queryId, dtype, chunkRows, chunkColsOpt, zlib,
+    new ZarrDataWriter(workDir, dtype, chunkRows, chunkColsOpt, zlib,
       partitionId, taskId, sconf, format)
 }
 
 /** Streams its (range-partitioned, sorted) slice band by band: whole
   * bands become final chunk objects immediately; the ≤2 boundary bands
   * go to staging as sparse (rowInBand, vec) runs. Memory = ONE band. */
-class ZarrDataWriter(path: String, queryId: String, dtype: String,
+class ZarrDataWriter(workDir: String, dtype: String,
                      chunkRows: Int, chunkColsOpt: Int, zlib: Boolean,
                      partitionId: Int, taskId: Long,
                      sconf: SerializableHadoopConf, format: Int = 2)
     extends DataWriter[InternalRow] {
 
-  // everything this writer produces lands in the query's TEMP store —
-  // the live path is only touched by the driver's commit swap
-  private val tmpPath = ZarrWrite.tmpDir(path, queryId).toString
+  // everything this writer produces lands in the query's WORK dir (temp
+  // sibling or uncommitted version dir) — the live store is only
+  // touched by the driver's commit point
+  private val stagingDir = new HPath(workDir, ".staging")
 
   private val floats = dtype == "<f4"
   private var dim = -1
@@ -332,7 +389,7 @@ class ZarrDataWriter(path: String, queryId: String, dtype: String,
         // one object per COLUMN chunk of the band (chunk_cols option)
         var j = 0
         while (j * chunkCols < dim) {
-          ZarrIO.writeChunk(tmpPath, chunkMeta, band, j,
+          ZarrIO.writeChunk(workDir, chunkMeta, band, j,
             ZarrWrite.colChunkSlice(buf, chunkRows, dim, chunkCols, j),
             sconf.value)
           j += 1
@@ -344,9 +401,9 @@ class ZarrDataWriter(path: String, queryId: String, dtype: String,
         // delete it — the driver merges exactly the names the winning
         // attempt reported in its commit message
         val name = s"band-$band-p$partitionId-t$taskId"
-        val out = new DataOutputStream(ZarrWrite.stagingDir(path, queryId)
+        val out = new DataOutputStream(stagingDir
           .getFileSystem(sconf.value)
-          .create(new HPath(ZarrWrite.stagingDir(path, queryId), name), true))
+          .create(new HPath(stagingDir, name), true))
         try {
           out.writeInt(dim); out.writeInt(bandCount)
           var r = 0
@@ -377,7 +434,7 @@ class ZarrDataWriter(path: String, queryId: String, dtype: String,
     // attempt-unique partial names mean this attempt's files can never
     // be mistaken for the winner's; remove only our own (best-effort —
     // the driver's job-level abort drops the whole temp store anyway)
-    val sd = ZarrWrite.stagingDir(path, queryId)
+    val sd = stagingDir
     val f = sd.getFileSystem(sconf.value)
     partials.result().foreach { case (_, name) =>
       f.delete(new HPath(sd, name), false)

@@ -103,9 +103,13 @@ class Zarr3Spec extends SparkSpec {
   test("DSv2 write with format=3 produces a readable v3 store") {
     val df = embeddings
     val path = tmpDir("dsv2w") + "/store.zarr"
+    // commit=rename: this test asserts the flat spec-standard v3 layout
+    // (zarr.json + c/ at the store root), which is what rename mode is
+    // for; the default versioned protocol is covered by ZarrVersionedSpec
     df.select(col("id").as("row_id"), col("vec"))
       .write.format("zarr")
       .option("chunk_rows", 16).option("format", 3)
+      .option("commit", "rename")
       .mode("overwrite").save(path)
     val meta = ZarrIO.readMeta(path)
     assert(meta.format == 3 && meta.sep == "/" &&

@@ -20,15 +20,23 @@ class ZarrWriteSpec extends SparkSpec {
     (0 until n).map(i => (i.toLong, (0 until dim).map(c =>
       (i * dim + c).toDouble / 7.0))).toDF("row_id", "vec")
 
+  // the default commit protocol is versioned (ZarrVersioned): data lives
+  // under <path>/v<N>-<qid>/ named by the <path>/current pointer. Layout
+  // assertions resolve the pointer exactly like the read path does.
+  private def resolved(path: String): String =
+    ZarrVersioned.resolve(path, ZarrIO.hadoopConf())
+  private def meta(path: String): ZarrMeta = ZarrIO.readMeta(resolved(path))
+
   test("round-trip: 100×8, chunk_rows=16 (tail band + boundary partials)") {
     val path = tmp()
     mat(100, 8).write.format("zarr").option("chunk_rows", 16)
       .mode("append").save(path)
-    // staging removed, meta committed with discovered geometry
-    val dir = new java.io.File(path)
+    // pointer committed; staging removed; meta has discovered geometry
+    assert(new java.io.File(path, "current").exists())
+    val dir = new java.io.File(resolved(path))
     assert(dir.listFiles().exists(_.getName == ".zarray"))
     assert(!dir.listFiles().exists(_.getName.startsWith(".staging")))
-    val meta = ZarrIO.readMeta(path)
+    val meta = this.meta(path)
     assert(meta.rows == 100 && meta.cols == 8 && meta.chunkRows == 16)
     val back = spark.read.format("zarr").load(path)
       .select(col("row_id"), col("vec")).collect()
@@ -44,13 +52,17 @@ class ZarrWriteSpec extends SparkSpec {
       .mode("append").save(path)
     mat(40, 4).write.format("zarr").option("chunk_rows", 16)
       .mode("overwrite").save(path)
-    assert(ZarrIO.readMeta(path).rows == 40)
+    assert(meta(path).rows == 40)
     assert(spark.read.format("zarr").load(path).count() == 40)
-    // 40 rows / 16 = 3 bands; a stale band-4 chunk from the first write
-    // would shadow-corrupt a later larger store
-    val chunks = new java.io.File(path).listFiles()
+    // 40 rows / 16 = 3 bands in a FRESH version dir (stale chunks can't
+    // shadow-corrupt by construction); the superseded v1 dir was GC'd
+    val chunks = new java.io.File(resolved(path)).listFiles()
       .map(_.getName).filter(_.matches("\\d+\\.\\d+")).sorted
     assert(chunks.toSeq == Seq("0.0", "1.0", "2.0"), chunks.mkString(","))
+    val versions = new java.io.File(path).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSeq
+    assert(versions.length == 1 && versions.head.startsWith("v2-"),
+      versions.mkString(","))
   }
 
   test("append onto a committed store refuses loudly") {
@@ -71,8 +83,12 @@ class ZarrWriteSpec extends SparkSpec {
     def chain(t: Throwable): Seq[String] =
       if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
     assert(chain(e).exists(_.contains("dense 0..n-1")), chain(e).mkString("|"))
-    // and nothing readable was committed
+    // and nothing readable was committed: no pointer, no flat .zarray,
+    // and the aborted version dir is gone
+    assert(!new java.io.File(path, "current").exists())
     assert(!new java.io.File(path, ".zarray").exists())
+    assert(!new java.io.File(path).exists() ||
+      new java.io.File(path).listFiles().isEmpty)
   }
 
   test("float vecs write <f4 and read back as floats") {
@@ -80,7 +96,7 @@ class ZarrWriteSpec extends SparkSpec {
     (0L until 30L).map(i => (i, Seq.fill(4)(i.toFloat / 3.0f)))
       .toDF("row_id", "vec")
       .write.format("zarr").option("chunk_rows", 8).mode("append").save(path)
-    val meta = ZarrIO.readMeta(path)
+    val meta = this.meta(path)
     assert(meta.dtype == "<f4")
     val back = spark.read.format("zarr").load(path)
     assert(back.schema("vec").dataType ==
@@ -101,9 +117,14 @@ class ZarrWriteSpec extends SparkSpec {
       df.write.format("zarr").option("chunk_rows", 16)
         .mode("append").save(path)
     }
-    // BatchWrite.abort dropped the whole temp store; the live path was
-    // never created, and no .tmp-* sibling lingers
+    // BatchWrite.abort dropped the in-flight version dir; no pointer was
+    // ever written, and no .tmp-* sibling lingers. (The poison may fire
+    // during the range-exchange sampling BEFORE the writer factory runs,
+    // in which case the store dir was never created at all.)
     assert(!new java.io.File(path, ".zarray").exists())
+    assert(!new java.io.File(path, "current").exists())
+    assert(!Option(new java.io.File(path).listFiles()).toSeq.flatten
+      .exists(_.isDirectory))
     val parent = new java.io.File(path).getParentFile
     assert(!parent.listFiles().exists(_.getName.contains(".tmp-")),
       parent.listFiles().map(_.getName).mkString(","))
@@ -127,10 +148,13 @@ class ZarrWriteSpec extends SparkSpec {
         .write.format("zarr").option("chunk_rows", 16)
         .mode("overwrite").save(path)
     }
-    // the old store must still be fully readable — overwrite only swaps
-    // at commit, after the replacement is complete
-    assert(ZarrIO.readMeta(path).rows == 50)
+    // the old store must still be fully readable — overwrite only moves
+    // the pointer at commit, after the replacement is complete
+    assert(meta(path).rows == 50)
     assert(spark.read.format("zarr").load(path).count() == 50)
+    assert(new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(path, "current").toPath), "UTF-8").trim
+      .startsWith("v1-"))
     val parent = new java.io.File(path).getParentFile
     assert(!parent.listFiles().exists(_.getName.contains(".tmp-")))
   }
@@ -141,9 +165,9 @@ class ZarrWriteSpec extends SparkSpec {
     mat(40, 8).write.format("zarr")
       .option("chunk_rows", 16).option("chunk_cols", 3)
       .mode("append").save(path)
-    val meta = ZarrIO.readMeta(path)
+    val meta = this.meta(path)
     assert(meta.chunkCols == 3 && meta.colChunkCount == 3)
-    val names = new java.io.File(path).listFiles().map(_.getName)
+    val names = new java.io.File(resolved(path)).listFiles().map(_.getName)
     assert(names.count(_.matches("\\d+\\.\\d+")) == 9, names.mkString(","))
     assert(names.contains("0.2") && names.contains("2.1"))
     val back = spark.read.format("zarr").load(path).collect()
@@ -164,7 +188,7 @@ class ZarrWriteSpec extends SparkSpec {
       mat(n, dim).write.format("zarr")
         .option("chunk_rows", cr).option("chunk_cols", cc)
         .mode("append").save(path)
-      val meta = ZarrIO.readMeta(path)
+      val meta = this.meta(path)
       assert(meta.rows == n && meta.cols == dim && meta.chunkRows == cr)
       assert(meta.chunkCols == math.min(cc, dim))
       val back = spark.read.format("zarr").load(path).collect()
