@@ -169,10 +169,67 @@ object ImageHash {
       .orderBy("id")
   }
 
+  /** The baseline-JPEG decode path proven the same way PNG is: per-image
+    * integer luma total over every decoded pixel. The fixture encodes
+    * DC-ONLY grayscale streams (Multimodal.mkJpegRow), whose decode is
+    * EXACT integer arithmetic — so any bug in the marker walk, DHT
+    * canonical-code build, Huffman DECODE, DC EXTEND/prediction, EOB
+    * handling, dequant, or IDCT shifts some block's flat value and the
+    * BIGINT sum — while the DuckDB oracle rebuilds every pixel from the
+    * text-byte contract with no JPEG parsing at all. The lossy full-DCT
+    * path has nothing bit-exact to pin and is spec-gated instead
+    * (JpegCodecSpec round-trip error bounds). */
+  def jpegDecodeQ(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Multimodal.syntheticJpegs(s, d).as[Multimodal.JpegRow]
+      .mapPartitions { rows =>
+        rows.map { m =>
+          val (w, h, gray) = JpegCodec.decodeJpegGray(m.payload)
+          var lum = 0L
+          var p = 0
+          while (p < w * h) { lum += gray(p) & 0xff; p += 1 }
+          (m.id, w, h, lum)
+        }
+      }
+      .toDF("id", "w", "h", "lum_sum")
+      .orderBy("id")
+  }
+
+  /** The VIDEO decode path proven end-to-end: RIFF/AVI container walk →
+    * per-frame baseline-JPEG decode → per-video luma total over EVERY
+    * pixel of EVERY frame. The fixture's frames are DC-only streams
+    * cycling one continuous text-byte sequence across frames
+    * (Multimodal.mkRow avi case), so the DuckDB oracle extends the jpeg
+    * block arithmetic by a frame axis — no container or JPEG parsing on
+    * the oracle side. Any bug in the chunk walk (sizes, word alignment,
+    * movi nesting) or in any frame's entropy decode shifts the sum. */
+  def videoDecodeQ(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Multimodal.syntheticMedia(s, d).as[Multimodal.MediaRow]
+      .filter(col("format") === "avi")
+      .mapPartitions { rows =>
+        rows.map { m =>
+          val (w, h, jpegs) = MediaCodecs.decodeAviMjpeg(m.payload)
+          var lum = 0L
+          jpegs.foreach { fr =>
+            val (fw, fh, gray) = JpegCodec.decodeJpegGray(fr)
+            require(fw == w && fh == h, s"avi ${m.id}: frame dims drift")
+            var p = 0
+            while (p < fw * fh) { lum += gray(p) & 0xff; p += 1 }
+          }
+          (m.id, w, h, jpegs.length, lum)
+        }
+      }
+      .toDF("id", "w", "h", "n_frames", "lum_sum")
+      .orderBy("id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_multimodal_phash"   -> phashQ _,
     "q_multimodal_neardup" -> nearDupQ _,
     "q_multimodal_png"     -> pngDecodeQ _,
+    "q_multimodal_jpeg"    -> jpegDecodeQ _,
+    "q_multimodal_video"   -> videoDecodeQ _,
   )
 
   // The oracle re-derives every pixel from the document text (the
@@ -247,5 +304,54 @@ object ImageHash {
            FROM img, LATERAL (SELECT unnest(range(0, CAST(w AS BIGINT) * h)) AS p))
          SELECT id, w, h, CAST(SUM(lum) AS BIGINT) AS lum_sum
          FROM px GROUP BY id, w, h ORDER BY id""",
+    // JPEG decode proof: the DC-only fixture contract makes every 8×8
+    // block decode to the flat integer 2·trunc((Σblock−8128)/128)+128
+    // (JpegCodec scaladoc: Q(0,0)=16, IDCT of DC-only is flat DC/8 —
+    // no rounding anywhere), and DuckDB's // truncates toward zero
+    // exactly like the encoder's Scala division. Pixels are rebuilt
+    // from the text-byte cycle with no JPEG parsing at all.
+    "q_multimodal_jpeg" ->
+      """WITH img AS (
+           SELECT doc_id AS id,
+                  CAST((doc_id % 8 + 2) * 8 AS INT) AS w,
+                  CAST((doc_id % 4 + 2) * 8 AS INT) AS h,
+                  text, length(text) AS len
+           FROM documents WHERE doc_id % 5 = 3),
+         px AS (
+           SELECT id, w, h,
+                  (p // w) // 8 AS gy, (p % w) // 8 AS gx,
+                  ord(substr(text, CAST(p % len AS INT) + 1, 1)) AS g
+           FROM img, LATERAL (SELECT unnest(range(0, CAST(w AS BIGINT) * h)) AS p)),
+         blocks AS (
+           SELECT id, w, h, gy, gx,
+                  64 * (2 * ((SUM(g) - 8128) // 128) + 128) AS block_lum
+           FROM px GROUP BY id, w, h, gy, gx)
+         SELECT id, w, h, CAST(SUM(block_lum) AS BIGINT) AS lum_sum
+         FROM blocks GROUP BY id, w, h ORDER BY id""",
+    // VIDEO decode proof: the jpeg block arithmetic extended by a frame
+    // axis — frame f's gray byte i is text byte ((f*w*h + i) % len),
+    // every frame a DC-only block grid. No AVI or JPEG parsing here.
+    "q_multimodal_video" ->
+      """WITH img AS (
+           SELECT doc_id AS id,
+                  CAST((doc_id % 8 + 2) * 8 AS INT) AS w,
+                  CAST((doc_id % 4 + 2) * 8 AS INT) AS h,
+                  CAST(doc_id % 30 + 2 AS INT) AS n_frames,
+                  text, length(text) AS len
+           FROM documents WHERE doc_id % 5 = 3),
+         px AS (
+           SELECT id, w, h, n_frames,
+                  p // (w * h) AS f,
+                  ((p % (w * h)) // w) // 8 AS gy,
+                  ((p % (w * h)) % w) // 8 AS gx,
+                  ord(substr(text, CAST(p % len AS INT) + 1, 1)) AS g
+           FROM img, LATERAL (SELECT unnest(range(0,
+                  CAST(n_frames AS BIGINT) * w * h)) AS p)),
+         blocks AS (
+           SELECT id, w, h, n_frames, f, gy, gx,
+                  64 * (2 * ((SUM(g) - 8128) // 128) + 128) AS block_lum
+           FROM px GROUP BY id, w, h, n_frames, f, gy, gx)
+         SELECT id, w, h, n_frames, CAST(SUM(block_lum) AS BIGINT) AS lum_sum
+         FROM blocks GROUP BY id, w, h, n_frames ORDER BY id""",
   )
 }

@@ -6,11 +6,14 @@ import java.nio.{ByteBuffer, ByteOrder}
   * image), BMP 24-bit BI_RGB (the little-endian/bottom-up/row-padded
   * classic), PNG 8-bit truecolor (a REAL compressed format — chunk
   * grammar + CRC32 + zlib DEFLATE via java.util.zip + all five scanline
-  * filters, from the public ISO/IEC 15948 spec), and WAV PCM16 (RIFF
-  * audio) — all decodable without native libraries, which is exactly
-  * what this container offers. These make the decode stage REAL for
-  * four of the five media formats; mp4 keeps the documented
-  * deterministic stub (no pure-JVM route exists here).
+  * filters, from the public ISO/IEC 15948 spec), WAV PCM16 (RIFF
+  * audio), and — since the JpegCodec landed — MJPEG-in-AVI video (the
+  * RIFF/AVI container walk below + one baseline JPEG decode per frame)
+  * — all decodable without native libraries, which is exactly what
+  * this container offers. Every format in the media lake now has a
+  * REAL decoder; `Multimodal.decodeStub` remains only as the
+  * documented extension point for formats with no pure-JVM route
+  * (e.g. H.264), exercised by spec, not by fixture rows.
   */
 object MediaCodecs {
 
@@ -383,6 +386,116 @@ object MediaCodecs {
     }
     require(sampleRate > 0 && samples != null, "missing fmt/data chunk")
     (sampleRate, samples)
+  }
+
+  // ------------------------------------------------------- AVI (MJPEG) --
+
+  /** Encode pre-compressed JPEG frames as a minimal RIFF/AVI MJPEG file
+    * (Microsoft's public AVI RIFF form: LIST hdrl {avih, LIST strl
+    * {strh 'vids'/'MJPG', strf BITMAPINFOHEADER}} + LIST movi with one
+    * '00dc' chunk per frame, word-aligned). Video in this media lake is
+    * therefore container-walk + per-frame [[JpegCodec]] decode — the
+    * same real-decoder standard as every other format. */
+  def encodeAviMjpeg(w: Int, h: Int, fps: Int,
+                     frames: Seq[Array[Byte]]): Array[Byte] = {
+    require(frames.nonEmpty, "avi: at least one frame")
+    val fcc = "US-ASCII"
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val pad = body.length & 1
+      val buf = ByteBuffer.allocate(8 + body.length + pad)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      buf.put(id.getBytes(fcc)).putInt(body.length).put(body)
+      buf.array()
+    }
+    def list(typ: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", typ.getBytes(fcc) ++ body)
+
+    val avih = ByteBuffer.allocate(56).order(ByteOrder.LITTLE_ENDIAN)
+      .putInt(1000000 / fps) // microseconds per frame
+      .putInt(0).putInt(0)
+      .putInt(0x10)          // AVIF_HASINDEX off; 0x10 = AVIF_WASCAPTUREFILE (benign)
+      .putInt(frames.length)
+      .putInt(0).putInt(1)   // initial frames, stream count
+      .putInt(frames.map(_.length).max)
+      .putInt(w).putInt(h)
+      .putInt(0).putInt(0).putInt(0).putInt(0)
+      .array()
+    val strh = ByteBuffer.allocate(56).order(ByteOrder.LITTLE_ENDIAN)
+      .put("vids".getBytes(fcc)).put("MJPG".getBytes(fcc))
+      .putInt(0).putShort(0).putShort(0).putInt(0)
+      .putInt(1).putInt(fps) // scale, rate → fps frames/sec
+      .putInt(0).putInt(frames.length)
+      .putInt(frames.map(_.length).max)
+      .putInt(-1) // quality: default
+      .putInt(0)
+      .putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort)
+      .array()
+    val strf = ByteBuffer.allocate(40).order(ByteOrder.LITTLE_ENDIAN)
+      .putInt(40).putInt(w).putInt(h)
+      .putShort(1).putShort(24)
+      .put("MJPG".getBytes(fcc))
+      .putInt(3 * w * h)
+      .putInt(0).putInt(0).putInt(0).putInt(0)
+      .array()
+    val hdrl = list("hdrl",
+      chunk("avih", avih) ++ list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val movi = list("movi", frames.flatMap(f => chunk("00dc", f)).toArray)
+    val body = "AVI ".getBytes(fcc) ++ hdrl ++ movi
+    val out = ByteBuffer.allocate(8 + body.length).order(ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes(fcc)).putInt(body.length).put(body)
+    out.array()
+  }
+
+  /** Decode a RIFF/AVI MJPEG container → (w, h, per-frame JPEG streams,
+    * undecoded). Walks the real chunk grammar: header LISTs for
+    * dimensions + the declared MJPG codec, LIST movi for the '00dc'
+    * frame chunks (word alignment honored); an idx1 index, if present,
+    * is skipped like any other unknown chunk. Frame pixel decode is the
+    * caller's [[JpegCodec.decodeJpegGray]]/[[JpegCodec.decodeJpegRgb]]. */
+  def decodeAviMjpeg(bytes: Array[Byte]): (Int, Int, Seq[Array[Byte]]) = {
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    def tag(): String = {
+      val b = new Array[Byte](4); buf.get(b); new String(b, "US-ASCII")
+    }
+    require(tag() == "RIFF", "not a RIFF payload")
+    buf.getInt
+    require(tag() == "AVI ", "not an AVI payload")
+    var w = -1; var h = -1
+    var codec = ""
+    val frames = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+    // (end, insideMovi) stack-free walk: recurse into LISTs by looping
+    // with explicit segment ends
+    def walk(end: Int, inMovi: Boolean): Unit = {
+      while (buf.position() + 8 <= end) {
+        val id = tag()
+        val size = buf.getInt
+        val next = buf.position() + size + (size & 1)
+        require(size >= 0 && buf.position() + size <= end,
+          s"avi: chunk '$id' overruns its parent")
+        id match {
+          case "LIST" =>
+            val typ = tag()
+            walk(buf.position() + size - 4, inMovi || typ == "movi")
+          case "avih" =>
+            val p0 = buf.position()
+            buf.position(p0 + 32); w = buf.getInt; h = buf.getInt
+          case "strh" =>
+            val fcc = tag()
+            require(fcc == "vids", s"avi: first stream is '$fcc', not video")
+            codec = tag()
+          case "00dc" | "00db" if inMovi =>
+            val f = new Array[Byte](size); buf.get(f)
+            frames += f
+          case _ => // strf/idx1/JUNK/...
+        }
+        buf.position(math.min(next, end))
+      }
+    }
+    walk(bytes.length, inMovi = false)
+    require(w > 0 && h > 0, "avi: missing avih header")
+    require(codec == "MJPG", s"avi: codec '$codec' — only MJPG is decodable here")
+    require(frames.nonEmpty, "avi: no frame chunks in LIST movi")
+    (w, h, frames.toSeq)
   }
 
   /** 1-D mean pooling for audio: k equal windows of the sample stream. */

@@ -8,16 +8,17 @@ import graft.tables.Tables
   * with typed metadata, plus decode → feature-extract → resize /
   * frame-sample stages.
   *
-  * The decode stage is REAL for four of the five media formats — PPM P6
-  * and BMP 24-bit (header + raw payload), PNG 8-bit truecolor (a real
-  * COMPRESSED decode: chunk walk, CRC32, zlib inflate, all five
-  * scanline filters — MediaCodecs, from the public spec), and WAV PCM16
-  * audio. The media fixture writes genuine encodings and the pipeline
-  * decodes them back; golden tests pin exact pixel/sample values and
-  * the phash/png oracles re-derive pixels from first principles in
-  * DuckDB. Only mp4 keeps the documented deterministic stub — no
-  * pure-JVM video route exists in this container, and swapping the stub
-  * for a real codec changes only that function body.
+  * The decode stage is REAL for ALL FIVE media formats — PPM P6 and BMP
+  * 24-bit (header + raw payload), PNG 8-bit truecolor (chunk walk,
+  * CRC32, zlib inflate, all five scanline filters), WAV PCM16 audio,
+  * and since round 9 MJPEG-in-AVI video (RIFF/AVI container walk + one
+  * baseline-JPEG decode per frame — MediaCodecs + JpegCodec, both from
+  * public specs). The media fixture writes genuine encodings and the
+  * pipeline decodes them back; golden tests pin exact pixel/sample
+  * values and the phash/png/jpeg/video oracles re-derive pixels from
+  * first principles in DuckDB. `decodeStub` remains only as the
+  * documented extension point for formats with no pure-JVM route (e.g.
+  * H.264) — exercised by spec, no fixture row reaches it anymore.
   *
   * Scale design: decode runs as Dataset.mapPartitions — one JVM-side
   * batch iterator per input split (the Scala analogue of mapInPandas
@@ -39,11 +40,11 @@ object Multimodal {
                            features: Array[Float])
 
   /** One-time media-lake fixture: payloads derived deterministically from
-    * documents — REAL PPM/BMP/WAV encodings for ppm/bmp/wav rows, raw
-    * UTF-8 text bytes for the stub formats. Written as parquet so the read path is
-    * an ordinary binary-column scan. */
+    * documents — REAL PPM/PNG/BMP/WAV/AVI(MJPEG) encodings for every
+    * row. Written as parquet so the read path is an ordinary
+    * binary-column scan. */
   def mediaFixture(s: SparkSession, sfDir: String): String =
-    graft.tables.Fixtures.cached("media3", "media.parquet", sfDir) { dir =>
+    graft.tables.Fixtures.cached("media4", "media.parquet", sfDir) { dir =>
       import s.implicits._
       Tables.documents(s, sfDir)
         .select(col("doc_id"), col("text")).as[(Long, String)]
@@ -60,10 +61,13 @@ object Multimodal {
     * fails with a clear message instead of an opaque oracle hash
     * mismatch (round-8 advisory). */
   def mkRow(id: Long, text: String): MediaRow = {
-    val fmt = Seq("ppm", "png", "wav", "mp4", "bmp")((id % 5).toInt)
-    val w = (id % 64 + 16).toInt
-    val h = (id % 32 + 16).toInt
-    val nFrames = if (fmt == "mp4") (id % 30 + 2).toInt else 1
+    val fmt = Seq("ppm", "png", "wav", "avi", "bmp")((id % 5).toInt)
+    // video dims are multiples of 8 (shared with the jpeg lake) so the
+    // DC-only block arithmetic needs no partial-block case in SQL; the
+    // codecs themselves handle partial MCUs (JpegCodecSpec)
+    val w = if (fmt == "avi") ((id % 8) + 2).toInt * 8 else (id % 64 + 16).toInt
+    val h = if (fmt == "avi") ((id % 4) + 2).toInt * 8 else (id % 32 + 16).toInt
+    val nFrames = if (fmt == "avi") (id % 30 + 2).toInt else 1
     val bytes = text.getBytes("UTF-8")
     require(bytes.length == text.length,
       s"media fixture doc $id: non-ASCII text — the DuckDB media oracles " +
@@ -79,7 +83,17 @@ object Multimodal {
       case "wav" => MediaCodecs.encodeWav(8000,
         Array.tabulate(w * h)(i =>
           (((bytes(i % bytes.length) & 0xff) - 128) * 256).toShort))
-      case _ => bytes
+      case "avi" =>
+        // frame f's gray byte i = text byte ((f·w·h + i) % len): one
+        // continuous cycle across frames, each frame a DC-only baseline
+        // JPEG — so the video oracle extends the jpeg one by a frame axis
+        MediaCodecs.encodeAviMjpeg(w, h, fps = 10,
+          (0 until nFrames).map { f =>
+            JpegCodec.encodeJpegGray(w, h, Array.tabulate(w * h)(i =>
+              bytes(((f.toLong * w * h + i) % bytes.length).toInt)),
+              dcOnly = true)
+          })
+      case other => sys.error(s"unreachable media format $other")
     }
     MediaRow(id, fmt, w, h, nFrames, payload)
   }
@@ -88,6 +102,48 @@ object Multimodal {
     * served from parquet (metadata predicates push down to the scan). */
   def syntheticMedia(s: SparkSession, d: String): DataFrame =
     s.read.parquet(mediaFixture(s, d))
+
+  /** Typed JPEG-lake row (grayscale baseline streams). */
+  case class JpegRow(id: Long, width: Int, height: Int, payload: Array[Byte])
+
+  /** Deterministic grayscale baseline-JPEG synthesis: gray byte i =
+    * text byte (i % len) — the same cycle contract as the RGB image
+    * fixtures, one byte per pixel. DC-ONLY encoding (JpegCodec
+    * scaladoc): every 8×8 block decodes to the flat integer
+    * `2·trunc((Σblock − 8128)/128) + 128`, so the DuckDB oracle rebuilds
+    * every decoded pixel from the text bytes with no JPEG parsing —
+    * the same proof shape as q_multimodal_png, now through a LOSSY
+    * format's real entropy-decode machinery (Huffman, EXTEND, EOB,
+    * dequant, IDCT). Dimensions are multiples of 8 so block arithmetic
+    * needs no partial-block case in SQL; the codec itself handles
+    * partial MCUs (JpegCodecSpec). */
+  def mkJpegRow(id: Long, text: String): JpegRow = {
+    val w = ((id % 8) + 2).toInt * 8
+    val h = ((id % 4) + 2).toInt * 8
+    val bytes = text.getBytes("UTF-8")
+    require(bytes.length == text.length,
+      s"jpeg fixture doc $id: non-ASCII text — the DuckDB jpeg oracle " +
+        "indexes text by character and would silently diverge from the " +
+        "byte-cycled payload; regenerate the corpus ASCII-only")
+    val gray = Array.tabulate(w * h)(i => bytes(i % bytes.length))
+    JpegRow(id, w, h, JpegCodec.encodeJpegGray(w, h, gray, dcOnly = true))
+  }
+
+  /** One-time JPEG-lake fixture over the mp4-slot documents (id%5==3)
+    * — the docs whose main-lake row is the video stub get a REAL
+    * compressed decode here. */
+  def jpegFixture(s: SparkSession, sfDir: String): String =
+    graft.tables.Fixtures.cached("mediajpeg1", "media_jpeg.parquet", sfDir) { dir =>
+      import s.implicits._
+      Tables.documents(s, sfDir)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .filter(_._1 % 5 == 3)
+        .map { case (id, text) => mkJpegRow(id, text) }
+        .write.mode("overwrite").parquet(dir.toString)
+    }()
+
+  def syntheticJpegs(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(jpegFixture(s, d))
 
   /** STUB codec for compressed formats: bytes → w×h float "pixels",
     * deterministic (payload bytes cycled and normalized). */
@@ -171,15 +227,15 @@ object Multimodal {
             val (_, samples) = MediaCodecs.decodeWav(m.payload)
             MediaFeatures(m.id, m.format, 1,
               MediaCodecs.poolAudio(samples, 16))
-          case "mp4" =>
-            val frames = sampleFrames(m.n_frames, stride = 2)
-            val feats = frames.toArray.flatMap { f =>
-              val px = decodeStub(m.payload ++ BigInt(f).toByteArray,
-                m.width, m.height)
-              meanPool(px, m.width, m.height, poolFactor)
+          case "avi" => // REAL video: RIFF walk + per-frame baseline JPEG
+            val (w, h, jpegs) = MediaCodecs.decodeAviMjpeg(m.payload)
+            val kept = sampleFrames(jpegs.length, stride = 2)
+            val feats = kept.toArray.flatMap { f =>
+              val (_, _, gray) = JpegCodec.decodeJpegGray(jpegs(f))
+              meanPool(gray.map(b => (b & 0xff) / 255.0f), w, h, poolFactor)
             }
-            MediaFeatures(m.id, m.format, frames.size, feats)
-          case _ => // unknown compressed format: documented stub
+            MediaFeatures(m.id, m.format, kept.size, feats)
+          case _ => // no-pure-JVM-route formats (e.g. H.264): documented stub
             val px = decodeStub(m.payload, m.width, m.height)
             MediaFeatures(m.id, m.format, 1,
               meanPool(px, m.width, m.height, poolFactor))

@@ -47,12 +47,14 @@ class ZarrDataSource extends TableProvider with DataSourceRegister {
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     ZarrTable.schemaFor(ZarrIO.readMeta(
-      ZarrVersioned.resolve(pathOf(options), ZarrIO.hadoopConf())))
+      ZarrVersioned.resolveAt(pathOf(options),
+        Option(options.get("version")), ZarrIO.hadoopConf())))
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: java.util.Map[String, String]): Table =
-    new ZarrTable(pathOf(new CaseInsensitiveStringMap(properties)),
-      Option(schema))
+                        properties: java.util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    new ZarrTable(pathOf(opts), Option(schema), Option(opts.get("version")))
+  }
 }
 
 object ZarrTable {
@@ -64,16 +66,20 @@ object ZarrTable {
       nullable = false)))
 }
 
-class ZarrTable(path: String, providedSchema: Option[StructType] = None)
+class ZarrTable(path: String, providedSchema: Option[StructType] = None,
+                pinnedVersion: Option[String] = None)
     extends Table with SupportsRead with SupportsWrite {
   // Versioned stores (ZarrVersioned, the default write commit protocol)
   // resolve their `current` pointer ONCE here, at table-resolution time:
   // every chunk read of this scan then targets that immutable version
   // dir, so a commit landing mid-query cannot mix versions (snapshot
   // isolation, modulo GC of the superseded version). Flat stores
-  // resolve to themselves. The WRITE path keeps the store ROOT — the
-  // writer manages versions itself.
-  private lazy val readPath = ZarrVersioned.resolve(path, ZarrIO.hadoopConf())
+  // resolve to themselves. A TIME-TRAVEL pin (`option("version", …)`)
+  // overrides the pointer — retained versions are immutable snapshots.
+  // The WRITE path keeps the store ROOT — the writer manages versions
+  // itself.
+  private lazy val readPath =
+    ZarrVersioned.resolveAt(path, pinnedVersion, ZarrIO.hadoopConf())
   private lazy val meta = ZarrIO.readMeta(readPath)
   override def name(): String = s"zarr:`$path`"
   // The committed .zarray is authoritative when it exists: a
@@ -118,8 +124,13 @@ class ZarrTable(path: String, providedSchema: Option[StructType] = None)
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ZarrScanBuilder(readPath, meta)
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(pinnedVersion.isEmpty,
+      s"zarr:`$path`: cannot WRITE through a time-travel pin " +
+        s"(version=${pinnedVersion.get}) — versions are immutable; " +
+        "write to the store root and let the commit protocol version it")
     new ZarrWriteBuilder(path, info)
+  }
 }
 
 class ZarrScanBuilder(path: String, meta: ZarrMeta)

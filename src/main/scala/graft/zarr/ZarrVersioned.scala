@@ -46,6 +46,11 @@ import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 object ZarrVersioned {
   val PointerFile = "current"
   private val VersionRe = "^v(\\d+)-[0-9a-fA-F-]+$".r
+
+  /** Does `name` have the `v<N>-<hex>` shape readers/vacuum recognize?
+    * (Callers pinning an explicit version_name must stay in-shape.) */
+  def isVersionName(name: String): Boolean =
+    VersionRe.findFirstIn(name).isDefined
   private val FlatChunkRe = "^\\d+\\.\\d+$".r
 
   /** Test-only failure injection: invoked with a step label at each
@@ -74,6 +79,41 @@ object ZarrVersioned {
     readPointer(root, conf)
       .map(v => new HPath(root, v).toString)
       .getOrElse(root)
+
+  /** TIME TRAVEL: resolve to a caller-pinned version dir instead of the
+    * pointer (`spark.read.format("zarr").option("version", "v1-…")`).
+    * Retained versions are immutable, so a pinned read is a consistent
+    * snapshot by construction; versions exist to travel to only when
+    * the superseding write ran with `option("gc", "false")` (or the
+    * default GC failed benignly) — `versions()` lists what is actually
+    * there. A nonexistent pin fails loudly WITH that listing. */
+  def resolveAt(root: String, version: Option[String],
+                conf: Configuration): String = version match {
+    case None => resolve(root, conf)
+    case Some(v) =>
+      require(v.nonEmpty && !v.contains("/") && !v.contains(".."),
+        s"zarr: malformed version pin '$v'")
+      val p = new HPath(root, v)
+      if (!p.getFileSystem(conf).exists(p))
+        throw new java.io.FileNotFoundException(
+          s"zarr: version '$v' does not exist under $root — available: " +
+            s"${versions(root, conf).mkString("[", ", ", "]")}" +
+            s"${readPointer(root, conf).fold("")(c => s", current: $c")}")
+      p.toString
+  }
+
+  /** All version directories present under the store root (committed,
+    * retained, or in-flight), name-sorted by version counter. */
+  def versions(root: String, conf: Configuration): Seq[String] = {
+    val rp = new HPath(root)
+    val fs = rp.getFileSystem(conf)
+    try fs.listStatus(rp).toSeq
+      .filter(st => st.isDirectory &&
+        VersionRe.findFirstIn(st.getPath.getName).isDefined)
+      .map(_.getPath.getName)
+      .sortBy { case VersionRe(k) => k.toLong }
+    catch { case _: java.io.FileNotFoundException => Seq.empty }
+  }
 
   /** Monotone query-unique version name: bump the pointed version's
     * counter (humans see ordering at a glance), suffix with the query id

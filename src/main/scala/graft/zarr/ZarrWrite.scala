@@ -60,6 +60,20 @@ object ZarrWrite {
   //     root) committed by rename-aside swap. Atomic on HDFS/local FS;
   //     use when external zarr tools must read the store directly.
   val CommitOption = "commit"
+  // Versioned mode only: `option("gc", "false")` RETAINS the superseded
+  // version at commit instead of deleting it — retained versions stay
+  // readable via the read-side time-travel pin `option("version", …)`
+  // (ZarrVersioned.resolveAt); ZarrVersioned.vacuum() is the explicit
+  // admin cleanup. Default true: commit GCs the superseded version.
+  val GcOption = "gc"
+  // Versioned mode only: pin the version DIRECTORY NAME instead of
+  // deriving it from (pointer counter, queryId). The point is
+  // DETERMINISM across retries of the same logical write — the
+  // exactly-once lever ZarrStreamSink builds on: a replayed micro-batch
+  // rebuilds the SAME dir and re-PUTs the SAME pointer value, so
+  // duplicate delivery converges instead of forking versions. Must
+  // match the `v<N>-<hex>` shape so readers/vacuum recognize it.
+  val VersionNameOption = "version_name"
 
   /** Slice a full row-band buffer (chunkRows × dim, row-major) into the
     * j-th column chunk, padded to the full chunkRows × chunkCols shape
@@ -126,15 +140,28 @@ class ZarrWriteBuilder(path: String, info: LogicalWriteInfo)
       .getOrElse("versioned")
     require(commitMode == "versioned" || commitMode == "rename",
       s"commit must be 'versioned' or 'rename', got $commitMode")
+    val gcOnCommit = Option(info.options.get(ZarrWrite.GcOption))
+      .forall(_.toBoolean)
+    val versionName = Option(info.options.get(ZarrWrite.VersionNameOption))
+    versionName.foreach { v =>
+      require(commitMode == "versioned",
+        "version_name applies only to the versioned commit mode")
+      require(ZarrVersioned.isVersionName(v),
+        s"version_name '$v' must match v<N>-<hex> so readers and vacuum " +
+          "recognize it")
+    }
     new ZarrWriteImpl(path, info.queryId(), ZarrWrite.dtypeFor(info.schema()),
-      chunkRows, chunkCols, zlib, truncateFirst, format, commitMode)
+      chunkRows, chunkCols, zlib, truncateFirst, format, commitMode,
+      gcOnCommit, versionName)
   }
 }
 
 class ZarrWriteImpl(path: String, queryId: String, dtype: String,
                     chunkRows: Int, chunkCols: Int, zlib: Boolean,
                     truncateFirst: Boolean, format: Int = 2,
-                    commitMode: String = "versioned")
+                    commitMode: String = "versioned",
+                    gcOnCommit: Boolean = true,
+                    versionName: Option[String] = None)
     extends Write with RequiresDistributionAndOrdering {
   private def sortOrder: Array[SortOrder] = Array(
     Expressions.sort(Expressions.column("row_id"), SortDirection.ASCENDING))
@@ -144,7 +171,7 @@ class ZarrWriteImpl(path: String, queryId: String, dtype: String,
   override def description(): String = s"zarr:`$path`"
   override def toBatch: BatchWrite =
     new ZarrBatchWrite(path, queryId, dtype, chunkRows, chunkCols, zlib,
-      truncateFirst, format, commitMode)
+      truncateFirst, format, commitMode, gcOnCommit, versionName)
 }
 
 /** One task's outcome: rows written, the id range seen, the vec width,
@@ -157,7 +184,9 @@ case class ZarrTaskCommit(partitionId: Int, rowCount: Long, maxId: Long,
 class ZarrBatchWrite(path: String, queryId: String, dtype: String,
                      chunkRows: Int, chunkColsOpt: Int, zlib: Boolean,
                      truncateFirst: Boolean, format: Int = 2,
-                     commitMode: String = "versioned")
+                     commitMode: String = "versioned",
+                     gcOnCommit: Boolean = true,
+                     versionName: Option[String] = None)
     extends BatchWrite {
 
   /** store-generation knobs shared by task chunk writes + commit meta */
@@ -176,7 +205,14 @@ class ZarrBatchWrite(path: String, queryId: String, dtype: String,
   private lazy val resolvedDirs: (Option[String], String) =
     if (commitMode == "versioned") {
       val old = ZarrVersioned.readPointer(path, ZarrIO.hadoopConf())
-      val next = ZarrVersioned.nextVersionNameFrom(old, queryId)
+      // an explicit version_name (the exactly-once retry lever —
+      // ZarrStreamSink) wins over the derived (counter, queryId) name
+      val next = versionName.getOrElse(
+        ZarrVersioned.nextVersionNameFrom(old, queryId))
+      require(!old.contains(next),
+        s"zarr: version_name '$next' is the CURRENTLY COMMITTED version " +
+          "— a replayed already-committed write must be skipped by the " +
+          "caller (ZarrStreamSink does), not rebuilt over the live data")
       (old, new HPath(path, next).toString)
     } else (None, ZarrWrite.tmpDir(path, queryId).toString)
   private def oldVersion: Option[String] = resolvedDirs._1
@@ -266,9 +302,12 @@ class ZarrBatchWrite(path: String, queryId: String, dtype: String,
       val version = new HPath(workDir).getName
       ZarrVersioned.writePointer(path, version, conf)
       ZarrVersioned.failpoint("after-commit-point")
-      // best-effort: a GC failure must never fail a committed write
-      try ZarrVersioned.gcAfterCommit(path, oldVersion, conf)
-      catch { case scala.util.control.NonFatal(_) => () }
+      // best-effort: a GC failure must never fail a committed write.
+      // gc=false retains the superseded version as a time-travel
+      // snapshot (read it back via option("version", <name>)).
+      if (gcOnCommit)
+        try ZarrVersioned.gcAfterCommit(path, oldVersion, conf)
+        catch { case scala.util.control.NonFatal(_) => () }
     } else {
       // rename mode: swap the finished store into place via rename-ASIDE
       // (round-7 advisory): live -> live.old first, tmp -> live second,

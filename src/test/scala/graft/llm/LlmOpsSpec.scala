@@ -229,6 +229,13 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("decode stub is deterministic and batch pipeline preserves rows") {
+    // the stub is the documented extension point for no-pure-JVM-route
+    // formats (H.264 etc.); no fixture row reaches it since the avi
+    // decoder landed, so pin its contract directly
+    val stub1 = Multimodal.decodeStub("payload".getBytes, 4, 3)
+    val stub2 = Multimodal.decodeStub("payload".getBytes, 4, 3)
+    assert(stub1.toSeq == stub2.toSeq && stub1.length == 12 &&
+      stub1.forall(v => v >= 0f && v <= 1f))
     val media = Multimodal.syntheticMedia(spark, sf).as[Multimodal.MediaRow]
     val out1 = Multimodal.extractFeatures(media).collect().sortBy(_.id)
     val out2 = Multimodal.extractFeatures(media).collect().sortBy(_.id)
@@ -237,13 +244,25 @@ class MultimodalSpec extends SparkSpec {
       a.features.sameElements(b.features) })
   }
 
-  test("video rows get frame-sampled features (n_frames/2 frames, pooled)") {
+  test("video rows get frame-sampled features through the REAL avi/jpeg " +
+    "decode (stride-2 frame count, pooled luma per kept frame)") {
     val media = Multimodal.syntheticMedia(spark, sf).as[Multimodal.MediaRow]
     val vids = Multimodal.extractFeatures(media)
-      .filter($"format" === "mp4").collect()
+      .filter($"format" === "avi").collect()
     assert(vids.nonEmpty)
+    val byId = media.filter($"format" === "avi").collect()
+      .map(m => m.id -> m).toMap
     vids.foreach { v =>
-      assert(v.n_frames >= 1 && v.features.nonEmpty)
+      val src = byId(v.id)
+      // stride-2 sampling of the container's true frame count
+      assert(v.n_frames == (src.n_frames + 1) / 2, s"video ${v.id}")
+      assert(v.features.nonEmpty)
+      // real decode: DC-only frames are flat 8x8 blocks of value
+      // 2*trunc((blockSum-8128)/128)+128 in [10, 128] -> pooled floats
+      // in (0, 0.6]; the old stub normalized payload BYTES and produced
+      // values across (0, 1] incl. > 0.6 almost surely
+      assert(v.features.forall(f => f > 0f && f <= 128f / 255f + 1e-6f),
+        s"video ${v.id}: features outside the DC-only luma range")
     }
   }
 

@@ -138,4 +138,52 @@ class ZarrVersionedSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("already committed"), e.getMessage)
   }
+
+  test("time travel: gc=false retains the superseded version; " +
+    "option(version) reads the old snapshot while the pointer serves " +
+    "the new one; vacuum reclaims; writes through a pin refuse") {
+    val path = localTmp()
+    mat(50, 4).write.format("zarr").option("chunk_rows", 16)
+      .mode("append").save(path)
+    val v1 = ZarrVersioned.readPointer(path, conf).get
+    mat(25, 4).write.format("zarr").option("chunk_rows", 16)
+      .option("gc", "false").mode("overwrite").save(path)
+    val v2 = ZarrVersioned.readPointer(path, conf).get
+    assert(v2.startsWith("v2-"))
+    assert(ZarrVersioned.versions(path, conf) == Seq(v1, v2))
+    // the pointer serves the NEW data; the pin serves the OLD snapshot
+    assert(rows(path) == 25)
+    assert(spark.read.format("zarr").option("version", v1)
+      .load(path).count() == 50)
+    // pinned values are the v1 bytes, not a re-read of v2
+    val pinned = spark.read.format("zarr").option("version", v1).load(path)
+      .agg(sum(expr("aggregate(vec, 0D, (a, x) -> a + x)"))).head.getDouble(0)
+    val orig = mat(50, 4)
+      .agg(sum(expr("aggregate(vec, 0D, (a, x) -> a + x)"))).head.getDouble(0)
+    assert(math.abs(pinned - orig) < 1e-9)
+    // writes through a pin are refused — versions are immutable
+    val e = intercept[Exception] {
+      mat(5, 4).write.format("zarr").option("version", v1)
+        .mode("overwrite").save(path)
+    }
+    assert(e.getMessage.contains("time-travel"), e.getMessage)
+    // a bogus pin fails loudly and NAMES what exists
+    val nf = intercept[Exception] {
+      spark.read.format("zarr").option("version", "v7-nope").load(path).count()
+    }
+    assert(nf.getMessage.contains(v1) && nf.getMessage.contains("v7-nope"),
+      nf.getMessage)
+    // vacuum reclaims the retained snapshot, pointer keeps serving v2
+    assert(ZarrVersioned.vacuum(path, conf) == Seq(v1))
+    assert(rows(path) == 25)
+  }
+
+  test("default gc: the superseded version is reclaimed at commit") {
+    val path = localTmp()
+    mat(40, 4).write.format("zarr").mode("append").save(path)
+    val v1 = ZarrVersioned.readPointer(path, conf).get
+    mat(10, 4).write.format("zarr").mode("overwrite").save(path)
+    assert(ZarrVersioned.versions(path, conf).forall(_ != v1))
+    assert(rows(path) == 10)
+  }
 }
