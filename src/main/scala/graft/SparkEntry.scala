@@ -43,7 +43,8 @@ object SparkEntry {
       sc.Sssp.queries ++ stream.Acf.queries ++ stream.Sessionize.queries ++
       llm.KnnClassify.queries ++ llm.ParagraphDedup.queries ++
       rel.BitmapAgg.queries ++ sc.LinkPredict.queries ++
-      sc.KCore.queries ++ rel.Incremental.queries
+      sc.KCore.queries ++ rel.Incremental.queries ++
+      llm.RetrievalEval.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -77,5 +78,6 @@ object SparkEntry {
       sc.Sssp.oracle ++ stream.Acf.oracle ++ stream.Sessionize.oracle ++
       llm.KnnClassify.oracle ++ llm.ParagraphDedup.oracle ++
       rel.BitmapAgg.oracle ++ sc.LinkPredict.oracle ++
-      sc.KCore.oracle ++ rel.Incremental.oracle
+      sc.KCore.oracle ++ rel.Incremental.oracle ++
+      llm.RetrievalEval.oracle
 }
