@@ -218,13 +218,18 @@ object ZarrIO {
     out
   }
 
-  /** Compress + write one chunk (values already padded to chunk shape). */
+  /** Compress + write one chunk (values already padded to chunk shape).
+    * A sharded v3 meta dispatches to the shard writer — the symmetric
+    * twin of readChunk's readShard dispatch, so the DSv2 write path is
+    * layout-agnostic. */
   def writeChunk(path: String, meta: ZarrMeta, i: Long, j: Int,
                  values: Array[Double],
                  conf: Configuration = hadoopConf()): Unit = {
     require(values.length == meta.chunkRows * meta.chunkCols,
       s"chunk ($i,$j): ${values.length} values for " +
         s"${meta.chunkRows}x${meta.chunkCols} chunk")
+    if (meta.format == 3 && meta.inner.isDefined)
+      return Zarr3.writeShard(path, meta, i, j, values, conf)
     val buf = ByteBuffer.allocate(values.length * meta.bytesPerElem)
       .order(ByteOrder.LITTLE_ENDIAN)
     // int dtypes validate loudly: v.toShort/.toInt silently WRAP out-of-

@@ -74,6 +74,14 @@ object ZarrWrite {
   // duplicate delivery converges instead of forking versions. Must
   // match the `v<N>-<hex>` shape so readers/vacuum recognize it.
   val VersionNameOption = "version_name"
+  // v3 only: `option("shard_rows", n)` emits a SHARDED store — the band
+  // becomes one `sharding_indexed` shard object of n rows containing
+  // n/chunk_rows independently-gzipped inner chunks + a crc32c-sealed
+  // index. Object-count drops by n/chunk_rows× (the reason the codec
+  // exists: fewer PUTs/GETs on object stores) while the read path's
+  // random access stays chunk-granular. Must be a multiple of
+  // chunk_rows; the shard spans the full vec width.
+  val ShardRowsOption = "shard_rows"
 
   /** Slice a full row-band buffer (chunkRows × dim, row-major) into the
     * j-th column chunk, padded to the full chunkRows × chunkCols shape
@@ -150,9 +158,16 @@ class ZarrWriteBuilder(path: String, info: LogicalWriteInfo)
         s"version_name '$v' must match v<N>-<hex> so readers and vacuum " +
           "recognize it")
     }
+    val shardRows = Option(info.options.get(ZarrWrite.ShardRowsOption))
+      .map(_.toInt).getOrElse(0)
+    if (shardRows > 0) {
+      require(format == 3, "shard_rows requires format=3 (sharding_indexed)")
+      require(shardRows % chunkRows == 0,
+        s"shard_rows=$shardRows must be a multiple of chunk_rows=$chunkRows")
+    } else require(shardRows == 0, s"shard_rows must be >= 0, got $shardRows")
     new ZarrWriteImpl(path, info.queryId(), ZarrWrite.dtypeFor(info.schema()),
       chunkRows, chunkCols, zlib, truncateFirst, format, commitMode,
-      gcOnCommit, versionName)
+      gcOnCommit, versionName, shardRows)
   }
 }
 
@@ -161,7 +176,8 @@ class ZarrWriteImpl(path: String, queryId: String, dtype: String,
                     truncateFirst: Boolean, format: Int = 2,
                     commitMode: String = "versioned",
                     gcOnCommit: Boolean = true,
-                    versionName: Option[String] = None)
+                    versionName: Option[String] = None,
+                    shardRows: Int = 0)
     extends Write with RequiresDistributionAndOrdering {
   private def sortOrder: Array[SortOrder] = Array(
     Expressions.sort(Expressions.column("row_id"), SortDirection.ASCENDING))
@@ -171,7 +187,7 @@ class ZarrWriteImpl(path: String, queryId: String, dtype: String,
   override def description(): String = s"zarr:`$path`"
   override def toBatch: BatchWrite =
     new ZarrBatchWrite(path, queryId, dtype, chunkRows, chunkCols, zlib,
-      truncateFirst, format, commitMode, gcOnCommit, versionName)
+      truncateFirst, format, commitMode, gcOnCommit, versionName, shardRows)
 }
 
 /** One task's outcome: rows written, the id range seen, the vec width,
@@ -186,8 +202,13 @@ class ZarrBatchWrite(path: String, queryId: String, dtype: String,
                      truncateFirst: Boolean, format: Int = 2,
                      commitMode: String = "versioned",
                      gcOnCommit: Boolean = true,
-                     versionName: Option[String] = None)
+                     versionName: Option[String] = None,
+                     shardRows: Int = 0)
     extends BatchWrite {
+
+  // the BAND (the unit tasks buffer, stage, and finalize) is the shard
+  // when sharding, else the chunk — all banding math keys off this
+  private def bandRows = if (shardRows > 0) shardRows else chunkRows
 
   /** store-generation knobs shared by task chunk writes + commit meta */
   private def sep = if (format == 3) "/" else "."
@@ -236,7 +257,8 @@ class ZarrBatchWrite(path: String, queryId: String, dtype: String,
     f.delete(new HPath(workDir), true) // stale same-query remnant
     f.mkdirs(stagingDir)
     new ZarrWriterFactory(workDir, dtype, chunkRows, chunkColsOpt,
-      zlib, new SerializableHadoopConf(ZarrIO.hadoopConf()), format)
+      zlib, new SerializableHadoopConf(ZarrIO.hadoopConf()), format,
+      shardRows)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -249,11 +271,19 @@ class ZarrBatchWrite(path: String, queryId: String, dtype: String,
     val dims = msgs.filter(_.rowCount > 0).map(_.dim).distinct
     require(dims.length <= 1, s"zarr write: mixed vec widths $dims")
     val dim = dims.headOption.getOrElse(0)
-    val cc = if (chunkColsOpt > 0) math.min(chunkColsOpt, math.max(dim, 1))
-             else math.max(dim, 1)
-    val meta = ZarrMeta(rows = rows, cols = dim, chunkRows = chunkRows,
+    val innerCols = if (chunkColsOpt > 0) math.min(chunkColsOpt, math.max(dim, 1))
+                    else math.max(dim, 1)
+    // sharded: the outer chunk (= band = one stored object) spans the
+    // full width; inner chunks are the user-facing chunk shape
+    val cc = if (shardRows > 0) math.max(dim, 1) else innerCols
+    if (shardRows > 0)
+      require(math.max(dim, 1) % innerCols == 0,
+        s"sharding: chunk_cols=$innerCols must divide the vec width $dim")
+    val meta = ZarrMeta(rows = rows, cols = dim, chunkRows = bandRows,
       chunkCols = cc, dtype = dtype,
-      compressor = comp, fillValue = 0.0, format = format, sep = sep)
+      compressor = comp, fillValue = 0.0, format = format, sep = sep,
+      inner = if (shardRows > 0) Some(ShardSpec(chunkRows, innerCols))
+              else None)
     val conf = ZarrIO.hadoopConf()
     val (f, _) = fs()
     // a band is EITHER finalized by the one task that saw all its rows,
@@ -265,7 +295,7 @@ class ZarrBatchWrite(path: String, queryId: String, dtype: String,
     require(overlap.isEmpty, s"zarr write: bands $overlap both final and partial")
     ZarrVersioned.failpoint("after-tasks")
     byBand.foreach { case (band, parts) =>
-      val buf = Array.fill(chunkRows * dim)(0.0)
+      val buf = Array.fill(bandRows * dim)(0.0)
       var seen = 0
       parts.foreach { case (_, name) =>
         val in = new DataInputStream(f.open(new HPath(stagingDir, name)))
@@ -281,11 +311,11 @@ class ZarrBatchWrite(path: String, queryId: String, dtype: String,
           }
         } finally in.close()
       }
-      require(seen <= chunkRows, s"band $band: $seen rows overflow the band")
+      require(seen <= bandRows, s"band $band: $seen rows overflow the band")
       var j = 0
       while (j * cc < math.max(dim, 1)) {
         ZarrIO.writeChunk(workDir, meta, band, j,
-          ZarrWrite.colChunkSlice(buf, chunkRows, dim, cc, j), conf)
+          ZarrWrite.colChunkSlice(buf, bandRows, dim, cc, j), conf)
         j += 1
       }
     }
@@ -351,11 +381,12 @@ class ZarrBatchWrite(path: String, queryId: String, dtype: String,
 
 class ZarrWriterFactory(workDir: String, dtype: String,
                         chunkRows: Int, chunkColsOpt: Int, zlib: Boolean,
-                        sconf: SerializableHadoopConf, format: Int = 2)
+                        sconf: SerializableHadoopConf, format: Int = 2,
+                        shardRows: Int = 0)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new ZarrDataWriter(workDir, dtype, chunkRows, chunkColsOpt, zlib,
-      partitionId, taskId, sconf, format)
+      partitionId, taskId, sconf, format, shardRows)
 }
 
 /** Streams its (range-partitioned, sorted) slice band by band: whole
@@ -364,8 +395,14 @@ class ZarrWriterFactory(workDir: String, dtype: String,
 class ZarrDataWriter(workDir: String, dtype: String,
                      chunkRows: Int, chunkColsOpt: Int, zlib: Boolean,
                      partitionId: Int, taskId: Long,
-                     sconf: SerializableHadoopConf, format: Int = 2)
+                     sconf: SerializableHadoopConf, format: Int = 2,
+                     shardRows: Int = 0)
     extends DataWriter[InternalRow] {
+
+  // sharded: the band (buffered, staged, finalized as ONE object) is
+  // the shard; inner chunks are cut inside ZarrIO.writeChunk's
+  // writeShard dispatch. Unsharded: band = chunk, as before.
+  private def bandRows = if (shardRows > 0) shardRows else chunkRows
 
   // everything this writer produces lands in the query's WORK dir (temp
   // sibling or uncommitted version dir) — the live store is only
@@ -384,14 +421,18 @@ class ZarrDataWriter(workDir: String, dtype: String,
   private val partials = Seq.newBuilder[(Long, String)]
   private def chunkCols =
     if (chunkColsOpt > 0) math.min(chunkColsOpt, dim) else dim
+  // the per-object width: a shard spans the full vec width
+  private def outerCols = if (shardRows > 0) dim else chunkCols
   // provisional meta for chunk writes (ZarrIO.writeChunk reads only the
   // chunk geometry / dtype / compressor from it, never rows)
   private def chunkMeta = ZarrMeta(rows = 0L, cols = dim,
-    chunkRows = chunkRows, chunkCols = chunkCols, dtype = dtype,
+    chunkRows = bandRows, chunkCols = outerCols, dtype = dtype,
     compressor =
       if (!zlib) None else Some(if (format == 3) "gzip" else "zlib"),
     fillValue = 0.0, format = format,
-    sep = if (format == 3) "/" else ".")
+    sep = if (format == 3) "/" else ".",
+    inner = if (shardRows > 0) Some(ShardSpec(chunkRows, chunkCols))
+            else None)
 
   override def write(row: InternalRow): Unit = {
     val id = row.getLong(0)
@@ -406,14 +447,16 @@ class ZarrDataWriter(workDir: String, dtype: String,
     if (dim < 0) {
       dim = vec.length
       require(dim > 0, "zarr write: empty vec")
-      buf = new Array[Double](chunkRows * dim)
-      present = new Array[Boolean](chunkRows)
+      if (shardRows > 0) require(dim % chunkCols == 0,
+        s"sharding: chunk_cols=$chunkCols must divide the vec width $dim")
+      buf = new Array[Double](bandRows * dim)
+      present = new Array[Boolean](bandRows)
     }
     require(vec.length == dim,
       s"zarr write: vec width ${vec.length} != $dim at row_id $id")
-    val b = id / chunkRows
+    val b = id / bandRows
     if (b != band) { flush(); band = b }
-    val r = (id - b * chunkRows).toInt
+    val r = (id - b * bandRows).toInt
     System.arraycopy(vec, 0, buf, r * dim, dim)
     present(r) = true
     bandCount += 1
@@ -422,14 +465,14 @@ class ZarrDataWriter(workDir: String, dtype: String,
 
   private def flush(): Unit = {
     if (band >= 0 && bandCount > 0) {
-      if (bandCount == chunkRows) {
+      if (bandCount == bandRows) {
         // band content is a pure function of the input rows, so a
         // speculative duplicate attempt overwrites with identical bytes;
         // one object per COLUMN chunk of the band (chunk_cols option)
         var j = 0
-        while (j * chunkCols < dim) {
+        while (j * outerCols < dim) {
           ZarrIO.writeChunk(workDir, chunkMeta, band, j,
-            ZarrWrite.colChunkSlice(buf, chunkRows, dim, chunkCols, j),
+            ZarrWrite.colChunkSlice(buf, bandRows, dim, outerCols, j),
             sconf.value)
           j += 1
         }
@@ -446,7 +489,7 @@ class ZarrDataWriter(workDir: String, dtype: String,
         try {
           out.writeInt(dim); out.writeInt(bandCount)
           var r = 0
-          while (r < chunkRows) {
+          while (r < bandRows) {
             if (present(r)) {
               out.writeInt(r)
               var c = 0

@@ -125,6 +125,87 @@ class Zarr3Spec extends SparkSpec {
       .filter(col("vec") =!= col("vec0")).count() == 0)
   }
 
+  test("DSv2 SHARDED write (shard_rows): one object per shard, inner " +
+    "chunks intact, reads equal to the unsharded twin") {
+    val df = embeddings
+    val base = tmpDir("dsv2shard")
+    val sharded = base + "/sharded.zarr"
+    val flat = base + "/flat.zarr"
+    df.select(col("id").as("row_id"), col("vec"))
+      .write.format("zarr")
+      .option("chunk_rows", 4).option("shard_rows", 16)
+      .option("format", 3).option("commit", "rename")
+      .mode("overwrite").save(sharded)
+    df.select(col("id").as("row_id"), col("vec"))
+      .write.format("zarr")
+      .option("chunk_rows", 4).option("format", 3)
+      .option("commit", "rename")
+      .mode("overwrite").save(flat)
+    val meta = ZarrIO.readMeta(sharded)
+    // shard = 16 rows × full width, inner chunks 4 rows
+    assert(meta.chunkRows == 16 && meta.inner.contains(ShardSpec(4, 64)))
+    val n = df.count()
+    val shardObjs = Option(new java.io.File(sharded, "c/")
+      .listFiles()).map(_.length).getOrElse(-1)
+    val flatObjs = Option(new java.io.File(flat, "c/")
+      .listFiles()).map(_.length).getOrElse(-1)
+    // object count drops by the shardRows/chunkRows factor (the codec's
+    // whole purpose): ceil(n/16) shard dirs vs ceil(n/4) chunk dirs
+    assert(shardObjs == (n + 15) / 16, s"shard objects: $shardObjs")
+    assert(flatObjs == (n + 3) / 4, s"flat objects: $flatObjs")
+    // bit-identical reads through either layout
+    val a = spark.read.format("zarr").load(sharded)
+    val b = spark.read.format("zarr").load(flat)
+    assert(a.count() == n && b.count() == n)
+    assert(a.join(b.withColumnRenamed("vec", "vec0"), Seq("row_id"))
+      .filter(col("vec") =!= col("vec0")).count() == 0)
+    // and equal to the source, incl. the padded tail shard's real rows
+    assert(a.select(col("row_id").as("id"), col("vec"))
+      .join(df.withColumnRenamed("vec", "vec0"), Seq("id"))
+      .filter(col("vec") =!= col("vec0")).count() == 0)
+  }
+
+  test("DSv2 sharded write: column-chunked inners + versioned commit + " +
+    "guardrails (format, multiple, divisibility)") {
+    val df = embeddings
+    val path = tmpDir("dsv2shard2") + "/s.zarr"
+    // inner chunks 8 rows × 16 cols inside 24-row full-width shards,
+    // through the DEFAULT versioned commit
+    df.select(col("id").as("row_id"), col("vec"))
+      .write.format("zarr")
+      .option("chunk_rows", 8).option("chunk_cols", 16)
+      .option("shard_rows", 24).option("format", 3)
+      .mode("overwrite").save(path)
+    val back = spark.read.format("zarr").load(path)
+      .select(col("row_id").as("id"), col("vec"))
+    assert(back.join(df.withColumnRenamed("vec", "vec0"), Seq("id"))
+      .filter(col("vec") =!= col("vec0")).count() == 0)
+    def failWith(msg: String)(f: => Unit): Unit = {
+      val e = intercept[Exception](f)
+      def chain(t: Throwable): String =
+        if (t == null) "" else Option(t.getMessage).getOrElse("") + chain(t.getCause)
+      assert(chain(e).contains(msg), chain(e))
+    }
+    failWith("requires format=3") {
+      df.select(col("id").as("row_id"), col("vec"))
+        .write.format("zarr").option("shard_rows", 16)
+        .mode("overwrite").save(tmpDir("g1") + "/x.zarr")
+    }
+    failWith("multiple of chunk_rows") {
+      df.select(col("id").as("row_id"), col("vec"))
+        .write.format("zarr").option("chunk_rows", 5)
+        .option("shard_rows", 16).option("format", 3)
+        .mode("overwrite").save(tmpDir("g2") + "/x.zarr")
+    }
+    failWith("must divide the vec width") {
+      df.select(col("id").as("row_id"), col("vec"))
+        .write.format("zarr").option("chunk_rows", 8)
+        .option("chunk_cols", 17)
+        .option("shard_rows", 16).option("format", 3)
+        .mode("overwrite").save(tmpDir("g3") + "/x.zarr")
+    }
+  }
+
   test("v3 pruning: row_id range keeps only intersecting shards") {
     val df = embeddings
     val path = tmpDir("prune")
