@@ -62,20 +62,20 @@ object Bfs {
   val oracle: Map[String, String] = {
     val base = Neighbors.oracleKnnSubstrate +
       """,
-         und AS (
+         und AS MATERIALIZED (
            SELECT r.id1 AS a, r.id2 AS b
            FROM ed r JOIN ed m ON r.id1 = m.id2 AND r.id2 = m.id1
            WHERE r.id1 < r.id2),
-         sym AS (
+         sym AS MATERIALIZED (
            SELECT a AS v, b AS nbr FROM und
            UNION ALL SELECT b, a FROM und),
-         d0 AS (SELECT min(v) AS id, CAST(0 AS INT) AS d FROM sym)"""
+         d0 AS MATERIALIZED (SELECT min(v) AS id, CAST(0 AS INT) AS d FROM sym)"""
     val rounds = (1 to Hops).map { h =>
-      s""", f$h AS (
+      s""", f$h AS MATERIALIZED (
            SELECT DISTINCT s.nbr AS id
            FROM sym s JOIN d${h - 1} p ON p.id = s.v
            WHERE s.nbr NOT IN (SELECT id FROM d${h - 1})),
-         d$h AS (
+         d$h AS MATERIALIZED (
            SELECT id, d FROM d${h - 1}
            UNION ALL SELECT id, CAST($h AS INT) FROM f$h)"""
     }.mkString

@@ -81,16 +81,16 @@ object Communities {
   val oracle: Map[String, String] = {
     val base = Neighbors.oracleKnnSubstrate +
       """,
-         und AS (
+         und AS MATERIALIZED (
            SELECT r.id1 AS a, r.id2 AS b
            FROM ed r JOIN ed m ON r.id1 = m.id2 AND r.id2 = m.id1
            WHERE r.id1 < r.id2),
-         sym AS (
+         sym AS MATERIALIZED (
            SELECT a AS v, b AS nbr FROM und
            UNION ALL SELECT b, a FROM und),
-         lbl0 AS (SELECT DISTINCT v AS id, v AS lbl FROM sym)"""
+         lbl0 AS MATERIALIZED (SELECT DISTINCT v AS id, v AS lbl FROM sym)"""
     val rounds = (1 to Rounds).map { i =>
-      s""", lbl$i AS (
+      s""", lbl$i AS MATERIALIZED (
            SELECT v AS id, nlbl AS lbl FROM (
              SELECT s.v, q.lbl AS nlbl, count(1) AS c,
                     row_number() OVER (PARTITION BY s.v

@@ -64,17 +64,17 @@ object KCore {
   val oracle: Map[String, String] = {
     val base = Neighbors.oracleKnnSubstrate +
       """,
-         g0 AS (
+         g0 AS MATERIALIZED (
            SELECT r.id1 AS a, r.id2 AS b
            FROM ed r JOIN ed m ON r.id1 = m.id2 AND r.id2 = m.id1
            WHERE r.id1 < r.id2)"""
     val rounds = (1 to Rounds).map { i =>
-      s""", d$i AS (
+      s""", d$i AS MATERIALIZED (
            SELECT v, count(*) AS deg FROM (
              SELECT a AS v FROM g${i - 1}
              UNION ALL SELECT b FROM g${i - 1}) GROUP BY v),
-         k$i AS (SELECT v FROM d$i WHERE deg >= $K),
-         g$i AS (
+         k$i AS MATERIALIZED (SELECT v FROM d$i WHERE deg >= $K),
+         g$i AS MATERIALIZED (
            SELECT e.a, e.b FROM g${i - 1} e
            JOIN k$i ka ON ka.v = e.a
            JOIN k$i kb ON kb.v = e.b)"""

@@ -55,20 +55,20 @@ object LinkPredict {
     "q_graph_link_predict" ->
       (Neighbors.oracleKnnSubstrate +
         """,
-         und AS (
+         und AS MATERIALIZED (
            SELECT r.id1 AS a, r.id2 AS b
            FROM ed r JOIN ed m ON r.id1 = m.id2 AND r.id2 = m.id1
            WHERE r.id1 < r.id2),
-         sym AS (
+         sym AS MATERIALIZED (
            SELECT a AS v, b AS nbr FROM und
            UNION ALL SELECT b, a FROM und),
-         deg AS (SELECT v, CAST(count(*) AS BIGINT) AS deg
+         deg AS MATERIALIZED (SELECT v, CAST(count(*) AS BIGINT) AS deg
                  FROM sym GROUP BY v),
-         cn AS (
+         cn AS MATERIALIZED (
            SELECT s1.nbr AS u, s2.nbr AS w, CAST(count(*) AS BIGINT) AS cn
            FROM sym s1 JOIN sym s2 ON s1.v = s2.v AND s1.nbr < s2.nbr
            GROUP BY 1, 2 HAVING count(*) >= 2),
-         nonadj AS (
+         nonadj AS MATERIALIZED (
            SELECT cn.* FROM cn
            LEFT JOIN und ON und.a = cn.u AND und.b = cn.w
            WHERE und.a IS NULL)

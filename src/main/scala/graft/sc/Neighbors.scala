@@ -72,16 +72,21 @@ object Neighbors {
     * triangles, communities) — one definition so a ranking change
     * cannot silently diverge between them. Yields CTE `ed(id1, id2)`,
     * the directed top-k edge list. */
+  // every CTE is MATERIALIZED: DuckDB inlines plain CTEs, and the
+  // graph oracles reference each round's predecessor 2-3x — inlining
+  // re-evaluates the WHOLE upstream chain per reference, which is
+  // EXPONENTIAL in the unrolled round count (q_graph_kcore's oracle:
+  // 162 s / intermittent OOM inlined, 1.4 s materialized, same rows).
   val oracleKnnSubstrate: String =
-    """WITH e0 AS (
+    """WITH e0 AS MATERIALIZED (
          SELECT vec_id AS id,
                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
          FROM embeddings WHERE vec_id < 200),
-       p AS (
+       p AS MATERIALIZED (
          SELECT a.id AS id1, b.id AS id2,
                 round(list_distance(a.v, b.v) + 1e-9, 6) AS dist
          FROM e0 a JOIN e0 b ON a.id != b.id),
-       ed AS (
+       ed AS MATERIALIZED (
          SELECT id1, id2 FROM (
            SELECT id1, id2,
                   row_number() OVER (PARTITION BY id1

@@ -207,13 +207,13 @@ object PageRank {
     val knnSubstrate = Neighbors.oracleKnnSubstrate
     val header = knnSubstrate +
       """,
-         deg AS (SELECT id1, count(*) AS od FROM ed GROUP BY id1),
-         nodes AS (SELECT id1 AS id FROM ed UNION SELECT id2 FROM ed),
+         deg AS MATERIALIZED (SELECT id1, count(*) AS od FROM ed GROUP BY id1),
+         nodes AS MATERIALIZED (SELECT id1 AS id FROM ed UNION SELECT id2 FROM ed),
          nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
-         pr0 AS (SELECT id, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS r
+         pr0 AS MATERIALIZED (SELECT id, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS r
                  FROM nodes)"""
     val rounds = (1 to Iters).map { i =>
-      s""", pr$i AS (
+      s""", pr$i AS MATERIALIZED (
            SELECT no.id,
                   CAST(0.15 AS DOUBLE) / (SELECT n FROM nn)
                   + CAST(0.85 AS DOUBLE)
@@ -237,7 +237,7 @@ object PageRank {
            SELECT id1 AS id FROM eds UNION SELECT id2 FROM eds),
          nn AS MATERIALIZED (
            SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
-         pr0 AS (SELECT id, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS r
+         pr0 AS MATERIALIZED (SELECT id, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS r
                  FROM nodes)"""
     // pr_{i-1} is referenced TWICE per round (dangling mass + the
     // contribution join); MATERIALIZED stops DuckDB's CTE inlining from
@@ -270,22 +270,22 @@ object PageRank {
           s" SELECT id, round(r + 1e-9, 6) AS pr FROM pr$Iters ORDER BY id"),
       "q_graph_triangles" ->
         (knnSubstrate + """,
-           und AS (
+           und AS MATERIALIZED (
              SELECT r.id1 AS a, r.id2 AS b
              FROM ed r JOIN ed m ON r.id1 = m.id2 AND r.id2 = m.id1
              WHERE r.id1 < r.id2),
-           tri AS (
+           tri AS MATERIALIZED (
              SELECT e1.a AS x, e1.b AS y, e2.b AS z
              FROM und e1
                   JOIN und e2 ON e1.b = e2.a
                   JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
-           pern AS (
+           pern AS MATERIALIZED (
              SELECT id, CAST(count(1) AS BIGINT) AS n_tri FROM (
                SELECT x AS id FROM tri
                UNION ALL SELECT y FROM tri
                UNION ALL SELECT z FROM tri)
              GROUP BY id),
-           deg AS (
+           deg AS MATERIALIZED (
              SELECT id, CAST(count(1) AS BIGINT) AS deg FROM (
                SELECT a AS id FROM und UNION ALL SELECT b FROM und)
              GROUP BY id)

@@ -65,17 +65,17 @@ object Sssp {
   val oracle: Map[String, String] = {
     val base = Neighbors.oracleKnnSubstrate +
       """,
-         und AS (
+         und AS MATERIALIZED (
            SELECT r.id1 AS a, r.id2 AS b,
                   CAST((r.id1 + r.id2) % 7 + 1 AS BIGINT) AS w
            FROM ed r JOIN ed m ON r.id1 = m.id2 AND r.id2 = m.id1
            WHERE r.id1 < r.id2),
-         sym AS (
+         sym AS MATERIALIZED (
            SELECT a AS v, b AS nbr, w FROM und
            UNION ALL SELECT b, a, w FROM und),
-         d0 AS (SELECT min(v) AS id, CAST(0 AS BIGINT) AS dist FROM sym)"""
+         d0 AS MATERIALIZED (SELECT min(v) AS id, CAST(0 AS BIGINT) AS dist FROM sym)"""
     val rounds = (1 to Rounds).map { r =>
-      s""", d$r AS (
+      s""", d$r AS MATERIALIZED (
            SELECT id, min(dist) AS dist FROM (
              SELECT id, dist FROM d${r - 1}
              UNION ALL

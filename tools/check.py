@@ -8,10 +8,28 @@ import pandas as pd
 import numpy as np
 
 sf, out = sys.argv[1], sys.argv[2]
-con = duckdb.connect()
-for t in ["region","nation","customer","supplier","part","orders","lineitem",
-          "events","documents","embeddings"]:
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+
+def fresh_con():
+    c = duckdb.connect(config={"memory_limit": "48GB"})
+    for t in ["region","nation","customer","supplier","part","orders",
+              "lineitem","events","documents","embeddings"]:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+    return c
+
+con = fresh_con()
+
+def run_oracle(sql):
+    # the heaviest oracles (q_graph_kcore's recursive peel) can OOM a
+    # connection whose buffer pool is full of earlier queries' blocks —
+    # one retry on a FRESH connection separates "oracle too big" from
+    # "connection full"
+    global con
+    try:
+        return con.execute(sql).df()
+    except duckdb.OutOfMemoryException:
+        con.close()
+        con = fresh_con()
+        return con.execute(sql).df()
 
 oracle = json.load(open(f"{out}/oracle_sql.json"))
 fail = 0
@@ -21,7 +39,7 @@ for name in names:
     if name not in oracle:
         print(f"[rows-only] {name}: {len(spark_df)} rows")
         continue
-    duck_df = con.execute(oracle[name]).df()
+    duck_df = run_oracle(oracle[name])
     s = spark_df[sorted(spark_df.columns)].reset_index(drop=True)
     d = duck_df[sorted(duck_df.columns)].reset_index(drop=True)
     problems = []
