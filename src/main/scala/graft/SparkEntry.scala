@@ -44,7 +44,8 @@ object SparkEntry {
       llm.KnnClassify.queries ++ llm.ParagraphDedup.queries ++
       rel.BitmapAgg.queries ++ sc.LinkPredict.queries ++
       sc.KCore.queries ++ rel.Incremental.queries ++
-      llm.RetrievalEval.queries ++ llm.UnigramLm.queries ++ llm.Cdc.queries
+      llm.RetrievalEval.queries ++ llm.UnigramLm.queries ++ llm.Cdc.queries ++
+      llm.Suffix.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -79,5 +80,6 @@ object SparkEntry {
       llm.KnnClassify.oracle ++ llm.ParagraphDedup.oracle ++
       rel.BitmapAgg.oracle ++ sc.LinkPredict.oracle ++
       sc.KCore.oracle ++ rel.Incremental.oracle ++
-      llm.RetrievalEval.oracle ++ llm.UnigramLm.oracle ++ llm.Cdc.oracle
+      llm.RetrievalEval.oracle ++ llm.UnigramLm.oracle ++ llm.Cdc.oracle ++
+      llm.Suffix.oracle
 }

@@ -20,10 +20,24 @@ import graft.tables.Tables
   * +/×, so the two are identical BIGINTs and both queries hash-verify.
   *
   * Scale shape: per-doc chunking is pure projection (one pass of
-  * higher-order expressions inside whole-stage codegen — no UDF, no
-  * shuffle); the cross-doc dup-pair query shuffles once on chunk hash
-  * with a df cap (same posting-list discipline as q_similarity_sparse)
-  * so a boilerplate chunk shared by everything can never go quadratic. */
+  * higher-order expressions — no UDF, no shuffle); the cross-doc
+  * dup-pair query shuffles once on chunk hash with a df cap (same
+  * posting-list discipline as q_similarity_sparse) so a boilerplate
+  * chunk shared by everything can never go quadratic.
+  *
+  * Per-doc cost is O(len·W): the text is exploded to a code-point array
+  * ONCE per row (split + ascii, O(len)) and every window hash does W
+  * O(1) element_at lookups on it. The naive form — ascii(substring(
+  * text, i+k+1, 1)) inside the fold — is O(len²·W), because
+  * UTF8String.substring must scan from the string start to find a
+  * variable-width code point's byte offset; harmless on this fixture's
+  * ~300-char docs, quadratic death on real 10–100 KB web documents.
+  * The array is bound through a single-element transform lambda
+  * (`transform(array(<ords>), ords -> …)[1]`) so CollapseProject can
+  * never inline the O(len) construction into the per-(i,k) lambda body,
+  * where it would be re-evaluated per window step. Chunk EXTRACTION
+  * still uses substring — O(n_cuts·len) ≈ O(len²/64) total, fine up to
+  * ~100 KB docs and exact-identical bytes to the oracle's substr. */
 object Cdc {
   type Q = (SparkSession, String) => DataFrame
 
@@ -44,24 +58,50 @@ object Cdc {
     val positions =
       s"CASE WHEN length(text) >= $W THEN sequence(0, length(text) - $W) " +
         "ELSE array() END"
+    // O(1) lookups on the per-row code-point array (see scaladoc); all
+    // boundary math stays on length(text), so semantics are unchanged
+    // from the substring form — only the lookup cost moved
     val hash =
       s"aggregate(sequence(0, ${W - 1}), 0L, " +
-        s"(acc, k) -> pmod(acc * $B + ascii(substring(text, CAST(i + k + 1 AS INT), 1)), $Mask))"
+        s"(acc, k) -> pmod(acc * $B + element_at(ords, CAST(i + k + 1 AS INT)), $Mask))"
     // cut AFTER the window; a cut at the very end would make an empty
     // tail chunk, so it is excluded
     val cuts =
       s"filter(transform($positions, i -> CASE WHEN ($hash) % $Divisor = 0 " +
         s"THEN CAST(i + $W AS BIGINT) ELSE CAST(-1 AS BIGINT) END), c -> c >= 0 AND c < length(text))"
-    val bl = s"concat(array(0L), $cuts, array(CAST(length(text) AS BIGINT)))"
-    s"transform(sequence(1, size($bl) - 1), " +
-      s"k -> substring(text, CAST(element_at($bl, CAST(k AS INT)) + 1 AS INT), " +
-      s"CAST(element_at($bl, CAST(k + 1 AS INT)) - element_at($bl, CAST(k AS INT)) AS INT)))"
+    val blDef = s"concat(array(0L), $cuts, array(CAST(length(text) AS BIGINT)))"
+    // `bl` is REFERENCED (a lambda variable), never re-expanded: the
+    // chunk transform below mentions it three times per chunk, and HOF
+    // lambda bodies get no common-subexpression elimination — inlining
+    // the boundary-list tree here re-ran the full rolling-hash pass per
+    // chunk per reference (the O(len³/64) shape a thread dump caught
+    // crawling single-threaded for >1h at sf0.1)
+    val chunks = s"transform(sequence(1, size(bl) - 1), " +
+      s"k -> substring(text, CAST(element_at(bl, CAST(k AS INT)) + 1 AS INT), " +
+      s"CAST(element_at(bl, CAST(k + 1 AS INT)) - element_at(bl, CAST(k AS INT)) AS INT)))"
+    // nested single-element transforms = `let` bindings: ords (the
+    // code-point array) and bl (the boundary list) are each materialized
+    // ONCE per row and bound as lambda variables the optimizer cannot
+    // inline into the per-step lambda bodies. split keeps a trailing
+    // empty element under its -1 limit — filtered so ords length ==
+    // length(text) exactly.
+    s"element_at(transform(array(transform(filter(split(text, ''), " +
+      s"ch -> ch <> ''), ch -> ascii(ch))), " +
+      s"ords -> element_at(transform(array($blDef), bl -> $chunks), 1)), 1)"
   }
 
   /** `q_text_cdc`: per-doc chunk census — count, span sanity, and an
     * order-preserving md5 fingerprint of the chunk hash sequence. */
   def textCdc(s: SparkSession, d: String): DataFrame =
+    // the chunker is ~10³ interpreted HOF steps per ROW, so compute-per-
+    // byte dwarfs scan-per-byte and file-split parallelism (1 small file
+    // = 1 partition) is the wrong unit — spread rows across the cluster
+    // first; the 1-wide shuffle is noise next to the projection it feeds.
+    // The partition COUNT is explicit because AQE sizes exchanges by
+    // BYTES and would coalesce this megabyte-scale-but-compute-bound
+    // shuffle back to one partition.
     Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), expr(chunksExpr).as("chunks"))
       .select(col("doc_id"),
         size(col("chunks")).cast("long").as("n_chunks"),
@@ -75,7 +115,9 @@ object Cdc {
     * shift-robust near-dup witness. One shuffle keyed on chunk md5,
     * df-capped so no chunk joins more than MaxChunkDf docs. */
   def dedupCdc(s: SparkSession, d: String): DataFrame = {
+    // same row-spreading rationale (and explicit count) as textCdc
     val chunks = Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), explode(expr(chunksExpr)).as("chunk"))
       .filter(length(col("chunk")) >= MinChunkLen)
       .select(col("doc_id"), md5(col("chunk")).as("h"))

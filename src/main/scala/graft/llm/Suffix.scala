@@ -1,0 +1,240 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.tables.Tables
+
+/** Distributed suffix ranking by PREFIX DOUBLING — the exact,
+  * any-alignment repeated-passage machinery behind suffix-array corpus
+  * dedup (the "deduplicating training data" line of work ranks every
+  * corpus suffix so that equal ranks witness equal passages at ANY
+  * byte offset, where shingle/chunk methods only witness repeats that
+  * happen to align with their grid).
+  *
+  * Why prefix doubling and not gram explosion: detecting a repeated
+  * L-char window by exploding all L-grams costs an L× data blowup in
+  * the shuffle (every char is copied into L grams) — at 100 TB and
+  * L=64 that is a 6.4 PB shuffle. Prefix doubling never materializes a
+  * substring: it keeps ONE fixed-width row per corpus position
+  * (doc_id, pos, rank) and refines rank through log2(L) rounds, each
+  * round combining a position's class with the class 2^k positions
+  * ahead. Total shuffle volume is O(N·log L) fixed-width rows — the
+  * published scaling for suffix-array construction on data-parallel
+  * engines (Manber–Myers doubling; Larsson–Sadakane refinement).
+  *
+  * Round shape (all declarative — two keyed windows, no self-join, no
+  * global sort, no RDD hop), the Larsson–Sadakane head-ordinal
+  * refinement:
+  *  - rank is the 0-based ordinal OF THE CLASS HEAD in global suffix
+  *    order (ties share it), not a dense class id. That invariant makes
+  *    re-ranking LOCAL to each class: when a class splits, its members
+  *    receive ordinals inside the class's own [head, head+size) range
+  *    and no other class's rank moves — so no global coordination is
+  *    ever needed after the first round.
+  *  - pairing: lead(rank, k·2^w) over (partition by doc_id order by
+  *    pos) — suffixes never cross documents, so the pair source is a
+  *    per-doc window, one doc-keyed exchange of fixed-width rows.
+  *  - re-rank: new rank = rank + rank() over (partition by rank order
+  *    by tuple) - 1 — one rank-keyed exchange; a singleton class is a
+  *    1-row window partition and costs nothing. The largest AMBIGUOUS
+  *    class is the skew bound; real corpora split classes
+  *    geometrically, and the probe below exits as soon as none remain.
+  *  - the initial width-1 ranks are per-character head ordinals from a
+  *    ~alphabet-sized frequency frame (a bounded-stats window,
+  *    broadcast-joined back) — never a corpus-wide sort.
+  *  Early exit when every class is singleton (max post-split class size
+  *  == 1, read from the round's own window) — every later round would
+  *  be the identity.
+  *
+  * Ordering semantics match plain string comparison: the
+  * out-of-range sentinel rank2 = -1 sorts below every real class, so
+  * a suffix that exhausts mid-window sorts before every suffix it
+  * prefixes — exactly byte order on the ASCII corpus the fixtures
+  * assert (Multimodal's builders fail loudly on non-ASCII text; the
+  * DuckDB oracle compares suffixes with binary collation, which
+  * coincides with code-point order only for ASCII).
+  *
+  * Scale notes: rows are (long, long, long) throughout; per-round
+  * skew is bounded by the longest single document (one doc = one
+  * window partition), not by corpus size; lineage is cut every second
+  * round like every other iterative operator here (reliable
+  * checkpointing via the shared [[graft.sc.Lineage]] switch).
+  */
+object Suffix {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** repeated-window witness length (a power of two: 6 doubling rounds) */
+  val WindowLen = 64
+
+  /** (doc_id, pos, rank): rank is the 0-based HEAD-ORDINAL of the
+    * suffix's first-`prefixLen`-chars equivalence class in global
+    * suffix order — ties (equal prefixes) share it, and it equals the
+    * ordinal of the class's first member in the sorted suffix sequence
+    * (SQL `rank() - 1` semantics, NOT dense_rank). With prefixLen >=
+    * the longest document it is the full lexicographic suffix rank
+    * (ties = identical whole suffixes).
+    *
+    * RADIX-4 doubling: each round combines FOUR adjacent width-w class
+    * ids (lead at w, 2w, 3w — one window spec, one exchange), so width
+    * grows 4× per round — log4 rounds instead of log2 (a 1024-char cap
+    * is 5 synchronization rounds, the 64-char window cap is 3). Tuple
+    * lexicographic order equals string order because a suffix that
+    * runs out mid-tuple has -1 sentinels in every later slot. A
+    * trailing ×2 round covers a prefixLen that is not a power of four
+    * — never an overshoot, because classes must express EXACTLY
+    * prefixLen-char equality (the window dedup consumes prefix-64
+    * classes; overshooting would split prefix-equal positions that
+    * differ later). */
+  def ranks(docs: DataFrame, prefixLen: Int,
+            checkpointDir: Option[String] = None): DataFrame = {
+    require(prefixLen >= 2 && (prefixLen & (prefixLen - 1)) == 0,
+      s"prefixLen must be a power of two >= 2, got $prefixLen")
+    val spark = docs.sparkSession
+    // one row per corpus position; the explode is compute-light but the
+    // rounds it feeds are not, so spread rows first (explicit count —
+    // AQE sizes by bytes and would coalesce a small corpus to 1).
+    // split keeps a trailing empty element under its -1 limit — filtered
+    // before explode so no phantom position appears past each doc's end.
+    // persisted for round 1 only: the frame feeds two branches of one
+    // plan (the alphabet frequency agg and the ordinal join), and plan
+    // branches don't share subtree results — uncached, the HOF explode
+    // would run twice. Released as soon as round 1 materializes.
+    val chars = docs
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"),
+        posexplode(expr(
+          "transform(filter(split(text, ''), ch -> ch <> ''), ch -> ascii(ch))"))
+          .as(Seq("pos", "c")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("c").cast("long").as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // width-1 head ordinals from the alphabet-sized frequency frame:
+    // head(c) = #positions with a smaller code point (bounded-stats
+    // window — the alphabet, not the corpus), broadcast back
+    val heads = chars.groupBy("c").agg(count(lit(1)).as("f"))
+      .withColumn("head", coalesce(sum("f").over(
+        Window.orderBy("c").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("c"), col("head"))
+    var r = chars.join(broadcast(heads), "c")
+      .select(col("doc_id"), col("pos"), col("head").as("rank"))
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    var width = 1
+    var saturated = false
+    while (width < prefixLen && !saturated) {
+      val m = if (width * 4 <= prefixLen) 4 else 2
+      var paired = r.withColumn("r2", lead(col("rank"), width, -1L).over(byDoc))
+      if (m == 4) paired = paired
+        .withColumn("r3", lead(col("rank"), 2 * width, -1L).over(byDoc))
+        .withColumn("r4", lead(col("rank"), 3 * width, -1L).over(byDoc))
+      val tupleCols = (2 to m).map(i => col(s"r$i"))
+      // the Larsson–Sadakane step: members of a split class take
+      // ordinals inside the class's own [head, head+size) range —
+      // rank() ties keep equal tuples equal, and a singleton class is
+      // untouched (rank + 1 - 1). The post-split class size rides the
+      // same exchange (partition keys are a superset of the window's)
+      // and feeds the saturation probe off the materialized frame.
+      val wClass = Window.partitionBy("rank").orderBy(tupleCols: _*)
+      val wSplit = Window.partitionBy(col("rank") +: tupleCols: _*)
+      val next = paired
+        .withColumn("nrank", col("rank") + rank().over(wClass) - 1)
+        .withColumn("sz", count(lit(1)).over(wSplit))
+        .select(col("doc_id"), col("pos"), col("nrank").as("rank"), col("sz"))
+      // cut every round: the saturation probe is an action anyway, the
+      // rows are four longs wide, and the plan would otherwise deepen
+      // by two windows per round
+      r = graft.sc.Lineage.cut(next, checkpointDir)
+      if (width == 1) chars.unpersist(blocking = false) // round 1 is done
+      width *= m
+      // all classes singleton -> every further round is the identity
+      // (null max = empty corpus: nothing left to refine either way)
+      if (width < prefixLen) {
+        val mx = r.agg(max("sz")).head
+        saturated = mx.isNullAt(0) || mx.getLong(0) == 1L
+      }
+    }
+    r.select("doc_id", "pos", "rank")
+  }
+
+  /** `q_text_suffix_census`: the full suffix ordering, fingerprinted per
+    * document — md5 over this doc's "pos:rank" sequence in position
+    * order, where rank is the GLOBAL head-ordinal suffix rank (so the
+    * value is corpus-sensitive: any change anywhere in the corpus that
+    * reorders suffixes moves ranks and flips fingerprints). n_suffixes
+    * doubles as the doc length check. */
+  def suffixCensus(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val maxLen = docs.agg(coalesce(max(length(col("text"))), lit(2)))
+      .head.getInt(0)
+    var cap = 2
+    while (cap < maxLen) cap *= 2
+    ranks(docs, cap)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_suffixes"),
+        md5(concat_ws("|", expr(
+          "transform(array_sort(collect_list(struct(pos, rank))), " +
+            "p -> concat(p.pos, ':', p.rank))")))
+          .as("fingerprint"))
+      .orderBy("doc_id")
+  }
+
+  /** `q_dedup_suffix_window`: per-doc census of positions whose
+    * WindowLen-char window also appears in ANOTHER document — at any
+    * alignment (the exactness rung above the gridded chunk dedups:
+    * q_dedup_substring needs the repeat to align with its 8-token grid,
+    * q_*_cdc needs an intact hash-cut chunk; this witnesses EVERY
+    * 64-char repeat). Classes come from 6 doubling rounds — never from
+    * materialized substrings. */
+  def dedupSuffixWindow(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val lens = docs.select(col("doc_id"), length(col("text")).cast("long").as("len"))
+    val windows = ranks(docs, WindowLen)
+      .join(lens, "doc_id")
+      .filter(col("pos") + WindowLen <= col("len"))
+    // class -> does it span >= 2 docs (the cross-doc witness)
+    val shared = windows.groupBy("rank")
+      .agg(countDistinct("doc_id").as("ndocs"))
+      .filter(col("ndocs") >= 2)
+      .select("rank")
+    windows.join(shared, "rank")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_dup_windows"),
+        countDistinct("rank").as("n_distinct_dup"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_text_suffix_census"  -> suffixCensus _,
+    "q_dedup_suffix_window" -> dedupSuffixWindow _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    // the oracle MATERIALIZES what the engine never does — every suffix
+    // string — and sorts them with binary collation (= code-point order
+    // on the ASCII corpus). rank() (1-based, ties share, gaps skip) - 1
+    // IS the head ordinal the engine's Larsson–Sadakane invariant keeps.
+    "q_text_suffix_census" ->
+      """WITH sfx AS (
+           SELECT doc_id, i AS pos, substr(text, CAST(i + 1 AS INT)) AS sfx
+           FROM documents, LATERAL unnest(range(0, len(text))) u(i)),
+         rk AS (SELECT doc_id, pos,
+                       rank() OVER (ORDER BY sfx) - 1 AS rank
+                FROM sfx)
+         SELECT doc_id, CAST(count(1) AS BIGINT) AS n_suffixes,
+                md5(string_agg(pos || ':' || rank, '|' ORDER BY pos))
+                  AS fingerprint
+         FROM rk GROUP BY doc_id ORDER BY doc_id""",
+    "q_dedup_suffix_window" ->
+      """WITH w AS (
+           SELECT doc_id, i AS pos, substr(text, CAST(i + 1 AS INT), 64) AS win
+           FROM documents,
+                LATERAL unnest(range(0, greatest(len(text) - 63, 0))) u(i)),
+         x AS (SELECT win FROM w GROUP BY win
+               HAVING count(DISTINCT doc_id) >= 2)
+         SELECT doc_id, CAST(count(1) AS BIGINT) AS n_dup_windows,
+                CAST(count(DISTINCT win) AS BIGINT) AS n_distinct_dup
+         FROM w JOIN x USING (win)
+         GROUP BY doc_id ORDER BY doc_id""",
+  )
+}

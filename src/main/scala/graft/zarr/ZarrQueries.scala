@@ -150,11 +150,27 @@ object ZarrQueries {
       .orderBy("row_id")
   }
 
+  /** Metadata-answered aggregate: COUNT/MIN/MAX over row_id with a
+    * pushed range collapse to `.zarray` shape arithmetic
+    * (ZarrAggScan) — the plan contains ONE no-I/O partition and zero
+    * chunk reads (ZarrSpec proves it by deleting every chunk object
+    * and re-running). The oracle computes the same aggregate the hard
+    * way from the parquet twin, value-proving the shape arithmetic. */
+  def zarrAggPushdown(s: SparkSession, d: String): DataFrame = {
+    val p = fixture(s, d)
+    s.read.format("zarr").load(p)
+      .filter(col("row_id") >= 17 && col("row_id") <= 400)
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("row_id")).as("min_id"),
+        max(col("row_id")).as("max_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_zarr_scan"     -> zarrScan _,
     "q_zarr_scan_v3"  -> zarrScanV3 _,
     "q_zarr_pruned"   -> zarrPruned _,
     "q_zarr_pipeline" -> zarrPipeline _,
+    "q_zarr_agg_pushdown" -> zarrAggPushdown _,
   )
 
   private val zarrScanOracle =
@@ -169,6 +185,11 @@ object ZarrQueries {
     // identical oracle text by design: v2 and v3 stores of the same
     // data must be indistinguishable at the result layer
     "q_zarr_scan_v3" -> zarrScanOracle,
+    "q_zarr_agg_pushdown" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(min(vec_id) AS BIGINT) AS min_id,
+                CAST(max(vec_id) AS BIGINT) AS max_id
+         FROM embeddings WHERE vec_id >= 17 AND vec_id <= 400""",
     "q_zarr_pruned" ->
       """SELECT CAST(vec_id AS BIGINT) AS row_id,
                 round(list_sum(list_transform(embedding,
