@@ -55,11 +55,11 @@ import graft.tables.Tables
   * DuckDB oracle compares suffixes with binary collation, which
   * coincides with code-point order only for ASCII).
   *
-  * Scale notes: rows are (long, long, long) throughout; per-round
-  * skew is bounded by the longest single document (one doc = one
-  * window partition), not by corpus size; lineage is cut every second
-  * round like every other iterative operator here (reliable
-  * checkpointing via the shared [[graft.sc.Lineage]] switch).
+  * Scale notes: rows are (long, long, long) throughout; the pairing
+  * window's skew is bounded by the longest single document and the
+  * re-rank window's by the largest ambiguous class; lineage is cut
+  * every round (reliable checkpointing via the shared
+  * [[graft.sc.Lineage]] switch).
   */
 object Suffix {
   type Q = (SparkSession, String) => DataFrame
@@ -87,7 +87,17 @@ object Suffix {
     * classes; overshooting would split prefix-equal positions that
     * differ later). */
   def ranks(docs: DataFrame, prefixLen: Int,
-            checkpointDir: Option[String] = None): DataFrame = {
+            checkpointDir: Option[String] = None): DataFrame =
+    ranksWithLevels(docs, prefixLen, checkpointDir)._1
+
+  /** [[ranks]] plus every intermediate (width, table) level — the
+    * geometric class ladder (widths 1, 4, 16, …) that LCP-style
+    * consumers (longest-repeat) descend. Each level is materialized
+    * (lineage-cut), so keeping references costs storage, not
+    * recomputation. Levels stop early on saturation like ranks does. */
+  def ranksWithLevels(docs: DataFrame, prefixLen: Int,
+                      checkpointDir: Option[String] = None)
+      : (DataFrame, Seq[(Int, DataFrame)]) = {
     require(prefixLen >= 2 && (prefixLen & (prefixLen - 1)) == 0,
       s"prefixLen must be a power of two >= 2, got $prefixLen")
     val spark = docs.sparkSession
@@ -119,6 +129,8 @@ object Suffix {
       .select(col("c"), col("head"))
     var r = chars.join(broadcast(heads), "c")
       .select(col("doc_id"), col("pos"), col("head").as("rank"))
+    val levels = Seq.newBuilder[(Int, DataFrame)]
+    levels += 1 -> r // the lazy base level (cheap plan, never re-ranked)
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
     var width = 1
     var saturated = false
@@ -147,6 +159,7 @@ object Suffix {
       r = graft.sc.Lineage.cut(next, checkpointDir)
       if (width == 1) chars.unpersist(blocking = false) // round 1 is done
       width *= m
+      levels += width -> r.select("doc_id", "pos", "rank")
       // all classes singleton -> every further round is the identity
       // (null max = empty corpus: nothing left to refine either way)
       if (width < prefixLen) {
@@ -154,7 +167,7 @@ object Suffix {
         saturated = mx.isNullAt(0) || mx.getLong(0) == 1L
       }
     }
-    r.select("doc_id", "pos", "rank")
+    (r.select("doc_id", "pos", "rank"), levels.result())
   }
 
   /** `q_text_suffix_census`: the full suffix ordering, fingerprinted per
@@ -204,9 +217,112 @@ object Suffix {
       .orderBy("doc_id")
   }
 
+  /** `q_dedup_suffix_maxrep`: the LONGEST duplicated cross-document
+    * passage in the corpus, exactly — the suffix-array dedup
+    * literature's headline metric. One row:
+    * (max_rep_len, n_max_pairs, rep_md5).
+    *
+    * Exactness without ever materializing suffixes:
+    *  1. descend the geometric class ladder to the LARGEST width w*
+    *     with a class spanning >= 2 documents AMONG POSITIONS WITH >= w*
+    *     CHARS REMAINING — the answer lives in [w*, next width). The
+    *     length filter is load-bearing: identical whole suffixes
+    *     SHORTER than w share a class at every width (the sentinel
+    *     construction), so an unfiltered descent would anchor on, say,
+    *     two documents ending in the same two characters and report 2.
+    *     Filtered, a class at width w certifies a true w-char repeat,
+    *     and any pair achieving max >= w* has both lengths >= max >= w*
+    *     so it is never filtered out;
+    *  2. classes are SA-CONTIGUOUS, so inside each shared w*-class the
+    *     members sorted by their FULL suffix rank are globally
+    *     adjacent, and the classic adjacency argument (any suffix
+    *     between a max-achieving cross-doc pair shares the full repeat,
+    *     and somewhere in between the document must switch) pins the
+    *     maximum onto a CONSECUTIVE different-doc pair — linear in
+    *     class size, never pairwise;
+    *  3. each consecutive pair's exact LCP comes from one zip_with
+    *     first-mismatch scan of the two texts (candidate pairs are few:
+    *     only members of maximal shared classes).
+    * n_max_pairs counts the consecutive different-doc pairs achieving
+    * the max (identical on the oracle side by the same adjacency
+    * argument); rep_md5 content-proves the passage (min md5 across
+    * ties). All-unique corpora yield (0, 0, null).
+    *
+    * Scale: the ladder is already materialized by ranks; the descent
+    * is one count per level; candidates shrink with w* (a huge shared
+    * class at a near-maximal width IS the pathological corpus).
+    * w* = 1 degrades to char-class-sized windows — documented skew
+    * bound, unreachable for corpora sharing any 4-char string. */
+  def dedupSuffixMaxrep(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val maxLen = docs.agg(coalesce(max(length(col("text"))), lit(2)))
+      .head.getInt(0)
+    var cap = 2
+    while (cap < maxLen) cap *= 2
+    val (full, levels) = ranksWithLevels(docs, cap)
+    val lens = docs.select(col("doc_id"),
+      length(col("text")).cast("long").as("len"))
+    val hit = levels.reverse.view
+      .map { case (w, t) =>
+        // only positions with >= w chars remaining form TRUE w-prefix
+        // classes (see scaladoc: short identical suffixes would
+        // otherwise certify repeats longer than they are)
+        val eligible = t.join(lens, "doc_id")
+          .filter(col("pos") + w <= col("len"))
+        val shared = eligible.groupBy("rank")
+          .agg(countDistinct("doc_id").as("nd"))
+          .filter(col("nd") >= 2).select("rank")
+        (w, eligible, shared)
+      }
+      .find { case (_, _, shared) => shared.limit(1).count() > 0 }
+    val result: Seq[(Long, Long, String)] = hit match {
+      case None => Seq((0L, 0L, null))
+      case Some((_, lvl, shared)) =>
+        val texts = docs.select(col("doc_id"), col("text"))
+        val cand = lvl.join(shared, "rank")
+          .join(full.withColumnRenamed("rank", "frank"), Seq("doc_id", "pos"))
+          .join(texts, "doc_id")
+        val byClass = Window.partitionBy("rank")
+          .orderBy("frank", "doc_id", "pos")
+        val pairs = cand
+          .withColumn("pdoc", lag("doc_id", 1).over(byClass))
+          .withColumn("ppos", lag("pos", 1).over(byClass))
+          .withColumn("ptext", lag("text", 1).over(byClass))
+          .filter(col("pdoc").isNotNull && col("pdoc") =!= col("doc_id"))
+          .withColumn("lim", least(length(col("text")) - col("pos"),
+            length(col("ptext")) - col("ppos")).cast("int"))
+          .withColumn("mism", expr(
+            "array_position(zip_with(" +
+              "slice(filter(split(text, ''), ch -> ch <> ''), CAST(pos + 1 AS INT), lim), " +
+              "slice(filter(split(ptext, ''), ch -> ch <> ''), CAST(ppos + 1 AS INT), lim), " +
+              "(x, y) -> x <> y), true)"))
+          .withColumn("lcp", when(col("lim") === 0, 0L)
+            .otherwise(when(col("mism") === 0, col("lim").cast("long"))
+              .otherwise(col("mism") - 1)))
+          .select("doc_id", "pos", "text", "lcp")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val mxRow = pairs.agg(max("lcp")).head
+          val mx = if (mxRow.isNullAt(0)) 0L else mxRow.getLong(0)
+          if (mx < 1L) Seq((0L, 0L, null))
+          else {
+            val r = pairs.filter(col("lcp") === mx)
+              .agg(count(lit(1)).as("n"),
+                min(md5(expr(s"substring(text, CAST(pos + 1 AS INT), ${mx.toInt})")))
+                  .as("h"))
+              .head
+            Seq((mx, r.getLong(0), r.getString(1)))
+          }
+        } finally pairs.unpersist(blocking = false)
+    }
+    result.toDF("max_rep_len", "n_max_pairs", "rep_md5")
+  }
+
   val queries: Map[String, Q] = Map(
-    "q_text_suffix_census"  -> suffixCensus _,
-    "q_dedup_suffix_window" -> dedupSuffixWindow _,
+    "q_text_suffix_census"   -> suffixCensus _,
+    "q_dedup_suffix_window"  -> dedupSuffixWindow _,
+    "q_dedup_suffix_maxrep"  -> dedupSuffixMaxrep _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -225,6 +341,34 @@ object Suffix {
                 md5(string_agg(pos || ':' || rank, '|' ORDER BY pos))
                   AS fingerprint
          FROM rk GROUP BY doc_id ORDER BY doc_id""",
+    // globally SA-adjacent different-doc pairs suffice for the MAX (the
+    // same adjacency argument the engine uses inside shared classes);
+    // the engine's consecutive-in-class pairs and these are the same
+    // set at the max, so n_max_pairs and rep_md5 agree exactly
+    "q_dedup_suffix_maxrep" ->
+      """WITH sfx AS (
+           SELECT doc_id, i AS pos, substr(text, CAST(i + 1 AS INT)) AS sfx
+           FROM documents, LATERAL unnest(range(0, len(text))) u(i)),
+         sa AS (SELECT doc_id, pos, sfx,
+                       lag(doc_id) OVER w AS pdoc, lag(sfx) OVER w AS psfx
+                FROM sfx WINDOW w AS (ORDER BY sfx, doc_id, pos)),
+         pr AS (SELECT sfx, psfx FROM sa
+                WHERE pdoc IS NOT NULL AND pdoc <> doc_id),
+         l AS (SELECT sfx,
+                      coalesce((SELECT min(i)
+                                FROM unnest(range(1, least(len(sfx), len(psfx)) + 1)) t(i)
+                                WHERE substr(sfx, CAST(i AS INT), 1)
+                                      <> substr(psfx, CAST(i AS INT), 1)) - 1,
+                               least(len(sfx), len(psfx))) AS lcp
+               FROM pr),
+         m AS (SELECT max(lcp) AS mx FROM l)
+         SELECT CAST(coalesce(mx, 0) AS BIGINT) AS max_rep_len,
+                CAST(coalesce((SELECT count(1) FROM l
+                               WHERE lcp = mx AND mx >= 1), 0) AS BIGINT)
+                  AS n_max_pairs,
+                (SELECT min(md5(substr(sfx, 1, CAST(mx AS INT)))) FROM l
+                 WHERE lcp = mx AND mx >= 1) AS rep_md5
+         FROM m""",
     "q_dedup_suffix_window" ->
       """WITH w AS (
            SELECT doc_id, i AS pos, substr(text, CAST(i + 1 AS INT), 64) AS win

@@ -93,6 +93,62 @@ class SuffixSpec extends SparkSpec {
     assert(out(0L) == ((1L, 1L)) && out(1L) == ((1L, 1L)))
   }
 
+  test("q_dedup_suffix_maxrep: planted 100-char passage at misaligned " +
+    "offsets -> exact length, pair count, and content hash") {
+    val p = ("qwerty" * 17).take(100)
+    // boundary chars around the passage differ per doc, so the repeat
+    // cannot accidentally extend
+    val texts = Seq(
+      "A" * 10 + p + "B" * 30,
+      "C" * 37 + p + "D" * 30)
+    val out = Suffix.dedupSuffixMaxrep(spark, docsDir(texts)).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(0) == 100L, s"max_rep_len ${r.getLong(0)}")
+    assert(r.getLong(1) == 1L, s"n_max_pairs ${r.getLong(1)}")
+    val md5p = java.security.MessageDigest.getInstance("MD5")
+      .digest(p.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(r.getString(2) == md5p)
+  }
+
+  test("q_dedup_suffix_maxrep: three copies -> two adjacent max pairs; " +
+    "disjoint alphabets -> (0, 0, null)") {
+    val p = ("zxcvbn" * 17).take(100)
+    val texts3 = Seq(
+      "A" * 10 + p + "B" * 30,
+      "C" * 37 + p + "D" * 30,
+      "E" * 5 + p + "F" * 30)
+    val r3 = Suffix.dedupSuffixMaxrep(spark, docsDir(texts3)).collect().head
+    assert(r3.getLong(0) == 100L && r3.getLong(1) == 2L)
+    val rd = Suffix.dedupSuffixMaxrep(spark,
+      docsDir(Seq("aaabbbccc", "dddeeefff"))).collect().head
+    assert(rd.getLong(0) == 0L && rd.getLong(1) == 0L && rd.isNullAt(2))
+  }
+
+  test("q_dedup_suffix_maxrep: randomized docs match a brute-force " +
+    "longest-common-cross-doc-substring model") {
+    val rnd = new scala.util.Random(11)
+    val vocab = "abcd"
+    val texts = (0 until 8).map { i =>
+      val own = (0 until 25 + rnd.nextInt(15))
+        .map(_ => vocab(rnd.nextInt(vocab.length))).mkString
+      if (i % 3 == 0) { // splice a shared mid-length passage
+        val at = rnd.nextInt(own.length)
+        own.substring(0, at) + "sharedpiece" + own.substring(at)
+      } else own
+    }
+    def subs(t: String): Set[String] =
+      (for (a <- 0 until t.length; b <- a + 1 to t.length)
+        yield t.substring(a, b)).toSet
+    val perDoc = texts.map(subs)
+    val brute = (for {
+      i <- texts.indices; j <- texts.indices if i < j
+      s <- perDoc(i) intersect perDoc(j)
+    } yield s.length).foldLeft(0)(math.max)
+    val got = Suffix.dedupSuffixMaxrep(spark, docsDir(texts)).collect().head
+    assert(got.getLong(0) == brute.toLong, s"got ${got.getLong(0)}, brute $brute")
+  }
+
   test("q_text_suffix_census fingerprint matches the model's ranks") {
     val texts = Seq("abab", "baba", "ab")
     val m = modelRanks(texts)
