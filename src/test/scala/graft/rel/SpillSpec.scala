@@ -31,16 +31,31 @@ class SpillSpec extends SparkSpec {
     "q_join_shuffle", "q_join_left", "q_agg_distinct", "q_topk",
     "q_dedup_exact", "q_agg_hash")
 
-  test("forced-spill session: spills observed, results bit-identical") {
-    val plain = spark
+  // the suffix rank refinement (two keyed windows per doubling round,
+  // lead/offset frames) gets a MILDER forced threshold: at 32 rows each
+  // ~300-row doc partition fragments into ~10 spill files and every
+  // offset frame holds a 1 MB reader per file across three lead frames
+  // × rounds — hundreds of MB of reader buffers from the TEST harness's
+  // pathological knob, not from the operator (a genuine memory-pressure
+  // spill produces a handful of large files, the 256-row shape). 256
+  // still spills every doc partition and drives the same
+  // ExternalAppendOnlyUnsafeRowArray path.
+  private val SuffixQueryNames = Seq("q_dedup_suffix_window")
+
+  private def forcedSpillSession(threshold: Int) = {
     val spilly = spark.newSession()
-    spilly.conf.set("spark.sql.windowExec.buffer.spill.threshold", "32")
-    spilly.conf.set("spark.sql.windowExec.buffer.in.memory.threshold", "32")
-    spilly.conf.set("spark.sql.sortMergeJoinExec.buffer.spill.threshold", "32")
-    spilly.conf.set("spark.sql.sortMergeJoinExec.buffer.in.memory.threshold", "32")
-    spilly.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "16")
+    spilly.conf.set("spark.sql.windowExec.buffer.spill.threshold", threshold.toString)
+    spilly.conf.set("spark.sql.windowExec.buffer.in.memory.threshold", threshold.toString)
+    spilly.conf.set("spark.sql.sortMergeJoinExec.buffer.spill.threshold", threshold.toString)
+    spilly.conf.set("spark.sql.sortMergeJoinExec.buffer.in.memory.threshold", threshold.toString)
+    spilly.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", (threshold / 2).toString)
     spilly.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spilly.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    spilly
+  }
+
+  test("forced-spill session: spills observed, results bit-identical") {
+    val plain = spark
 
     @volatile var spilledBytes = 0L
     val listener = new SparkListener {
@@ -54,17 +69,22 @@ class SpillSpec extends SparkSpec {
       SparkEntry.queries(name)(s, sf).collect()
         .map(_.toString).sorted.toSeq
 
-    QueryNames.foreach { name =>
-      val expect = run(plain, name)
-      spark.sparkContext.addSparkListener(listener)
-      val got =
-        try run(spilly, name)
-        finally spark.sparkContext.removeSparkListener(listener)
-      assert(got == expect, s"$name: spill path changed the result")
-    }
+    def gate(names: Seq[String], spilly: org.apache.spark.sql.SparkSession): Unit =
+      names.foreach { name =>
+        val expect = run(plain, name)
+        spark.sparkContext.addSparkListener(listener)
+        val got =
+          try run(spilly, name)
+          finally spark.sparkContext.removeSparkListener(listener)
+        assert(got == expect, s"$name: spill path changed the result")
+      }
+
+    gate(QueryNames, forcedSpillSession(32))
+    gate(SuffixQueryNames, forcedSpillSession(256))
     // the whole point: the spill code path actually ran
     assert(spilledBytes > 0L,
       "no task reported spilled bytes — thresholds no longer force the path")
-    info(s"observed spill across ${QueryNames.size} queries: $spilledBytes bytes")
+    info(s"observed spill across ${QueryNames.size + SuffixQueryNames.size} " +
+      s"queries: $spilledBytes bytes")
   }
 }
