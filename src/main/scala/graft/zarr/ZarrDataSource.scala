@@ -134,20 +134,14 @@ class ZarrTable(path: String, providedSchema: Option[StructType] = None,
   }
 }
 
-class ZarrScanBuilder(path: String, meta: ZarrMeta)
-    extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
-
-  private var required: StructType = ZarrTable.schemaFor(meta)
-  private var lo: Long = 0L
-  private var hi: Long = meta.rows - 1
-  private var pushed: Array[Filter] = Array.empty
-  private var pushedAgg: Option[aggregate.Aggregation] = None
-
-  /** row_id range bounds a filter implies, if the source can apply it
-    * exactly (bounds are applied per-row in the reader, not just per
-    * chunk, so accepted filters are FULLY handled here). */
-  private def boundsOf(f: Filter): Option[(Long, Long)] = f match {
+/** row_id range bounds a filter implies, if the source can apply it
+  * exactly. Shared by compile-time pushdown (ZarrScanBuilder — bounds
+  * are applied per-row in the reader, so accepted filters are FULLY
+  * handled there) and RUNTIME filtering (ZarrScan.filter — where a
+  * range envelope is merely sound, which is all a runtime filter
+  * needs: the join re-checks keys). */
+object ZarrFilterBounds {
+  def boundsOf(f: Filter): Option[(Long, Long)] = f match {
     case EqualTo("row_id", v: Number) =>
       Some((v.longValue(), v.longValue()))
     case GreaterThan("row_id", v: Number) =>
@@ -159,8 +153,27 @@ class ZarrScanBuilder(path: String, meta: ZarrMeta)
     case LessThanOrEqual("row_id", v: Number) =>
       Some((Long.MinValue, v.longValue()))
     case IsNotNull("row_id") => Some((Long.MinValue, Long.MaxValue))
+    // the runtime-filter shape: the [min, max] ENVELOPE of the build
+    // side's key set — sound for pruning (supersets never drop matches)
+    case In("row_id", vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Number]) =>
+      val ls = vs.map(_.asInstanceOf[Number].longValue())
+      Some((ls.min, ls.max))
     case _ => None
   }
+}
+
+class ZarrScanBuilder(path: String, meta: ZarrMeta)
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
+
+  private var required: StructType = ZarrTable.schemaFor(meta)
+  private var lo: Long = 0L
+  private var hi: Long = meta.rows - 1
+  private var pushed: Array[Filter] = Array.empty
+  private var pushedAgg: Option[aggregate.Aggregation] = None
+
+  private def boundsOf(f: Filter): Option[(Long, Long)] =
+    ZarrFilterBounds.boundsOf(f)
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (sup, unsup) = filters.partition(boundsOf(_).isDefined)
@@ -277,7 +290,26 @@ class ZarrAggReaderFactory extends PartitionReaderFactory {
 
 class ZarrScan(path: String, meta: ZarrMeta, required: StructType,
                lo: Long, hi: Long) extends Scan with Batch
-    with SupportsReportStatistics {
+    with SupportsReportStatistics with SupportsRuntimeFiltering {
+  // RUNTIME-narrowed bounds (dynamic chunk pruning): row_id is this
+  // source's partition axis — the chunk grid is the partition layout —
+  // so it is declared as a runtime-filterable attribute and a
+  // DPP-style subquery on the join build side narrows [rlo, rhi]
+  // BEFORE planInputPartitions, dropping whole chunk bands at runtime
+  // exactly like dynamic partition pruning drops Hive partitions. The
+  // [min,max] envelope of an IN-set is sound (the join still checks
+  // keys); compile-time bounds stay per-row exact in the reader.
+  @volatile private var rlo: Long = lo
+  @volatile private var rhi: Long = hi
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("row_id"))
+  override def filter(filters: Array[Filter]): Unit =
+    filters.foreach { f =>
+      ZarrFilterBounds.boundsOf(f).foreach { case (l, h) =>
+        rlo = math.max(rlo, l); rhi = math.min(rhi, h)
+      }
+    }
+
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -305,13 +337,13 @@ class ZarrScan(path: String, meta: ZarrMeta, required: StructType,
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    if (lo > hi || meta.rows == 0) return Array.empty
+    if (rlo > rhi || meta.rows == 0) return Array.empty
     // capture the DRIVER's Hadoop conf at planning time — executor-side
     // chunk reads need its credentials / FS impl settings, not defaults
     val conf = new SerializableHadoopConf(ZarrIO.hadoopConf())
-    val first = math.max(lo, 0L) / meta.chunkRows
-    val last = math.min(hi, meta.rows - 1) / meta.chunkRows
-    (first to last).map(i => ZarrInputPartition(path, meta, i, lo, hi, conf)
+    val first = math.max(rlo, 0L) / meta.chunkRows
+    val last = math.min(rhi, meta.rows - 1) / meta.chunkRows
+    (first to last).map(i => ZarrInputPartition(path, meta, i, rlo, rhi, conf)
       : InputPartition).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
