@@ -217,6 +217,52 @@ object Suffix {
       .orderBy("doc_id")
   }
 
+  /** `q_dedup_suffix_coverage`: per-document duplicated-span coverage —
+    * how many characters of each document sit inside at least one
+    * cross-doc-shared WindowLen-char window, with overlapping/abutting
+    * windows merged into spans (the corpus-duplication fraction the
+    * suffix-dedup literature reports, and the span set a
+    * remove-duplicated-passages pass would clip). Output per affected
+    * doc: (doc_id, n_chars, dup_chars, n_spans).
+    *
+    * Span merging is gaps-and-islands over the dup window START
+    * positions (per-doc window: a new island starts when pos exceeds
+    * the running max end) — never an offset explosion: the engine
+    * touches one row per dup position, where the oracle brute-forces
+    * the union by unnesting all 64 offsets per window and counting
+    * distinct. Abutting spans (pos == prev end) merge, matching the
+    * offset-union semantics exactly. */
+  def dedupSuffixCoverage(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val lens = docs.select(col("doc_id"),
+      length(col("text")).cast("long").as("len"))
+    val windows = ranks(docs, WindowLen)
+      .join(lens, "doc_id")
+      .filter(col("pos") + WindowLen <= col("len"))
+    val shared = windows.groupBy("rank")
+      .agg(countDistinct("doc_id").as("ndocs"))
+      .filter(col("ndocs") >= 2)
+      .select("rank")
+    val dup = windows.join(shared, "rank").select(col("doc_id"), col("pos"))
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val islands = dup
+      .withColumn("prev_end", max(col("pos") + WindowLen)
+        .over(byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_island",
+        when(col("prev_end").isNull || col("pos") > col("prev_end"), 1L)
+          .otherwise(0L))
+      .withColumn("island", sum("new_island").over(byDoc))
+    islands.groupBy("doc_id", "island")
+      .agg(min("pos").as("s"), max(col("pos") + WindowLen).as("e"))
+      .groupBy("doc_id")
+      .agg(sum(col("e") - col("s")).as("dup_chars"),
+        count(lit(1)).as("n_spans"))
+      .join(lens, "doc_id")
+      .select(col("doc_id"), col("len").as("n_chars"),
+        col("dup_chars"), col("n_spans"))
+      .orderBy("doc_id")
+  }
+
   /** `q_dedup_suffix_maxrep`: the LONGEST duplicated cross-document
     * passage in the corpus, exactly — the suffix-array dedup
     * literature's headline metric. One row:
@@ -320,9 +366,10 @@ object Suffix {
   }
 
   val queries: Map[String, Q] = Map(
-    "q_text_suffix_census"   -> suffixCensus _,
-    "q_dedup_suffix_window"  -> dedupSuffixWindow _,
-    "q_dedup_suffix_maxrep"  -> dedupSuffixMaxrep _,
+    "q_text_suffix_census"    -> suffixCensus _,
+    "q_dedup_suffix_window"   -> dedupSuffixWindow _,
+    "q_dedup_suffix_maxrep"   -> dedupSuffixMaxrep _,
+    "q_dedup_suffix_coverage" -> dedupSuffixCoverage _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -380,5 +427,28 @@ object Suffix {
                 CAST(count(DISTINCT win) AS BIGINT) AS n_distinct_dup
          FROM w JOIN x USING (win)
          GROUP BY doc_id ORDER BY doc_id""",
+    // the oracle brute-forces the span union: unnest all 64 offsets of
+    // every shared window, count distinct covered offsets; spans are
+    // counted at their left edges (covered offset whose predecessor is
+    // not covered) — exactly the engine's merged-island semantics
+    "q_dedup_suffix_coverage" ->
+      """WITH w AS (
+           SELECT doc_id, i AS pos, substr(text, CAST(i + 1 AS INT), 64) AS win
+           FROM documents,
+                LATERAL unnest(range(0, greatest(len(text) - 63, 0))) u(i)),
+         x AS (SELECT win FROM w GROUP BY win
+               HAVING count(DISTINCT doc_id) >= 2),
+         dp AS (SELECT DISTINCT doc_id, pos FROM w JOIN x USING (win)),
+         ofs AS (SELECT DISTINCT doc_id, off
+                 FROM dp, LATERAL unnest(range(pos, pos + 64)) t(off))
+         SELECT o.doc_id,
+                CAST(any_value(len(d.text)) AS BIGINT) AS n_chars,
+                CAST(count(1) AS BIGINT) AS dup_chars,
+                CAST(sum(CASE WHEN p.off IS NULL THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_spans
+         FROM ofs o
+         JOIN documents d ON d.doc_id = o.doc_id
+         LEFT JOIN ofs p ON p.doc_id = o.doc_id AND p.off = o.off - 1
+         GROUP BY o.doc_id ORDER BY o.doc_id""",
   )
 }

@@ -149,6 +149,30 @@ class SuffixSpec extends SparkSpec {
     assert(got.getLong(0) == brute.toLong, s"got ${got.getLong(0)}, brute $brute")
   }
 
+  test("q_dedup_suffix_coverage: overlapping windows merge into one " +
+    "span, separate passages count separately") {
+    val p = ("qwerty" * 14).take(80) // 80-char passage -> 17 dup windows
+    val q = ("zxcvbn" * 11).take(64) // second, disjoint 64-char passage
+    def fill(tag: Char, n: Int) = (1 to n).map(i => s"$tag$i").mkString(".")
+    // fill tags must not CONTINUE the periodic passages: p ends "…qw"
+    // so an 'e' right after it would legitimately extend the repeat by
+    // a character (the engine caught exactly that in an earlier fixture)
+    val texts = Seq(
+      fill('a', 30).take(11) + p + fill('b', 30) + q + fill('c', 10),
+      fill('d', 30).take(23) + p + fill('m', 30),
+      fill('g', 30).take(7) + q + fill('h', 30))
+    val out = Suffix.dedupSuffixCoverage(spark, docsDir(texts)).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out.keySet == Set(0L, 1L, 2L))
+    // doc 0 carries BOTH passages: 80 + 64 dup chars in 2 spans
+    assert(out(0L)._2 == 144L && out(0L)._3 == 2L, s"doc0 ${out(0L)}")
+    assert(out(0L)._1 == texts(0).length.toLong)
+    // docs 1 and 2 carry one passage each, one merged span
+    assert(out(1L)._2 == 80L && out(1L)._3 == 1L, s"doc1 ${out(1L)}")
+    assert(out(2L)._2 == 64L && out(2L)._3 == 1L, s"doc2 ${out(2L)}")
+  }
+
   test("q_text_suffix_census fingerprint matches the model's ranks") {
     val texts = Seq("abab", "baba", "ab")
     val m = modelRanks(texts)
