@@ -45,7 +45,7 @@ object SparkEntry {
       rel.BitmapAgg.queries ++ sc.LinkPredict.queries ++
       sc.KCore.queries ++ rel.Incremental.queries ++
       llm.RetrievalEval.queries ++ llm.UnigramLm.queries ++ llm.Cdc.queries ++
-      llm.Suffix.queries
+      llm.Suffix.queries ++ llm.NearDedupStream.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -81,5 +81,5 @@ object SparkEntry {
       rel.BitmapAgg.oracle ++ sc.LinkPredict.oracle ++
       sc.KCore.oracle ++ rel.Incremental.oracle ++
       llm.RetrievalEval.oracle ++ llm.UnigramLm.oracle ++ llm.Cdc.oracle ++
-      llm.Suffix.oracle
+      llm.Suffix.oracle ++ llm.NearDedupStream.oracle
 }

@@ -273,16 +273,14 @@ object Dedup {
 
   // -------------------------------------------------------- minhash lsh --
 
-  /** LSH candidate pairs only (no verification): MinHash signatures →
-    * banding → equality buckets → intra-bucket pairs. Buckets larger than
-    * `maxBucket` are dropped whole: a degenerate bucket (hot band slice)
-    * is otherwise quadratic in its size, and a genuine near-dup pair that
-    * loses one band still surfaces through its other bands-1 chances —
-    * bounded worst case (≤ maxBucket² pairs per bucket) for negligible
-    * recall loss. Exact duplicates should be removed BEFORE this stage
-    * (they collide on every band by construction). */
-  def minHashCandidates(docs: DataFrame, numHashes: Int, bands: Int,
-                        maxBucket: Int = 256): DataFrame = {
+  /** (doc_id, band, bh) MinHash band-hash buckets — ONE definition shared
+    * by the batch LSH candidate generator below and the streaming
+    * near-dedup ([[NearDedupStream]]), so the banding (and therefore the
+    * recall argument) cannot drift between the two. Signature = numHashes
+    * seeded-xxhash64 min-hashes per doc in one agg pass; band hash =
+    * xxhash64 over each (numHashes/bands)-slice. */
+  private[llm] def bandHashes(docs: DataFrame, numHashes: Int,
+                              bands: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     val tok = tokenSets(docs)
@@ -296,9 +294,21 @@ object Dedup {
       val slice = (0 until rows).map(r => col(s"h${b * rows + r}"))
       struct(lit(b).as("band"), xxhash64(slice: _*).as("bh"))
     }
-    val buckets = sig.select(col("doc_id"),
-        explode(array(bandCols: _*)).as("bb"))
+    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+  }
+
+  /** LSH candidate pairs only (no verification): MinHash signatures →
+    * banding → equality buckets → intra-bucket pairs. Buckets larger than
+    * `maxBucket` are dropped whole: a degenerate bucket (hot band slice)
+    * is otherwise quadratic in its size, and a genuine near-dup pair that
+    * loses one band still surfaces through its other bands-1 chances —
+    * bounded worst case (≤ maxBucket² pairs per bucket) for negligible
+    * recall loss. Exact duplicates should be removed BEFORE this stage
+    * (they collide on every band by construction). */
+  def minHashCandidates(docs: DataFrame, numHashes: Int, bands: Int,
+                        maxBucket: Int = 256): DataFrame = {
+    val buckets = bandHashes(docs, numHashes, bands)
     val sized = buckets
       .withColumn("bn", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")))
