@@ -1,0 +1,327 @@
+package graft.zarr
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.ObjectNode
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** Zarr v2 GROUPS — the AnnData-on-zarr layout the reference actually
+  * deployed (an `.zgroup` directory whose members are arrays: `X` the
+  * cell×gene matrix, `obs/…` and `var/…` the 1-D annotation columns) —
+  * plus CONSOLIDATED METADATA (`.zmetadata`), the object-store
+  * optimization that matters exactly here: a group with m member arrays
+  * costs m+1 metadata GETs to open (each `.zarray` + the `.zgroup`);
+  * consolidation folds every metadata object into ONE key, so opening
+  * the store is one GET no matter how many members — on GCS/S3 the
+  * difference between one round-trip and a listing storm per query.
+  *
+  * Member 2-D arrays are ordinary zarr arrays: the existing DSv2 source
+  * reads `group/X` unchanged (chunk pruning, aggregate pushdown and all).
+  * What this module adds is the 1-D annotation-column layer the group
+  * layout needs — numeric (`<i4`/`<i8`/`<f8`) and fixed-width bytes
+  * (`|S{w}`) dtypes, chunked, zlib-optional, missing-chunk = fill —
+  * with a distributed band writer and a distributed chunk reader
+  * (one Spark partition per chunk band; never a driver materialization).
+  *
+  * Consolidation contract: `.zmetadata` is written LAST (after every
+  * member's metadata is final) and readers PREFER it — `memberMeta1`
+  * never touches a member `.zarray` when the consolidated key exists
+  * (ZarrGroupSpec proves it by deleting the member `.zarray` files and
+  * re-reading). Writers that mutate a consolidated store must
+  * re-consolidate or delete `.zmetadata`; the versioned-store commit
+  * protocol (ZarrVersioned) makes that atomic at the `current` pointer.
+  */
+object ZarrGroup extends Serializable {
+
+  /** 1-D member-array metadata. `sWidth` > 0 iff dtype is `|S{sWidth}`. */
+  case class Zarr1Meta(n: Long, chunk: Int, dtype: String,
+                       compressor: Option[String]) {
+    require(chunk > 0, "chunk must be positive")
+    val sWidth: Int =
+      if (dtype.startsWith("|S")) dtype.drop(2).toInt else 0
+    def bytesPerElem: Int = dtype match {
+      case "<i4" => 4
+      case "<i8" => 8
+      case "<f8" => 8
+      case s if s.startsWith("|S") => sWidth
+      case other => throw new IllegalArgumentException(
+        s"unsupported 1-D zarr dtype $other (supported: <i4 <i8 <f8 |S{w})")
+    }
+    def numChunks: Long = (n + chunk - 1) / chunk
+    def metaJson: String = {
+      val comp = compressor match {
+        case Some("zlib") => """{"id":"zlib","level":5}"""
+        case _ => "null"
+      }
+      val fill = if (sWidth > 0) "\"\"" else "0"
+      s"""{"zarr_format":2,"shape":[$n],"chunks":[$chunk],""" +
+        s""""dtype":"$dtype","compressor":$comp,""" +
+        s""""fill_value":$fill,"order":"C","filters":null}"""
+    }
+  }
+
+  private def fsOf(path: String, conf: Configuration): (FileSystem, HPath) = {
+    val p = new HPath(path)
+    (p.getFileSystem(conf), p)
+  }
+
+  private def writeUtf8(fs: FileSystem, p: HPath, s: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(s.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readUtf8(fs: FileSystem, p: HPath): String = {
+    val st = fs.getFileStatus(p)
+    val raw = new Array[Byte](st.getLen.toInt)
+    val in = fs.open(p)
+    try in.readFully(0, raw) finally in.close()
+    new String(raw, "UTF-8")
+  }
+
+  /** `{"zarr_format":2}` group marker — one per group level. */
+  def writeGroupMarker(path: String,
+                       conf: Configuration = ZarrIO.hadoopConf()): Unit = {
+    val (fs, p) = fsOf(path, conf)
+    fs.mkdirs(p)
+    writeUtf8(fs, new HPath(p, ".zgroup"), """{"zarr_format":2}""")
+  }
+
+  private def parse1Meta(node: JsonNode): Zarr1Meta = {
+    require(node.get("zarr_format").asInt() == 2, "only zarr v2 supported")
+    require(node.get("shape").size() == 1, "not a 1-D zarr array")
+    require(node.get("order").asText() == "C", "only C-order zarr supported")
+    require(node.get("filters") == null || node.get("filters").isNull,
+      "zarr filters not supported")
+    val comp = node.get("compressor")
+    val compId =
+      if (comp == null || comp.isNull) None
+      else comp.get("id").asText() match {
+        case "zlib" => Some("zlib")
+        case other => throw new IllegalArgumentException(
+          s"unsupported zarr compressor $other (supported: zlib, null)")
+      }
+    Zarr1Meta(node.get("shape").get(0).asLong(),
+      node.get("chunks").get(0).asInt(),
+      node.get("dtype").asText(), compId)
+  }
+
+  def read1Meta(path: String,
+                conf: Configuration = ZarrIO.hadoopConf()): Zarr1Meta = {
+    val (fs, p) = fsOf(path, conf)
+    val mapper = new ObjectMapper()
+    parse1Meta(mapper.readTree(readUtf8(fs, new HPath(p, ".zarray"))))
+  }
+
+  // ------------------------------------------------------------- write --
+
+  private def encodeChunk(meta: Zarr1Meta, vals: Array[Any]): Array[Byte] = {
+    val raw = new Array[Byte](meta.chunk * meta.bytesPerElem)
+    val buf = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
+    var k = 0
+    while (k < vals.length) {
+      meta.dtype match {
+        case "<i4" => buf.putInt(k * 4, vals(k).asInstanceOf[Number].intValue())
+        case "<i8" => buf.putLong(k * 8, vals(k).asInstanceOf[Number].longValue())
+        case "<f8" => buf.putDouble(k * 8, vals(k).asInstanceOf[Number].doubleValue())
+        case _ =>
+          val b = vals(k).asInstanceOf[String].getBytes("US-ASCII")
+          require(b.length <= meta.sWidth,
+            s"string '${vals(k)}' exceeds |S${meta.sWidth}")
+          System.arraycopy(b, 0, raw, k * meta.sWidth, b.length)
+      }
+      k += 1
+    }
+    meta.compressor match {
+      case Some("zlib") => ZarrIO.deflate(raw)
+      case _ => raw
+    }
+  }
+
+  /** Distributed 1-D array write: `df` must be (id BIGINT 0..n-1, value)
+    * — the annotation-column shape. One shuffle on id div chunk forms
+    * the chunk bands; each executor writes its own chunk objects
+    * (metadata first, so a concurrent consolidated read never sees a
+    * chunk without its meta — final visibility is the caller's
+    * consolidate/commit step). */
+  def write1(df: DataFrame, path: String, chunk: Int, dtype: String,
+             zlib: Boolean = true): Zarr1Meta = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val n = df.count()
+    val meta = Zarr1Meta(n, chunk, dtype,
+      if (zlib) Some("zlib") else None)
+    val (fs, p) = fsOf(path, ZarrIO.hadoopConf())
+    fs.mkdirs(p)
+    writeUtf8(fs, new HPath(p, ".zarray"), meta.metaJson)
+    val sconf = new SerializableHadoopConf(
+      spark.sparkContext.hadoopConfiguration)
+    def writeBand(band: Long, items: Array[(Long, Any)]): Int = {
+      val lo = band * chunk
+      val vals = new Array[Any](math.min(chunk.toLong, n - lo).toInt)
+      items.foreach { case (i, v) =>
+        val off = (i - lo).toInt
+        require(off >= 0 && off < vals.length, s"id $i outside 0..${n - 1}")
+        vals(off) = v
+      }
+      require(!vals.contains(null), s"band $band has missing ids")
+      val bytes = encodeChunk(meta, vals)
+      val (bfs, bp) = fsOf(path, sconf.value)
+      val out = bfs.create(new HPath(bp, band.toString), true)
+      try out.write(bytes) finally out.close()
+      vals.length
+    }
+    // the same equi-shuffle-on-band shape as ZarrSink.writeMatrix: each
+    // executor writes its own chunk objects; typed per dtype family so
+    // the shuffle rows stay primitive-encoded
+    val written =
+      if (meta.sWidth > 0)
+        df.select(col("id").cast("long"), col("value").cast("string"))
+          .as[(Long, String)]
+          .groupByKey(_._1 / chunk)
+          .mapGroups((band: Long, rows: Iterator[(Long, String)]) =>
+            writeBand(band, rows.map { case (i, v) =>
+              (i, (if (v == null) "" else v): Any) }.toArray))
+          .reduce(_ + _)
+      else
+        df.select(col("id").cast("long"), col("value").cast("double"))
+          .as[(Long, Double)]
+          .groupByKey(_._1 / chunk)
+          .mapGroups((band: Long, rows: Iterator[(Long, Double)]) =>
+            writeBand(band, rows.map { case (i, v) => (i, v: Any) }.toArray))
+          .reduce(_ + _)
+    require(written == n, s"zarr 1-D write: $written of $n values written")
+    meta
+  }
+
+  // -------------------------------------------------------------- read --
+
+  /** Distributed 1-D array read: one Spark partition per chunk band,
+    * (idx, value) rows; value is BIGINT for int dtypes, DOUBLE for <f8,
+    * STRING (NUL-stripped ASCII) for |S. A missing chunk object is legal
+    * zarr — fill (0 / "") everywhere. */
+  def read1(spark: SparkSession, path: String, meta: Zarr1Meta): DataFrame = {
+    import spark.implicits._
+    val sconf = new SerializableHadoopConf(
+      spark.sparkContext.hadoopConfiguration)
+    val nChunks = meta.numChunks
+    val mChunk = meta.chunk
+    val mN = meta.n
+    def chunkBytes(band: Long): Array[Byte] = {
+      val (fs, p) = fsOf(path, sconf.value)
+      val cp = new HPath(p, band.toString)
+      val raw =
+        try {
+          val st = fs.getFileStatus(cp)
+          val r = new Array[Byte](st.getLen.toInt)
+          val in = fs.open(cp)
+          try in.readFully(0, r) finally in.close()
+          Some(r)
+        } catch { case _: java.io.FileNotFoundException => None }
+      raw match {
+        case Some(r) => meta.compressor match {
+          case Some("zlib") => ZarrIO.inflate(r, mChunk * meta.bytesPerElem)
+          case _ => r
+        }
+        case None => new Array[Byte](mChunk * meta.bytesPerElem) // fill
+      }
+    }
+    val base = spark.range(0, nChunks, 1, nChunks.toInt)
+    if (meta.sWidth > 0) {
+      val w = meta.sWidth
+      base.flatMap { band =>
+        val bytes = chunkBytes(band)
+        val lo = band * mChunk
+        (0 until math.min(mChunk.toLong, mN - lo).toInt).iterator.map { k =>
+          var end = (k + 1) * w
+          while (end > k * w && bytes(end - 1) == 0) end -= 1
+          (lo + k, new String(bytes, k * w, end - k * w, "US-ASCII"))
+        }
+      }.toDF("idx", "value")
+    } else if (meta.dtype == "<f8") {
+      base.flatMap { band =>
+        val buf = ByteBuffer.wrap(chunkBytes(band))
+          .order(ByteOrder.LITTLE_ENDIAN).asDoubleBuffer()
+        val lo = band * mChunk
+        (0 until math.min(mChunk.toLong, mN - lo).toInt).iterator
+          .map(k => (lo + k, buf.get(k)))
+      }.toDF("idx", "value")
+    } else {
+      val four = meta.dtype == "<i4"
+      base.flatMap { band =>
+        val bb = ByteBuffer.wrap(chunkBytes(band)).order(ByteOrder.LITTLE_ENDIAN)
+        val lo = band * mChunk
+        (0 until math.min(mChunk.toLong, mN - lo).toInt).iterator.map { k =>
+          (lo + k, if (four) bb.getInt(k * 4).toLong else bb.getLong(k * 8))
+        }
+      }.toDF("idx", "value")
+    }
+  }
+
+  // ----------------------------------------------------- consolidation --
+
+  /** Walk the group tree, fold every `.zgroup`/`.zarray`/`.zattrs`
+    * object into ONE `.zmetadata` key (zarr v2 consolidated-metadata
+    * convention: `{"zarr_consolidated_format":1,"metadata":{...}}`).
+    * Returns the number of consolidated keys. Call LAST — after every
+    * member's metadata is final. */
+  def consolidate(path: String,
+                  conf: Configuration = ZarrIO.hadoopConf()): Int = {
+    val (fs, root) = fsOf(path, conf)
+    val mapper = new ObjectMapper()
+    val metaNode = mapper.createObjectNode()
+    def walk(dir: HPath, prefix: String): Unit = {
+      fs.listStatus(dir).sortBy(_.getPath.getName).foreach { st =>
+        val name = st.getPath.getName
+        if (st.isDirectory) walk(st.getPath, s"$prefix$name/")
+        else if (name == ".zgroup" || name == ".zarray" || name == ".zattrs")
+          metaNode.set[ObjectNode](s"$prefix$name",
+            mapper.readTree(readUtf8(fs, st.getPath)))
+      }
+    }
+    walk(root, "")
+    val top = mapper.createObjectNode()
+    top.put("zarr_consolidated_format", 1)
+    top.set[ObjectNode]("metadata", metaNode)
+    writeUtf8(fs, new HPath(root, ".zmetadata"), mapper.writeValueAsString(top))
+    metaNode.size()
+  }
+
+  /** The consolidated key→metadata map, if this store has one — the ONE
+    * object GET that replaces per-member probing. */
+  def consolidated(path: String, conf: Configuration = ZarrIO.hadoopConf())
+      : Option[Map[String, JsonNode]] = {
+    val (fs, p) = fsOf(path, conf)
+    val zp = new HPath(p, ".zmetadata")
+    if (!fs.exists(zp)) return None
+    val mapper = new ObjectMapper()
+    val top = mapper.readTree(readUtf8(fs, zp))
+    require(top.get("zarr_consolidated_format").asInt() == 1,
+      "unsupported consolidated-metadata format")
+    val m = top.get("metadata")
+    val b = Map.newBuilder[String, JsonNode]
+    m.fieldNames().forEachRemaining(k => b += k -> m.get(k))
+    Some(b.result())
+  }
+
+  /** 1-D member metadata, consolidated-first: when `.zmetadata` exists
+    * the member's `.zarray` object is NEVER read (the object-store
+    * open-cost contract; the spec deletes member `.zarray`s to prove
+    * it). */
+  def memberMeta1(groupPath: String, member: String,
+                  conf: Configuration = ZarrIO.hadoopConf()): Zarr1Meta =
+    consolidated(groupPath, conf) match {
+      case Some(m) =>
+        val key = s"$member/.zarray"
+        parse1Meta(m.getOrElse(key, throw new IllegalArgumentException(
+          s"member $member not in consolidated metadata ($key missing)")))
+      case None => read1Meta(s"$groupPath/$member", conf)
+    }
+
+  /** Read a 1-D member column of a (possibly consolidated) group. */
+  def readMember1(spark: SparkSession, groupPath: String,
+                  member: String): DataFrame =
+    read1(spark, s"$groupPath/$member", memberMeta1(groupPath, member))
+}

@@ -269,7 +269,7 @@ object ZarrIO {
     try os.write(out) finally os.close()
   }
 
-  private def deflate(bytes: Array[Byte]): Array[Byte] = {
+  private[zarr] def deflate(bytes: Array[Byte]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val dos = new DeflaterOutputStream(bos, new Deflater(5))
     dos.write(bytes); dos.close()

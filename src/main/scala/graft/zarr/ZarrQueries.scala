@@ -165,12 +165,75 @@ object ZarrQueries {
         max(col("row_id")).as("max_id"))
   }
 
+  /** One-time AnnData-on-zarr GROUP fixture: `.zgroup` root with
+    * X (the 2-D matrix, written by the DSv2 sink), obs/label (`<i4`),
+    * obs/label_name (`|S8` — the categorical-as-string member),
+    * var/col_id (`<i8`), then `.zmetadata` consolidation LAST — the
+    * layout the reference's pipelines actually read, one metadata GET
+    * to open. */
+  def fixtureGroup(s: SparkSession, sfDir: String): String =
+    graft.tables.Fixtures.cached("zarrgrp", "anndata.zarr", sfDir) { dir =>
+      val emb = Tables.embeddings(s, sfDir)
+        .select(col("vec_id").as("id"),
+          transform(col("embedding"), _.cast("double")).as("vec"),
+          col("label"))
+      val dim = emb.select(size(col("vec"))).limit(1).head().getInt(0)
+      val g = dir.toString
+      emb.select(col("id").as("row_id"), col("vec"))
+        .write.format("zarr").option("chunk_rows", 128)
+        .mode("overwrite").save(s"$g/X")
+      ZarrGroup.write1(emb.select(col("id"), col("label").as("value")),
+        s"$g/obs/label", chunk = 100, dtype = "<i4")
+      ZarrGroup.write1(
+        emb.select(col("id"),
+          concat(lit("lab"), col("label")).as("value")),
+        s"$g/obs/label_name", chunk = 100, dtype = "|S8")
+      ZarrGroup.write1(
+        s.range(dim).select(col("id"), col("id").as("value")),
+        s"$g/var/col_id", chunk = 32, dtype = "<i8")
+      ZarrGroup.writeGroupMarker(g)
+      ZarrGroup.writeGroupMarker(s"$g/obs")
+      ZarrGroup.writeGroupMarker(s"$g/var")
+      ZarrGroup.consolidate(g)
+    }()
+
+  /** AnnData-group read: X scanned through the unchanged DSv2 source
+    * (member arrays ARE plain zarr arrays), obs/var annotation columns
+    * through the consolidated-first 1-D reader, joined on the row index
+    * — per-label cell counts + checksums, n_vars from the var member.
+    * The obs joins key on the same row index the X bands are laid out
+    * by — at scale a co-keyed sort-merge join, never a collect. Oracle
+    * recomputes everything from the parquet twin, so a hash match
+    * proves group layout, consolidated metadata, 1-D decode (int AND
+    * string), and the X chunk path agree with ground truth
+    * end-to-end. */
+  def zarrAnndata(s: SparkSession, d: String): DataFrame = {
+    val g = fixtureGroup(s, d)
+    val x = s.read.format("zarr").load(s"$g/X")
+      .select(col("row_id"),
+        round(aggregate(col("vec"), lit(0.0), (a, b) => a + b) + lit(1e-6), 4)
+          .as("cell_sum"))
+    val lab = ZarrGroup.readMember1(s, g, "obs/label")
+      .select(col("idx").as("row_id"), col("value").as("label"))
+    val name = ZarrGroup.readMember1(s, g, "obs/label_name")
+      .select(col("idx").as("row_id"), col("value").as("label_name"))
+    val nVars = ZarrGroup.readMember1(s, g, "var/col_id")
+      .agg(count(lit(1)).as("n_vars"))
+    x.join(lab, "row_id").join(name, "row_id")
+      .groupBy("label", "label_name")
+      .agg(count(lit(1)).as("n_cells"),
+        round(sum("cell_sum") + lit(1e-6), 4).as("checksum"))
+      .crossJoin(broadcast(nVars))
+      .orderBy("label")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_zarr_scan"     -> zarrScan _,
     "q_zarr_scan_v3"  -> zarrScanV3 _,
     "q_zarr_pruned"   -> zarrPruned _,
     "q_zarr_pipeline" -> zarrPipeline _,
     "q_zarr_agg_pushdown" -> zarrAggPushdown _,
+    "q_zarr_anndata"  -> zarrAnndata _,
   )
 
   private val zarrScanOracle =
@@ -181,6 +244,18 @@ object ZarrQueries {
        FROM embeddings ORDER BY row_id"""
 
   val oracle: Map[String, String] = Map(
+    "q_zarr_anndata" ->
+      """WITH cell AS (SELECT CAST(label AS BIGINT) AS label,
+                              'lab' || CAST(label AS VARCHAR) AS label_name,
+                              round(list_sum(list_transform(embedding,
+                                    x -> CAST(x AS DOUBLE))) + 1e-6, 4)
+                                AS cell_sum
+                       FROM embeddings)
+         SELECT label, label_name, CAST(count(*) AS BIGINT) AS n_cells,
+                round(sum(cell_sum) + 1e-6, 4) AS checksum,
+                (SELECT CAST(max(len(embedding)) AS BIGINT)
+                 FROM embeddings) AS n_vars
+         FROM cell GROUP BY label, label_name ORDER BY label""",
     "q_zarr_scan" -> zarrScanOracle,
     // identical oracle text by design: v2 and v3 stores of the same
     // data must be indistinguishable at the result layer

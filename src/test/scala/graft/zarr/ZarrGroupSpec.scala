@@ -1,0 +1,112 @@
+package graft.zarr
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.io.File
+import java.nio.file.Files
+
+/** Gates for the AnnData-group layer:
+  *  - 1-D round-trips for every supported dtype (<i4 <i8 <f8 |S),
+  *    including a non-chunk-multiple length (partial-chunk padding) and
+  *    both compressor settings;
+  *  - missing chunk object == fill (legal sparse zarr);
+  *  - consolidation: `.zmetadata` carries every metadata key, and 1-D
+  *    member reads NEVER touch member `.zarray`s once it exists —
+  *    proven by deleting them and re-reading. */
+class ZarrGroupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("zarr_grp_spec").toString
+
+  test("1-D round-trip: <i8 zlib, <f8 raw, <i4, non-multiple length") {
+    val dir = tmp()
+    val n = 257 // chunk 100 -> 2 full chunks + 57-elem partial
+    val longs = spark.range(n).select(col("id"), (col("id") * 3).as("value"))
+    val m1 = ZarrGroup.write1(longs, s"$dir/a", chunk = 100, dtype = "<i8")
+    assert(m1.numChunks == 3)
+    val got1 = ZarrGroup.read1(spark, s"$dir/a", ZarrGroup.read1Meta(s"$dir/a"))
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(got1.toSeq == (0 until n).map(i => (i.toLong, i * 3L)))
+
+    val dbl = spark.range(n).select(col("id"), (col("id") / 7.0).as("value"))
+    ZarrGroup.write1(dbl, s"$dir/b", chunk = 64, dtype = "<f8", zlib = false)
+    val got2 = ZarrGroup.read1(spark, s"$dir/b", ZarrGroup.read1Meta(s"$dir/b"))
+      .as[(Long, Double)].collect().sortBy(_._1)
+    assert(got2.toSeq == (0 until n).map(i => (i.toLong, i / 7.0)))
+
+    val ints = spark.range(n).select(col("id"), (col("id") - 5).as("value"))
+    ZarrGroup.write1(ints, s"$dir/c", chunk = 100, dtype = "<i4")
+    val got3 = ZarrGroup.read1(spark, s"$dir/c", ZarrGroup.read1Meta(s"$dir/c"))
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(got3.toSeq == (0 until n).map(i => (i.toLong, i - 5L)))
+  }
+
+  test("1-D |S strings round-trip NUL-stripped; oversize write fails loudly") {
+    val dir = tmp()
+    val df = spark.range(10)
+      .select(col("id"), concat(lit("s"), col("id")).as("value"))
+    ZarrGroup.write1(df, s"$dir/s", chunk = 4, dtype = "|S4")
+    val got = ZarrGroup.read1(spark, s"$dir/s", ZarrGroup.read1Meta(s"$dir/s"))
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(got.toSeq == (0 until 10).map(i => (i.toLong, s"s$i")))
+    val wide = spark.range(3)
+      .select(col("id"), lit("toolong").as("value"))
+    val e = intercept[org.apache.spark.SparkException] {
+      ZarrGroup.write1(wide, s"$dir/w", chunk = 4, dtype = "|S4")
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("missing chunk object reads as fill") {
+    val dir = tmp()
+    val df = spark.range(200).select(col("id"), (col("id") + 1).as("value"))
+    ZarrGroup.write1(df, s"$dir/a", chunk = 100, dtype = "<i8", zlib = false)
+    assert(new File(s"$dir/a/1").delete()) // second chunk gone
+    val got = ZarrGroup.read1(spark, s"$dir/a", ZarrGroup.read1Meta(s"$dir/a"))
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(got.take(100).toSeq == (0 until 100).map(i => (i.toLong, i + 1L)))
+    assert(got.drop(100).forall(_._2 == 0L))
+  }
+
+  test("consolidated metadata carries all keys and is preferred over member .zarray") {
+    val dir = tmp()
+    ZarrGroup.write1(
+      spark.range(50).select(col("id"), col("id").as("value")),
+      s"$dir/obs/n", chunk = 20, dtype = "<i8")
+    ZarrGroup.write1(
+      spark.range(50).select(col("id"),
+        concat(lit("x"), col("id")).as("value")),
+      s"$dir/obs/name", chunk = 20, dtype = "|S4")
+    ZarrGroup.writeGroupMarker(dir)
+    ZarrGroup.writeGroupMarker(s"$dir/obs")
+    val nKeys = ZarrGroup.consolidate(dir)
+    assert(nKeys == 4) // 2 .zgroup + 2 .zarray
+    val m = ZarrGroup.consolidated(dir).get
+    assert(m.contains(".zgroup") && m.contains("obs/n/.zarray") &&
+      m.contains("obs/name/.zarray"))
+    // the object-store contract: with .zmetadata present, member
+    // .zarray objects are never read — delete them and reads still work
+    assert(new File(s"$dir/obs/n/.zarray").delete())
+    assert(new File(s"$dir/obs/name/.zarray").delete())
+    val ns = ZarrGroup.readMember1(spark, dir, "obs/n")
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(ns.toSeq == (0 until 50).map(i => (i.toLong, i.toLong)))
+    val names = ZarrGroup.readMember1(spark, dir, "obs/name")
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(names.toSeq == (0 until 50).map(i => (i.toLong, s"x$i")))
+    // an unknown member fails loudly, naming the missing key
+    val err = intercept[IllegalArgumentException] {
+      ZarrGroup.memberMeta1(dir, "obs/ghost")
+    }
+    assert(err.getMessage.contains("obs/ghost"))
+  }
+
+  test("q_zarr_anndata runs and groups every label") {
+    val out = ZarrQueries.zarrAnndata(spark, sf).collect()
+    assert(out.length == 10) // labels 0..9
+    assert(out.map(_.getLong(0)).toSeq == (0L until 10L))
+    assert(out.forall(_.getLong(4) == 64L)) // n_vars from var member
+    assert(out.map(_.getLong(2)).sum == 500L) // every cell counted once
+  }
+}
