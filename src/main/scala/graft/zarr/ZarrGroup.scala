@@ -324,4 +324,45 @@ object ZarrGroup extends Serializable {
   def readMember1(spark: SparkSession, groupPath: String,
                   member: String): DataFrame =
     read1(spark, s"$groupPath/$member", memberMeta1(groupPath, member))
+
+  /** Member-array names of a consolidated group (keys ending
+    * `/.zarray`), sorted — the store's table of contents from the ONE
+    * `.zmetadata` GET, no listing RPCs. Requires consolidation (a
+    * non-consolidated group would need a recursive listing — the exact
+    * cost consolidation exists to avoid; fail loudly instead of hiding
+    * it). */
+  def members(path: String,
+              conf: Configuration = ZarrIO.hadoopConf()): Seq[String] =
+    consolidated(path, conf) match {
+      case Some(m) => m.keys.filter(_.endsWith("/.zarray"))
+        .map(_.stripSuffix("/.zarray")).toSeq.sorted
+      case None => throw new IllegalArgumentException(
+        s"$path has no .zmetadata — consolidate() it, or address members directly")
+    }
+
+  /** Write a `.zattrs` attributes object (raw JSON) beside a member —
+    * e.g. AnnData's `{"encoding-type":"categorical"}` marker.
+    * Consolidation folds it into `.zmetadata` with the rest. */
+  def writeAttrs(path: String, json: String,
+                 conf: Configuration = ZarrIO.hadoopConf()): Unit = {
+    val (fs, p) = fsOf(path, conf)
+    fs.mkdirs(p)
+    writeUtf8(fs, new HPath(p, ".zattrs"), json)
+  }
+
+  /** Decode an AnnData-style CATEGORICAL member: a sub-group holding
+    * `codes` (int, -1 = missing per the AnnData convention → NULL) and
+    * `categories` (|S strings), returned as (idx, value) with codes
+    * resolved to their category strings. The categories side is the
+    * small dictionary — broadcast; codes stay distributed. */
+  def readCategorical(spark: SparkSession, groupPath: String,
+                      member: String): DataFrame = {
+    val codes = readMember1(spark, groupPath, s"$member/codes")
+      .select(col("idx"), col("value").as("code"))
+    val cats = readMember1(spark, groupPath, s"$member/categories")
+      .select(col("idx").as("code"), col("value"))
+    codes.join(broadcast(cats), Seq("code"), "left")
+      .select(col("idx"),
+        when(col("code") >= 0, col("value")).otherwise(lit(null)).as("value"))
+  }
 }

@@ -172,15 +172,21 @@ object ZarrQueries {
     * layout the reference's pipelines actually read, one metadata GET
     * to open. */
   def fixtureGroup(s: SparkSession, sfDir: String): String =
-    graft.tables.Fixtures.cached("zarrgrp", "anndata.zarr", sfDir) { dir =>
+    graft.tables.Fixtures.cached("zarrgrp2", "anndata.zarr", sfDir) { dir =>
       val emb = Tables.embeddings(s, sfDir)
         .select(col("vec_id").as("id"),
           transform(col("embedding"), _.cast("double")).as("vec"),
           col("label"))
       val dim = emb.select(size(col("vec"))).limit(1).head().getInt(0)
+      val nLabels = emb.agg(max(col("label"))).head.getInt(0) + 1
       val g = dir.toString
+      // flat spec-standard layout (`commit=rename`), not the versioned
+      // store: an AnnData group is read by EXTERNAL zarr readers, which
+      // expect X/.zarray at the member root — and consolidation then
+      // carries exactly the spec keys
       emb.select(col("id").as("row_id"), col("vec"))
         .write.format("zarr").option("chunk_rows", 128)
+        .option("commit", "rename")
         .mode("overwrite").save(s"$g/X")
       ZarrGroup.write1(emb.select(col("id"), col("label").as("value")),
         s"$g/obs/label", chunk = 100, dtype = "<i4")
@@ -188,11 +194,23 @@ object ZarrQueries {
         emb.select(col("id"),
           concat(lit("lab"), col("label")).as("value")),
         s"$g/obs/label_name", chunk = 100, dtype = "|S8")
+      // AnnData categorical encoding: codes (int, -1 = NA) + categories
+      // (string dictionary) under one member sub-group with the
+      // encoding-type attr
+      ZarrGroup.write1(emb.select(col("id"), col("label").as("value")),
+        s"$g/obs/cell_type/codes", chunk = 100, dtype = "<i4")
+      ZarrGroup.write1(
+        s.range(nLabels).select(col("id"),
+          concat(lit("ct"), col("id")).as("value")),
+        s"$g/obs/cell_type/categories", chunk = 16, dtype = "|S8")
+      ZarrGroup.writeAttrs(s"$g/obs/cell_type",
+        """{"encoding-type":"categorical","ordered":false}""")
       ZarrGroup.write1(
         s.range(dim).select(col("id"), col("id").as("value")),
         s"$g/var/col_id", chunk = 32, dtype = "<i8")
       ZarrGroup.writeGroupMarker(g)
       ZarrGroup.writeGroupMarker(s"$g/obs")
+      ZarrGroup.writeGroupMarker(s"$g/obs/cell_type")
       ZarrGroup.writeGroupMarker(s"$g/var")
       ZarrGroup.consolidate(g)
     }()
@@ -217,10 +235,12 @@ object ZarrQueries {
       .select(col("idx").as("row_id"), col("value").as("label"))
     val name = ZarrGroup.readMember1(s, g, "obs/label_name")
       .select(col("idx").as("row_id"), col("value").as("label_name"))
+    val ct = ZarrGroup.readCategorical(s, g, "obs/cell_type")
+      .select(col("idx").as("row_id"), col("value").as("cell_type"))
     val nVars = ZarrGroup.readMember1(s, g, "var/col_id")
       .agg(count(lit(1)).as("n_vars"))
-    x.join(lab, "row_id").join(name, "row_id")
-      .groupBy("label", "label_name")
+    x.join(lab, "row_id").join(name, "row_id").join(ct, "row_id")
+      .groupBy("label", "label_name", "cell_type")
       .agg(count(lit(1)).as("n_cells"),
         round(sum("cell_sum") + lit(1e-6), 4).as("checksum"))
       .crossJoin(broadcast(nVars))
@@ -247,15 +267,18 @@ object ZarrQueries {
     "q_zarr_anndata" ->
       """WITH cell AS (SELECT CAST(label AS BIGINT) AS label,
                               'lab' || CAST(label AS VARCHAR) AS label_name,
+                              'ct' || CAST(label AS VARCHAR) AS cell_type,
                               round(list_sum(list_transform(embedding,
                                     x -> CAST(x AS DOUBLE))) + 1e-6, 4)
                                 AS cell_sum
                        FROM embeddings)
-         SELECT label, label_name, CAST(count(*) AS BIGINT) AS n_cells,
+         SELECT label, label_name, cell_type,
+                CAST(count(*) AS BIGINT) AS n_cells,
                 round(sum(cell_sum) + 1e-6, 4) AS checksum,
                 (SELECT CAST(max(len(embedding)) AS BIGINT)
                  FROM embeddings) AS n_vars
-         FROM cell GROUP BY label, label_name ORDER BY label""",
+         FROM cell GROUP BY label, label_name, cell_type
+         ORDER BY label""",
     "q_zarr_scan" -> zarrScanOracle,
     // identical oracle text by design: v2 and v3 stores of the same
     // data must be indistinguishable at the result layer

@@ -102,11 +102,45 @@ class ZarrGroupSpec extends SparkSpec {
     assert(err.getMessage.contains("obs/ghost"))
   }
 
+  test("categorical member decodes codes through the dictionary; -1 is NULL") {
+    val dir = tmp()
+    ZarrGroup.write1(
+      spark.range(6).select(col("id"),
+        (col("id") % 3 - 1).as("value")), // codes -1,0,1,-1,0,1
+      s"$dir/ct/codes", chunk = 4, dtype = "<i4")
+    ZarrGroup.write1(
+      spark.range(2).select(col("id"),
+        concat(lit("c"), col("id")).as("value")),
+      s"$dir/ct/categories", chunk = 4, dtype = "|S4")
+    ZarrGroup.writeGroupMarker(dir)
+    ZarrGroup.writeGroupMarker(s"$dir/ct")
+    ZarrGroup.writeAttrs(s"$dir/ct", """{"encoding-type":"categorical"}""")
+    ZarrGroup.consolidate(dir)
+    val got = ZarrGroup.readCategorical(spark, dir, "ct")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1))))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq(0L -> None, 1L -> Some("c0"), 2L -> Some("c1"),
+      3L -> None, 4L -> Some("c0"), 5L -> Some("c1")))
+    // .zattrs rode the consolidation
+    assert(ZarrGroup.consolidated(dir).get.contains("ct/.zattrs"))
+  }
+
+  test("members() lists arrays from consolidated metadata alone") {
+    val g = ZarrQueries.fixtureGroup(spark, sf)
+    assert(ZarrGroup.members(g) == Seq("X", "obs/cell_type/categories",
+      "obs/cell_type/codes", "obs/label", "obs/label_name", "var/col_id"))
+    val e = intercept[IllegalArgumentException] {
+      ZarrGroup.members(Files.createTempDirectory("no_zmeta").toString)
+    }
+    assert(e.getMessage.contains(".zmetadata"))
+  }
+
   test("q_zarr_anndata runs and groups every label") {
     val out = ZarrQueries.zarrAnndata(spark, sf).collect()
     assert(out.length == 10) // labels 0..9
     assert(out.map(_.getLong(0)).toSeq == (0L until 10L))
-    assert(out.forall(_.getLong(4) == 64L)) // n_vars from var member
-    assert(out.map(_.getLong(2)).sum == 500L) // every cell counted once
+    assert(out.forall(r => r.getString(2) == s"ct${r.getLong(0)}"))
+    assert(out.forall(_.getLong(5) == 64L)) // n_vars from var member
+    assert(out.map(_.getLong(3)).sum == 500L) // every cell counted once
   }
 }
