@@ -45,7 +45,8 @@ object SparkEntry {
       rel.BitmapAgg.queries ++ sc.LinkPredict.queries ++
       sc.KCore.queries ++ rel.Incremental.queries ++
       llm.RetrievalEval.queries ++ llm.UnigramLm.queries ++ llm.Cdc.queries ++
-      llm.Suffix.queries ++ llm.NearDedupStream.queries
+      llm.Suffix.queries ++ llm.NearDedupStream.queries ++
+      sc.AnnData.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -81,5 +82,6 @@ object SparkEntry {
       rel.BitmapAgg.oracle ++ sc.LinkPredict.oracle ++
       sc.KCore.oracle ++ rel.Incremental.oracle ++
       llm.RetrievalEval.oracle ++ llm.UnigramLm.oracle ++ llm.Cdc.oracle ++
-      llm.Suffix.oracle ++ llm.NearDedupStream.oracle
+      llm.Suffix.oracle ++ llm.NearDedupStream.oracle ++
+      sc.AnnData.oracle
 }

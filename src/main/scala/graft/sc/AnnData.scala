@@ -1,0 +1,236 @@
+package graft.sc
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.zarr.ZarrGroup
+
+/** The scanpy-shaped handle a reference user lands on: an AnnData —
+  * X the (id, vec) cell×gene matrix, obs the per-cell annotation frame,
+  * vars the per-gene one — backed by distributed DataFrames and stored
+  * as a zarr GROUP ([[graft.zarr.ZarrGroup]]). `readZarr → pp ops →
+  * writeZarr` is the reference's whole lifecycle in one fluent chain:
+  *
+  * {{{
+  * val ad = AnnData.readZarr(spark, "gs://bucket/atlas.zarr")
+  * ad.filterCells(minGenes = 200, tau = 0.0)
+  *   .normalizePerCell(Some(1e4)).log1p()
+  *   .writeZarr("gs://bucket/atlas_pp.zarr")
+  * }}}
+  *
+  * Design rules: every op is the SAME ScMatrix declarative plan the
+  * oracle'd queries run (no second implementation to drift); obs rides
+  * along by id (filter ops semi-join it, annotate ops add columns —
+  * scanpy's `adata.obs["n_genes"]` convention); nothing ever collects
+  * the matrix. Write-side ids are re-sequenced to the contiguous
+  * 0..n-1 zarr row domain by an order-preserving distributed reindex
+  * (range-bucket + per-bucket offsets + keyed row_number — never one
+  * global window partition). */
+final case class AnnData(x: DataFrame, obs: DataFrame, vars: DataFrame) {
+
+  /** scanpy `pp.filter_cells`: keep cells with >= minGenes entries
+    * above tau; annotates obs with the n_genes column (the scanpy
+    * side-effect) and keeps obs aligned to the surviving cells. */
+  def filterCells(minGenes: Int, tau: Double): AnnData = {
+    val fx = ScMatrix.filterCells(x, minGenes, tau)
+    val newObs = obs.join(fx.select(col("id"), col("n_genes")), "id")
+    AnnData(fx.drop("n_genes"), newObs, vars)
+  }
+
+  /** scanpy `pp.normalize_per_cell` (fixed target, or exact-median when
+    * None). Row-local: obs/vars untouched. */
+  def normalizePerCell(target: Option[Double]): AnnData =
+    copy(x = ScMatrix.normalizePerCell(x, target))
+
+  /** scanpy `pp.log1p`. */
+  def log1p(): AnnData = copy(x = ScMatrix.log1p(x))
+
+  /** scanpy `pp.scale` (z-score, clipped). */
+  def scale(maxValue: Double): AnnData = copy(x = ScMatrix.scaleZ(x, maxValue))
+
+  /** elementwise |x| — the counts view over signed source data. */
+  def absX(): AnnData =
+    copy(x = x.withColumn("vec", transform(col("vec"), v => abs(v))))
+
+  /** scanpy `pp.recipe_zheng17` (gene set shrinks to nTopGenes; vars is
+    * reset to the new gene domain since the HVG projection re-indexes
+    * columns). */
+  def recipeZheng17(nTopGenes: Int): AnnData = {
+    val r = ScMatrix.recipeZheng17(x, nTopGenes)
+    val s = x.sparkSession
+    AnnData(r, obs,
+      s.range(nTopGenes).select(col("id"), col("id").as("value")))
+  }
+
+  /** Persist as an AnnData zarr group: X (flat spec-standard layout so
+    * external zarr readers open it), one 1-D member per obs column
+    * (dtype inferred: int->`<i4`, long->`<i8`, double->`<f8`,
+    * string->`|S` at the observed max width), var/col_id, `.zmetadata`
+    * consolidated LAST. Cell ids are re-sequenced to 0..n-1
+    * order-preservingly; obs follows through the same mapping. */
+  def writeZarr(path: String, chunkRows: Int = 128): Unit = {
+    val s = x.sparkSession
+    val map = AnnData.reindexMap(x.select(col("id")))
+    val x2 = x.join(map, "id").select(col("new_id").as("row_id"), col("vec"))
+    x2.write.format("zarr").option("chunk_rows", chunkRows)
+      .option("commit", "rename").mode("overwrite").save(s"$path/X")
+    val obs2 = obs.join(map, "id")
+    obs.schema.fields.filter(_.name != "id").foreach { f =>
+      val colDf = obs2.select(col("new_id").as("id"), col(f.name).as("value"))
+      f.dataType match {
+        case IntegerType => ZarrGroup.write1(colDf, s"$path/obs/${f.name}",
+          chunk = chunkRows, dtype = "<i4")
+        case LongType => ZarrGroup.write1(colDf, s"$path/obs/${f.name}",
+          chunk = chunkRows, dtype = "<i8")
+        case DoubleType => ZarrGroup.write1(colDf, s"$path/obs/${f.name}",
+          chunk = chunkRows, dtype = "<f8")
+        case StringType =>
+          val w = colDf.agg(coalesce(max(octet_length(col("value"))), lit(1)))
+            .head.getInt(0)
+          ZarrGroup.write1(colDf, s"$path/obs/${f.name}",
+            chunk = chunkRows, dtype = s"|S$w")
+        case other => throw new IllegalArgumentException(
+          s"obs column ${f.name}: unsupported zarr dtype for $other")
+      }
+    }
+    ZarrGroup.write1(vars.select(col("id"), col("value")),
+      s"$path/var/col_id", chunk = chunkRows, dtype = "<i8")
+    ZarrGroup.writeGroupMarker(path)
+    ZarrGroup.writeGroupMarker(s"$path/obs")
+    ZarrGroup.writeGroupMarker(s"$path/var")
+    ZarrGroup.consolidate(path)
+  }
+}
+
+object AnnData {
+
+  /** Open a CONSOLIDATED AnnData zarr group: X through the DSv2 source,
+    * every `obs/…` member as an obs column (categorical sub-groups —
+    * codes + categories — decoded through the dictionary), `var/…`
+    * members as vars columns. Member discovery is the ONE `.zmetadata`
+    * GET ([[ZarrGroup.members]]); un-consolidated stores fail loudly
+    * there. */
+  def readZarr(spark: SparkSession, path: String): AnnData = {
+    val ms = ZarrGroup.members(path)
+    val x = spark.read.format("zarr").load(s"$path/X")
+      .select(col("row_id").as("id"), col("vec"))
+    def columnsUnder(prefix: String): Seq[(String, DataFrame)] = {
+      val names = ms.filter(_.startsWith(prefix)).map(_.stripPrefix(prefix))
+      val (catParts, plain) = names.partition(_.contains("/"))
+      val cats = catParts.map(_.split("/")(0)).distinct.map { c =>
+        require(catParts.contains(s"$c/codes") && catParts.contains(s"$c/categories"),
+          s"member $prefix$c: sub-group is not a categorical (codes+categories)")
+        c -> ZarrGroup.readCategorical(spark, path, s"$prefix$c")
+      }
+      plain.map(n => n -> ZarrGroup.readMember1(spark, path, s"$prefix$n")) ++ cats
+    }
+    def frameOf(cols: Seq[(String, DataFrame)], fallback: DataFrame): DataFrame =
+      cols.foldLeft(Option.empty[DataFrame]) { case (acc, (n, df)) =>
+        val c = df.select(col("idx").as("id"), col("value").as(n))
+        Some(acc.fold(c)(_.join(c, "id")))
+      }.getOrElse(fallback)
+    val obs = frameOf(columnsUnder("obs/"), x.select(col("id")))
+    val vars = frameOf(columnsUnder("var/"),
+      spark.emptyDataFrame.withColumn("id", lit(0L)))
+    AnnData(x, obs,
+      // normalize the single-member var/col_id shape back to (id, value)
+      if (vars.columns.contains("col_id"))
+        vars.select(col("id"), col("col_id").as("value"))
+      else vars)
+  }
+
+  /** Order-preserving contiguous re-sequencing of a unique-id column:
+    * (id) -> (id, new_id) with new_id = rank of id in 0..n-1. Two-pass
+    * distributed prefix sum — range buckets on the id value (monotone
+    * for |id| < 2^53; quantile boundaries would be the skew-proof
+    * upgrade for adversarial id distributions), per-bucket counts
+    * cumsum'd on a bucket-count-sized frame, then a KEYED row_number
+    * inside each bucket. Never a single global window partition. */
+  private[sc] def reindexMap(ids: DataFrame): DataFrame = {
+    val s = ids.sparkSession
+    val st = ids.agg(min(col("id")).as("lo"), max(col("id")).as("hi"),
+      count(lit(1)).as("n")).head
+    if (st.getLong(2) == 0L)
+      return ids.select(col("id"), col("id").as("new_id")).limit(0)
+    val (lo, hi) = (st.getLong(0), st.getLong(1))
+    val nBuckets = math.max(1, s.sparkContext.defaultParallelism * 4)
+    val span = math.max(1.0, (hi - lo + 1).toDouble)
+    val bucketed = ids.withColumn("b",
+      least(lit(nBuckets - 1),
+        floor((col("id") - lit(lo)).cast("double") * nBuckets / span)
+          .cast("int")))
+    val offsets = bucketed.groupBy("b").agg(count(lit(1)).as("cnt"))
+      .withColumn("off", coalesce(sum("cnt").over(
+        Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("b"), col("off"))
+    bucketed.join(broadcast(offsets), "b")
+      .withColumn("new_id",
+        col("off") + row_number().over(Window.partitionBy("b").orderBy("id")) - 1)
+      .select(col("id"), col("new_id"))
+  }
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** `q_sc_anndata_lifecycle`: the reference's WHOLE deployment loop in
+    * one query — open the AnnData zarr group, |x| counts view,
+    * filter_cells(>=15 genes above 0.15), normalize_per_cell(100),
+    * log1p, WRITE a new AnnData group (fresh store every run — the
+    * write path is re-proven at every gate like q_zarr_pipeline's),
+    * re-open it, and aggregate per label joining the round-tripped obs
+    * (including the n_genes column filter_cells annotated, which
+    * traveled as a `<i4` member through the reindexed store). The
+    * oracle recomputes everything from the parquet twin, so a hash
+    * match proves group IO, the pp ops, obs alignment through
+    * filtering, and the order-preserving reindex agree end-to-end. */
+  def lifecycle(s: SparkSession, d: String): DataFrame = {
+    val g = graft.zarr.ZarrQueries.fixtureGroup(s, d)
+    val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_anndata_rt_${System.nanoTime()}").toString
+    readZarr(s, g)
+      .absX()
+      .filterCells(minGenes = 15, tau = 0.15)
+      .normalizePerCell(Some(100.0))
+      .log1p()
+      .writeZarr(out)
+    val back = readZarr(s, out)
+    val cell = back.x.select(col("id"),
+      round(aggregate(col("vec"), lit(0.0), (a, b) => a + b) + lit(1e-6), 4)
+        .as("cell_sum"))
+    back.obs.join(cell, "id")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_cells"),
+        sum(col("n_genes")).as("sum_n_genes"),
+        round(sum(col("cell_sum")) + lit(1e-6), 4).as("checksum"))
+      .orderBy("label")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_sc_anndata_lifecycle" -> (lifecycle _))
+
+  val oracle: Map[String, String] = Map(
+    // same per-cell pipeline arithmetic as q_zarr_pipeline's oracle
+    // (CASE-guarded scale factor, ln(1+x*s)), plus the filter_cells
+    // predicate and the n_genes annotation
+    "q_sc_anndata_lifecycle" ->
+      """WITH c AS (SELECT CAST(label AS BIGINT) AS label,
+                           list_transform(embedding,
+                             x -> abs(CAST(x AS DOUBLE))) AS v
+                    FROM embeddings),
+         f AS (SELECT label, v,
+                      len(list_filter(v, x -> x > 0.15)) AS n_genes
+               FROM c),
+         k AS (SELECT * FROM f WHERE n_genes >= 15),
+         sc AS (SELECT label, n_genes, v,
+                       CASE WHEN list_sum(v) = 0 THEN 1.0
+                            ELSE 100.0 / list_sum(v) END AS s FROM k),
+         l AS (SELECT label, n_genes,
+                      round(list_sum(list_transform(v,
+                            x -> ln(1.0 + x * s))) + 1e-6, 4) AS cell_sum
+               FROM sc)
+         SELECT label, CAST(count(*) AS BIGINT) AS n_cells,
+                CAST(sum(n_genes) AS BIGINT) AS sum_n_genes,
+                round(sum(cell_sum) + 1e-6, 4) AS checksum
+         FROM l GROUP BY label ORDER BY label""")
+}

@@ -1,0 +1,90 @@
+package graft.sc
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Gates for the AnnData facade:
+  *  - reindexMap is an order-preserving bijection onto 0..n-1 for
+  *    sparse, negative, and adversarially-clustered id sets;
+  *  - readZarr round-trips the group fixture (X row count, obs columns
+  *    incl. the decoded categorical, vars);
+  *  - filterCells keeps obs aligned and annotates n_genes;
+  *  - writeZarr → readZarr round-trips a filtered AnnData bit-exactly
+  *    (vec values, obs columns, contiguous ids);
+  *  - the lifecycle query's plan never degenerates to a single global
+  *    window partition (the reindex is bucket-keyed). */
+class AnnDataSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("reindexMap: order-preserving bijection for sparse/negative/clustered ids") {
+    for (ids <- Seq(
+      Seq(5L, 100L, 7L, -3L, 0L, 999999999L),
+      (0L until 500L).map(_ * 17 - 250),
+      Seq(1L),
+      (0L until 300L).map(i => if (i < 290) i else i * 1000000L))) {
+      val df = ids.toDF("id")
+      val got = AnnData.reindexMap(df)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val expected = ids.sorted.zipWithIndex
+        .map { case (id, i) => id -> i.toLong }.toMap
+      assert(got == expected, s"ids=$ids")
+    }
+    assert(AnnData.reindexMap(Seq.empty[Long].toDF("id")).count() == 0)
+  }
+
+  test("readZarr opens the fixture group: X, obs (incl. categorical), vars") {
+    val g = graft.zarr.ZarrQueries.fixtureGroup(spark, sf)
+    val ad = AnnData.readZarr(spark, g)
+    assert(ad.x.count() == 500)
+    assert(ad.obs.columns.sorted.toSeq ==
+      Seq("cell_type", "id", "label", "label_name"))
+    assert(ad.obs.count() == 500)
+    assert(ad.vars.count() == 64)
+    val row = ad.obs.filter(col("id") === 0).head
+    val lab = row.getAs[Long]("label")
+    assert(row.getAs[String]("label_name") == s"lab$lab")
+    assert(row.getAs[String]("cell_type") == s"ct$lab")
+  }
+
+  test("filterCells aligns obs and annotates n_genes; write/read round-trips") {
+    val g = graft.zarr.ZarrQueries.fixtureGroup(spark, sf)
+    val ad = AnnData.readZarr(spark, g).absX().filterCells(15, 0.15)
+    val nKept = ad.x.count()
+    assert(nKept > 0 && nKept < 500, s"filter should split cells, kept $nKept")
+    assert(ad.obs.count() == nKept)
+    assert(ad.obs.columns.contains("n_genes"))
+    val out = java.nio.file.Files.createTempDirectory("anndata_rt").toString
+    ad.writeZarr(s"$out/store")
+    val back = AnnData.readZarr(spark, s"$out/store")
+    assert(back.x.count() == nKept)
+    // contiguous id domain after reindex
+    assert(back.x.agg(min("id"), max("id")).head match {
+      case r => r.getLong(0) == 0L && r.getLong(1) == nKept - 1
+    })
+    // values identical under the order-preserving id mapping
+    val origSums = ad.x
+      .select(col("id"), aggregate(col("vec"), lit(0.0), (a, b) => a + b))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .sortBy(_._1).map(_._2).toSeq
+    val backSums = back.x
+      .select(col("id"), aggregate(col("vec"), lit(0.0), (a, b) => a + b))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .sortBy(_._1).map(_._2).toSeq
+    assert(origSums == backSums)
+    // obs columns traveled (n_genes as a member, strings preserved)
+    val obsBack = back.obs.orderBy("id").collect()
+    val obsOrig = ad.obs.orderBy("id").collect()
+    assert(obsBack.map(_.getAs[Long]("n_genes")).toSeq ==
+      obsOrig.map(r => r.getAs[Int]("n_genes").toLong).toSeq)
+    assert(obsBack.map(_.getAs[String]("cell_type")).toSeq ==
+      obsOrig.map(_.getAs[String]("cell_type")).toSeq)
+  }
+
+  test("reindex never plans a global single-partition window") {
+    val plan = planOf(AnnData.reindexMap(spark.range(100).toDF("id")))
+    // the only Window in the reindex is partitioned by bucket
+    assert(!plan.contains("Window [") ||
+      !plan.matches("(?s).*Window \\[[^\\]]*\\], \\[\\].*"),
+      s"global window found:\n$plan")
+  }
+}
