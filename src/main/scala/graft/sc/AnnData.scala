@@ -171,6 +171,102 @@ object AnnData {
       .select(col("id"), col("new_id"))
   }
 
+  /** Inclusive distributed prefix sum over a CONTIGUOUS 0..m-1 id
+    * domain: (id, v) → (id, cum = Σ v[id' ≤ id]). Same two-pass shape
+    * as [[reindexMap]]: fixed-width range buckets (exact integer `div`
+    * — the domain is contiguous, no fp monotonicity caveat), bucket
+    * sums cumsum'd on a bucket-count-sized frame, keyed running sum
+    * inside each bucket. */
+  private[sc] def prefixSumContig(df: DataFrame, m: Long): DataFrame = {
+    val s = df.sparkSession
+    val nBuckets = math.max(1L, s.sparkContext.defaultParallelism * 4L)
+    val w = math.max(1L, (m + nBuckets - 1) / nBuckets)
+    val bucketed = df.withColumn("b", expr(s"id div $w"))
+    val offsets = bucketed.groupBy("b").agg(sum("v").as("bs"))
+      .withColumn("off", coalesce(sum("bs").over(
+        Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("b"), col("off"))
+    bucketed.join(broadcast(offsets), "b")
+      .withColumn("cum", col("off") + sum("v").over(
+        Window.partitionBy("b").orderBy("id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("id"), col("cum"))
+  }
+
+  /** Write a dense (id, vec) matrix as AnnData's SPARSE CSR zarr
+    * encoding — member group `X/{data, indices, indptr}` + the
+    * `encoding-type: csr_matrix` attrs — keeping only elements where
+    * `keep(value)` holds. This is how the reference-scale matrix
+    * (1.3M×28k cells at ~2% density) is actually stored: 50× fewer
+    * bytes than dense chunks.
+    *
+    * All three members are derived declaratively: the global CSR
+    * element ordering (row-major over kept elements) is
+    * [[reindexMap]] over the composite key id·dim+gene — an
+    * order-preserving distributed rank, never a sort-collect; indptr
+    * is [[prefixSumContig]] over per-row kept counts (empty rows
+    * included via the 0-filled range join). ids must be 0..n-1. */
+  def writeCsrX(x: DataFrame, path: String,
+                keep: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+                chunk: Int = 4096): Unit = {
+    val s = x.sparkSession
+    val n = x.count()
+    val dim = x.select(size(col("vec"))).limit(1).head.getInt(0)
+    val elems = x.select(col("id"), posexplode(col("vec")).as(Seq("gene", "v")))
+      .filter(keep(col("v")))
+      .withColumn("k", col("id") * dim + col("gene"))
+    val emap = reindexMap(elems.select(col("k").as("id")))
+      .select(col("id").as("k"), col("new_id").as("eidx"))
+    val indexed = elems.join(emap, "k")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      ZarrGroup.write1(indexed.select(col("eidx").as("id"), col("v").as("value")),
+        s"$path/data", chunk = chunk, dtype = "<f8")
+      ZarrGroup.write1(indexed.select(col("eidx").as("id"), col("gene").cast("long").as("value")),
+        s"$path/indices", chunk = chunk, dtype = "<i8")
+      // indptr[r] = Σ counts of rows < r, one entry per r in 0..n —
+      // deltas land at idx row+1 so the inclusive cumsum yields the
+      // exclusive row-start ladder, empty rows carried forward
+      val deltas = indexed.groupBy(col("id")).agg(count(lit(1)).as("c"))
+        .select((col("id") + 1).as("id"), col("c"))
+      val indptr = prefixSumContig(
+        s.range(n + 1).toDF("id").join(deltas, Seq("id"), "left")
+          .select(col("id"), coalesce(col("c"), lit(0L)).as("v")),
+        n + 1)
+      ZarrGroup.write1(indptr.select(col("id"), col("cum").as("value")),
+        s"$path/indptr", chunk = chunk, dtype = "<i8")
+    } finally indexed.unpersist(blocking = false)
+    ZarrGroup.writeAttrs(path,
+      s"""{"encoding-type":"csr_matrix","encoding-version":"0.1.0","shape":[$n,$dim]}""")
+  }
+
+  /** Read a CSR X member group back as distributed COO (id, gene,
+    * value). Row assignment — element e belongs to row r iff
+    * indptr[r] ≤ e < indptr[r+1] — is the contiguous-interval join,
+    * done grid-cell style (the q_join_interval shape): row spans
+    * explode into fixed cells of the element-index domain, elements
+    * join their one cell, the span predicate filters. One equi-join,
+    * no window over the full element domain, no driver indptr. */
+  def readCsrX(spark: SparkSession, groupPath: String, member: String = "X",
+               cellWidth: Long = 4096): DataFrame = {
+    val data = ZarrGroup.readMember1(spark, groupPath, s"$member/data")
+      .select(col("idx").as("eidx"), col("value").as("v"))
+    val indices = ZarrGroup.readMember1(spark, groupPath, s"$member/indices")
+      .select(col("idx").as("eidx"), col("value").as("gene"))
+    val indptr = ZarrGroup.readMember1(spark, groupPath, s"$member/indptr")
+    val rows = indptr.select(col("idx").as("id"), col("value").as("s"))
+      .join(indptr.select((col("idx") - 1).as("id"), col("value").as("e")), "id")
+      .filter(col("e") > col("s"))
+    val rcells = rows.withColumn("cell",
+      explode(sequence(expr(s"s div $cellWidth"), expr(s"(e - 1) div $cellWidth"))))
+    data.join(indices, "eidx")
+      .withColumn("cell", expr(s"eidx div $cellWidth"))
+      .join(rcells, "cell")
+      .filter(col("eidx") >= col("s") && col("eidx") < col("e"))
+      .select(col("id"), col("gene"), col("v").as("value"))
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   /** `q_sc_anndata_lifecycle`: the reference's WHOLE deployment loop in
@@ -206,8 +302,53 @@ object AnnData {
       .orderBy("label")
   }
 
+  /** One-time sparse-AnnData fixture: the embeddings matrix stored as
+    * CSR members (keep |x| > 0.15 — ~25% density) + obs/label, all
+    * consolidated. */
+  def fixtureCsr(s: SparkSession, sfDir: String): String =
+    graft.tables.Fixtures.cached("zarrcsr", "anndata_csr.zarr", sfDir) { dir =>
+      val emb = graft.tables.Tables.embeddings(s, sfDir)
+        .select(col("vec_id").as("id"),
+          transform(col("embedding"), _.cast("double")).as("vec"),
+          col("label"))
+      val g = dir.toString
+      writeCsrX(emb.select(col("id"), col("vec")), s"$g/X",
+        v => abs(v) > lit(0.15))
+      ZarrGroup.write1(emb.select(col("id"), col("label").as("value")),
+        s"$g/obs/label", chunk = 100, dtype = "<i4")
+      ZarrGroup.writeGroupMarker(g)
+      ZarrGroup.writeGroupMarker(s"$g/obs")
+      ZarrGroup.writeGroupMarker(s"$g/X")
+      ZarrGroup.consolidate(g)
+    }()
+
+  /** `q_zarr_csr`: open the sparse store, decode CSR → COO
+    * distributed, per-cell nnz + checksum over the KEPT elements only
+    * (never densified — O(nnz) end to end, the property that makes the
+    * reference matrix storable), joined to the obs label member and
+    * rolled up per label. Oracle recomputes the same sparsification
+    * from the parquet twin — a hash match proves data/indices/indptr
+    * round the matrix exactly (values, column ids, row boundaries,
+    * empty-row carry-forward). */
+  def zarrCsr(s: SparkSession, d: String): DataFrame = {
+    val g = fixtureCsr(s, d)
+    val coo = readCsrX(s, g)
+    val lab = ZarrGroup.readMember1(s, g, "obs/label")
+      .select(col("idx").as("id"), col("value").as("label"))
+    coo.groupBy("id")
+      .agg(count(lit(1)).as("nnz"),
+        round(sum(col("value")) + lit(1e-6), 4).as("cell_sum"))
+      .join(lab, "id")
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_cells"),
+        sum(col("nnz")).as("total_nnz"),
+        round(sum(col("cell_sum")) + lit(1e-6), 4).as("checksum"))
+      .orderBy("label")
+  }
+
   val queries: Map[String, Q] = Map(
-    "q_sc_anndata_lifecycle" -> (lifecycle _))
+    "q_sc_anndata_lifecycle" -> (lifecycle _),
+    "q_zarr_csr" -> (zarrCsr _))
 
   val oracle: Map[String, String] = Map(
     // same per-cell pipeline arithmetic as q_zarr_pipeline's oracle
@@ -232,5 +373,18 @@ object AnnData {
          SELECT label, CAST(count(*) AS BIGINT) AS n_cells,
                 CAST(sum(n_genes) AS BIGINT) AS sum_n_genes,
                 round(sum(cell_sum) + 1e-6, 4) AS checksum
-         FROM l GROUP BY label ORDER BY label""")
+         FROM l GROUP BY label ORDER BY label""",
+    "q_zarr_csr" ->
+      """WITH c AS (SELECT CAST(label AS BIGINT) AS label,
+                           list_filter(list_transform(embedding,
+                               x -> CAST(x AS DOUBLE)),
+                             x -> abs(x) > 0.15) AS kept
+                    FROM embeddings),
+         k AS (SELECT label, CAST(len(kept) AS BIGINT) AS nnz,
+                      round(list_sum(kept) + 1e-6, 4) AS cell_sum
+               FROM c WHERE len(kept) > 0)
+         SELECT label, CAST(count(*) AS BIGINT) AS n_cells,
+                CAST(sum(nnz) AS BIGINT) AS total_nnz,
+                round(sum(cell_sum) + 1e-6, 4) AS checksum
+         FROM k GROUP BY label ORDER BY label""")
 }

@@ -80,6 +80,42 @@ class AnnDataSpec extends SparkSpec {
       obsOrig.map(_.getAs[String]("cell_type")).toSeq)
   }
 
+  test("CSR round-trip: write sparse, read COO, exact values incl. empty rows") {
+    val out = java.nio.file.Files.createTempDirectory("anndata_csr").toString
+    // row 2 keeps nothing (all below threshold) — the empty-row
+    // carry-forward case; row 0 keeps head+tail (column order check)
+    val vecs = Seq(
+      0L -> Seq(5.0, 0.1, 0.1, 7.0),
+      1L -> Seq(0.1, 3.0, 0.1, 0.1),
+      2L -> Seq(0.1, 0.1, 0.1, 0.1),
+      3L -> Seq(1.0, 2.0, 3.0, 4.0))
+    val df = vecs.toDF("id", "vec")
+    AnnData.writeCsrX(df, s"$out/X", v => v > lit(0.5), chunk = 3)
+    graft.zarr.ZarrGroup.writeGroupMarker(out)
+    graft.zarr.ZarrGroup.writeGroupMarker(s"$out/X")
+    graft.zarr.ZarrGroup.consolidate(out)
+    val coo = AnnData.readCsrX(spark, out, cellWidth = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(coo == Seq((0L, 0L, 5.0), (0L, 3L, 7.0), (1L, 1L, 3.0),
+      (3L, 0L, 1.0), (3L, 1L, 2.0), (3L, 2L, 3.0), (3L, 3L, 4.0)))
+    // indptr member: exclusive row-start ladder with the empty row
+    val indptr = graft.zarr.ZarrGroup.readMember1(spark, out, "X/indptr")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).map(_._2)
+    assert(indptr.toSeq == Seq(0L, 2L, 3L, 3L, 7L))
+    // attrs carried the encoding marker through consolidation
+    val attrs = graft.zarr.ZarrGroup.consolidated(out).get("X/.zattrs")
+    assert(attrs.get("encoding-type").asText() == "csr_matrix")
+  }
+
+  test("prefixSumContig matches a sequential scan") {
+    val vals = Seq(3L, 0L, 5L, 1L, 0L, 0L, 7L, 2L)
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val got = AnnData.prefixSumContig(df, vals.length)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).map(_._2)
+    assert(got.toSeq == vals.scanLeft(0L)(_ + _).tail)
+  }
+
   test("reindex never plans a global single-partition window") {
     val plan = planOf(AnnData.reindexMap(spark.range(100).toDF("id")))
     // the only Window in the reindex is partitioned by bucket
