@@ -194,51 +194,74 @@ object AnnData {
       .select(col("id"), col("cum"))
   }
 
+  /** The shared compressed-axis writer behind CSR and CSC: elements
+    * (major, minor, v) with major in 0..nMajor-1, stored as
+    * `{data, indices, indptr}` members. The global element ordering
+    * (major-major, minor-minor over kept elements) is [[reindexMap]]
+    * over the composite key major·nMinor+minor — an order-preserving
+    * distributed rank, never a sort-collect; indptr is
+    * [[prefixSumContig]] over per-major counts (empty majors included
+    * via the 0-filled range join, so the start ladder carries
+    * forward). */
+  private def writeCompressed(elems: DataFrame, nMajor: Long, nMinor: Long,
+                              path: String, kind: String,
+                              shape: (Long, Long), chunk: Int): Unit = {
+    val s = elems.sparkSession
+    val keyed = elems.withColumn("k", col("major") * nMinor + col("minor"))
+    val emap = reindexMap(keyed.select(col("k").as("id")))
+      .select(col("id").as("k"), col("new_id").as("eidx"))
+    val indexed = keyed.join(emap, "k")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      ZarrGroup.write1(indexed.select(col("eidx").as("id"), col("v").as("value")),
+        s"$path/data", chunk = chunk, dtype = "<f8")
+      ZarrGroup.write1(
+        indexed.select(col("eidx").as("id"), col("minor").cast("long").as("value")),
+        s"$path/indices", chunk = chunk, dtype = "<i8")
+      // indptr[m] = Σ counts of majors < m, one entry per m in
+      // 0..nMajor — deltas land at idx major+1 so the inclusive cumsum
+      // yields the exclusive start ladder
+      val deltas = indexed.groupBy(col("major")).agg(count(lit(1)).as("c"))
+        .select((col("major") + 1).as("id"), col("c"))
+      val indptr = prefixSumContig(
+        s.range(nMajor + 1).toDF("id").join(deltas, Seq("id"), "left")
+          .select(col("id"), coalesce(col("c"), lit(0L)).as("v")),
+        nMajor + 1)
+      ZarrGroup.write1(indptr.select(col("id"), col("cum").as("value")),
+        s"$path/indptr", chunk = chunk, dtype = "<i8")
+    } finally indexed.unpersist(blocking = false)
+    ZarrGroup.writeAttrs(path,
+      s"""{"encoding-type":"$kind","encoding-version":"0.1.0","shape":[${shape._1},${shape._2}]}""")
+  }
+
   /** Write a dense (id, vec) matrix as AnnData's SPARSE CSR zarr
     * encoding — member group `X/{data, indices, indptr}` + the
     * `encoding-type: csr_matrix` attrs — keeping only elements where
     * `keep(value)` holds. This is how the reference-scale matrix
     * (1.3M×28k cells at ~2% density) is actually stored: 50× fewer
-    * bytes than dense chunks.
-    *
-    * All three members are derived declaratively: the global CSR
-    * element ordering (row-major over kept elements) is
-    * [[reindexMap]] over the composite key id·dim+gene — an
-    * order-preserving distributed rank, never a sort-collect; indptr
-    * is [[prefixSumContig]] over per-row kept counts (empty rows
-    * included via the 0-filled range join). ids must be 0..n-1. */
+    * bytes than dense chunks. ids must be 0..n-1. */
   def writeCsrX(x: DataFrame, path: String,
                 keep: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
                 chunk: Int = 4096): Unit = {
-    val s = x.sparkSession
     val n = x.count()
     val dim = x.select(size(col("vec"))).limit(1).head.getInt(0)
     val elems = x.select(col("id"), posexplode(col("vec")).as(Seq("gene", "v")))
       .filter(keep(col("v")))
-      .withColumn("k", col("id") * dim + col("gene"))
-    val emap = reindexMap(elems.select(col("k").as("id")))
-      .select(col("id").as("k"), col("new_id").as("eidx"))
-    val indexed = elems.join(emap, "k")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      ZarrGroup.write1(indexed.select(col("eidx").as("id"), col("v").as("value")),
-        s"$path/data", chunk = chunk, dtype = "<f8")
-      ZarrGroup.write1(indexed.select(col("eidx").as("id"), col("gene").cast("long").as("value")),
-        s"$path/indices", chunk = chunk, dtype = "<i8")
-      // indptr[r] = Σ counts of rows < r, one entry per r in 0..n —
-      // deltas land at idx row+1 so the inclusive cumsum yields the
-      // exclusive row-start ladder, empty rows carried forward
-      val deltas = indexed.groupBy(col("id")).agg(count(lit(1)).as("c"))
-        .select((col("id") + 1).as("id"), col("c"))
-      val indptr = prefixSumContig(
-        s.range(n + 1).toDF("id").join(deltas, Seq("id"), "left")
-          .select(col("id"), coalesce(col("c"), lit(0L)).as("v")),
-        n + 1)
-      ZarrGroup.write1(indptr.select(col("id"), col("cum").as("value")),
-        s"$path/indptr", chunk = chunk, dtype = "<i8")
-    } finally indexed.unpersist(blocking = false)
-    ZarrGroup.writeAttrs(path,
-      s"""{"encoding-type":"csr_matrix","encoding-version":"0.1.0","shape":[$n,$dim]}""")
+      .select(col("id").as("major"), col("gene").as("minor"), col("v"))
+    writeCompressed(elems, n, dim, path, "csr_matrix", (n, dim), chunk)
+  }
+
+  /** The CSC twin — gene-major storage (fast per-gene access; the
+    * layout h5ad's CSC ingest reads, now writable on zarr too). */
+  def writeCscX(x: DataFrame, path: String,
+                keep: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+                chunk: Int = 4096): Unit = {
+    val n = x.count()
+    val dim = x.select(size(col("vec"))).limit(1).head.getInt(0)
+    val elems = x.select(col("id"), posexplode(col("vec")).as(Seq("gene", "v")))
+      .filter(keep(col("v")))
+      .select(col("gene").cast("long").as("major"), col("id").as("minor"), col("v"))
+    writeCompressed(elems, dim, n, path, "csc_matrix", (n, dim), chunk)
   }
 
   /** Read a CSR X member group back as distributed COO (id, gene,
@@ -248,24 +271,47 @@ object AnnData {
     * explode into fixed cells of the element-index domain, elements
     * join their one cell, the span predicate filters. One equi-join,
     * no window over the full element domain, no driver indptr. */
-  def readCsrX(spark: SparkSession, groupPath: String, member: String = "X",
-               cellWidth: Long = 4096): DataFrame = {
+  private def readCompressed(spark: SparkSession, groupPath: String,
+                             member: String, cellWidth: Long): DataFrame = {
     val data = ZarrGroup.readMember1(spark, groupPath, s"$member/data")
       .select(col("idx").as("eidx"), col("value").as("v"))
     val indices = ZarrGroup.readMember1(spark, groupPath, s"$member/indices")
-      .select(col("idx").as("eidx"), col("value").as("gene"))
+      .select(col("idx").as("eidx"), col("value").as("minor"))
     val indptr = ZarrGroup.readMember1(spark, groupPath, s"$member/indptr")
-    val rows = indptr.select(col("idx").as("id"), col("value").as("s"))
-      .join(indptr.select((col("idx") - 1).as("id"), col("value").as("e")), "id")
+    val majors = indptr.select(col("idx").as("major"), col("value").as("s"))
+      .join(indptr.select((col("idx") - 1).as("major"), col("value").as("e")),
+        "major")
       .filter(col("e") > col("s"))
-    val rcells = rows.withColumn("cell",
+    val mcells = majors.withColumn("cell",
       explode(sequence(expr(s"s div $cellWidth"), expr(s"(e - 1) div $cellWidth"))))
     data.join(indices, "eidx")
       .withColumn("cell", expr(s"eidx div $cellWidth"))
-      .join(rcells, "cell")
+      .join(mcells, "cell")
       .filter(col("eidx") >= col("s") && col("eidx") < col("e"))
-      .select(col("id"), col("gene"), col("v").as("value"))
+      .select(col("major"), col("minor"), col("v"))
   }
+
+  /** Read a CSR X member group back as distributed COO (id, gene,
+    * value). Major assignment — element e belongs to major m iff
+    * indptr[m] ≤ e < indptr[m+1] — is the contiguous-interval join,
+    * done grid-cell style (the q_join_interval shape): major spans
+    * explode into fixed cells of the element-index domain, elements
+    * join their one cell, the span predicate filters. One equi-join,
+    * no window over the full element domain, no driver indptr. */
+  def readCsrX(spark: SparkSession, groupPath: String, member: String = "X",
+               cellWidth: Long = 4096): DataFrame =
+    readCompressed(spark, groupPath, member, cellWidth)
+      .select(col("major").as("id"), col("minor").as("gene"),
+        col("v").as("value"))
+
+  /** The CSC twin: majors are genes, minors are cell ids — same COO
+    * output shape as [[readCsrX]] so downstream code is
+    * layout-independent. */
+  def readCscX(spark: SparkSession, groupPath: String, member: String = "X",
+               cellWidth: Long = 4096): DataFrame =
+    readCompressed(spark, groupPath, member, cellWidth)
+      .select(col("minor").as("id"), col("major").as("gene"),
+        col("v").as("value"))
 
   type Q = (SparkSession, String) => DataFrame
 
@@ -306,7 +352,7 @@ object AnnData {
     * CSR members (keep |x| > 0.15 — ~25% density) + obs/label, all
     * consolidated. */
   def fixtureCsr(s: SparkSession, sfDir: String): String =
-    graft.tables.Fixtures.cached("zarrcsr", "anndata_csr.zarr", sfDir) { dir =>
+    graft.tables.Fixtures.cached("zarrcsr2", "anndata_csr.zarr", sfDir) { dir =>
       val emb = graft.tables.Tables.embeddings(s, sfDir)
         .select(col("vec_id").as("id"),
           transform(col("embedding"), _.cast("double")).as("vec"),
@@ -314,11 +360,16 @@ object AnnData {
       val g = dir.toString
       writeCsrX(emb.select(col("id"), col("vec")), s"$g/X",
         v => abs(v) > lit(0.15))
+      // the SAME matrix gene-major — layout equivalence is gate-proven
+      // (q_zarr_csc shares q_zarr_csr's oracle text by design)
+      writeCscX(emb.select(col("id"), col("vec")), s"$g/X_csc",
+        v => abs(v) > lit(0.15))
       ZarrGroup.write1(emb.select(col("id"), col("label").as("value")),
         s"$g/obs/label", chunk = 100, dtype = "<i4")
       ZarrGroup.writeGroupMarker(g)
       ZarrGroup.writeGroupMarker(s"$g/obs")
       ZarrGroup.writeGroupMarker(s"$g/X")
+      ZarrGroup.writeGroupMarker(s"$g/X_csc")
       ZarrGroup.consolidate(g)
     }()
 
@@ -332,9 +383,12 @@ object AnnData {
     * empty-row carry-forward). */
   def zarrCsr(s: SparkSession, d: String): DataFrame = {
     val g = fixtureCsr(s, d)
-    val coo = readCsrX(s, g)
-    val lab = ZarrGroup.readMember1(s, g, "obs/label")
-      .select(col("idx").as("id"), col("value").as("label"))
+    cooLabelRollup(readCsrX(s, g),
+      ZarrGroup.readMember1(s, g, "obs/label")
+        .select(col("idx").as("id"), col("value").as("label")))
+  }
+
+  private def cooLabelRollup(coo: DataFrame, lab: DataFrame): DataFrame =
     coo.groupBy("id")
       .agg(count(lit(1)).as("nnz"),
         round(sum(col("value")) + lit(1e-6), 4).as("cell_sum"))
@@ -344,11 +398,50 @@ object AnnData {
         sum(col("nnz")).as("total_nnz"),
         round(sum(col("cell_sum")) + lit(1e-6), 4).as("checksum"))
       .orderBy("label")
+
+  /** `q_zarr_csc`: the gene-major twin of [[zarrCsr]] — same matrix,
+    * same rollup, the CSC member group. Shares q_zarr_csr's oracle
+    * text by design: the two layouts must be result-identical. */
+  def zarrCsc(s: SparkSession, d: String): DataFrame = {
+    val g = fixtureCsr(s, d)
+    cooLabelRollup(readCscX(s, g, "X_csc"),
+      ZarrGroup.readMember1(s, g, "obs/label")
+        .select(col("idx").as("id"), col("value").as("label")))
+  }
+
+  /** `q_zarr_csr_pipeline`: the sparse store feeding the SPARSE
+    * preprocessing chain — CSR → COO → |x| counts view →
+    * filter_cells(≥15) → normalize_per_cell(100) → log1p — O(nnz) at
+    * every step, never densified (ln(1+0)=0, so implicit zeros
+    * contribute nothing to the per-cell checksum). The store-to-
+    * pipeline hand-off the reference matrix needs at 1.3M×28k. */
+  def zarrCsrPipeline(s: SparkSession, d: String): DataFrame = {
+    val g = fixtureCsr(s, d)
+    val coo = readCsrX(s, g)
+      .select(col("id"), col("gene").cast("int").as("pos"),
+        abs(col("value")).as("val"))
+    val keep = ScSparse.filterCellsSparse(coo, minGenes = 15, tau = 0.0)
+    val kept = coo.join(keep.select("id"), Seq("id"), "left_semi")
+    val out = ScSparse.log1pSparse(
+      ScSparse.normalizePerCellSparse(kept, target = 100.0))
+    val lab = ZarrGroup.readMember1(s, g, "obs/label")
+      .select(col("idx").as("id"), col("value").as("label"))
+    out.groupBy("id")
+      .agg(round(sum(col("val")) + lit(1e-6), 4).as("cell_sum"))
+      .join(keep, "id")
+      .join(lab, "id")
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_cells"),
+        sum(col("n_genes")).as("sum_n_genes"),
+        round(sum(col("cell_sum")) + lit(1e-6), 4).as("checksum"))
+      .orderBy("label")
   }
 
   val queries: Map[String, Q] = Map(
     "q_sc_anndata_lifecycle" -> (lifecycle _),
-    "q_zarr_csr" -> (zarrCsr _))
+    "q_zarr_csr" -> (zarrCsr _),
+    "q_zarr_csc" -> (zarrCsc _),
+    "q_zarr_csr_pipeline" -> (zarrCsrPipeline _))
 
   val oracle: Map[String, String] = Map(
     // same per-cell pipeline arithmetic as q_zarr_pipeline's oracle
@@ -386,5 +479,43 @@ object AnnData {
          SELECT label, CAST(count(*) AS BIGINT) AS n_cells,
                 CAST(sum(nnz) AS BIGINT) AS total_nnz,
                 round(sum(cell_sum) + 1e-6, 4) AS checksum
-         FROM k GROUP BY label ORDER BY label""")
+         FROM k GROUP BY label ORDER BY label""",
+    // identical oracle text by design: the CSR and CSC stores hold the
+    // same matrix and must be result-indistinguishable
+    "q_zarr_csc" ->
+      """WITH c AS (SELECT CAST(label AS BIGINT) AS label,
+                           list_filter(list_transform(embedding,
+                               x -> CAST(x AS DOUBLE)),
+                             x -> abs(x) > 0.15) AS kept
+                    FROM embeddings),
+         k AS (SELECT label, CAST(len(kept) AS BIGINT) AS nnz,
+                      round(list_sum(kept) + 1e-6, 4) AS cell_sum
+               FROM c WHERE len(kept) > 0)
+         SELECT label, CAST(count(*) AS BIGINT) AS n_cells,
+                CAST(sum(nnz) AS BIGINT) AS total_nnz,
+                round(sum(cell_sum) + 1e-6, 4) AS checksum
+         FROM k GROUP BY label ORDER BY label""",
+    // the sparse-pipeline arithmetic: abs view over the kept elements,
+    // filter_cells >= 15, CASE-guarded scale, ln(1+x*s)
+    "q_zarr_csr_pipeline" ->
+      """WITH c AS (SELECT CAST(label AS BIGINT) AS label,
+                           list_transform(
+                             list_filter(list_transform(embedding,
+                                 x -> CAST(x AS DOUBLE)),
+                               x -> abs(x) > 0.15),
+                             x -> abs(x)) AS v
+                    FROM embeddings),
+         f AS (SELECT label, v, CAST(len(v) AS BIGINT) AS n_genes
+               FROM c WHERE len(v) >= 15),
+         sc AS (SELECT label, n_genes, v,
+                       CASE WHEN list_sum(v) = 0 THEN 1.0
+                            ELSE 100.0 / list_sum(v) END AS s FROM f),
+         l AS (SELECT label, n_genes,
+                      round(list_sum(list_transform(v,
+                            x -> ln(1.0 + x * s))) + 1e-6, 4) AS cell_sum
+               FROM sc)
+         SELECT label, CAST(count(*) AS BIGINT) AS n_cells,
+                CAST(sum(n_genes) AS BIGINT) AS sum_n_genes,
+                round(sum(cell_sum) + 1e-6, 4) AS checksum
+         FROM l GROUP BY label ORDER BY label""")
 }

@@ -108,6 +108,17 @@ class AnnDataSpec extends SparkSpec {
     assert(attrs.get("encoding-type").asText() == "csr_matrix")
   }
 
+  test("CSC member decodes to the identical COO as the CSR member") {
+    val g = AnnData.fixtureCsr(spark, sf)
+    val csr = AnnData.readCsrX(spark, g)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val csc = AnnData.readCscX(spark, g, "X_csc")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(csr.nonEmpty && csr == csc)
+  }
+
   test("prefixSumContig matches a sequential scan") {
     val vals = Seq(3L, 0L, 5L, 1L, 0L, 0L, 7L, 2L)
     val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
