@@ -69,12 +69,18 @@ final case class AnnData(x: DataFrame, obs: DataFrame, vars: DataFrame) {
     * string->`|S` at the observed max width), var/col_id, `.zmetadata`
     * consolidated LAST. Cell ids are re-sequenced to 0..n-1
     * order-preservingly; obs follows through the same mapping. */
-  def writeZarr(path: String, chunkRows: Int = 128): Unit = {
+  def writeZarr(path: String, chunkRows: Int = 128,
+                sparse: Boolean = false): Unit = {
     val s = x.sparkSession
     val map = AnnData.reindexMap(x.select(col("id")))
     val x2 = x.join(map, "id").select(col("new_id").as("row_id"), col("vec"))
-    x2.write.format("zarr").option("chunk_rows", chunkRows)
-      .option("commit", "rename").mode("overwrite").save(s"$path/X")
+    if (sparse) {
+      AnnData.writeCsrX(x2.select(col("row_id").as("id"), col("vec")),
+        s"$path/X", v => v =!= 0.0)
+      ZarrGroup.writeGroupMarker(s"$path/X")
+    } else
+      x2.write.format("zarr").option("chunk_rows", chunkRows)
+        .option("commit", "rename").mode("overwrite").save(s"$path/X")
     val obs2 = obs.join(map, "id")
     obs.schema.fields.filter(_.name != "id").foreach { f =>
       val colDf = obs2.select(col("new_id").as("id"), col(f.name).as("value"))
@@ -113,8 +119,26 @@ object AnnData {
     * there. */
   def readZarr(spark: SparkSession, path: String): AnnData = {
     val ms = ZarrGroup.members(path)
-    val x = spark.read.format("zarr").load(s"$path/X")
-      .select(col("row_id").as("id"), col("vec"))
+    // layout transparency: the X member may be a dense zarr array or an
+    // AnnData sparse encoding — dispatch on the consolidated attrs (no
+    // extra GET), densify the sparse forms through the COO scatter so
+    // the facade's ops see one shape either way
+    val xAttrs = ZarrGroup.consolidated(path).flatMap(_.get("X/.zattrs"))
+    val xEnc = xAttrs.flatMap(a =>
+      Option(a.get("encoding-type")).map(_.asText()))
+    val x = xEnc match {
+      case Some(enc @ ("csr_matrix" | "csc_matrix")) =>
+        val shapeNode = xAttrs.get.get("shape")
+        val (n, dim) = (shapeNode.get(0).asLong(), shapeNode.get(1).asInt())
+        val coo = (if (enc == "csr_matrix") readCsrX(spark, path)
+                   else readCscX(spark, path))
+          .select(col("id"), col("gene").cast("int").as("pos"),
+            col("value").as("val"))
+        ScSparse.toDense(coo, dim, spark.range(n).toDF("id"))
+      case _ =>
+        spark.read.format("zarr").load(s"$path/X")
+          .select(col("row_id").as("id"), col("vec"))
+    }
     def columnsUnder(prefix: String): Seq[(String, DataFrame)] = {
       val names = ms.filter(_.startsWith(prefix)).map(_.stripPrefix(prefix))
       val (catParts, plain) = names.partition(_.contains("/"))

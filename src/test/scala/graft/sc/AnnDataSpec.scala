@@ -108,6 +108,23 @@ class AnnDataSpec extends SparkSpec {
     assert(attrs.get("encoding-type").asText() == "csr_matrix")
   }
 
+  test("layout transparency: sparse writeZarr round-trips identically to dense") {
+    val g = graft.zarr.ZarrQueries.fixtureGroup(spark, sf)
+    val ad = AnnData.readZarr(spark, g).absX().filterCells(15, 0.15).log1p()
+    val base = java.nio.file.Files.createTempDirectory("anndata_sp").toString
+    ad.writeZarr(s"$base/dense")
+    ad.writeZarr(s"$base/sparse", sparse = true)
+    def sums(p: String) = AnnData.readZarr(spark, p).x
+      .select(col("id"), aggregate(col("vec"), lit(0.0), (a, b) => a + b))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+    val (d, sp) = (sums(s"$base/dense"), sums(s"$base/sparse"))
+    assert(d.nonEmpty && d == sp)
+    // and the sparse store really is the CSR encoding
+    val enc = graft.zarr.ZarrGroup.consolidated(s"$base/sparse")
+      .get("X/.zattrs")
+    assert(enc.get("encoding-type").asText() == "csr_matrix")
+  }
+
   test("CSC member decodes to the identical COO as the CSR member") {
     val g = AnnData.fixtureCsr(spark, sf)
     val csr = AnnData.readCsrX(spark, g)
