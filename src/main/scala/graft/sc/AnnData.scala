@@ -337,6 +337,27 @@ object AnnData {
       .select(col("minor").as("id"), col("major").as("gene"),
         col("v").as("value"))
 
+  /** Write an `obsm/<name>` member — AnnData's per-cell embedding slot
+    * (X_pca, X_umap, …): a dense 2-D zarr array through the same DSv2
+    * sink as X (flat layout), then RE-consolidate so `.zmetadata` stays
+    * the complete TOC (consolidation-last is the layer's contract). ids
+    * must already be the group's 0..n-1 row domain. */
+  def writeObsm(df: DataFrame, groupPath: String, name: String,
+                chunkRows: Int = 128): Unit = {
+    df.select(col("id").as("row_id"), col("vec"))
+      .write.format("zarr").option("chunk_rows", chunkRows)
+      .option("commit", "rename").mode("overwrite")
+      .save(s"$groupPath/obsm/$name")
+    ZarrGroup.writeGroupMarker(s"$groupPath/obsm")
+    ZarrGroup.consolidate(groupPath)
+  }
+
+  /** Read an `obsm/<name>` member back as (id, vec). */
+  def readObsm(spark: SparkSession, groupPath: String,
+               name: String): DataFrame =
+    spark.read.format("zarr").load(s"$groupPath/obsm/$name")
+      .select(col("row_id").as("id"), col("vec"))
+
   type Q = (SparkSession, String) => DataFrame
 
   /** `q_sc_anndata_lifecycle`: the reference's WHOLE deployment loop in
@@ -461,11 +482,35 @@ object AnnData {
       .orderBy("label")
   }
 
+  /** `q_sc_anndata_pca` (rows-only by the q_sc_pca contract —
+    * eigenvector sign is implementation-defined, so the reported
+    * values are sign-invariant norms; AnnDataSpec pins obsm
+    * round-trip exactness against the direct projection): preprocess,
+    * persist the group, compute PCA scores, store them as the
+    * `obsm/X_pca` member — scanpy's `adata.obsm["X_pca"]` — and read
+    * them back off the store. */
+  def anndataPca(s: SparkSession, d: String): DataFrame = {
+    val g = graft.zarr.ZarrQueries.fixtureGroup(s, d)
+    val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_anndata_pca_${System.nanoTime()}").toString
+    val pp = readZarr(s, g).absX().normalizePerCell(Some(100.0)).log1p()
+    pp.writeZarr(out)
+    val pc = Pca.project(pp.x, k = 8)
+    writeObsm(pc.select(col("id"), col("pc").as("vec")), out, "X_pca")
+    readObsm(s, out, "X_pca")
+      .select(col("id").as("vec_id"),
+        round(sqrt(aggregate(transform(col("vec"), x => x * x),
+          lit(0.0), _ + _)), 3).as("pc_norm"),
+        size(col("vec")).as("n_components"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_sc_anndata_lifecycle" -> (lifecycle _),
     "q_zarr_csr" -> (zarrCsr _),
     "q_zarr_csc" -> (zarrCsc _),
-    "q_zarr_csr_pipeline" -> (zarrCsrPipeline _))
+    "q_zarr_csr_pipeline" -> (zarrCsrPipeline _),
+    "q_sc_anndata_pca" -> (anndataPca _))
 
   val oracle: Map[String, String] = Map(
     // same per-cell pipeline arithmetic as q_zarr_pipeline's oracle

@@ -144,6 +144,23 @@ class AnnDataSpec extends SparkSpec {
     assert(got.toSeq == vals.scanLeft(0L)(_ + _).tail)
   }
 
+  test("obsm round-trips PCA scores exactly; members() lists the slot") {
+    val g = graft.zarr.ZarrQueries.fixtureGroup(spark, sf)
+    val pp = AnnData.readZarr(spark, g).absX()
+      .normalizePerCell(Some(100.0)).log1p()
+    val out = java.nio.file.Files.createTempDirectory("anndata_obsm").toString
+    pp.writeZarr(s"$out/g")
+    val pc = Pca.project(pp.x, k = 8)
+    AnnData.writeObsm(pc.select(col("id"), col("pc").as("vec")),
+      s"$out/g", "X_pca")
+    assert(graft.zarr.ZarrGroup.members(s"$out/g").contains("obsm/X_pca"))
+    val direct = pc.collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toVector)).sortBy(_._1).toSeq
+    val stored = AnnData.readObsm(spark, s"$out/g", "X_pca").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toVector)).sortBy(_._1).toSeq
+    assert(stored == direct) // <f8 members: bit-exact round-trip
+  }
+
   test("reindex never plans a global single-partition window") {
     val plan = planOf(AnnData.reindexMap(spark.range(100).toDF("id")))
     // the only Window in the reindex is partitioned by bucket
