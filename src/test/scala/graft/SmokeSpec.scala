@@ -36,6 +36,8 @@ class SmokeSpec extends SparkSpec {
       "q_agg_approx_distinct", // HLL estimate; DuckDB's sketch differs
       "q_agg_approx_percentile", "q_agg_sketch_merge",
       "q_multimodal_binfile", "q_multimodal_features", "q_sc_pca",
+      "q_sc_anndata_pca", // same sign contract as q_sc_pca; obsm
+                          // round-trip exactness pinned in AnnDataSpec
       "q_similarity_ivf", "q_similarity_lsh",
       "q_similarity_pq", "q_similarity_recall",
       "q_stream_state_metrics")
