@@ -61,6 +61,17 @@ object NearDedupStream {
   /** same bounded block as q_dedup_minhash/q_dedup_ngram — the all-pairs
     * DuckDB oracle is quadratic in it */
   val Block = 100
+  /** Hot-bucket cap — the streaming twin of minHashCandidates'
+    * maxBucket: once a (band, band_hash) bucket holds this many
+    * members, later arrivals neither compare against it nor join it,
+    * so per-bucket state AND per-arrival work are O(maxBucket) forever
+    * (a degenerate band slice is otherwise quadratic). Same recall
+    * argument as the batch drop: a true pair losing one hot band still
+    * surfaces through its other bands-1 chances. 256 exceeds every
+    * bucket this corpus produces, so the exact oracle is unaffected —
+    * NearDedupStreamSpec pins both that headroom and the cap's
+    * enforcement under a forced-collision banding. */
+  val MaxBucket = 256
 
   /** Exact token-set Jaccard with the repo's cross-engine rounding
     * convention (mirrors [[Dedup.jaccardPairs]]: +1e-9 boundary epsilon,
@@ -74,7 +85,7 @@ object NearDedupStream {
     * state, exact-Jaccard verification against earlier members only.
     * Emits (dup_id, earlier_partner_id) — possibly once per shared band;
     * the caller aggregates. */
-  private def matchAgainstState(
+  private[llm] def matchAgainstState(
       key: (Int, Long),
       it: Iterator[(Int, Long, Long, Seq[String])],
       state: GroupState[List[(Long, Seq[String])]]): Iterator[(Long, Long)] = {
@@ -82,17 +93,23 @@ object NearDedupStream {
     // sort the batch's arrivals so same-batch pairs resolve in id order
     val arrivals = it.map { case (_, _, id, t) => (id, t) }.toVector.sortBy(_._1)
     var members = prev
+    var nMembers = prev.size
     val out = Vector.newBuilder[(Long, Long)]
     arrivals.foreach { case (id, t) =>
-      val tset = t.toSet
-      members.foreach { case (pid, pt) =>
-        if (pid < id) {
-          val pset = pt.toSet
-          val x = tset.intersect(pset).size
-          if (jaccardOf(tset.size, pset.size, x) >= Tau) out += ((id, pid))
+      // hot-bucket cap: a saturated bucket stops matching AND growing —
+      // O(MaxBucket) state and work per bucket forever (see MaxBucket)
+      if (nMembers < MaxBucket) {
+        val tset = t.toSet
+        members.foreach { case (pid, pt) =>
+          if (pid < id) {
+            val pset = pt.toSet
+            val x = tset.intersect(pset).size
+            if (jaccardOf(tset.size, pset.size, x) >= Tau) out += ((id, pid))
+          }
         }
+        members = (id, t) :: members
+        nMembers += 1
       }
-      members = (id, t) :: members
     }
     state.update(members)
     out.result().iterator

@@ -46,4 +46,34 @@ class NearDedupStreamSpec extends SparkSpec {
     val rows = NearDedupStream.streamDedupNear(spark, sf).collect()
     assert(rows.forall(r => r.getLong(1) < r.getLong(0)))
   }
+
+  test("fixture buckets sit far below the hot-bucket cap (oracle unaffected)") {
+    val docs = graft.tables.Tables.documents(spark, sf)
+      .filter(col("doc_id") < NearDedupStream.Block)
+    val maxBucket = Dedup.bandHashes(docs,
+        NearDedupStream.NumHashes, NearDedupStream.Bands)
+      .groupBy("band", "bh").count()
+      .agg(max("count")).head.getLong(0)
+    // measured 66 at sf0.001 (a cluster of near-identical docs sharing
+    // a band) — ~4x headroom below the 256 cap
+    assert(maxBucket < NearDedupStream.MaxBucket / 2,
+      s"fixture bucket $maxBucket too close to cap ${NearDedupStream.MaxBucket}")
+  }
+
+  test("a saturated bucket stops matching and growing (state O(MaxBucket))") {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import org.apache.spark.api.java.Optional
+    val cap = NearDedupStream.MaxBucket
+    val toks = Seq("a", "b", "c") // identical sets -> every pair is a dup
+    val arrivals = (0 until cap + 50).iterator
+      .map(i => (0, 0L, i.toLong, toks: Seq[String]))
+    val st = TestGroupState.create[List[(Long, Seq[String])]](
+      Optional.empty(), GroupStateTimeout.NoTimeout, 0L,
+      Optional.empty[Long](), hasTimedOut = false)
+    val out = NearDedupStream.matchAgainstState((0, 0L), arrivals, st).toVector
+    assert(st.get.size == cap) // growth stopped exactly at the cap
+    // arrivals past the cap emit nothing; the capped prefix emits all pairs
+    assert(out.forall(_._1 < cap))
+    assert(out.size == cap * (cap - 1) / 2)
+  }
 }
