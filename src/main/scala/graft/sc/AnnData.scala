@@ -27,7 +27,8 @@ import graft.zarr.ZarrGroup
   * 0..n-1 zarr row domain by an order-preserving distributed reindex
   * (range-bucket + per-bucket offsets + keyed row_number — never one
   * global window partition). */
-final case class AnnData(x: DataFrame, obs: DataFrame, vars: DataFrame) {
+final case class AnnData(x: DataFrame, obs: DataFrame, vars: DataFrame,
+                         uns: Seq[String] = Nil) {
 
   /** scanpy `pp.filter_cells`: keep cells with >= minGenes entries
     * above tau; annotates obs with the n_genes column (the scanpy
@@ -35,23 +36,28 @@ final case class AnnData(x: DataFrame, obs: DataFrame, vars: DataFrame) {
   def filterCells(minGenes: Int, tau: Double): AnnData = {
     val fx = ScMatrix.filterCells(x, minGenes, tau)
     val newObs = obs.join(fx.select(col("id"), col("n_genes")), "id")
-    AnnData(fx.drop("n_genes"), newObs, vars)
+    AnnData(fx.drop("n_genes"), newObs, vars,
+      uns :+ s"filter_cells(min_genes=$minGenes,tau=$tau)")
   }
 
   /** scanpy `pp.normalize_per_cell` (fixed target, or exact-median when
     * None). Row-local: obs/vars untouched. */
   def normalizePerCell(target: Option[Double]): AnnData =
-    copy(x = ScMatrix.normalizePerCell(x, target))
+    copy(x = ScMatrix.normalizePerCell(x, target),
+      uns = uns :+ s"normalize_per_cell(target=${target.getOrElse("median")})")
 
   /** scanpy `pp.log1p`. */
-  def log1p(): AnnData = copy(x = ScMatrix.log1p(x))
+  def log1p(): AnnData = copy(x = ScMatrix.log1p(x), uns = uns :+ "log1p")
 
   /** scanpy `pp.scale` (z-score, clipped). */
-  def scale(maxValue: Double): AnnData = copy(x = ScMatrix.scaleZ(x, maxValue))
+  def scale(maxValue: Double): AnnData =
+    copy(x = ScMatrix.scaleZ(x, maxValue),
+      uns = uns :+ s"scale(max_value=$maxValue)")
 
   /** elementwise |x| — the counts view over signed source data. */
   def absX(): AnnData =
-    copy(x = x.withColumn("vec", transform(col("vec"), v => abs(v))))
+    copy(x = x.withColumn("vec", transform(col("vec"), v => abs(v))),
+      uns = uns :+ "abs")
 
   /** scanpy `pp.recipe_zheng17` (gene set shrinks to nTopGenes; vars is
     * reset to the new gene domain since the HVG projection re-indexes
@@ -60,7 +66,8 @@ final case class AnnData(x: DataFrame, obs: DataFrame, vars: DataFrame) {
     val r = ScMatrix.recipeZheng17(x, nTopGenes)
     val s = x.sparkSession
     AnnData(r, obs,
-      s.range(nTopGenes).select(col("id"), col("id").as("value")))
+      s.range(nTopGenes).select(col("id"), col("id").as("value")),
+      uns :+ s"recipe_zheng17(n_top_genes=$nTopGenes)")
   }
 
   /** Persist as an AnnData zarr group: X (flat spec-standard layout so
@@ -105,6 +112,16 @@ final case class AnnData(x: DataFrame, obs: DataFrame, vars: DataFrame) {
     ZarrGroup.writeGroupMarker(path)
     ZarrGroup.writeGroupMarker(s"$path/obs")
     ZarrGroup.writeGroupMarker(s"$path/var")
+    // uns: the pipeline provenance trail as root attrs (scanpy's
+    // adata.uns["log1p"]-style run metadata) — jackson-built so any
+    // future descriptor content is JSON-safe
+    if (uns.nonEmpty) {
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      val top = m.createObjectNode()
+      val arr = top.putArray("graft_pipeline")
+      uns.foreach(arr.add)
+      ZarrGroup.writeAttrs(path, m.writeValueAsString(top))
+    }
     ZarrGroup.consolidate(path)
   }
 }
@@ -157,11 +174,18 @@ object AnnData {
     val obs = frameOf(columnsUnder("obs/"), x.select(col("id")))
     val vars = frameOf(columnsUnder("var/"),
       spark.emptyDataFrame.withColumn("id", lit(0L)))
+    // uns provenance trail rides the root attrs, if a prior writeZarr
+    // recorded one
+    val uns = ZarrGroup.consolidated(path).flatMap(_.get(".zattrs"))
+      .flatMap(a => Option(a.get("graft_pipeline")))
+      .map(arr => (0 until arr.size()).map(arr.get(_).asText()))
+      .getOrElse(Nil)
     AnnData(x, obs,
       // normalize the single-member var/col_id shape back to (id, value)
       if (vars.columns.contains("col_id"))
         vars.select(col("id"), col("col_id").as("value"))
-      else vars)
+      else vars,
+      uns)
   }
 
   /** Order-preserving contiguous re-sequencing of a unique-id column:

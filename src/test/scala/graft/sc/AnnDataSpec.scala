@@ -144,6 +144,19 @@ class AnnDataSpec extends SparkSpec {
     assert(got.toSeq == vals.scanLeft(0L)(_ + _).tail)
   }
 
+  test("uns provenance trail round-trips through the root attrs") {
+    val g = graft.zarr.ZarrQueries.fixtureGroup(spark, sf)
+    val ad = AnnData.readZarr(spark, g).absX().filterCells(15, 0.15)
+      .normalizePerCell(Some(100.0)).log1p()
+    assert(ad.uns == Seq("abs", "filter_cells(min_genes=15,tau=0.15)",
+      "normalize_per_cell(target=100.0)", "log1p"))
+    val out = java.nio.file.Files.createTempDirectory("anndata_uns").toString
+    ad.writeZarr(s"$out/g")
+    assert(AnnData.readZarr(spark, s"$out/g").uns == ad.uns)
+    // a store with no trail reads back empty
+    assert(AnnData.readZarr(spark, g).uns.isEmpty)
+  }
+
   test("obsm round-trips PCA scores exactly; members() lists the slot") {
     val g = graft.zarr.ZarrQueries.fixtureGroup(spark, sf)
     val pp = AnnData.readZarr(spark, g).absX()
