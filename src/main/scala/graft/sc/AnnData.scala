@@ -59,14 +59,17 @@ final case class AnnData(x: DataFrame, obs: DataFrame, vars: DataFrame,
     copy(x = x.withColumn("vec", transform(col("vec"), v => abs(v))),
       uns = uns :+ "abs")
 
-  /** scanpy `pp.recipe_zheng17` (gene set shrinks to nTopGenes; vars is
-    * reset to the new gene domain since the HVG projection re-indexes
-    * columns). */
+  /** scanpy `pp.recipe_zheng17`. vars carries the surviving genes'
+    * ORIGINAL positions (scanpy keeps `adata.var` filtered, not
+    * renumbered): row id = the new compact column index, value = the
+    * input gene id it came from. */
   def recipeZheng17(nTopGenes: Int): AnnData = {
-    val r = ScMatrix.recipeZheng17(x, nTopGenes)
-    val s = x.sparkSession
-    AnnData(r, obs,
-      s.range(nTopGenes).select(col("id"), col("id").as("value")),
+    val (r, genes) = ScMatrix.recipeZheng17WithGenes(x, nTopGenes)
+    val newVars = genes.select(
+      (row_number().over(Window.orderBy(col("pos"))) - 1)
+        .cast("long").as("id"),
+      col("pos").cast("long").as("value"))
+    AnnData(r, obs, newVars,
       uns :+ s"recipe_zheng17(n_top_genes=$nTopGenes)")
   }
 

@@ -78,13 +78,22 @@ object ScMatrix {
   /** `filter_genes`: drop genes expressed in fewer than minCells cells.
     * minCells may be a fraction of total cells (relative) — resolved
     * declaratively via a broadcast scalar, no driver action. */
-  def filterGenes(df: DataFrame, minCellsFrac: Double, tau: Double): DataFrame = {
+  def filterGenes(df: DataFrame, minCellsFrac: Double, tau: Double): DataFrame =
+    filterGenesWithMask(df, minCellsFrac, tau)._1
+
+  /** [[filterGenes]] plus the kept INPUT gene positions (the identity
+    * trail a var-carrying caller needs) — same single stats pass, same
+    * projection plan; the second frame is the gene-count-bounded flags
+    * filtered to keep=true. */
+  def filterGenesWithMask(df: DataFrame, minCellsFrac: Double,
+                          tau: Double): (DataFrame, DataFrame) = {
     val total = df.agg(count(lit(1)).as("total"))
     val flags = geneStats(df, tau)
       .crossJoin(broadcast(total))
       .select(col("pos"),
         (col("n_cells") >= col("total") * minCellsFrac).as("keep"))
-    projectGenes(df, maskOf(flags))
+    (projectGenes(df, maskOf(flags)),
+      flags.filter(col("keep")).select(col("pos")))
   }
 
   /** `normalize_per_cell`: scale each row so its sum equals `target`
@@ -183,7 +192,13 @@ object ScMatrix {
     * single-partition window is fine at any matrix width). `binned=true`
     * uses the Zheng17 normalized-dispersion ranking (hvgZheng17). */
   def projectHvg(df: DataFrame, k: Int, tau: Double = 0.0,
-                 binned: Boolean = false): DataFrame = {
+                 binned: Boolean = false): DataFrame =
+    projectHvgWithMask(df, k, tau, binned)._1
+
+  /** [[projectHvg]] plus the kept INPUT gene positions — same flags,
+    * same plan. */
+  def projectHvgWithMask(df: DataFrame, k: Int, tau: Double = 0.0,
+                         binned: Boolean = false): (DataFrame, DataFrame) = {
     val flags = if (binned) {
       // ONE stats pass shared by the ranking and the full pos list
       val stats = geneStats(df, tau)
@@ -199,7 +214,8 @@ object ScMatrix {
         .withColumn("rk", row_number().over(w))
         .select(col("pos"), (col("rk") <= k).as("keep"))
     }
-    projectGenes(df, maskOf(flags))
+    (projectGenes(df, maskOf(flags)),
+      flags.filter(col("keep")).select(col("pos")))
   }
 
   /** `recipe_zheng17` (scanpy_spark.py::recipe_zheng17 [recalled], semantics
@@ -207,8 +223,22 @@ object ScMatrix {
     * → HVG top-k subset → re-normalize → log1p → scale(clip 10). One fused
     * Catalyst plan end-to-end — the reference needed a driver collect per
     * global stat. */
-  def recipeZheng17(df: DataFrame, nTopGenes: Int): DataFrame = {
-    val g = filterGenes(df, minCellsFrac = 0.0000001, tau = 0.0)
+  def recipeZheng17(df: DataFrame, nTopGenes: Int): DataFrame =
+    recipeZheng17WithGenes(df, nTopGenes)._1
+
+  /** [[recipeZheng17]] plus the ORIGINAL input positions of the genes
+    * that survived (filter_genes ∘ HVG), ascending — the var identity
+    * trail scanpy keeps on `adata.var` through a recipe. Composition:
+    * the HVG mask addresses the filtered matrix's compact gene space,
+    * so its positions are looked up in the rank-ordered filter
+    * survivors (both frames gene-count-bounded; the window is the
+    * benign bounded-stats single-partition class). The matrix plan is
+    * IDENTICAL to the mask-less recipe — the trail is an extra bounded
+    * output, not a rewrite (q_sc_recipe's oracle re-proves that every
+    * gate). */
+  def recipeZheng17WithGenes(df: DataFrame,
+                             nTopGenes: Int): (DataFrame, DataFrame) = {
+    val (g, keptF) = filterGenesWithMask(df, minCellsFrac = 0.0000001, tau = 0.0)
     // persist the normalized matrix: it feeds BOTH the HVG stats pass and
     // the projection — without this the whole upstream recipe re-runs per
     // consumer (at cluster scale: MEMORY_AND_DISK, spills instead of OOM).
@@ -217,9 +247,17 @@ object ScMatrix {
     // spark.sharedState.cacheManager.clearCache() between runs
     val n = normalizePerCell(g, None)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val h = projectHvg(n, nTopGenes, binned = true)
+    val (h, keptH) = projectHvgWithMask(n, nTopGenes, binned = true)
     val n2 = normalizePerCell(h, None)
     val l = log1p(n2)
-    scaleZ(l, maxValue = 10.0)
+    // compact-space HVG positions → original positions via the filter
+    // survivors in ascending-pos order (compact index = rank)
+    val ranked = keptF.withColumn("cidx",
+      row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("pos"))) - 1)
+    val genes = keptH.select(col("pos").as("cidx"))
+      .join(ranked, "cidx")
+      .select(col("pos"))
+    (scaleZ(l, maxValue = 10.0), genes)
   }
 }

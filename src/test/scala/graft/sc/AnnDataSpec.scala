@@ -144,6 +144,33 @@ class AnnDataSpec extends SparkSpec {
     assert(got.toSeq == vals.scanLeft(0L)(_ + _).tail)
   }
 
+  test("recipe gene trail: vars carries the true original positions") {
+    val counts = ScMatrix.counts(spark, sf)
+    val k = 16
+    val (_, genes) = ScMatrix.recipeZheng17WithGenes(counts, k)
+    val got = genes.collect().map(_.getInt(0)).sorted.toSeq
+    // independent recomposition from the public primitives: the filter
+    // survivors in ascending order, indexed by the HVG picks over the
+    // SAME normalized matrix
+    val keptF = ScMatrix.geneStats(counts, 0.0)
+      .filter(col("n_cells") >= 1).select("pos")
+      .collect().map(_.getInt(0)).sorted
+    val n = ScMatrix.normalizePerCell(
+      ScMatrix.filterGenes(counts, 0.0000001, 0.0), None)
+    val hvgCompact = ScMatrix.hvgZheng17(n, k)
+      .collect().map(_.getInt(0)).toSeq
+    val expected = hvgCompact.map(keptF(_)).sorted
+    assert(got == expected && got.size == k)
+    // the facade threads it into vars (id = compact index, value = original)
+    val ad = AnnData(counts, counts.select(col("id")),
+      spark.range(64).select(col("id"), col("id").as("value")))
+      .recipeZheng17(k)
+    val varsGot = ad.vars.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(varsGot.map(_._1) == (0L until k))
+    assert(varsGot.map(_._2.toInt) == got)
+  }
+
   test("uns provenance trail round-trips through the root attrs") {
     val g = graft.zarr.ZarrQueries.fixtureGroup(spark, sf)
     val ad = AnnData.readZarr(spark, g).absX().filterCells(15, 0.15)
