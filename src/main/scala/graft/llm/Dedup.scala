@@ -271,6 +271,44 @@ object Dedup {
       tokenSets(Tables.documents(s, d).filter(col("doc_id") < 100)), 0.95)
       .orderBy("id1", "id2")
 
+  /** ONE-SIDED containment pairs: |A∩B| / |A| ≥ tau with |A| ≥
+    * minTokens — the asymmetric rung of the near-dup family. Jaccard
+    * misses a short document wholly QUOTED inside a long one (the
+    * union dilutes the ratio below any near-dup threshold); containment
+    * is exactly the quote/subset witness, and the reason dedup
+    * pipelines run it beside the symmetric pass. Same relational shape
+    * as [[jaccardPairs]]: token-keyed equi-join (8-byte md5Hash60
+    * shuffle keys), never all-pairs; at corpus scale the candidate
+    * stage would be the asymmetric-LSH analogue, here the block bound
+    * plays that role. Direction matters: (a contained-in b) and (b
+    * contained-in a) are separate rows, each judged by its own side's
+    * size. */
+  def containmentPairs(tok: DataFrame, tau: Double,
+                       minTokens: Int): DataFrame = {
+    val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val left = tok.select(col("doc_id").as("id_a"), md5Hash60(col("t")).as("th"))
+    val right = tok.select(col("doc_id").as("id_b"), md5Hash60(col("t")).as("th"))
+    left.join(right, Seq("th")).filter(col("id_a") =!= col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("x"))
+      .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")), Seq("id_a"))
+      .filter(col("na") >= minTokens)
+      .withColumn("containment",
+        round(col("x").cast("double") / col("na") + lit(1e-9), 4))
+      .filter(col("containment") >= tau)
+      .select(col("id_a").as("contained_id"), col("id_b").as("container_id"),
+        col("containment"))
+  }
+
+  /** `q_dedup_containment`: one-sided containment ≥ 0.95 over the
+    * bounded oracle block, contained side ≥ 20 distinct tokens (the
+    * tiny-set guard — the fixture vocabulary is ~40 tokens, so
+    * unguarded small sets are trivially contained everywhere). */
+  def dedupContainment(s: SparkSession, d: String): DataFrame =
+    containmentPairs(
+      tokenSets(Tables.documents(s, d).filter(col("doc_id") < 100)),
+      tau = 0.95, minTokens = 20)
+      .orderBy("contained_id", "container_id")
+
   // -------------------------------------------------------- minhash lsh --
 
   /** (doc_id, band, bh) MinHash band-hash buckets — ONE definition shared
@@ -610,6 +648,7 @@ object Dedup {
     "q_dedup_incremental" -> dedupIncremental _,
     "q_dedup_simhash" -> dedupSimhash _,
     "q_dedup_ngram"   -> dedupNgram _,
+    "q_dedup_containment" -> dedupContainment _,
     "q_dedup_minhash" -> dedupMinhash _,
     "q_dedup_editdist" -> dedupEditDistance _,
     "q_split_leakage" -> splitLeakage _,
@@ -811,6 +850,22 @@ object Dedup {
                     JOIN sizes s2 ON s2.doc_id = id2
          WHERE round(CAST(x AS DOUBLE) / (s1.n + s2.n - x) + 1e-9, 4) >= 0.95
          ORDER BY id1, id2""",
+    // the asymmetric twin of q_dedup_ngram: |A∩B| / |A|, directed
+    // pairs, tiny-set guard
+    "q_dedup_containment" ->
+      """WITH tok AS (SELECT DISTINCT doc_id, unnest(str_split(text, ' ')) AS t
+                      FROM documents WHERE doc_id < 100),
+         sizes AS (SELECT doc_id, count(1) AS n FROM tok GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(1) AS x
+                   FROM tok a JOIN tok b
+                     ON a.t = b.t AND a.doc_id <> b.doc_id
+                   GROUP BY 1, 2)
+         SELECT id_a AS contained_id, id_b AS container_id,
+                round(CAST(x AS DOUBLE) / s.n + 1e-9, 4) AS containment
+         FROM inter JOIN sizes s ON s.doc_id = id_a
+         WHERE s.n >= 20
+           AND round(CAST(x AS DOUBLE) / s.n + 1e-9, 4) >= 0.95
+         ORDER BY 1, 2""",
     "q_dedup_ngram" ->
       """WITH tok AS (SELECT DISTINCT doc_id, unnest(str_split(text, ' ')) AS t
                       FROM documents WHERE doc_id < 100),

@@ -78,6 +78,25 @@ class DedupSpec extends SparkSpec {
     assert(ham(0L, 5L) < ham(0L, 3L))
   }
 
+  test("containment: a quoted subset scores 1.0 one-way; direction is asymmetric") {
+    // doc 10's tokens are a strict subset of doc 11's (a quote inside a
+    // longer doc); Jaccard = 5/9 ≈ 0.56 would miss it at any near-dup tau
+    val quote = Seq(
+      (10L, "alpha beta gamma delta epsilon"),
+      (11L, "alpha beta gamma delta epsilon zeta eta theta iota"),
+      (12L, "unrelated words entirely different content here now"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(Dedup.tokenSets(quote),
+        tau = 0.95, minTokens = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(pairs == Seq((10L, 11L, 1.0))) // 10 ⊂ 11 only; never 11 → 10
+    // the symmetric pass indeed misses it
+    assert(Dedup.jaccardPairs(Dedup.tokenSets(quote), 0.95).count() == 0)
+    // tiny-set guard: below minTokens nothing is emitted
+    assert(Dedup.containmentPairs(Dedup.tokenSets(quote),
+      tau = 0.95, minTokens = 6).count() == 0)
+  }
+
   test("minhash-lsh finds the exact and near dup pairs (high tau)") {
     val pairs = Dedup.minHashPairs(docs, numHashes = 32, bands = 16, tau = 0.6)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
