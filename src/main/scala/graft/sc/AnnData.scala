@@ -91,25 +91,33 @@ final case class AnnData(x: DataFrame, obs: DataFrame, vars: DataFrame,
     } else
       x2.write.format("zarr").option("chunk_rows", chunkRows)
         .option("commit", "rename").mode("overwrite").save(s"$path/X")
+    // every obs column in ONE batched member write (one count + one
+    // shuffle — the lifecycle queries used to pay one Spark job per
+    // member); string widths for all |S columns come from one agg job
+    val obsCols = obs.schema.fields.filter(_.name != "id")
     val obs2 = obs.join(map, "id")
-    obs.schema.fields.filter(_.name != "id").foreach { f =>
-      val colDf = obs2.select(col("new_id").as("id"), col(f.name).as("value"))
+      .select(col("new_id").as("id") +: obsCols.map(f => col(f.name)): _*)
+    val strCols = obsCols.filter(_.dataType == StringType).map(_.name)
+    val widths: Map[String, Int] =
+      if (strCols.isEmpty) Map.empty
+      else {
+        val r = obs2.agg(
+          coalesce(max(octet_length(col(strCols.head))), lit(1)),
+          strCols.tail.map(c =>
+            coalesce(max(octet_length(col(c))), lit(1))): _*).head
+        strCols.zipWithIndex.map { case (c, i) => c -> r.getInt(i) }.toMap
+      }
+    val memberSpecs = obsCols.map { f =>
       f.dataType match {
-        case IntegerType => ZarrGroup.write1(colDf, s"$path/obs/${f.name}",
-          chunk = chunkRows, dtype = "<i4")
-        case LongType => ZarrGroup.write1(colDf, s"$path/obs/${f.name}",
-          chunk = chunkRows, dtype = "<i8")
-        case DoubleType => ZarrGroup.write1(colDf, s"$path/obs/${f.name}",
-          chunk = chunkRows, dtype = "<f8")
-        case StringType =>
-          val w = colDf.agg(coalesce(max(octet_length(col("value"))), lit(1)))
-            .head.getInt(0)
-          ZarrGroup.write1(colDf, s"$path/obs/${f.name}",
-            chunk = chunkRows, dtype = s"|S$w")
+        case IntegerType => f.name -> "<i4"
+        case LongType => f.name -> "<i8"
+        case DoubleType => f.name -> "<f8"
+        case StringType => f.name -> s"|S${widths(f.name)}"
         case other => throw new IllegalArgumentException(
           s"obs column ${f.name}: unsupported zarr dtype for $other")
       }
-    }
+    }.toSeq
+    ZarrGroup.writeMembers(obs2, s"$path/obs", memberSpecs, chunk = chunkRows)
     ZarrGroup.write1(vars.select(col("id"), col("value")),
       s"$path/var/col_id", chunk = chunkRows, dtype = "<i8")
     ZarrGroup.writeGroupMarker(path)
@@ -205,6 +213,13 @@ object AnnData {
     if (st.getLong(2) == 0L)
       return ids.select(col("id"), col("id").as("new_id")).limit(0)
     val (lo, hi) = (st.getLong(0), st.getLong(1))
+    // the double-based bucket function is only order-preserving for
+    // |id| < 2^53 (and hi-lo+1 must not overflow) — out-of-contract id
+    // domains (hash-derived int64) must fail loudly, not reorder rows
+    // (ADVICE r9)
+    require(math.abs(lo) < (1L << 53) && math.abs(hi) < (1L << 53),
+      s"reindexMap: id domain [$lo, $hi] outside ±2^53 — the range-bucket " +
+        "rank is not order-preserving there; pre-rank such ids explicitly")
     val nBuckets = math.max(1, s.sparkContext.defaultParallelism * 4)
     val span = math.max(1.0, (hi - lo + 1).toDouble)
     val bucketed = ids.withColumn("b",

@@ -4,7 +4,7 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import com.fasterxml.jackson.databind.node.ObjectNode
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path => HPath}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import java.nio.{ByteBuffer, ByteOrder}
 
@@ -36,9 +36,12 @@ import java.nio.{ByteBuffer, ByteOrder}
   */
 object ZarrGroup extends Serializable {
 
-  /** 1-D member-array metadata. `sWidth` > 0 iff dtype is `|S{sWidth}`. */
+  /** 1-D member-array metadata. `sWidth` > 0 iff dtype is `|S{sWidth}`.
+    * `fill` is the store's declared fill_value as text ("0" written by
+    * this layer; external stores may declare anything — honored when
+    * synthesizing missing chunks, never silently zeroed). */
   case class Zarr1Meta(n: Long, chunk: Int, dtype: String,
-                       compressor: Option[String]) {
+                       compressor: Option[String], fill: String = "0") {
     require(chunk > 0, "chunk must be positive")
     val sWidth: Int =
       if (dtype.startsWith("|S")) dtype.drop(2).toInt else 0
@@ -51,15 +54,39 @@ object ZarrGroup extends Serializable {
         s"unsupported 1-D zarr dtype $other (supported: <i4 <i8 <f8 |S{w})")
     }
     def numChunks: Long = (n + chunk - 1) / chunk
+    /** int dtype (long-typed write/read path), vs <f8 (double) / |S. */
+    def isInt: Boolean = dtype == "<i4" || dtype == "<i8"
+    /** A decompressed chunk's bytes when the chunk object is absent —
+      * legal sparse zarr, every element = fill_value. The external-store
+      * case the zero-byte shortcut used to get wrong for fill != 0. */
+    def fillChunkBytes: Array[Byte] = {
+      val raw = new Array[Byte](chunk * bytesPerElem)
+      if (sWidth == 0 && fill != "0" && fill != "0.0") {
+        val buf = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
+        var k = 0
+        dtype match {
+          case "<i4" =>
+            val v = fill.toDouble.toInt
+            while (k < chunk) { buf.putInt(k * 4, v); k += 1 }
+          case "<i8" =>
+            val v = fill.toDouble.toLong
+            while (k < chunk) { buf.putLong(k * 8, v); k += 1 }
+          case _ =>
+            val v = fill.toDouble
+            while (k < chunk) { buf.putDouble(k * 8, v); k += 1 }
+        }
+      }
+      raw
+    }
     def metaJson: String = {
       val comp = compressor match {
         case Some("zlib") => """{"id":"zlib","level":5}"""
         case _ => "null"
       }
-      val fill = if (sWidth > 0) "\"\"" else "0"
+      val fillJson = if (sWidth > 0) "\"\"" else fill
       s"""{"zarr_format":2,"shape":[$n],"chunks":[$chunk],""" +
         s""""dtype":"$dtype","compressor":$comp,""" +
-        s""""fill_value":$fill,"order":"C","filters":null}"""
+        s""""fill_value":$fillJson,"order":"C","filters":null}"""
     }
   }
 
@@ -103,9 +130,23 @@ object ZarrGroup extends Serializable {
         case other => throw new IllegalArgumentException(
           s"unsupported zarr compressor $other (supported: zlib, null)")
       }
+    // fill_value: honored for numeric dtypes (fillChunkBytes); a
+    // non-empty STRING fill has no sane |S synthesis — fail loudly
+    // instead of decoding an external store wrong (ADVICE r9). null
+    // fill (zarr's "undefined") keeps the 0/"" convention.
+    val fillNode = node.get("fill_value")
+    val dtype = node.get("dtype").asText()
+    val fill =
+      if (fillNode == null || fillNode.isNull) "0"
+      else {
+        val t = fillNode.asText()
+        if (dtype.startsWith("|S"))
+          require(t.isEmpty, s"non-empty |S fill_value '$t' unsupported")
+        t
+      }
     Zarr1Meta(node.get("shape").get(0).asLong(),
       node.get("chunks").get(0).asInt(),
-      node.get("dtype").asText(), compId)
+      dtype, compId, if (dtype.startsWith("|S")) "0" else fill)
   }
 
   def read1Meta(path: String,
@@ -127,7 +168,10 @@ object ZarrGroup extends Serializable {
         case "<i8" => buf.putLong(k * 8, vals(k).asInstanceOf[Number].longValue())
         case "<f8" => buf.putDouble(k * 8, vals(k).asInstanceOf[Number].doubleValue())
         case _ =>
-          val b = vals(k).asInstanceOf[String].getBytes("US-ASCII")
+          // UTF-8 both ways (AnnData.writeZarr sizes |S with UTF-8
+          // octet_length; ASCII encode would map non-ASCII to '?' and
+          // round-trip silently corrupted — ADVICE r9)
+          val b = vals(k).asInstanceOf[String].getBytes("UTF-8")
           require(b.length <= meta.sWidth,
             s"string '${vals(k)}' exceeds |S${meta.sWidth}")
           System.arraycopy(b, 0, raw, k * meta.sWidth, b.length)
@@ -173,9 +217,15 @@ object ZarrGroup extends Serializable {
       try out.write(bytes) finally out.close()
       vals.length
     }
+    // 0 rows is a legal member (e.g. writeZarr after filterCells kept
+    // nothing): metadata only, no chunk job — .reduce on the empty
+    // grouped dataset would throw (ADVICE r9)
+    if (n == 0L) return meta
     // the same equi-shuffle-on-band shape as ZarrSink.writeMatrix: each
     // executor writes its own chunk objects; typed per dtype family so
-    // the shuffle rows stay primitive-encoded
+    // the shuffle rows stay primitive-encoded — int dtypes shuffle as
+    // (Long, Long), NOT through double, so int64 ids beyond 2^53
+    // (hashes, snowflake ids) write exactly (ADVICE r9)
     val written =
       if (meta.sWidth > 0)
         df.select(col("id").cast("long"), col("value").cast("string"))
@@ -184,6 +234,13 @@ object ZarrGroup extends Serializable {
           .mapGroups((band: Long, rows: Iterator[(Long, String)]) =>
             writeBand(band, rows.map { case (i, v) =>
               (i, (if (v == null) "" else v): Any) }.toArray))
+          .reduce(_ + _)
+      else if (meta.isInt)
+        df.select(col("id").cast("long"), col("value").cast("long"))
+          .as[(Long, Long)]
+          .groupByKey(_._1 / chunk)
+          .mapGroups((band: Long, rows: Iterator[(Long, Long)]) =>
+            writeBand(band, rows.map { case (i, v) => (i, v: Any) }.toArray))
           .reduce(_ + _)
       else
         df.select(col("id").cast("long"), col("value").cast("double"))
@@ -196,12 +253,96 @@ object ZarrGroup extends Serializable {
     meta
   }
 
+  /** Batched 1-D member write: k same-row-domain annotation columns in
+    * ONE count + ONE shuffle (vs k jobs of [[write1]] — the AnnData
+    * obs frame's write cost was k× this). `df` is (id BIGINT 0..n-1,
+    * <one column per member>); `members` maps column name -> dtype.
+    * Rows shuffle to band-keyed partitions once; each partition emits
+    * every member's chunk object for its bands. Same typed-path rules
+    * as write1 (ints as long — never through double; strings UTF-8). */
+  def writeMembers(df: DataFrame, basePath: String,
+                   members: Seq[(String, String)], chunk: Int,
+                   zlib: Boolean = true): Map[String, Zarr1Meta] = {
+    if (members.isEmpty) return Map.empty
+    val spark = df.sparkSession
+    import spark.implicits._
+    val n = df.count()
+    val metas: Array[Zarr1Meta] = members.map { case (_, dtype) =>
+      Zarr1Meta(n, chunk, dtype, if (zlib) Some("zlib") else None) }.toArray
+    val names: Array[String] = members.map(_._1).toArray
+    members.zip(metas).foreach { case ((name, _), meta) =>
+      val (fs, p) = fsOf(s"$basePath/$name", ZarrIO.hadoopConf())
+      fs.mkdirs(p)
+      writeUtf8(fs, new HPath(p, ".zarray"), meta.metaJson)
+    }
+    if (n == 0L) return names.zip(metas).toMap
+    val sconf = new SerializableHadoopConf(
+      spark.sparkContext.hadoopConfiguration)
+    val proj = col("id").cast("long").as("id") +:
+      members.zip(metas).map { case ((name, _), meta) =>
+        val c = col(name)
+        (if (meta.sWidth > 0) c.cast("string")
+         else if (meta.isInt) c.cast("long") else c.cast("double")).as(name)
+      }
+    val k = names.length
+    val written = df.select(proj: _*)
+      .repartition(col("id").divide(lit(chunk)).cast("long"))
+      .sortWithinPartitions("id")
+      .mapPartitions { rows =>
+        var count = 0L
+        var band = -1L
+        var lo = 0L
+        var len = 0
+        var bufs: Array[Array[Any]] = null
+        def flush(): Unit = if (band >= 0) {
+          var j = 0
+          while (j < k) {
+            require(!bufs(j).contains(null),
+              s"member ${names(j)} band $band has missing ids or null values")
+            val bytes = encodeChunk(metas(j), bufs(j))
+            val (bfs, bp) = fsOf(s"$basePath/${names(j)}", sconf.value)
+            val out = bfs.create(new HPath(bp, band.toString), true)
+            try out.write(bytes) finally out.close()
+            j += 1
+          }
+        }
+        rows.foreach { row =>
+          val id = row.getLong(0)
+          val b = id / chunk
+          if (b != band) {
+            flush()
+            band = b
+            lo = b * chunk
+            len = math.min(chunk.toLong, n - lo).toInt
+            bufs = Array.fill(k)(new Array[Any](len))
+          }
+          val off = (id - lo).toInt
+          require(off >= 0 && off < len, s"id $id outside 0..${n - 1}")
+          var j = 0
+          while (j < k) {
+            bufs(j)(off) =
+              if (metas(j).sWidth > 0) {
+                val s = row.getString(j + 1); if (s == null) "" else s
+              } else if (row.isNullAt(j + 1)) null
+              else if (metas(j).isInt) row.getLong(j + 1)
+              else row.getDouble(j + 1)
+            j += 1
+          }
+          count += 1L
+        }
+        flush()
+        Iterator.single(count)
+      }(Encoders.scalaLong).reduce(_ + _)
+    require(written == n, s"zarr member write: $written of $n rows written")
+    names.zip(metas).toMap
+  }
+
   // -------------------------------------------------------------- read --
 
   /** Distributed 1-D array read: one Spark partition per chunk band,
     * (idx, value) rows; value is BIGINT for int dtypes, DOUBLE for <f8,
-    * STRING (NUL-stripped ASCII) for |S. A missing chunk object is legal
-    * zarr — fill (0 / "") everywhere. */
+    * STRING (NUL-stripped UTF-8) for |S. A missing chunk object is legal
+    * zarr — every element takes the store's declared fill_value. */
   def read1(spark: SparkSession, path: String, meta: Zarr1Meta): DataFrame = {
     import spark.implicits._
     val sconf = new SerializableHadoopConf(
@@ -225,7 +366,7 @@ object ZarrGroup extends Serializable {
           case Some("zlib") => ZarrIO.inflate(r, mChunk * meta.bytesPerElem)
           case _ => r
         }
-        case None => new Array[Byte](mChunk * meta.bytesPerElem) // fill
+        case None => meta.fillChunkBytes // absent chunk = fill_value
       }
     }
     val base = spark.range(0, nChunks, 1, nChunks.toInt)
@@ -237,7 +378,9 @@ object ZarrGroup extends Serializable {
         (0 until math.min(mChunk.toLong, mN - lo).toInt).iterator.map { k =>
           var end = (k + 1) * w
           while (end > k * w && bytes(end - 1) == 0) end -= 1
-          (lo + k, new String(bytes, k * w, end - k * w, "US-ASCII"))
+          // UTF-8 (matches encodeChunk; multibyte UTF-8 never contains
+          // 0x00, so the trailing-NUL strip cannot split a character)
+          (lo + k, new String(bytes, k * w, end - k * w, "UTF-8"))
         }
       }.toDF("idx", "value")
     } else if (meta.dtype == "<f8") {

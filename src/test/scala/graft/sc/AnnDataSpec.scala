@@ -201,6 +201,15 @@ class AnnDataSpec extends SparkSpec {
     assert(stored == direct) // <f8 members: bit-exact round-trip
   }
 
+  test("reindexMap rejects id domains beyond ±2^53 loudly") {
+    // beyond 2^53 the double bucket function stops being order-
+    // preserving — silent row reorder; the contract is a loud failure
+    val e = intercept[IllegalArgumentException] {
+      AnnData.reindexMap(Seq(0L, (1L << 53) + 3).toDF("id")).collect()
+    }
+    assert(e.getMessage.contains("2^53"))
+  }
+
   test("reindex never plans a global single-partition window") {
     val plan = planOf(AnnData.reindexMap(spark.range(100).toDF("id")))
     // the only Window in the reindex is partitioned by bucket

@@ -135,6 +135,115 @@ class ZarrGroupSpec extends SparkSpec {
     assert(e.getMessage.contains(".zmetadata"))
   }
 
+  test("<i8 round-trips int64 beyond 2^53 exactly (typed long path)") {
+    val dir = tmp()
+    // 2^53 + k is not representable as double for odd k — the old
+    // cast("double") shuffle rounded these silently
+    val base = (1L << 53) + 1
+    val df = spark.range(10).select(col("id"),
+      (col("id") * 7 + base).as("value"))
+    ZarrGroup.write1(df, s"$dir/a", chunk = 4, dtype = "<i8")
+    val got = ZarrGroup.read1(spark, s"$dir/a", ZarrGroup.read1Meta(s"$dir/a"))
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == (0 until 10).map(i => (i.toLong, i * 7L + base)))
+  }
+
+  test("external store's non-zero fill_value is honored for missing chunks") {
+    val dir = tmp()
+    val df = spark.range(100).select(col("id"), (col("id") + 1).as("value"))
+    ZarrGroup.write1(df, s"$dir/a", chunk = 50, dtype = "<i8", zlib = false)
+    // rewrite the metadata as an external writer with fill_value = 7
+    // would, then drop chunk 1: its elements must read back as 7, not 0
+    val metaP = java.nio.file.Paths.get(s"$dir/a/.zarray")
+    val ext = new String(Files.readAllBytes(metaP), "UTF-8")
+      .replace("\"fill_value\":0", "\"fill_value\":7")
+    Files.write(metaP, ext.getBytes("UTF-8"))
+    new File(s"$dir/a/..zarray.crc").delete() // out-of-band edit: drop sidecar
+    assert(new File(s"$dir/a/1").delete())
+    val meta = ZarrGroup.read1Meta(s"$dir/a")
+    assert(meta.fill == "7")
+    val got = ZarrGroup.read1(spark, s"$dir/a", meta)
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(got.take(50).toSeq == (0 until 50).map(i => (i.toLong, i + 1L)))
+    assert(got.drop(50).forall(_._2 == 7L))
+    // a non-empty |S fill has no sane synthesis — loud failure
+    val sDir = tmp()
+    ZarrGroup.write1(spark.range(4).select(col("id"),
+      lit("ab").as("value")), s"$sDir/s", chunk = 4, dtype = "|S2")
+    val sMetaP = java.nio.file.Paths.get(s"$sDir/s/.zarray")
+    val sExt = new String(Files.readAllBytes(sMetaP), "UTF-8")
+      .replace("\"fill_value\":\"\"", "\"fill_value\":\"zz\"")
+    Files.write(sMetaP, sExt.getBytes("UTF-8"))
+    new File(s"$sDir/s/..zarray.crc").delete()
+    val e = intercept[IllegalArgumentException] {
+      ZarrGroup.read1Meta(s"$sDir/s")
+    }
+    assert(e.getMessage.contains("fill_value"))
+  }
+
+  test("|S strings are UTF-8: non-ASCII round-trips byte-exactly") {
+    val dir = tmp()
+    // 'é' = 2 UTF-8 bytes, '≈' = 3 — width must count octets, and the
+    // decode side must parse them back (ASCII would yield '?')
+    val df = spark.createDataFrame(Seq((0L, "é"), (1L, "a≈b"), (2L, "ok")))
+      .toDF("id", "value")
+    ZarrGroup.write1(df, s"$dir/s", chunk = 2, dtype = "|S5")
+    val got = ZarrGroup.read1(spark, s"$dir/s", ZarrGroup.read1Meta(s"$dir/s"))
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(0L -> "é", 1L -> "a≈b", 2L -> "ok"))
+    // oversize in BYTES (not chars) still fails loudly: "éé" = 4 > 3
+    val e = intercept[org.apache.spark.SparkException] {
+      ZarrGroup.write1(
+        spark.createDataFrame(Seq((0L, "éé"))).toDF("id", "value"),
+        s"$dir/w", chunk = 2, dtype = "|S3")
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("0-row member writes metadata only and reads back empty") {
+    val dir = tmp()
+    val empty = spark.range(0).select(col("id"), col("id").as("value"))
+    val meta = ZarrGroup.write1(empty, s"$dir/e", chunk = 8, dtype = "<i8")
+    assert(meta.n == 0 && meta.numChunks == 0)
+    assert(new File(s"$dir/e/.zarray").exists())
+    assert(ZarrGroup.read1(spark, s"$dir/e",
+      ZarrGroup.read1Meta(s"$dir/e")).count() == 0)
+  }
+
+  test("writeMembers: k columns in one job == k write1 results, all dtypes") {
+    val dir = tmp()
+    val n = 257
+    val df = spark.range(n).select(col("id"),
+      (col("id") * 3).as("ln"),
+      (col("id") - 5).cast("int").as("in"),
+      (col("id") / 7.0).as("dn"),
+      concat(lit("é"), col("id")).as("sn"))
+    val metas = ZarrGroup.writeMembers(df, s"$dir/g",
+      Seq("ln" -> "<i8", "in" -> "<i4", "dn" -> "<f8", "sn" -> "|S6"),
+      chunk = 100)
+    assert(metas.keySet == Set("ln", "in", "dn", "sn"))
+    assert(metas("ln").numChunks == 3)
+    val ln = ZarrGroup.read1(spark, s"$dir/g/ln",
+      ZarrGroup.read1Meta(s"$dir/g/ln")).as[(Long, Long)].collect().sortBy(_._1)
+    assert(ln.toSeq == (0 until n).map(i => (i.toLong, i * 3L)))
+    val in2 = ZarrGroup.read1(spark, s"$dir/g/in",
+      ZarrGroup.read1Meta(s"$dir/g/in")).as[(Long, Long)].collect().sortBy(_._1)
+    assert(in2.toSeq == (0 until n).map(i => (i.toLong, i - 5L)))
+    val dn = ZarrGroup.read1(spark, s"$dir/g/dn",
+      ZarrGroup.read1Meta(s"$dir/g/dn")).as[(Long, Double)].collect().sortBy(_._1)
+    assert(dn.toSeq == (0 until n).map(i => (i.toLong, i / 7.0)))
+    val sn = ZarrGroup.read1(spark, s"$dir/g/sn",
+      ZarrGroup.read1Meta(s"$dir/g/sn")).as[(Long, String)].collect().sortBy(_._1)
+    assert(sn.toSeq == (0 until n).map(i => (i.toLong, s"é$i")))
+    // a missing id fails loudly, naming the member
+    val gap = spark.range(n).filter(col("id") =!= 17)
+      .select(col("id"), col("id").as("v"))
+    val e = intercept[org.apache.spark.SparkException] {
+      ZarrGroup.writeMembers(gap, s"$dir/g2", Seq("v" -> "<i8"), chunk = 100)
+    }
+    assert(e.getMessage != null)
+  }
+
   test("q_zarr_anndata runs and groups every label") {
     val out = ZarrQueries.zarrAnndata(spark, sf).collect()
     assert(out.length == 10) // labels 0..9
