@@ -28,16 +28,20 @@ import graft.zarr.ZarrGroup
   * (range-bucket + per-bucket offsets + keyed row_number — never one
   * global window partition). */
 final case class AnnData(x: DataFrame, obs: DataFrame, vars: DataFrame,
-                         uns: Seq[String] = Nil) {
+                         uns: Seq[String] = Nil,
+                         layers: Map[String, DataFrame] = Map.empty) {
 
   /** scanpy `pp.filter_cells`: keep cells with >= minGenes entries
     * above tau; annotates obs with the n_genes column (the scanpy
-    * side-effect) and keeps obs aligned to the surviving cells. */
+    * side-effect) and keeps obs AND every layer aligned to the
+    * surviving cells (scanpy subsets `adata.layers` along obs too). */
   def filterCells(minGenes: Int, tau: Double): AnnData = {
     val fx = ScMatrix.filterCells(x, minGenes, tau)
     val newObs = obs.join(fx.select(col("id"), col("n_genes")), "id")
+    val keep = fx.select(col("id"))
     AnnData(fx.drop("n_genes"), newObs, vars,
-      uns :+ s"filter_cells(min_genes=$minGenes,tau=$tau)")
+      uns :+ s"filter_cells(min_genes=$minGenes,tau=$tau)",
+      layers.map { case (n, df) => n -> df.join(keep, Seq("id"), "left_semi") })
   }
 
   /** scanpy `pp.normalize_per_cell` (fixed target, or exact-median when
@@ -64,6 +68,12 @@ final case class AnnData(x: DataFrame, obs: DataFrame, vars: DataFrame,
     * renumbered): row id = the new compact column index, value = the
     * input gene id it came from. */
   def recipeZheng17(nTopGenes: Int): AnnData = {
+    // the recipe re-selects the gene axis; layer matrices are aligned
+    // per-gene, and silently carrying stale-width layers would corrupt
+    // downstream reads — reject loudly (scanpy subsets layers in-place;
+    // a caller who needs that applies the vars trail to each layer)
+    require(layers.isEmpty,
+      "recipeZheng17 changes the gene axis; drop or re-select layers first")
     val (r, genes) = ScMatrix.recipeZheng17WithGenes(x, nTopGenes)
     val newVars = genes.select(
       (row_number().over(Window.orderBy(col("pos"))) - 1)
@@ -120,6 +130,16 @@ final case class AnnData(x: DataFrame, obs: DataFrame, vars: DataFrame,
     ZarrGroup.writeMembers(obs2, s"$path/obs", memberSpecs, chunk = chunkRows)
     ZarrGroup.write1(vars.select(col("id"), col("value")),
       s"$path/var/col_id", chunk = chunkRows, dtype = "<i8")
+    // layers: alternative value matrices on the same (obs × var) axes —
+    // each rides the same DSv2 sink as X, through the same id reindex
+    // so every layer stays row-aligned with X in the store
+    layers.foreach { case (name, df) =>
+      df.join(map, "id").select(col("new_id").as("row_id"), col("vec"))
+        .write.format("zarr").option("chunk_rows", chunkRows)
+        .option("commit", "rename").mode("overwrite")
+        .save(s"$path/layers/$name")
+    }
+    if (layers.nonEmpty) ZarrGroup.writeGroupMarker(s"$path/layers")
     ZarrGroup.writeGroupMarker(path)
     ZarrGroup.writeGroupMarker(s"$path/obs")
     ZarrGroup.writeGroupMarker(s"$path/var")
@@ -191,12 +211,20 @@ object AnnData {
       .flatMap(a => Option(a.get("graft_pipeline")))
       .map(arr => (0 until arr.size()).map(arr.get(_).asText()))
       .getOrElse(Nil)
+    // layers: every 2-D member under layers/ opens through the DSv2
+    // source, lazily (a layer a query never touches costs nothing)
+    val layerNames = ms.filter(_.startsWith("layers/"))
+      .map(_.stripPrefix("layers/")).filterNot(_.contains("/"))
+    val layers = layerNames.map { n =>
+      n -> spark.read.format("zarr").load(s"$path/layers/$n")
+        .select(col("row_id").as("id"), col("vec"))
+    }.toMap
     AnnData(x, obs,
       // normalize the single-member var/col_id shape back to (id, value)
       if (vars.columns.contains("col_id"))
         vars.select(col("id"), col("col_id").as("value"))
       else vars,
-      uns)
+      uns, layers)
   }
 
   /** Order-preserving contiguous re-sequencing of a unique-id column:
@@ -379,6 +407,33 @@ object AnnData {
       .select(col("minor").as("id"), col("major").as("gene"),
         col("v").as("value"))
 
+  /** Write an `obsp/<name>` member — AnnData's pairwise-graph slot
+    * (scanpy's `pp.neighbors` stores the kNN graph as
+    * `obsp["distances"]`/`["connectivities"]`): a sparse n_obs×n_obs
+    * CSR member group through the same distributed compressed-axis
+    * writer as the sparse X ([[writeCompressed]] — order-preserving
+    * element rank + prefix-sum indptr, never a driver materialization).
+    * `edges` is the COO (id, nbr, value) with both axes in the group's
+    * 0..n-1 row domain; re-consolidates so `.zmetadata` stays the TOC. */
+  def writeObsp(edges: DataFrame, groupPath: String, name: String,
+                n: Long, chunk: Int = 4096): Unit = {
+    writeCompressed(
+      edges.select(col("id").cast("long").as("major"),
+        col("nbr").cast("long").as("minor"), col("value").as("v")),
+      n, n, s"$groupPath/obsp/$name", "csr_matrix", (n, n), chunk)
+    ZarrGroup.writeGroupMarker(s"$groupPath/obsp")
+    ZarrGroup.writeGroupMarker(s"$groupPath/obsp/$name")
+    ZarrGroup.consolidate(groupPath)
+  }
+
+  /** Read an `obsp/<name>` member back as COO (id, nbr, value) —
+    * the same distributed interval-join decode as the sparse X. */
+  def readObsp(spark: SparkSession, groupPath: String,
+               name: String): DataFrame =
+    readCompressed(spark, groupPath, s"obsp/$name", 4096)
+      .select(col("major").as("id"), col("minor").as("nbr"),
+        col("v").as("value"))
+
   /** Write an `obsm/<name>` member — AnnData's per-cell embedding slot
     * (X_pca, X_umap, …): a dense 2-D zarr array through the same DSv2
     * sink as X (flat layout), then RE-consolidate so `.zmetadata` stays
@@ -547,8 +602,39 @@ object AnnData {
       .orderBy("vec_id")
   }
 
+  /** `q_sc_anndata_neighbors`: the scanpy `pp.neighbors` → store
+    * lifecycle the facade was missing — compute the exact kNN graph
+    * over the bounded block (the SAME oracle'd substrate as
+    * q_sc_neighbors), persist it as the group's `obsp/distances`
+    * sparse CSR member beside X, re-open the store, and read the graph
+    * BACK off the CSR members. The oracle recomputes the graph from
+    * the parquet twin, so a hash match proves the pairwise member
+    * rounds edges, distances and per-row boundaries exactly. */
+  def anndataNeighbors(s: SparkSession, d: String): DataFrame = {
+    val emb = graft.tables.Tables.embeddings(s, d)
+      .filter(col("vec_id") < 300)
+      .select(col("vec_id").as("id"),
+        transform(col("embedding"), _.cast("double")).as("vec"))
+    val n = emb.agg(max(col("id"))).head.getLong(0) + 1
+    val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_anndata_nbr_${System.nanoTime()}").toString
+    emb.select(col("id").as("row_id"), col("vec"))
+      .write.format("zarr").option("chunk_rows", 128)
+      .option("commit", "rename").mode("overwrite").save(s"$out/X")
+    ZarrGroup.writeGroupMarker(out)
+    val edges = Neighbors.knnEdges(s, d, k = 10, maxId = 300)
+      .select(col("id1").as("id"), col("id2").as("nbr"),
+        col("dist").as("value"))
+    writeObsp(edges, out, "distances", n)
+    readObsp(s, out, "distances")
+      .select(col("id").as("id1"), col("nbr").as("id2"),
+        col("value").as("dist"))
+      .orderBy("id1", "id2")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_sc_anndata_lifecycle" -> (lifecycle _),
+    "q_sc_anndata_neighbors" -> (anndataNeighbors _),
     "q_zarr_csr" -> (zarrCsr _),
     "q_zarr_csc" -> (zarrCsc _),
     "q_zarr_csr_pipeline" -> (zarrCsrPipeline _),
@@ -578,6 +664,23 @@ object AnnData {
                 CAST(sum(n_genes) AS BIGINT) AS sum_n_genes,
                 round(sum(cell_sum) + 1e-6, 4) AS checksum
          FROM l GROUP BY label ORDER BY label""",
+    // the q_sc_neighbors substrate (k=10, maxId=300, rounded distance
+    // + id tiebreak) minus the rank/mutual columns: what obsp stores
+    "q_sc_anndata_neighbors" ->
+      """WITH e AS (
+           SELECT vec_id AS id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings WHERE vec_id < 300),
+         p AS (
+           SELECT a.id AS id1, b.id AS id2,
+                  round(list_distance(a.v, b.v) + 1e-9, 6) AS dist
+           FROM e a JOIN e b ON a.id != b.id),
+         r AS (
+           SELECT id1, id2, dist,
+                  row_number() OVER (PARTITION BY id1
+                    ORDER BY dist, id2) AS rk
+           FROM p QUALIFY rk <= 10)
+         SELECT id1, id2, dist FROM r ORDER BY id1, id2""",
     "q_zarr_csr" ->
       """WITH c AS (SELECT CAST(label AS BIGINT) AS label,
                            list_filter(list_transform(embedding,

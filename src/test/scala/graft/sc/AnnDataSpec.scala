@@ -201,6 +201,53 @@ class AnnDataSpec extends SparkSpec {
     assert(stored == direct) // <f8 members: bit-exact round-trip
   }
 
+  test("obsp round-trips a sparse pairwise graph exactly, incl. empty rows") {
+    val dir = java.nio.file.Files.createTempDirectory("ad_obsp").toString
+    // 5 nodes; node 2 has NO out-edges (indptr carry-forward case)
+    val edges = Seq((0L, 1L, 0.5), (0L, 3L, 1.25), (1L, 0L, 0.5),
+      (3L, 4L, 2.0), (4L, 0L, 0.125), (4L, 3L, 2.0))
+      .toDF("id", "nbr", "value")
+    graft.zarr.ZarrGroup.writeGroupMarker(dir)
+    AnnData.writeObsp(edges, dir, "distances", n = 5)
+    val m = graft.zarr.ZarrGroup.consolidated(dir).get
+    assert(m.contains("obsp/distances/data/.zarray") &&
+      m.contains("obsp/distances/indptr/.zarray"))
+    val got = AnnData.readObsp(spark, dir, "distances")
+      .as[(Long, Long, Double)].collect().sortBy(e => (e._1, e._2))
+    assert(got.toSeq == Seq((0L, 1L, 0.5), (0L, 3L, 1.25), (1L, 0L, 0.5),
+      (3L, 4L, 2.0), (4L, 0L, 0.125), (4L, 3L, 2.0)))
+  }
+
+  test("layers round-trip through writeZarr/readZarr and follow filterCells") {
+    val dir = java.nio.file.Files.createTempDirectory("ad_layers").toString
+    val x = Seq((0L, Seq(3.0, 0.0, 2.0)), (1L, Seq(0.0, 0.0, 1.0)),
+      (2L, Seq(5.0, 4.0, 3.0))).toDF("id", "vec")
+    val raw = Seq((0L, Seq(30.0, 0.0, 20.0)), (1L, Seq(0.0, 0.0, 10.0)),
+      (2L, Seq(50.0, 40.0, 30.0))).toDF("id", "vec")
+    val obs = Seq((0L, 7L), (1L, 8L), (2L, 9L)).toDF("id", "tag")
+    val vars = Seq((0L, 0L), (1L, 1L), (2L, 2L)).toDF("id", "value")
+    val ad = AnnData(x, obs, vars, layers = Map("counts" -> raw))
+    // filterCells(minGenes=2, tau=0) keeps cells 0 and 2; the layer
+    // must follow the cell axis like obs does
+    val f = ad.filterCells(minGenes = 2, tau = 0.0)
+    f.writeZarr(dir)
+    val back = AnnData.readZarr(spark, dir)
+    assert(back.layers.keySet == Set("counts"))
+    val lay = back.layers("counts").as[(Long, Seq[Double])]
+      .collect().sortBy(_._1)
+    // reindexed to 0..1, order preserved: original cells 0, 2
+    assert(lay.toSeq == Seq(0L -> Seq(30.0, 0.0, 20.0),
+      1L -> Seq(50.0, 40.0, 30.0)))
+    // layer ids align with the round-tripped X ids
+    val xs = back.x.select("id").as[Long].collect().toSet
+    assert(lay.map(_._1).toSet == xs)
+    // gene-axis ops refuse stale layers loudly
+    val e = intercept[IllegalArgumentException] {
+      ad.recipeZheng17(2)
+    }
+    assert(e.getMessage.contains("layers"))
+  }
+
   test("reindexMap rejects id domains beyond ±2^53 loudly") {
     // beyond 2^53 the double bucket function stops being order-
     // preserving — silent row reorder; the contract is a loud failure
