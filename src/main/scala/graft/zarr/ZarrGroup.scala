@@ -180,6 +180,7 @@ object ZarrGroup extends Serializable {
     }
     meta.compressor match {
       case Some("zlib") => ZarrIO.deflate(raw)
+      case Some("gzip") => ZarrIO.gzip(raw) // the v3 codec name/format
       case _ => raw
     }
   }
@@ -191,15 +192,25 @@ object ZarrGroup extends Serializable {
     * chunk without its meta — final visibility is the caller's
     * consolidate/commit step). */
   def write1(df: DataFrame, path: String, chunk: Int, dtype: String,
-             zlib: Boolean = true): Zarr1Meta = {
+             zlib: Boolean = true): Zarr1Meta =
+    write1Impl(df, path,
+      Zarr1Meta(0, chunk, dtype, if (zlib) Some("zlib") else None),
+      metaName = ".zarray", metaText = _.metaJson, keyOf = _.toString)
+
+  /** Shared distributed 1-D writer behind the v2 layer and
+    * [[Zarr3Group]] — only the metadata object and chunk-key naming
+    * differ between the formats. `meta.n` is overwritten by the count. */
+  private[zarr] def write1Impl(df: DataFrame, path: String, meta0: Zarr1Meta,
+                               metaName: String, metaText: Zarr1Meta => String,
+                               keyOf: Long => String): Zarr1Meta = {
     val spark = df.sparkSession
     import spark.implicits._
     val n = df.count()
-    val meta = Zarr1Meta(n, chunk, dtype,
-      if (zlib) Some("zlib") else None)
+    val meta = meta0.copy(n = n)
+    val chunk = meta.chunk
     val (fs, p) = fsOf(path, ZarrIO.hadoopConf())
     fs.mkdirs(p)
-    writeUtf8(fs, new HPath(p, ".zarray"), meta.metaJson)
+    writeUtf8(fs, new HPath(p, metaName), metaText(meta))
     val sconf = new SerializableHadoopConf(
       spark.sparkContext.hadoopConfiguration)
     def writeBand(band: Long, items: Array[(Long, Any)]): Int = {
@@ -213,7 +224,7 @@ object ZarrGroup extends Serializable {
       require(!vals.contains(null), s"band $band has missing ids")
       val bytes = encodeChunk(meta, vals)
       val (bfs, bp) = fsOf(path, sconf.value)
-      val out = bfs.create(new HPath(bp, band.toString), true)
+      val out = bfs.create(new HPath(bp, keyOf(band)), true)
       try out.write(bytes) finally out.close()
       vals.length
     }
@@ -343,7 +354,8 @@ object ZarrGroup extends Serializable {
     * (idx, value) rows; value is BIGINT for int dtypes, DOUBLE for <f8,
     * STRING (NUL-stripped UTF-8) for |S. A missing chunk object is legal
     * zarr — every element takes the store's declared fill_value. */
-  def read1(spark: SparkSession, path: String, meta: Zarr1Meta): DataFrame = {
+  def read1(spark: SparkSession, path: String, meta: Zarr1Meta,
+            keyOf: Long => String = _.toString): DataFrame = {
     import spark.implicits._
     val sconf = new SerializableHadoopConf(
       spark.sparkContext.hadoopConfiguration)
@@ -352,7 +364,7 @@ object ZarrGroup extends Serializable {
     val mN = meta.n
     def chunkBytes(band: Long): Array[Byte] = {
       val (fs, p) = fsOf(path, sconf.value)
-      val cp = new HPath(p, band.toString)
+      val cp = new HPath(p, keyOf(band))
       val raw =
         try {
           val st = fs.getFileStatus(cp)
@@ -364,6 +376,7 @@ object ZarrGroup extends Serializable {
       raw match {
         case Some(r) => meta.compressor match {
           case Some("zlib") => ZarrIO.inflate(r, mChunk * meta.bytesPerElem)
+          case Some("gzip") => ZarrIO.gunzip(r, mChunk * meta.bytesPerElem)
           case _ => r
         }
         case None => meta.fillChunkBytes // absent chunk = fill_value

@@ -227,24 +227,87 @@ object ZarrQueries {
     * end-to-end. */
   def zarrAnndata(s: SparkSession, d: String): DataFrame = {
     val g = fixtureGroup(s, d)
+    anndataRollup(s, g,
+      ZarrGroup.readMember1(s, g, "obs/label"),
+      ZarrGroup.readMember1(s, g, "obs/label_name"),
+      ZarrGroup.readCategorical(s, g, "obs/cell_type"),
+      ZarrGroup.readMember1(s, g, "var/col_id"))
+  }
+
+  /** The shared per-label rollup behind the v2 and v3 AnnData-group
+    * queries — one plan over whichever dialect's member frames, so the
+    * two formats must be result-indistinguishable (they share oracle
+    * text by design). */
+  private def anndataRollup(s: SparkSession, g: String, lab0: DataFrame,
+                            name0: DataFrame, ct0: DataFrame,
+                            vars: DataFrame): DataFrame = {
     val x = s.read.format("zarr").load(s"$g/X")
       .select(col("row_id"),
         round(aggregate(col("vec"), lit(0.0), (a, b) => a + b) + lit(1e-6), 4)
           .as("cell_sum"))
-    val lab = ZarrGroup.readMember1(s, g, "obs/label")
-      .select(col("idx").as("row_id"), col("value").as("label"))
-    val name = ZarrGroup.readMember1(s, g, "obs/label_name")
-      .select(col("idx").as("row_id"), col("value").as("label_name"))
-    val ct = ZarrGroup.readCategorical(s, g, "obs/cell_type")
-      .select(col("idx").as("row_id"), col("value").as("cell_type"))
-    val nVars = ZarrGroup.readMember1(s, g, "var/col_id")
-      .agg(count(lit(1)).as("n_vars"))
+    val lab = lab0.select(col("idx").as("row_id"), col("value").as("label"))
+    val name = name0.select(col("idx").as("row_id"),
+      col("value").as("label_name"))
+    val ct = ct0.select(col("idx").as("row_id"), col("value").as("cell_type"))
+    val nVars = vars.agg(count(lit(1)).as("n_vars"))
     x.join(lab, "row_id").join(name, "row_id").join(ct, "row_id")
       .groupBy("label", "label_name", "cell_type")
       .agg(count(lit(1)).as("n_cells"),
         round(sum("cell_sum") + lit(1e-6), 4).as("checksum"))
       .crossJoin(broadcast(nVars))
       .orderBy("label")
+  }
+
+  /** One-time AnnData-on-zarr-v3 GROUP fixture — the SAME logical
+    * store as [[fixtureGroup]] on the v3 dialect: per-node `zarr.json`
+    * (attributes inline), sharded X through [[Zarr3Sink]], `c/`-keyed
+    * gzip 1-D members (strings as raw-bits), inline consolidated
+    * metadata on the root LAST. */
+  def fixtureGroupV3(s: SparkSession, sfDir: String): String =
+    graft.tables.Fixtures.cached("zarrgrp3", "anndata_v3.zarr", sfDir) { dir =>
+      val emb = Tables.embeddings(s, sfDir)
+        .select(col("vec_id").as("id"),
+          transform(col("embedding"), _.cast("double")).as("vec"),
+          col("label"))
+      val dim = emb.select(size(col("vec"))).limit(1).head().getInt(0)
+      val nLabels = emb.agg(max(col("label"))).head.getInt(0) + 1
+      val g = dir.toString
+      Zarr3Sink.writeMatrix(emb.select(col("id"), col("vec")), s"$g/X", dim)
+      Zarr3Group.write1(emb.select(col("id"), col("label").as("value")),
+        s"$g/obs/label", chunk = 100, dtype = "<i4")
+      Zarr3Group.write1(
+        emb.select(col("id"),
+          concat(lit("lab"), col("label")).as("value")),
+        s"$g/obs/label_name", chunk = 100, dtype = "|S8")
+      Zarr3Group.write1(emb.select(col("id"), col("label").as("value")),
+        s"$g/obs/cell_type/codes", chunk = 100, dtype = "<i4")
+      Zarr3Group.write1(
+        s.range(nLabels).select(col("id"),
+          concat(lit("ct"), col("id")).as("value")),
+        s"$g/obs/cell_type/categories", chunk = 16, dtype = "|S8")
+      Zarr3Group.write1(
+        s.range(dim).select(col("id"), col("id").as("value")),
+        s"$g/var/col_id", chunk = 32, dtype = "<i8")
+      Zarr3Group.writeGroupMarker(g)
+      Zarr3Group.writeGroupMarker(s"$g/obs")
+      Zarr3Group.writeGroupMarker(s"$g/obs/cell_type",
+        Some("""{"encoding-type":"categorical","ordered":false}"""))
+      Zarr3Group.writeGroupMarker(s"$g/var")
+      Zarr3Group.consolidate(g)
+    }()
+
+  /** `q_zarr_anndata_v3`: the v3-dialect twin of [[zarrAnndata]] —
+    * same members, same rollup, `zarr.json` metadata + inline
+    * consolidation + raw-bits strings + sharded X. Shares
+    * q_zarr_anndata's oracle text by design: the two spec generations
+    * must be result-indistinguishable. */
+  def zarrAnndataV3(s: SparkSession, d: String): DataFrame = {
+    val g = fixtureGroupV3(s, d)
+    anndataRollup(s, g,
+      Zarr3Group.readMember1(s, g, "obs/label"),
+      Zarr3Group.readMember1(s, g, "obs/label_name"),
+      Zarr3Group.readCategorical(s, g, "obs/cell_type"),
+      Zarr3Group.readMember1(s, g, "var/col_id"))
   }
 
   val queries: Map[String, Q] = Map(
@@ -254,6 +317,7 @@ object ZarrQueries {
     "q_zarr_pipeline" -> zarrPipeline _,
     "q_zarr_agg_pushdown" -> zarrAggPushdown _,
     "q_zarr_anndata"  -> zarrAnndata _,
+    "q_zarr_anndata_v3" -> zarrAnndataV3 _,
   )
 
   private val zarrScanOracle =
@@ -265,6 +329,23 @@ object ZarrQueries {
 
   val oracle: Map[String, String] = Map(
     "q_zarr_anndata" ->
+      """WITH cell AS (SELECT CAST(label AS BIGINT) AS label,
+                              'lab' || CAST(label AS VARCHAR) AS label_name,
+                              'ct' || CAST(label AS VARCHAR) AS cell_type,
+                              round(list_sum(list_transform(embedding,
+                                    x -> CAST(x AS DOUBLE))) + 1e-6, 4)
+                                AS cell_sum
+                       FROM embeddings)
+         SELECT label, label_name, cell_type,
+                CAST(count(*) AS BIGINT) AS n_cells,
+                round(sum(cell_sum) + 1e-6, 4) AS checksum,
+                (SELECT CAST(max(len(embedding)) AS BIGINT)
+                 FROM embeddings) AS n_vars
+         FROM cell GROUP BY label, label_name, cell_type
+         ORDER BY label""",
+    // identical oracle text by design: the v2 and v3 group stores hold
+    // the same logical AnnData and must be result-indistinguishable
+    "q_zarr_anndata_v3" ->
       """WITH cell AS (SELECT CAST(label AS BIGINT) AS label,
                               'lab' || CAST(label AS VARCHAR) AS label_name,
                               'ct' || CAST(label AS VARCHAR) AS cell_type,
