@@ -35,9 +35,14 @@ object Multimodal {
   case class MediaRow(id: Long, format: String, width: Int, height: Int,
                       n_frames: Int, payload: Array[Byte])
 
-  /** Decoded features per media item. */
+  /** Decoded features per media item. Features are DOUBLES computed as
+    * exact integer-sum means (lumaInt/poolIntMean): every value is the
+    * result of ONE inexact IEEE operation on exact integers, so the
+    * DuckDB oracle rebuilds them bit-identically from the text-byte
+    * contract — that is what lets q_multimodal_features/binfile be
+    * hash-verified rather than rows-only. */
   case class MediaFeatures(id: Long, format: String, n_frames: Int,
-                           features: Array[Float])
+                           features: Array[Double])
 
   /** One-time media-lake fixture: payloads derived deterministically from
     * documents — REAL PPM/PNG/BMP/WAV/AVI(MJPEG) encodings for every
@@ -194,13 +199,84 @@ object Multimodal {
 
   val DefaultPoolFactor = 4
 
+  /** Integer Rec.601 luma (299r+587g+114b, range 0..255000) — the exact
+    * integer substrate the pixel-proof oracles already use; the feature
+    * kernels below divide it exactly once so their doubles are
+    * cross-engine bit-identical. */
+  def lumaInt(rgb: Array[Byte]): Array[Int] = {
+    val n = rgb.length / 3
+    val out = new Array[Int](n)
+    var k = 0
+    while (k < n) {
+      out(k) = 299 * (rgb(3 * k) & 0xff) + 587 * (rgb(3 * k + 1) & 0xff) +
+        114 * (rgb(3 * k + 2) & 0xff)
+      k += 1
+    }
+    out
+  }
+
+  /** Mean-pool a w×h INTEGER image down by `factor`, normalized by
+    * `scale`: pooled(oy,ox) = (Σ window ints)/cnt/scale. The window sum
+    * is exact (long), so each output double is two IEEE divisions of
+    * exact values — reproducible verbatim in SQL. Windows are the
+    * non-overlapping factor×factor grid; trailing pixels that don't
+    * fill a window column/row are dropped (ow = w/factor). */
+  def poolIntMean(vals: Array[Int], w: Int, h: Int, factor: Int,
+                  scale: Double): Array[Double] = {
+    val ow = math.max(1, w / factor)
+    val oh = math.max(1, h / factor)
+    val out = new Array[Double](ow * oh)
+    var oy = 0
+    while (oy < oh) {
+      var ox = 0
+      while (ox < ow) {
+        var sum = 0L; var cnt = 0
+        var dy = 0
+        while (dy < factor && oy * factor + dy < h) {
+          var dx = 0
+          while (dx < factor && ox * factor + dx < w) {
+            sum += vals((oy * factor + dy) * w + (ox * factor + dx)); cnt += 1
+            dx += 1
+          }
+          dy += 1
+        }
+        out(oy * ow + ox) = if (cnt == 0) 0.0 else sum.toDouble / cnt / scale
+        ox += 1
+      }
+      oy += 1
+    }
+    out
+  }
+
+  /** 1-D mean pooling for audio in exact-double form: k equal windows,
+    * each mean = (Σ window doubles)/cnt. The fixture's samples are
+    * multiples of 1/128 with bounded magnitude, so the window sums are
+    * EXACT doubles and the one division per window reproduces in SQL. */
+  def poolAudioMean(samples: Array[Double], k: Int): Array[Double] = {
+    if (samples.isEmpty) return new Array[Double](k)
+    val out = new Array[Double](k)
+    val width = math.max(1, samples.length / k)
+    var w = 0
+    while (w < k) {
+      val from = w * width
+      val until = if (w == k - 1) samples.length
+        else math.min(samples.length, from + width)
+      var sum = 0.0; var i = from
+      while (i < until) { sum += samples(i); i += 1 }
+      out(w) = if (until > from) sum / (until - from) else 0.0
+      w += 1
+    }
+    out
+  }
+
   /** Shared ppm → pooled-features kernel: single source of truth for BOTH
     * ingest routes (parquet media lake and binaryFile directory), so the
     * MultimodalSpec equality between them can't be satisfied by two
     * coincidentally-equal copies. */
   def ppmFeatures(id: Long, bytes: Array[Byte], poolFactor: Int): MediaFeatures = {
-    val (w, h, px) = MediaCodecs.decodePpm(bytes)
-    MediaFeatures(id, "ppm", 1, meanPool(px, w, h, poolFactor))
+    val (w, h, rgb) = MediaCodecs.decodePpmRgb(bytes)
+    MediaFeatures(id, "ppm", 1,
+      poolIntMean(lumaInt(rgb), w, h, poolFactor, 255000.0))
   }
 
   /** decode → resize → (frame-sample for video) as a partition-wise typed
@@ -218,35 +294,41 @@ object Multimodal {
           case "ppm" =>
             ppmFeatures(m.id, m.payload, poolFactor)
           case "bmp" => // same luma kernel behind a second REAL decoder
-            val (w, h, px) = MediaCodecs.decodeBmp(m.payload)
-            MediaFeatures(m.id, m.format, 1, meanPool(px, w, h, poolFactor))
+            val (w, h, rgb) = MediaCodecs.decodeBmpRgb(m.payload)
+            MediaFeatures(m.id, m.format, 1,
+              poolIntMean(lumaInt(rgb), w, h, poolFactor, 255000.0))
           case "png" => // REAL compressed decode: CRC + inflate + unfilter
-            val (w, h, px) = MediaCodecs.decodePng(m.payload)
-            MediaFeatures(m.id, m.format, 1, meanPool(px, w, h, poolFactor))
+            val (w, h, rgb) = MediaCodecs.decodePngRgb(m.payload)
+            MediaFeatures(m.id, m.format, 1,
+              poolIntMean(lumaInt(rgb), w, h, poolFactor, 255000.0))
           case "wav" =>
             val (_, samples) = MediaCodecs.decodeWav(m.payload)
             MediaFeatures(m.id, m.format, 1,
-              MediaCodecs.poolAudio(samples, 16))
+              poolAudioMean(samples.map(_.toDouble), 16))
           case "avi" => // REAL video: RIFF walk + per-frame baseline JPEG
             val (w, h, jpegs) = MediaCodecs.decodeAviMjpeg(m.payload)
             val kept = sampleFrames(jpegs.length, stride = 2)
             val feats = kept.toArray.flatMap { f =>
               val (_, _, gray) = JpegCodec.decodeJpegGray(jpegs(f))
-              meanPool(gray.map(b => (b & 0xff) / 255.0f), w, h, poolFactor)
+              poolIntMean(gray.map(_ & 0xff), w, h, poolFactor, 255.0)
             }
             MediaFeatures(m.id, m.format, kept.size, feats)
           case _ => // no-pure-JVM-route formats (e.g. H.264): documented stub
             val px = decodeStub(m.payload, m.width, m.height)
             MediaFeatures(m.id, m.format, 1,
-              meanPool(px, m.width, m.height, poolFactor))
+              meanPool(px, m.width, m.height, poolFactor).map(_.toDouble))
         }
       }
     }
   }
 
-  /** Rows-only query: full multimodal pipeline over the media lake —
-    * schema + batch plumbing + real ppm/wav decode exercised end-to-end;
-    * per-row feature checksum makes regressions visible in the dump. */
+  /** HASH-VERIFIED query: full multimodal pipeline over the media lake
+    * — decode (all five real codecs) → pool → (frame-sample for video)
+    * — with a per-item feature checksum the DuckDB oracle rebuilds from
+    * the text-byte contract with NO codec parsing at all: the feature
+    * doubles are exact integer-sum means (see MediaFeatures), so the
+    * in-order fold matches bit-for-bit and the rounding convention
+    * (+1e-6) does the rest. */
   def multimodalFeatures(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val media = syntheticMedia(s, d).as[MediaRow]
@@ -254,7 +336,7 @@ object Multimodal {
       .select(col("id"), col("format"), col("n_frames"),
         size(col("features")).as("n_features"),
         round(aggregate(col("features"), lit(0.0),
-          (a, x) => a + x.cast("double")), 2).as("checksum"))
+          (a, x) => a + x) + lit(1e-6), 2).as("checksum"))
       .orderBy("id")
   }
 
@@ -307,7 +389,7 @@ object Multimodal {
       .select(col("id"), col("n_frames"),
         size(col("features")).as("n_features"),
         round(aggregate(col("features"), lit(0.0),
-          (a, x) => a + x.cast("double")), 2).as("checksum"))
+          (a, x) => a + x) + lit(1e-6), 2).as("checksum"))
       .orderBy("id")
   }
 
@@ -315,5 +397,123 @@ object Multimodal {
     "q_multimodal_features" -> multimodalFeatures _,
     "q_multimodal_binfile"  -> multimodalBinaryFiles _,
   )
-  val oracle: Map[String, String] = Map.empty
+
+  // The shared image-feature reconstruction: pixels from the text-byte
+  // cycle (rgb byte i = text byte i % len), integer luma per pixel,
+  // non-overlapping 4×4 window means in (oy, ox) order. The pooled
+  // grid is ow=w//4 × oh=h//4 — trailing pixels outside it are dropped,
+  // exactly like poolIntMean.
+  private val imageFeatureSql =
+    """SELECT id, fmt, 1 AS n_frames,
+              CAST(len(fl) AS INT) AS n_features,
+              round(list_sum(fl) + 1e-6, 2) AS checksum
+       FROM (
+         SELECT id, fmt,
+                list(pooled ORDER BY oy, ox) AS fl
+         FROM (
+           SELECT id, fmt, oy, ox,
+                  SUM(lum)::DOUBLE / COUNT(*) / 255000.0 AS pooled
+           FROM (
+             SELECT id, fmt,
+                    (p // w) // 4 AS oy, (p % w) // 4 AS ox,
+                    299 * ord(substr(text, CAST((3*p)   % len AS INT) + 1, 1))
+                  + 587 * ord(substr(text, CAST((3*p+1) % len AS INT) + 1, 1))
+                  + 114 * ord(substr(text, CAST((3*p+2) % len AS INT) + 1, 1))
+                    AS lum
+             FROM imgs, LATERAL (SELECT unnest(range(0,
+                    CAST(w AS BIGINT) * h)) AS p)
+             WHERE (p % w) // 4 < w // 4 AND (p // w) // 4 < h // 4)
+           GROUP BY id, fmt, oy, ox)
+         GROUP BY id, fmt)"""
+
+  // wav: 16 equal windows over the (b-128)/128 sample stream; window
+  // sums are exact doubles, one division per window mean
+  private val wavFeatureSql =
+    """SELECT id, 'wav' AS fmt, 1 AS n_frames, 16 AS n_features,
+              round(list_sum(fl) + 1e-6, 2) AS checksum
+       FROM (
+         SELECT id, list(pooled ORDER BY j) AS fl
+         FROM (
+           SELECT id, j, SUM(s)::DOUBLE / 128.0 / COUNT(*) AS pooled
+           FROM (
+             SELECT id, least(i // (n // 16), 15) AS j,
+                    ord(substr(text, CAST(i % len AS INT) + 1, 1)) - 128 AS s
+             FROM wavs, LATERAL (SELECT unnest(range(0, n)) AS i))
+           GROUP BY id, j)
+         GROUP BY id)"""
+
+  // avi: the DC-only block arithmetic (same contract as the
+  // q_multimodal_video oracle) extended by the stride-2 frame sample
+  // and the 4×4 pooled grid — each pooled window lies inside one 8×8
+  // block (dims are multiples of 8), so pooled = block/255.0 exactly
+  private val aviFeatureSql =
+    """SELECT id, 'avi' AS fmt,
+              CAST((nf + 1) // 2 AS INT) AS n_frames,
+              CAST(((nf + 1) // 2) * (w // 4) * (h // 4) AS INT)
+                AS n_features,
+              round(list_sum(fl) + 1e-6, 2) AS checksum
+       FROM (
+         SELECT id, nf, w, h, list(blockv ORDER BY f, oy, ox) AS fl
+         FROM (
+           -- each 8×8 block covers exactly the four 4×4 pooled windows
+           -- (2gy+dy, 2gx+dx): constant 4× expansion, no grid join
+           SELECT id, nf, w, h, f, 2 * gy + dy AS oy, 2 * gx + dx AS ox,
+                  blockv
+           FROM (
+             SELECT id, nf, w, h, f, gy, gx,
+                    (2 * ((SUM(g) - 8128) // 128) + 128)::DOUBLE / 255.0
+                      AS blockv
+             FROM (
+               SELECT id, nf, w, h,
+                      p // (w * h) AS f,
+                      ((p % (w * h)) // w) // 8 AS gy,
+                      ((p % (w * h)) % w) // 8 AS gx,
+                      ord(substr(text, CAST(p % len AS INT) + 1, 1)) AS g
+               FROM avis, LATERAL (SELECT unnest(range(0,
+                      CAST(nf AS BIGINT) * w * h)) AS p)
+               WHERE (p // (w * h)) % 2 = 0)
+             GROUP BY id, nf, w, h, f, gy, gx),
+             LATERAL (SELECT unnest(range(0, 2)) AS dy),
+             LATERAL (SELECT unnest(range(0, 2)) AS dx))
+         GROUP BY id, nf, w, h)"""
+
+  private val mediaCtes =
+    """WITH imgs AS (
+         SELECT doc_id AS id,
+                CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN 'ppm'
+                     WHEN 1 THEN 'png' ELSE 'bmp' END AS fmt,
+                CAST(doc_id % 64 + 16 AS INT) AS w,
+                CAST(doc_id % 32 + 16 AS INT) AS h,
+                text, length(text) AS len
+         FROM documents WHERE doc_id % 5 IN (0, 1, 4)),
+       wavs AS (
+         SELECT doc_id AS id,
+                CAST(doc_id % 64 + 16 AS BIGINT)
+                  * CAST(doc_id % 32 + 16 AS BIGINT) AS n,
+                text, length(text) AS len
+         FROM documents WHERE doc_id % 5 = 2),
+       avis AS (
+         SELECT doc_id AS id,
+                CAST((doc_id % 8 + 2) * 8 AS INT) AS w,
+                CAST((doc_id % 4 + 2) * 8 AS INT) AS h,
+                CAST(doc_id % 30 + 2 AS INT) AS nf,
+                text, length(text) AS len
+         FROM documents WHERE doc_id % 5 = 3)"""
+
+  val oracle: Map[String, String] = Map(
+    "q_multimodal_features" ->
+      s"""$mediaCtes
+         SELECT id, fmt AS format, n_frames, n_features, checksum
+         FROM (($imageFeatureSql) UNION ALL ($wavFeatureSql)
+               UNION ALL ($aviFeatureSql))
+         ORDER BY id""",
+    // the binaryFile-ingest route serves only the ppm rows — same image
+    // reconstruction, format column dropped (the path carries no format)
+    "q_multimodal_binfile" ->
+      s"""$mediaCtes
+         SELECT id, n_frames, n_features, checksum
+         FROM ($imageFeatureSql)
+         WHERE fmt = 'ppm'
+         ORDER BY id""",
+  )
 }

@@ -31,11 +31,12 @@ class SmokeSpec extends SparkSpec {
     // Declared rows-only set: approximate / engine-internal ops. r8
     // oracled four former members (q_sc_recipe, q_text_langid,
     // q_text_bpe_encode, q_dedup_minhash) and added the state-store
-    // diagnostic (engine-internal metrics by contract).
+    // diagnostic (engine-internal metrics by contract); r10 oracled
+    // q_multimodal_features/binfile (exact integer-mean features).
     val declaredRowsOnly = Set(
       "q_agg_approx_distinct", // HLL estimate; DuckDB's sketch differs
       "q_agg_approx_percentile", "q_agg_sketch_merge",
-      "q_multimodal_binfile", "q_multimodal_features", "q_sc_pca",
+      "q_sc_pca",
       "q_sc_anndata_pca", // same sign contract as q_sc_pca; obsm
                           // round-trip exactness pinned in AnnDataSpec
       "q_similarity_ivf", "q_similarity_lsh",

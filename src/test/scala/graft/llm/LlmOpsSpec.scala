@@ -302,9 +302,10 @@ class MultimodalSpec extends SparkSpec {
     val ppm = rows.values.filter(_.format == "ppm").take(3)
     assert(ppm.nonEmpty)
     ppm.foreach { m =>
-      val (w, h, px) = MediaCodecs.decodePpm(m.payload)
+      val (w, h, rgb) = MediaCodecs.decodePpmRgb(m.payload)
       assert((w, h) == (m.width, m.height))
-      val expect = Multimodal.meanPool(px, w, h, 4)
+      val expect =
+        Multimodal.poolIntMean(Multimodal.lumaInt(rgb), w, h, 4, 255000.0)
       assert(feats(m.id).features.sameElements(expect))
     }
     val wav = rows.values.filter(_.format == "wav").take(3)
@@ -313,7 +314,7 @@ class MultimodalSpec extends SparkSpec {
       val (rate, samples) = MediaCodecs.decodeWav(m.payload)
       assert(rate == 8000 && samples.length == m.width * m.height)
       assert(feats(m.id).features.sameElements(
-        MediaCodecs.poolAudio(samples, 16)))
+        Multimodal.poolAudioMean(samples.map(_.toDouble), 16)))
     }
   }
 
