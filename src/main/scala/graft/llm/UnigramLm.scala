@@ -22,10 +22,12 @@ import graft.tables.Tables
   *    vocab map — the q_text_bpe_encode proof pattern.
   *  - **Fit** (library + spec; float EM is engine-internal): E-step
   *    computes expected piece counts per distinct word via the
-  *    forward–backward sums over all segmentations, M-step
-  *    renormalizes; UnigramLmSpec gates monotone corpus likelihood,
-  *    single-char closure (every word stays segmentable), and
-  *    determinism.
+  *    forward–backward sums over all segmentations — executor-side
+  *    with the bounded probability table broadcast, reduced by a
+  *    sorted-fold keyed agg so the double summation order is fixed —
+  *    M-step renormalizes; UnigramLmSpec gates monotone corpus
+  *    likelihood, single-char closure (every word stays segmentable),
+  *    determinism, and vocab equality with a reference counting loop.
   *
   * Scale shape (both rungs): the heavy loop runs over DISTINCT WORDS
   * (vocabulary-sized, not corpus-sized) with the bounded piece table
@@ -47,25 +49,32 @@ object UnigramLm {
   /** The integer-scored piece vocabulary: top substrings (len 2..6,
     * count ≥ 4, by count desc / piece asc) ∪ every single character —
     * the closure that keeps all words segmentable.
-    * score = len² · bitlength(cnt). */
+    * score = len² · bitlength(cnt).
+    *
+    * FULLY DISTRIBUTED (r9 advisory — this was the one driver-side fit
+    * in the repo): substrings explode into a keyed agg (a bounded ≤5×
+    * blowup of the distinct-word text), the top-k is a
+    * TakeOrderedAndProject, and only the ≤ TopPieces + alphabet result
+    * rows ever reach the driver. */
   def vocabScores(docs: DataFrame): Map[String, Long] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val words = wordCounts(docs).as[(String, Long)].collect()
-    // distinct-word frame is vocabulary-sized (spec-asserted bound);
-    // substring counting on the driver keeps the whole fit exact and
-    // matches the oracle's GROUP BY literally
-    val subs = scala.collection.mutable.HashMap[String, Long]()
-    words.foreach { case (w, cnt) =>
-      for (l <- 2 to MaxPieceLen; i <- 0 to w.length - l)
-        subs.updateWith(w.substring(i, i + l))(p => Some(p.getOrElse(0L) + cnt))
-    }
-    val top = subs.toSeq.filter(_._2 >= MinPieceCount)
-      .sortBy { case (p, c) => (-c, p) }.take(TopPieces)
-    val chars = scala.collection.mutable.HashMap[String, Long]()
-    words.foreach { case (w, cnt) =>
-      w.foreach(c => chars.updateWith(c.toString)(p => Some(p.getOrElse(0L) + cnt)))
-    }
+    val words = wordCounts(docs)
+    val subs = words.select(col("cnt"), explode(expr(
+      s"""flatten(transform(sequence(2, $MaxPieceLen),
+            l -> CASE WHEN length(w) >= l
+                 THEN transform(sequence(1, length(w) - l + 1),
+                                i -> substring(w, i, l))
+                 ELSE array() END))""")).as("piece"))
+      .groupBy("piece").agg(sum("cnt").as("cnt"))
+    val top = subs.filter(col("cnt") >= MinPieceCount)
+      .orderBy(col("cnt").desc, col("piece"))
+      .limit(TopPieces).as[(String, Long)].collect()
+    val chars = words
+      .select(col("cnt"), explode(split(col("w"), "")).as("piece"))
+      .filter(length(col("piece")) === 1)
+      .groupBy("piece").agg(sum("cnt").as("cnt"))
+      .as[(String, Long)].collect()
     (top ++ chars).map { case (p, c) =>
       p -> p.length.toLong * p.length *
         (64 - java.lang.Long.numberOfLeadingZeros(c))
@@ -137,47 +146,75 @@ object UnigramLm {
     * schedule — the candidate set is fixed at vocabScores' support).
     * Returns (pieces sorted, per-iteration corpus log-likelihood) —
     * the spec gates monotone likelihood, closure, and determinism.
-    * Float EM is engine-internal by nature → no oracle, no query id. */
+    * Float EM is engine-internal by nature → no oracle, no query id.
+    *
+    * DISTRIBUTED E-step (r9 advisory): each iteration runs the
+    * forward–backward lattice per distinct word executor-side with the
+    * bounded probability table broadcast, reduces expected counts by a
+    * keyed agg, and collects only the ≤ |support|+1 result rows. The
+    * per-piece reduction folds a SORTED contribution list, so the
+    * double summation order — and with it the whole fit — is
+    * deterministic regardless of partitioning. */
   def fit(docs: DataFrame, iters: Int = 5)
       : (Seq[(String, Double)], Seq[Double]) = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val words = wordCounts(docs).as[(String, Long)].collect()
-    val support = vocabScores(docs).keys.toSeq.sorted
-    var p = {
+    val words = wordCounts(docs).as[(String, Long)]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
       val raw = vocabScores(docs)
-      val tot = raw.values.sum.toDouble
-      raw.map { case (k, v) => k -> v / tot }
-    }
-    val lls = Seq.newBuilder[Double]
-    for (_ <- 1 to iters) {
-      val exp = scala.collection.mutable.HashMap[String, Double]()
-      var ll = 0.0
-      words.foreach { case (w, cnt) =>
-        val a = forward(w, p)
-        // backward sums, then expected count of piece (j,i) is
-        // a(j)·p·b(i)/a(n) — textbook forward–backward on the lattice
-        val b = new Array[Double](w.length + 1)
-        b(w.length) = 1.0
-        for (i <- w.length - 1 to 0 by -1;
-             k <- i + 1 to math.min(w.length, i + MaxPieceLen))
-          p.get(w.substring(i, k)).foreach(pp => b(i) += pp * b(k))
-        val z = a(w.length)
-        require(z > 0, s"unigram fit: '$w' has zero mass — closure broken")
-        ll += cnt * math.log(z)
-        for (i <- 1 to w.length; j <- math.max(0, i - MaxPieceLen) until i)
-          p.get(w.substring(j, i)).foreach { pp =>
-            val e = cnt * a(j) * pp * b(i) / z
-            if (e > 0) exp.updateWith(w.substring(j, i))(o => Some(o.getOrElse(0.0) + e))
-          }
+      val support = raw.keys.toSeq.sorted
+      var p = {
+        val tot = raw.values.sum.toDouble
+        raw.map { case (k, v) => k -> v / tot }
       }
-      lls += ll
-      val tot = exp.values.sum
-      // keep every support piece alive with a floor so closure survives
-      // pruning-free EM (a zeroed char would make some word infeasible)
-      p = support.map(k => k -> math.max(exp.getOrElse(k, 0.0) / tot, 1e-12)).toMap
-    }
-    (support.map(k => k -> p(k)), lls.result())
+      val lls = Seq.newBuilder[Double]
+      // a space can never appear inside a piece (words come from a
+      // split on ' '), so this key cannot collide with a real piece
+      val llKey = " ll"
+      val maxLen = MaxPieceLen
+      for (_ <- 1 to iters) {
+        val bc = spark.sparkContext.broadcast(p)
+        val sums = words.mapPartitions { ws =>
+          val pm = bc.value
+          ws.flatMap { case (w, cnt) =>
+            val a = forward(w, pm)
+            // backward sums, then expected count of piece (j,i) is
+            // a(j)·p·b(i)/a(n) — textbook forward–backward on the lattice
+            val b = new Array[Double](w.length + 1)
+            b(w.length) = 1.0
+            for (i <- w.length - 1 to 0 by -1;
+                 k <- i + 1 to math.min(w.length, i + maxLen))
+              pm.get(w.substring(i, k)).foreach(pp => b(i) += pp * b(k))
+            val z = a(w.length)
+            require(z > 0, s"unigram fit: '$w' has zero mass — closure broken")
+            val local = scala.collection.mutable.HashMap[String, Double]()
+            for (i <- 1 to w.length; j <- math.max(0, i - maxLen) until i)
+              pm.get(w.substring(j, i)).foreach { pp =>
+                val e = cnt * a(j) * pp * b(i) / z
+                if (e > 0)
+                  local.updateWith(w.substring(j, i))(o =>
+                    Some(o.getOrElse(0.0) + e))
+              }
+            local.iterator ++ Iterator.single(llKey -> cnt * math.log(z))
+          }
+        }.toDF("piece", "e")
+          .groupBy("piece")
+          .agg(aggregate(sort_array(collect_list(col("e"))),
+            lit(0.0), (acc, x) => acc + x).as("e"))
+          .as[(String, Double)].collect().toMap
+        bc.destroy()
+        lls += sums(llKey)
+        // support-sorted total so the normalizer's summation order is
+        // fixed too
+        val tot = support.iterator.map(k => sums.getOrElse(k, 0.0)).sum
+        // keep every support piece alive with a floor so closure survives
+        // pruning-free EM (a zeroed char would make some word infeasible)
+        p = support.map(k =>
+          k -> math.max(sums.getOrElse(k, 0.0) / tot, 1e-12)).toMap
+      }
+      (support.map(k => k -> p(k)), lls.result())
+    } finally words.unpersist(blocking = false)
   }
 
   val queries: Map[String, Q] = Map(

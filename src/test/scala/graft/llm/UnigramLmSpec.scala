@@ -61,6 +61,36 @@ class UnigramLmSpec extends SparkSpec {
     docs.unpersist()
   }
 
+  test("distributed vocabScores equals an independent driver counting loop") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.tables.Tables.documents(spark, sf).limit(150)
+      .select("doc_id", "text")
+    val dist = UnigramLm.vocabScores(docs)
+    // reference mirror: the pre-distribution driver loop, kept here as
+    // the independent ground truth for the explode→keyed-agg plan
+    val words = docs
+      .select(explode(split($"text", " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .as[(String, Long)].collect()
+    val subs = scala.collection.mutable.HashMap[String, Long]()
+    words.foreach { case (w, cnt) =>
+      for (l <- 2 to UnigramLm.MaxPieceLen; i <- 0 to w.length - l)
+        subs.updateWith(w.substring(i, i + l))(p => Some(p.getOrElse(0L) + cnt))
+    }
+    val top = subs.toSeq.filter(_._2 >= UnigramLm.MinPieceCount)
+      .sortBy { case (p, c) => (-c, p) }.take(UnigramLm.TopPieces)
+    val chars = scala.collection.mutable.HashMap[String, Long]()
+    words.foreach { case (w, cnt) =>
+      w.foreach(c =>
+        chars.updateWith(c.toString)(p => Some(p.getOrElse(0L) + cnt)))
+    }
+    val expected = (top ++ chars).map { case (p, c) =>
+      p -> p.length.toLong * p.length *
+        (64 - java.lang.Long.numberOfLeadingZeros(c))
+    }.toMap
+    assert(dist == expected)
+  }
+
   test("longer pieces win where the lexicon supports them (the len² " +
     "scoring makes subwords real, not a char fallback)") {
     val out = UnigramLm.unigramEncode(spark, sf).collect()
