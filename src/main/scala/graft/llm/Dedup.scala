@@ -317,16 +317,28 @@ object Dedup {
     * recall argument) cannot drift between the two. Signature = numHashes
     * seeded-xxhash64 min-hashes per doc in one agg pass; band hash =
     * xxhash64 over each (numHashes/bands)-slice. */
+  /** doc_id -> h0..h{k-1} minhash signature columns — the ONE seeded
+    * xxhash64 definition behind band hashing AND the signatures-only
+    * streaming state (NearDedupStream). */
+  private[llm] def signatureFrame(docs: DataFrame,
+                                  numHashes: Int): DataFrame =
+    tokenSets(docs).groupBy("doc_id")
+      .agg(min(xxhash64(lit(0), col("t"))).as("h0"),
+        (1 until numHashes).map(i =>
+          min(xxhash64(lit(i), col("t"))).as(s"h$i")): _*)
+
+  /** (doc_id, sig ARRAY<BIGINT>) — the signature as one array column. */
+  private[llm] def minhashSignatures(docs: DataFrame,
+                                     numHashes: Int): DataFrame =
+    signatureFrame(docs, numHashes).select(col("doc_id"),
+      array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+
   private[llm] def bandHashes(docs: DataFrame, numHashes: Int,
                               bands: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val tok = tokenSets(docs)
     // one pass: doc_id -> minhash signature h0..h{k-1}
-    val sig = tok.groupBy("doc_id")
-      .agg(min(xxhash64(lit(0), col("t"))).as("h0"),
-        (1 until numHashes).map(i =>
-          min(xxhash64(lit(i), col("t"))).as(s"h$i")): _*)
+    val sig = signatureFrame(docs, numHashes)
     // band hashes: xxhash64 over each r-slice of the signature
     val bandCols = (0 until bands).map { b =>
       val slice = (0 until rows).map(r => col(s"h${b * rows + r}"))

@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import graft.tables.Tables
@@ -17,35 +17,47 @@ import graft.tables.Tables
   * band buckets (same single definition as the batch candidate
   * generator — the banding cannot drift), the stream is keyed by
   * (band, band_hash), and `flatMapGroupsWithState` keeps ONE state list
-  * per bucket: the (doc_id, distinct-token-set) of every member seen so
-  * far. A new arrival compares only against its own buckets' members —
-  * the same candidate set the batch pass would generate — and every
-  * candidate is verified with the exact Jaccard before emission, so
-  * precision is exact and recall is the banding's (provably 1 on this
-  * corpus at τ=0.95 / 32 hashes / 16 bands — the q_dedup_minhash gate's
-  * argument). A pair sharing several bands is emitted by several
-  * buckets; the final per-doc aggregation collapses those with
-  * countDistinct.
+  * per bucket: the members seen so far. A new arrival compares only
+  * against its own buckets' members — the same candidate set the batch
+  * pass would generate — and a pair is emitted exactly once per shared
+  * bucket, when the SECOND of the two arrives (whichever order the
+  * source delivers them in); the final per-doc aggregation collapses
+  * multi-band emissions with countDistinct.
   *
   * State contract (the part that decides 100 TB viability): per-bucket
   * state is the bucket's membership, so TOTAL state = corpus tokens ×
   * bands / (dedup ratio) — the corpus sketch itself, which is what
-  * dedup-against-all-history inherently costs. Production bounds it by
-  * (a) the RocksDB state backend (state >> heap), (b) an event-time
-  * timeout evicting members older than the dedup horizon (drop the
-  * NoTimeout below for EventTimeTimeout + a watermark), or (c) keeping
-  * only signatures in state and accepting estimated-Jaccard
-  * verification. This operator keeps exact sets and NoTimeout because
-  * exactness is the repo's gate; the timeout variant changes only the
-  * state-update lambda, not the topology.
+  * dedup-against-all-history inherently costs. The three production
+  * levers are now WIRED, not just documented:
   *
-  * Determinism for the gate: the replay feeds doc_id-ordered waves
-  * (later waves strictly later ids), each sealed with
-  * processAllAvailable, and arrivals inside one micro-batch are sorted
-  * by doc_id before matching — so "earlier" is exactly `partner <
-  * doc_id` and the result equals the batch prefix semantics the DuckDB
-  * oracle states. The `pid < id` guard keeps emissions correct (not
-  * merely ordered) under any replay order.
+  *  - **RocksDB state backend** (state ≫ heap): a SparkSession conf,
+  *    not a plan change — [[rocksDbConf]] returns the pair to set;
+  *    NearDedupStreamSpec runs the whole topology under it and proves
+  *    verdict equality with the default HDFS-backed store.
+  *  - **Event-time horizon** (`horizonSec = Some(h)`): arrivals carry
+  *    event time (ingest order as seconds), the stream watermarks it,
+  *    and each bucket evicts members older than `watermark − h` on
+  *    every visit; buckets untouched for a horizon time out
+  *    (EventTimeTimeout) and are REMOVED — total state is bounded by
+  *    the horizon's arrival volume instead of all history.
+  *  - **Signatures-only state** (`signaturesOnly = true`): members
+  *    store the NumHashes-long minhash signature instead of the token
+  *    set (O(k) per member, independent of document size) and
+  *    verification becomes the signature-agreement estimate of Jaccard
+  *    — the classic state/exactness trade. The estimate is NOISY at
+  *    the threshold (spec-measured: 30 flagged docs vs exact's 17 at
+  *    τ=0.95 on the fixture), so its gate pins what it guarantees:
+  *    determinism, zero missed exact duplicates, and every flag a true
+  *    ≥0.7-Jaccard pair. The default keeps exact sets because
+  *    exactness is the repo's gate.
+  *
+  * Feeds: [[run]] replays the bounded oracle block through a
+  * MemoryStream in doc_id-ordered waves (the deterministic gate
+  * harness); [[runFileFeed]] feeds the SAME topology from a file
+  * source over a parquet dump of the feed — the corpus is NEVER
+  * collected to the driver (prep writes distributed, the stream reads
+  * files). Emission-on-second-arrival makes the verdicts independent
+  * of how the source batches or orders the feed (spec-pinned).
   *
   * Output: one row per flagged doc — (doc_id, first_dup_of = smallest
   * verified earlier near-dup, n_dups = how many distinct earlier docs
@@ -73,6 +85,28 @@ object NearDedupStream {
     * enforcement under a forced-collision banding. */
   val MaxBucket = 256
 
+  /** The SparkSession conf that moves stream state off-heap to RocksDB
+    * — set BEFORE the query starts. A conf, not a topology change:
+    * every plan in this file runs unmodified under it. */
+  val rocksDbConf: (String, String) =
+    "spark.sql.streaming.stateStore.providerClass" ->
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** One feed row: the document's distinct tokens, band hashes, and
+    * minhash signature (all from the shared Dedup definitions). */
+  case class FeedRow(doc_id: Long, toks: Seq[String], bhs: Seq[Long],
+                     sig: Seq[Long])
+
+  /** One exploded bucket arrival; ts is the event time (ingest order
+    * as seconds — what a real feed's arrival timestamp would be). */
+  case class Arrival(band: Int, bh: Long, id: Long, toks: Seq[String],
+                     sig: Seq[Long], ts: java.sql.Timestamp)
+
+  /** One bucket member. Exact mode keeps toks (sig empty); signatures
+    * mode keeps sig (toks empty — O(NumHashes) state per member). */
+  case class Member(id: Long, tsMs: Long, toks: Seq[String],
+                    sig: Seq[Long])
+
   /** Exact token-set Jaccard with the repo's cross-engine rounding
     * convention (mirrors [[Dedup.jaccardPairs]]: +1e-9 boundary epsilon,
     * round-half-up to 4 dp — the same arithmetic the oracle's SQL
@@ -81,97 +115,209 @@ object NearDedupStream {
     BigDecimal(x.toDouble / (n1 + n2 - x) + 1e-9)
       .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  private def estJaccard(a: Seq[Long], b: Seq[Long]): Double = {
+    var agree = 0; var i = 0
+    while (i < a.length) { if (a(i) == b(i)) agree += 1; i += 1 }
+    BigDecimal(agree.toDouble / a.length + 1e-9)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  /** Re-arm the bucket's event-time timeout at (newest member + h) so
+    * an idle bucket is revisited — and removed — once the watermark
+    * passes its horizon. */
+  private def armTimeout(state: GroupState[List[Member]],
+                         members: List[Member], horizonMs: Long): Unit = {
+    val target = members.iterator.map(_.tsMs).foldLeft(0L)(math.max) + horizonMs
+    state.setTimeoutTimestamp(
+      math.max(target, state.getCurrentWatermarkMs() + 1))
+  }
+
   /** The stateful core: (band, bh)-keyed groups, per-bucket membership
-    * state, exact-Jaccard verification against earlier members only.
-    * Emits (dup_id, earlier_partner_id) — possibly once per shared band;
-    * the caller aggregates. */
+    * state, verification against the bucket's members. Emits
+    * (later_id, earlier_id) once per shared bucket — at the SECOND
+    * arrival of the pair, whatever order the feed delivered them in
+    * (the property that frees the file feed from ordering guarantees).
+    * With a horizon: members older than watermark − h are evicted on
+    * every visit, and an untouched bucket times out and is removed. */
   private[llm] def matchAgainstState(
+      horizonMs: Option[Long], signaturesOnly: Boolean)(
       key: (Int, Long),
-      it: Iterator[(Int, Long, Long, Seq[String])],
-      state: GroupState[List[(Long, Seq[String])]]): Iterator[(Long, Long)] = {
-    val prev = state.getOption.getOrElse(Nil)
+      it: Iterator[Arrival],
+      state: GroupState[List[Member]]): Iterator[(Long, Long)] = {
+    var members = state.getOption.getOrElse(Nil)
+    horizonMs.foreach { h =>
+      val cut = state.getCurrentWatermarkMs() - h
+      members = members.filter(_.tsMs >= cut)
+    }
+    if (state.hasTimedOut) {
+      if (members.isEmpty) state.remove()
+      else {
+        state.update(members)
+        horizonMs.foreach(h => armTimeout(state, members, h))
+      }
+      return Iterator.empty
+    }
     // sort the batch's arrivals so same-batch pairs resolve in id order
-    val arrivals = it.map { case (_, _, id, t) => (id, t) }.toVector.sortBy(_._1)
-    var members = prev
-    var nMembers = prev.size
+    val arrivals = it.toVector.sortBy(_.id)
+    var nMembers = members.size
     val out = Vector.newBuilder[(Long, Long)]
-    arrivals.foreach { case (id, t) =>
+    arrivals.foreach { a =>
       // hot-bucket cap: a saturated bucket stops matching AND growing —
       // O(MaxBucket) state and work per bucket forever (see MaxBucket)
       if (nMembers < MaxBucket) {
-        val tset = t.toSet
-        members.foreach { case (pid, pt) =>
-          if (pid < id) {
-            val pset = pt.toSet
+        if (signaturesOnly) {
+          members.foreach { m =>
+            if (estJaccard(a.sig, m.sig) >= Tau)
+              out += (if (m.id < a.id) (a.id, m.id) else (m.id, a.id))
+          }
+        } else {
+          val tset = a.toks.toSet
+          members.foreach { m =>
+            val pset = m.toks.toSet
             val x = tset.intersect(pset).size
-            if (jaccardOf(tset.size, pset.size, x) >= Tau) out += ((id, pid))
+            if (jaccardOf(tset.size, pset.size, x) >= Tau)
+              out += (if (m.id < a.id) (a.id, m.id) else (m.id, a.id))
           }
         }
-        members = (id, t) :: members
+        members = Member(a.id, a.ts.getTime,
+          if (signaturesOnly) Nil else a.toks,
+          if (signaturesOnly) a.sig else Nil) :: members
         nMembers += 1
       }
     }
     state.update(members)
+    horizonMs.foreach(h => armTimeout(state, members, h))
     out.result().iterator
   }
 
-  /** Run the streaming near-dedup over the bounded documents block,
-    * replayed as `waves` doc_id-ordered micro-batch waves. Returns the
-    * aggregated per-doc verdicts as a (local-relation) DataFrame.
-    *
-    * The prep collects the block driver-side (bounded-fixture class:
-    * ≤ [[Block]] docs — the same bound that makes the oracle runnable);
-    * a production deployment feeds the same streaming plan from a real
-    * source and never collects. */
-  def run(s: SparkSession, d: String, waves: Int): DataFrame = {
+  /** The streaming topology over any FeedRow source — band explode,
+    * bucket keying, stateful matching. One definition for the
+    * MemoryStream gate harness and the file feed. */
+  def topology(src: Dataset[FeedRow], horizonSec: Option[Long] = None,
+               signaturesOnly: Boolean = false): Dataset[(Long, Long)] = {
+    val s = src.sparkSession
     import s.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-    val docs = Tables.documents(s, d).filter(col("doc_id") < Block)
-    // distinct-token sets and band hashes via the SAME helpers the batch
-    // operators use — one tokenization, one banding definition
+    val keepToks = !signaturesOnly
+    val arr0 = src.flatMap { f =>
+      f.bhs.iterator.zipWithIndex.map { case (h, b) =>
+        Arrival(b, h, f.doc_id, if (keepToks) f.toks else Nil,
+          if (keepToks) Nil else f.sig,
+          new java.sql.Timestamp(f.doc_id * 1000L))
+      }
+    }
+    val arr = horizonSec.fold(arr0)(_ => arr0.withWatermark("ts", "0 seconds"))
+    arr.groupByKey(a => (a.band, a.bh))
+      .flatMapGroupsWithState[List[Member], (Long, Long)](
+        OutputMode.Append,
+        horizonSec.fold[GroupStateTimeout](GroupStateTimeout.NoTimeout)(_ =>
+          GroupStateTimeout.EventTimeTimeout))(
+        matchAgainstState(horizonSec.map(_ * 1000L), signaturesOnly))
+  }
+
+  /** The distributed feed prep: distinct-token sets, band hashes, and
+    * signatures via the SAME Dedup helpers the batch operators use —
+    * one tokenization, one banding, one signature definition. Returns
+    * (doc_id, toks, bhs, sig); never collects. */
+  def prepFeed(s: SparkSession, d: String, block: Long = Block): DataFrame =
+    prepFeedDocs(Tables.documents(s, d).filter(col("doc_id") < block))
+
+  /** Same prep over any (doc_id, text) frame — the spec's synthetic
+    * long-replay harness enters here. */
+  def prepFeedDocs(docs: DataFrame): DataFrame = {
     val toks = Dedup.tokenSets(docs)
       .groupBy("doc_id").agg(collect_list("t").as("toks"))
     val bhs = Dedup.bandHashes(docs, NumHashes, Bands)
       .groupBy("doc_id")
       .agg(array_sort(collect_list(struct(col("band"), col("bh")))).as("bb"))
-    val feed: Array[(Long, Seq[String], Seq[Long])] = toks.join(bhs, "doc_id")
-      .select(col("doc_id"), col("toks"),
-        expr("transform(bb, x -> x.bh)").as("bhs"))
+      .select(col("doc_id"), expr("transform(bb, x -> x.bh)").as("bhs"))
+    val sig = Dedup.minhashSignatures(docs, NumHashes)
+    toks.join(bhs, "doc_id").join(sig, "doc_id")
+      .select(col("doc_id"), col("toks"), col("bhs"), col("sig"))
+  }
+
+  private def aggregateVerdicts(pairs: DataFrame): DataFrame =
+    pairs.groupBy("doc_id")
+      .agg(min("partner").as("first_dup_of"),
+        countDistinct("partner").as("n_dups"))
       .orderBy("doc_id")
-      .as[(Long, Seq[String], Seq[Long])].collect()
+
+  /** Run the streaming near-dedup over the bounded documents block,
+    * replayed as `waves` doc_id-ordered micro-batch waves through a
+    * MemoryStream. Returns (verdicts, state rows at completion — the
+    * spec's bounded-state instrument). The replay collects the BOUNDED
+    * block (≤ [[Block]] docs by default — the same bound that makes the
+    * DuckDB oracle runnable); [[runFileFeed]] is the no-collect path. */
+  private[llm] def runWithMetrics(s: SparkSession, d: String, waves: Int,
+                                  horizonSec: Option[Long] = None,
+                                  signaturesOnly: Boolean = false,
+                                  block: Long = Block,
+                                  feedOverride: Option[Seq[FeedRow]] = None)
+      : (DataFrame, Long) = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val feed: Seq[FeedRow] = feedOverride.getOrElse(
+      prepFeed(s, d, block).orderBy("doc_id").as[FeedRow].collect().toSeq)
     require(feed.nonEmpty, s"near-dedup stream needs a non-empty block in $d")
-
     val ms = org.apache.spark.sql.execution.streaming.runtime
-      .MemoryStream[(Long, Seq[String], Seq[Long])]
-    val flagged = ms.toDS()
-      .flatMap { case (id, t, bh) =>
-        bh.iterator.zipWithIndex.map { case (h, b) => (b, h, id, t) } }
-      .groupByKey { case (b, h, _, _) => (b, h) }
-      .flatMapGroupsWithState[List[(Long, Seq[String])], (Long, Long)](
-        OutputMode.Append, GroupStateTimeout.NoTimeout)(matchAgainstState _)
-
+      .MemoryStream[FeedRow]
+    val flagged = topology(ms.toDS(), horizonSec, signaturesOnly)
     val sinkName = s"near_dedup_${System.nanoTime()}"
+    val q = flagged.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName(sinkName).start()
+    val (pairs, stateRows) =
+      try {
+        val perWave = (feed.length + waves - 1) / waves
+        feed.grouped(perWave).foreach { wave =>
+          ms.addData(wave)
+          q.processAllAvailable()
+        }
+        val rows = Option(q.lastProgress)
+          .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
+        // materialize before the sink table is dropped
+        (s.table(sinkName).as[(Long, Long)].collect().toSeq, rows)
+      } finally {
+        q.stop()
+        try s.sql(s"DROP TABLE IF EXISTS $sinkName")
+        catch { case _: Throwable => () }
+      }
+    (aggregateVerdicts(pairs.toDF("doc_id", "partner")), stateRows)
+  }
+
+  def run(s: SparkSession, d: String, waves: Int,
+          horizonSec: Option[Long] = None,
+          signaturesOnly: Boolean = false): DataFrame =
+    runWithMetrics(s, d, waves, horizonSec, signaturesOnly)._1
+
+  /** The no-collect feed: prep writes the feed as parquet DISTRIBUTED,
+    * the streaming query reads it back through the file source
+    * (`maxFilesPerTrigger=1` — one micro-batch per file, whatever
+    * id order the files landed in; emission-on-second-arrival makes
+    * the verdicts order-independent). This is the production shape:
+    * nothing corpus-sized ever visits the driver. */
+  def runFileFeed(s: SparkSession, d: String,
+                  signaturesOnly: Boolean = false): DataFrame = {
+    import s.implicits._
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_neardedup_feed_${System.nanoTime()}").toString
+    prepFeed(s, d).write.mode("overwrite").parquet(dir)
+    val src = s.readStream
+      .schema(s.read.parquet(dir).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir).as[FeedRow]
+    val flagged = topology(src, horizonSec = None, signaturesOnly)
+    val sinkName = s"near_dedup_file_${System.nanoTime()}"
     val q = flagged.writeStream.outputMode(OutputMode.Append)
       .format("memory").queryName(sinkName).start()
     val pairs =
       try {
-        val perWave = (feed.length + waves - 1) / waves
-        feed.grouped(perWave).foreach { wave =>
-          ms.addData(wave.toSeq)
-          q.processAllAvailable()
-        }
-        // materialize before the sink table is dropped
+        q.processAllAvailable()
         s.table(sinkName).as[(Long, Long)].collect().toSeq
       } finally {
         q.stop()
         try s.sql(s"DROP TABLE IF EXISTS $sinkName")
         catch { case _: Throwable => () }
       }
-    pairs.toDF("doc_id", "partner")
-      .groupBy("doc_id")
-      .agg(min("partner").as("first_dup_of"),
-        countDistinct("partner").as("n_dups"))
-      .orderBy("doc_id")
+    aggregateVerdicts(pairs.toDF("doc_id", "partner"))
   }
 
   def streamDedupNear(s: SparkSession, d: String): DataFrame =
