@@ -90,7 +90,10 @@ object ZarrQueries {
     val p = fixture(s, d)
     s.read.format("zarr").load(p)
       .select(col("row_id"),
-        round(aggregate(col("vec"), lit(0.0), (a, x) => a + x), 4)
+        // + 0.0 collapses IEEE −0.0 to +0.0: a vector summing to a tiny
+        // negative that rounds to zero at 4dp otherwise prints "-0.0" in
+        // one engine and "0.0" in the other (first seen at sf1)
+        (round(aggregate(col("vec"), lit(0.0), (a, x) => a + x), 4) + lit(0.0))
           .as("checksum"),
         size(col("vec")).as("dim"))
       .orderBy("row_id")
@@ -104,7 +107,7 @@ object ZarrQueries {
     s.read.format("zarr").load(p)
       .filter(col("row_id") >= 100 && col("row_id") < 300)
       .select(col("row_id"),
-        round(aggregate(col("vec"), lit(0.0), (a, x) => a + x), 4)
+        (round(aggregate(col("vec"), lit(0.0), (a, x) => a + x), 4) + lit(0.0))
           .as("checksum"))
       .orderBy("row_id")
   }
@@ -144,7 +147,10 @@ object ZarrQueries {
     val p = fixtureV3(s, d)
     s.read.format("zarr").load(p)
       .select(col("row_id"),
-        round(aggregate(col("vec"), lit(0.0), (a, x) => a + x), 4)
+        // + 0.0 collapses IEEE −0.0 to +0.0: a vector summing to a tiny
+        // negative that rounds to zero at 4dp otherwise prints "-0.0" in
+        // one engine and "0.0" in the other (first seen at sf1)
+        (round(aggregate(col("vec"), lit(0.0), (a, x) => a + x), 4) + lit(0.0))
           .as("checksum"),
         size(col("vec")).as("dim"))
       .orderBy("row_id")
@@ -323,7 +329,7 @@ object ZarrQueries {
   private val zarrScanOracle =
     """SELECT CAST(vec_id AS BIGINT) AS row_id,
               round(list_sum(list_transform(embedding,
-                    x -> CAST(x AS DOUBLE))), 4) AS checksum,
+                    x -> CAST(x AS DOUBLE))), 4) + 0.0 AS checksum,
               CAST(len(embedding) AS INT) AS dim
        FROM embeddings ORDER BY row_id"""
 
@@ -372,7 +378,7 @@ object ZarrQueries {
     "q_zarr_pruned" ->
       """SELECT CAST(vec_id AS BIGINT) AS row_id,
                 round(list_sum(list_transform(embedding,
-                      x -> CAST(x AS DOUBLE))), 4) AS checksum
+                      x -> CAST(x AS DOUBLE))), 4) + 0.0 AS checksum
          FROM embeddings WHERE vec_id >= 100 AND vec_id < 300
          ORDER BY row_id""",
     // same pipeline as q_sc_normalize_log1p's oracle, vec from the parquet

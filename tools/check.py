@@ -8,9 +8,16 @@ import pandas as pd
 import numpy as np
 
 sf, out = sys.argv[1], sys.argv[2]
+# optional 3rd arg: comma-separated query-name subset (resume / re-check)
+only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
+# DuckDB's sort memory scales with thread count — at sf1 the suffix-array
+# oracles (15M materialized suffix strings) pass at 8 threads / 48GB but
+# blow the limit at the 32-thread default. Cap threads, overridable.
+THREADS = os.environ.get("CHECK_THREADS", "8")
 
 def fresh_con():
     c = duckdb.connect(config={"memory_limit": "48GB"})
+    c.execute(f"SET threads TO {THREADS}")
     for t in ["region","nation","customer","supplier","part","orders",
               "lineitem","events","documents","embeddings"]:
         c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
@@ -27,19 +34,31 @@ def run_oracle(sql):
     try:
         return con.execute(sql).df()
     except duckdb.OutOfMemoryException:
-        con.close()
-        con = fresh_con()
+        try:
+            con.close()
+        except Exception:
+            pass
+        con = None          # drop the dead handle BEFORE allocating anew —
+        import gc; gc.collect()  # a 48GB pool pinned by the old connection
+        con = fresh_con()        # would otherwise OOM the fresh one too
         return con.execute(sql).df()
 
 oracle = json.load(open(f"{out}/oracle_sql.json"))
 fail = 0
 names = sorted(d for d in os.listdir(out) if os.path.isdir(f"{out}/{d}"))
+if only is not None:
+    names = [n for n in names if n in only]
 for name in names:
     spark_df = pd.read_parquet(f"{out}/{name}")
     if name not in oracle:
         print(f"[rows-only] {name}: {len(spark_df)} rows")
         continue
-    duck_df = run_oracle(oracle[name])
+    try:
+        duck_df = run_oracle(oracle[name])
+    except Exception as e:
+        fail += 1
+        print(f"[FAIL] {name}: oracle raised {type(e).__name__}: {str(e)[:200]}")
+        continue
     s = spark_df[sorted(spark_df.columns)].reset_index(drop=True)
     d = duck_df[sorted(duck_df.columns)].reset_index(drop=True)
     problems = []
