@@ -80,7 +80,9 @@ object Selection {
     grams.join(broadcast(model), "b")
       .groupBy("doc_id")
       .agg(count(lit(1)).cast("long").as("n_grams"),
-        round(sum(col("log_t") - col("log_r")) + lit(1e-9), 4).as("log_w"))
+        // + 0.0 collapses IEEE −0.0 (a doc whose importance ratio rounds
+        // to zero at 4dp — first seen at sf1)
+        (round(sum(col("log_t") - col("log_r")) + lit(1e-9), 4) + lit(0.0)).as("log_w"))
       .orderBy("doc_id")
   }
 
@@ -151,7 +153,7 @@ object Selection {
            LEFT JOIN (SELECT b, count(1) AS rc FROM g GROUP BY b) r
              ON s.b = r.b, tt, rt)
          SELECT g.doc_id, CAST(count(1) AS BIGINT) AS n_grams,
-                round(sum(m.log_t - m.log_r) + 1e-9, 4) AS log_w
+                round(sum(m.log_t - m.log_r) + 1e-9, 4) + 0.0 AS log_w
          FROM g JOIN model m ON g.b = m.b
          GROUP BY g.doc_id ORDER BY g.doc_id""",
     "q_stats_chi2" ->

@@ -78,10 +78,12 @@ object ScalarFuncs {
         col("vec_id"),
         size(col("embedding")).as("dim"),
         (round(element_at(col("embedding"), 1).cast("double"), 4) + lit(0.0)).as("first_val"),
-        round(aggregate(col("embedding"), lit(0.0),
-          (acc, x) => acc + x.cast("double")), 4).as("vec_sum"),
-        round(aggregate(slice(col("embedding"), 1, 8), lit(0.0),
-          (acc, x) => acc + x.cast("double")), 4).as("head8_sum"))
+        // + 0.0 collapses IEEE −0.0 (a vector summing to a tiny negative
+        // that rounds to zero — first seen at sf1)
+        (round(aggregate(col("embedding"), lit(0.0),
+          (acc, x) => acc + x.cast("double")), 4) + lit(0.0)).as("vec_sum"),
+        (round(aggregate(slice(col("embedding"), 1, 8), lit(0.0),
+          (acc, x) => acc + x.cast("double")), 4) + lit(0.0)).as("head8_sum"))
       .orderBy("vec_id")
 
   /** get_json_object over events.props (single-key JSON {"k": int}). */
@@ -366,9 +368,9 @@ object ScalarFuncs {
                 CAST(len(embedding) AS INT) AS dim,
                 round(CAST(embedding[1] AS DOUBLE), 4) + 0.0 AS first_val,
                 round(list_sum(list_transform(embedding,
-                      x -> CAST(x AS DOUBLE))), 4) AS vec_sum,
+                      x -> CAST(x AS DOUBLE))), 4) + 0.0 AS vec_sum,
                 round(list_sum(list_transform(embedding[1:8],
-                      x -> CAST(x AS DOUBLE))), 4) AS head8_sum
+                      x -> CAST(x AS DOUBLE))), 4) + 0.0 AS head8_sum
          FROM embeddings ORDER BY vec_id""",
     "q_json_funcs" ->
       """SELECT event_type,

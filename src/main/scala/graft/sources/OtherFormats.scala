@@ -49,10 +49,19 @@ object OtherFormats {
         "l_extendedprice DOUBLE, l_discount DOUBLE")
       .csv(csvDir(s, d))
       .groupBy("l_returnflag")
+      // Money sums accumulate in DECIMAL, not double: at sf1 the revenue
+      // sum reaches ~10^11 where double accumulation order shifts the
+      // 2-dp rounding by a cent between engines. The 2-dp source values
+      // cast exactly; decimal sums are order-independent and bit-equal in
+      // every engine at every scale — the money-aggregation pattern that
+      // actually survives 100 TB.
       .agg(count(lit(1)).as("n_rows"),
-        round(sum(col("l_quantity")) + lit(1e-6), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-          + lit(1e-6), 2).as("revenue"))
+        sum(col("l_quantity").cast("decimal(18,2)"))
+          .cast("decimal(30,2)").cast("double").as("sum_qty"),
+        round(sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(java.math.BigDecimal.ONE).cast("decimal(18,2)") -
+             col("l_discount").cast("decimal(18,2)"))), 2)
+          .cast("double").as("revenue"))
       .orderBy("l_returnflag")
 
   def orcScan(s: SparkSession, d: String): DataFrame =
@@ -129,8 +138,11 @@ object OtherFormats {
     // column conversion errors pass silently); touching all five
     // columns closes that hole
     val clean = col("_corrupt_record").isNull
+    // decimal accumulation for the same reason as csvScan: order-exact
+    // money sums at any scale (2-dp doubles cast exactly to decimal)
     def cleanSum(c: org.apache.spark.sql.Column, dp: Int) =
-      coalesce(round(sum(when(clean, c)) + lit(1e-6), dp), lit(-1.0))
+      coalesce(sum(when(clean, c).cast("decimal(18,4)"))
+        .cast(s"decimal(30,$dp)").cast("double"), lit(-1.0))
     parsed
       .withColumn("bucket", when(clean, "clean").otherwise("corrupt"))
       .groupBy(col("bucket"))
@@ -154,9 +166,9 @@ object OtherFormats {
     // planted lines (fixture contract, see CorruptCsvLines)
     "q_csv_quarantine" ->
       """SELECT 'clean' AS bucket, CAST(count(1) AS BIGINT) AS n_rows,
-                round(sum(l_quantity) + 1e-6, 2) AS sum_qty,
-                round(sum(l_extendedprice) + 1e-6, 2) AS sum_price,
-                round(sum(l_discount) + 1e-6, 4) AS sum_disc,
+                CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(30,2)) AS DOUBLE) AS sum_qty,
+                CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(30,2)) AS DOUBLE) AS sum_price,
+                CAST(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(30,4)) AS DOUBLE) AS sum_disc,
                 CAST(sum(l_orderkey) AS BIGINT) AS sum_keys,
                 CAST(count(l_returnflag) AS BIGINT) AS n_flags
          FROM lineitem
@@ -165,8 +177,9 @@ object OtherFormats {
          ORDER BY bucket""",
     "q_csv_scan" ->
       """SELECT l_returnflag, CAST(count(1) AS BIGINT) AS n_rows,
-                round(sum(l_quantity) + 1e-6, 2) AS sum_qty,
-                round(sum(l_extendedprice * (1.0 - l_discount)) + 1e-6, 2)
+                CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(30,2)) AS DOUBLE) AS sum_qty,
+                CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                      (CAST(1.00 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE)
                   AS revenue
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_orc_scan" ->
