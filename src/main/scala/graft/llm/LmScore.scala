@@ -2,6 +2,7 @@ package graft.llm
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.functions.NumFmt
 import graft.tables.Tables
 
 /** Corpus-trained bigram language-model scoring — the classic
@@ -62,7 +63,7 @@ object LmScore {
           lit(1e-9), 6).as("lp"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
-        (round(avg(col("lp")) + lit(1e-9), 4) + lit(0.0)).as("lm_score"))
+        NumFmt.roundSigned(avg(col("lp")) + lit(1e-9), 4).as("lm_score"))
     // left join back so token-poor docs stay visible with n_bigrams=0
     docs.select(col("doc_id"))
       .join(scored, Seq("doc_id"), "left")

@@ -316,12 +316,22 @@ object NearDedupStream {
         q.stop()
         try s.sql(s"DROP TABLE IF EXISTS $sinkName")
         catch { case _: Throwable => () }
+        try {
+          import scala.reflect.io.Directory
+          new Directory(new java.io.File(dir)).deleteRecursively()
+        } catch { case _: Throwable => () }
       }
     aggregateVerdicts(pairs.toDF("doc_id", "partner"))
   }
 
+  /** The GATE query runs the production file-fed topology: the feed is
+    * written as parquet distributed and streamed back through the file
+    * source — no corpus-sized collect anywhere in the gate path. The
+    * MemoryStream wave-replay harness ([[run]]) remains the spec's
+    * deterministic instrument, and NearDedupStreamSpec pins verdict
+    * equality between the two feeds. */
   def streamDedupNear(s: SparkSession, d: String): DataFrame =
-    run(s, d, Waves)
+    runFileFeed(s, d)
 
   val queries: Map[String, Q] = Map(
     "q_stream_dedup_near" -> (streamDedupNear _))

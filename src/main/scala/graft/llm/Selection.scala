@@ -2,6 +2,7 @@ package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.functions.NumFmt
 import graft.tables.Tables
 
 /** Data-selection scoring for training-data pipelines: DSIR-style
@@ -82,7 +83,7 @@ object Selection {
       .agg(count(lit(1)).cast("long").as("n_grams"),
         // + 0.0 collapses IEEE −0.0 (a doc whose importance ratio rounds
         // to zero at 4dp — first seen at sf1)
-        (round(sum(col("log_t") - col("log_r")) + lit(1e-9), 4) + lit(0.0)).as("log_w"))
+        NumFmt.roundSigned(sum(col("log_t") - col("log_r")) + lit(1e-9), 4).as("log_w"))
       .orderBy("doc_id")
   }
 

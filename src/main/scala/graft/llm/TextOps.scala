@@ -3,6 +3,7 @@ package graft.llm
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.NumFmt
 import graft.tables.Tables
 
 /** Text-analysis operators for a training-data pipeline (north-star
@@ -537,7 +538,7 @@ object TextOps {
       .crossJoin(broadcast(nAll))
       .groupBy("source")
       .agg(max(col("n_s")).as("n_support_tokens"),
-        (round(sum(p * log(p / q)) + lit(1e-9), 6) + lit(0.0)).as("kl"))
+        NumFmt.roundSigned(sum(p * log(p / q)) + lit(1e-9), 6).as("kl"))
       .orderBy("source")
   }
 

@@ -2,6 +2,7 @@ package graft.rel
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.functions.NumFmt
 import graft.tables.Tables
 
 /** Scalar expression surface (SURVEY.md §2B category scalar): string, date,
@@ -77,13 +78,13 @@ object ScalarFuncs {
       .select(
         col("vec_id"),
         size(col("embedding")).as("dim"),
-        (round(element_at(col("embedding"), 1).cast("double"), 4) + lit(0.0)).as("first_val"),
+        NumFmt.roundSigned(element_at(col("embedding"), 1).cast("double"), 4).as("first_val"),
         // + 0.0 collapses IEEE −0.0 (a vector summing to a tiny negative
         // that rounds to zero — first seen at sf1)
-        (round(aggregate(col("embedding"), lit(0.0),
-          (acc, x) => acc + x.cast("double")), 4) + lit(0.0)).as("vec_sum"),
-        (round(aggregate(slice(col("embedding"), 1, 8), lit(0.0),
-          (acc, x) => acc + x.cast("double")), 4) + lit(0.0)).as("head8_sum"))
+        NumFmt.roundSigned(aggregate(col("embedding"), lit(0.0),
+          (acc, x) => acc + x.cast("double")), 4).as("vec_sum"),
+        NumFmt.roundSigned(aggregate(slice(col("embedding"), 1, 8), lit(0.0),
+          (acc, x) => acc + x.cast("double")), 4).as("head8_sum"))
       .orderBy("vec_id")
 
   /** get_json_object over events.props (single-key JSON {"k": int}). */
@@ -163,7 +164,7 @@ object ScalarFuncs {
         expr("percentile(l_extendedprice, array(0.5, 0.9))").as("pcts"),
         round(stddev_samp(col("l_extendedprice")), 2).as("sd_price"),
         round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("qty_price_corr"),
-        (round(covar_samp(col("l_discount"), col("l_tax")), 6) + lit(0.0)).as("disc_tax_cov"))
+        NumFmt.roundSigned(covar_samp(col("l_discount"), col("l_tax")), 6).as("disc_tax_cov"))
       .select(col("l_returnflag"),
         round(element_at(col("pcts"), 1), 4).as("median_price"),
         round(element_at(col("pcts"), 2), 4).as("p90_price"),
@@ -200,10 +201,9 @@ object ScalarFuncs {
       .select(col(x), col(y), col("n_xy"),
         round(e + lit(1e-9), 4).as("expected"),
         // + 0.0 normalizes -0.0 (negative terms can round to zero)
-        (round((col("n_xy").cast("double") / col("n")) *
+        NumFmt.roundSigned((col("n_xy").cast("double") / col("n")) *
           log(col("n_xy").cast("double") * col("n") /
-            (col("n_x").cast("double") * col("n_y"))) + lit(1e-9), 6)
-          + lit(0.0)).as("mi_term"),
+            (col("n_x").cast("double") * col("n_y"))) + lit(1e-9), 6).as("mi_term"),
         round(pow(col("n_xy").cast("double") - e, 2) / e + lit(1e-9), 4)
           .as("chi2_term"))
       .orderBy(x, y)

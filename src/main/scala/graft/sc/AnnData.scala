@@ -455,6 +455,48 @@ object AnnData {
     spark.read.format("zarr").load(s"$groupPath/obsm/$name")
       .select(col("row_id").as("id"), col("vec"))
 
+  /** Write a `varp/<name>` member — AnnData's VAR-axis pairwise slot
+    * (gene–gene graphs: correlation networks, co-expression): the
+    * axis-symmetric twin of [[writeObsp]] — a sparse n_vars×n_vars CSR
+    * member group through the same distributed compressed-axis writer.
+    * `edges` is COO (id, nbr, value) in the 0..n_vars-1 gene domain. */
+  def writeVarp(edges: DataFrame, groupPath: String, name: String,
+                n: Long, chunk: Int = 4096): Unit = {
+    writeCompressed(
+      edges.select(col("id").cast("long").as("major"),
+        col("nbr").cast("long").as("minor"), col("value").as("v")),
+      n, n, s"$groupPath/varp/$name", "csr_matrix", (n, n), chunk)
+    ZarrGroup.writeGroupMarker(s"$groupPath/varp")
+    ZarrGroup.writeGroupMarker(s"$groupPath/varp/$name")
+    ZarrGroup.consolidate(groupPath)
+  }
+
+  /** Read a `varp/<name>` member back as COO (id, nbr, value). */
+  def readVarp(spark: SparkSession, groupPath: String,
+               name: String): DataFrame =
+    readCompressed(spark, groupPath, s"varp/$name", 4096)
+      .select(col("major").as("id"), col("minor").as("nbr"),
+        col("v").as("value"))
+
+  /** Write a `varm/<name>` member — AnnData's per-gene multi-dim slot
+    * (PCs loadings, gene stats): the var-axis twin of [[writeObsm]],
+    * a dense 2-D zarr array keyed by gene index. */
+  def writeVarm(df: DataFrame, groupPath: String, name: String,
+                chunkRows: Int = 128): Unit = {
+    df.select(col("id").as("row_id"), col("vec"))
+      .write.format("zarr").option("chunk_rows", chunkRows)
+      .option("commit", "rename").mode("overwrite")
+      .save(s"$groupPath/varm/$name")
+    ZarrGroup.writeGroupMarker(s"$groupPath/varm")
+    ZarrGroup.consolidate(groupPath)
+  }
+
+  /** Read a `varm/<name>` member back as (id, vec). */
+  def readVarm(spark: SparkSession, groupPath: String,
+               name: String): DataFrame =
+    spark.read.format("zarr").load(s"$groupPath/varm/$name")
+      .select(col("row_id").as("id"), col("vec"))
+
   type Q = (SparkSession, String) => DataFrame
 
   /** `q_sc_anndata_lifecycle`: the reference's WHOLE deployment loop in
@@ -632,9 +674,61 @@ object AnnData {
       .orderBy("id1", "id2")
   }
 
+  /** `q_sc_anndata_vargraph`: the VAR-axis members the facade was
+    * missing — compute the gene–gene Pearson correlation network over
+    * the bounded cell block (the q_sc_neighbors substrate transposed),
+    * persist it as `varp/correlations` (sparse CSR, gene domain) and
+    * per-gene (mean, std) as `varm/gene_stats` (dense 2-D) beside X,
+    * re-open the store, and join the two read-back members. The oracle
+    * recomputes both from the parquet twin, so a hash match proves the
+    * var-axis pairwise AND multi-dim members round exactly.
+    *
+    * Scale shape: pairwise gene correlation is the Gram-matrix pattern
+    * (Xᵀ X) — here a cell-keyed self-join + groupBy(g1, g2) agg, which
+    * shuffles |cells|·k² rows for k genes. At the reference's 28k genes
+    * you'd restrict to the HVG subset first (exactly what
+    * filter_genes_dispersion is for) — correlation networks over all
+    * genes are never materialized even by scanpy. */
+  def anndataVarGraph(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.NumFmt
+    val g = graft.tables.Tables.embeddings(s, d)
+      .filter(col("vec_id") < 300)
+      .select(col("vec_id").as("id"),
+        posexplode(col("embedding")).as(Seq("gene", "x")))
+      .select(col("id"), col("gene").cast("long").as("gene"),
+        col("x").cast("double").as("v"))
+    val stats = g.groupBy("gene").agg(
+      NumFmt.roundSigned(avg(col("v")) + lit(1e-9), 6).as("mean"),
+      NumFmt.roundSigned(stddev_samp(col("v")) + lit(1e-9), 6).as("std"))
+    val edges = g.select(col("id"), col("gene").as("g1"), col("v").as("v1"))
+      .join(g.select(col("id"), col("gene").as("g2"), col("v").as("v2")), "id")
+      .filter(col("g1") < col("g2"))
+      .groupBy("g1", "g2")
+      .agg(NumFmt.roundSigned(corr(col("v1"), col("v2")) + lit(1e-9), 6)
+        .as("corrv"))
+      .filter(abs(col("corrv")) >= 0.05)
+    val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_anndata_var_${System.nanoTime()}").toString
+    ZarrGroup.writeGroupMarker(out)
+    writeVarp(edges.select(col("g1").as("id"), col("g2").as("nbr"),
+      col("corrv").as("value")), out, "correlations", n = 64)
+    writeVarm(stats.select(col("gene").as("id"),
+      array(col("mean"), col("std")).as("vec")), out, "gene_stats")
+    val varpBack = readVarp(s, out, "correlations")
+    val varmBack = readVarm(s, out, "gene_stats")
+      .select(col("id"),
+        element_at(col("vec"), 1).as("g1_mean"),
+        element_at(col("vec"), 2).as("g1_std"))
+    varpBack.join(varmBack, "id")
+      .select(col("id").as("g1"), col("nbr").as("g2"),
+        col("value").as("corrv"), col("g1_mean"), col("g1_std"))
+      .orderBy("g1", "g2")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_sc_anndata_lifecycle" -> (lifecycle _),
     "q_sc_anndata_neighbors" -> (anndataNeighbors _),
+    "q_sc_anndata_vargraph" -> (anndataVarGraph _),
     "q_zarr_csr" -> (zarrCsr _),
     "q_zarr_csc" -> (zarrCsc _),
     "q_zarr_csr_pipeline" -> (zarrCsrPipeline _),
@@ -664,6 +758,28 @@ object AnnData {
                 CAST(sum(n_genes) AS BIGINT) AS sum_n_genes,
                 round(sum(cell_sum) + 1e-6, 4) AS checksum
          FROM l GROUP BY label ORDER BY label""",
+    // the var-axis twin: per-gene stats + gene–gene correlation over
+    // the same bounded cell block, |corr| thresholded at the rounded
+    // value so the filter set is engine-identical
+    "q_sc_anndata_vargraph" ->
+      """WITH g AS (
+           SELECT vec_id AS id,
+                  CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS gene,
+                  CAST(unnest(embedding) AS DOUBLE) AS v
+           FROM embeddings WHERE vec_id < 300),
+         stats AS (
+           SELECT gene, round(avg(v) + 1e-9, 6) + 0.0 AS mean,
+                  round(stddev_samp(v) + 1e-9, 6) + 0.0 AS std
+           FROM g GROUP BY gene),
+         pairs AS (
+           SELECT a.gene AS g1, b.gene AS g2,
+                  round(corr(a.v, b.v) + 1e-9, 6) + 0.0 AS corrv
+           FROM g a JOIN g b ON a.id = b.id AND a.gene < b.gene
+           GROUP BY 1, 2)
+         SELECT p.g1, p.g2, p.corrv, s.mean AS g1_mean, s.std AS g1_std
+         FROM pairs p JOIN stats s ON s.gene = p.g1
+         WHERE abs(p.corrv) >= 0.05
+         ORDER BY p.g1, p.g2""",
     // the q_sc_neighbors substrate (k=10, maxId=300, rounded distance
     // + id tiebreak) minus the rank/mutual columns: what obsp stores
     "q_sc_anndata_neighbors" ->

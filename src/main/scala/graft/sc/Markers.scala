@@ -3,6 +3,7 @@ package graft.sc
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.functions.NumFmt
 import graft.tables.Tables
 
 /** Downstream-analysis operators on the cell×gene matrix: marker-gene
@@ -87,8 +88,8 @@ object Markers {
     val scored = perGroup.join(broadcast(overall), Seq("pos"))
       .filter(col("n_g") >= 2 && nR >= 2)
       .select(col("label"), col("pos"),
-        (round(when(den2 > 0.0, (meanG - meanR) / sqrt(den2)).otherwise(0.0)
-          + lit(1e-9), 4) + lit(0.0)).as("t"),
+        NumFmt.roundSigned(when(den2 > 0.0, (meanG - meanR) / sqrt(den2)).otherwise(0.0)
+          + lit(1e-9), 4).as("t"),
         round(meanG + lit(1e-9), 6).as("mean_in"),
         round(meanR + lit(1e-9), 6).as("mean_rest"))
     val w = Window.partitionBy("label").orderBy(col("t").desc, col("pos"))
@@ -151,8 +152,8 @@ object Markers {
       .join(broadcast(totals), Seq("pos"))
       .join(broadcast(ties), Seq("pos"))
       .select(col("label"), col("pos"),
-        (round(when(sig2 > 0.0, (col("r1") - mu) / sqrt(sig2))
-          .otherwise(0.0) + lit(1e-9), 4) + lit(0.0)).as("z"),
+        NumFmt.roundSigned(when(sig2 > 0.0, (col("r1") - mu) / sqrt(sig2))
+          .otherwise(0.0) + lit(1e-9), 4).as("z"),
         round(col("r1") + lit(1e-9), 2).as("rank_sum"))
     val w = Window.partitionBy("label").orderBy(col("z").desc, col("pos"))
     val out = scored.withColumn("rnk", row_number().over(w))
@@ -191,8 +192,8 @@ object Markers {
       avg(col("tot")).as("mc"))
     val slope = when(col("vc") > 0.0, col("cxy") / col("vc")).otherwise(0.0)
     st.select((col("pos") + 1).cast("int").as("pos1"),
-        (round(slope + lit(1e-9), 6) + lit(0.0)).as("slope"),
-        (round(col("mx") - slope * col("mc") + lit(1e-9), 6) + lit(0.0))
+        NumFmt.roundSigned(slope + lit(1e-9), 6).as("slope"),
+        NumFmt.roundSigned(col("mx") - slope * col("mc") + lit(1e-9), 6)
           .as("intercept"),
         round(sqrt(greatest(lit(0.0),
           col("vx") - when(col("vc") > 0.0, col("cxy") * col("cxy") / col("vc"))

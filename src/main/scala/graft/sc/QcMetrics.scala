@@ -2,6 +2,7 @@ package graft.sc
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.functions.NumFmt
 
 /** scanpy `pp.calculate_qc_metrics` — the per-cell QC triple every
   * single-cell pipeline computes before filtering (scanpy's obs-axis
@@ -33,9 +34,9 @@ object QcMetrics {
       slice(sort_array(col("vec"), asc = false), 1, 5),
       lit(0.0), (a, x) => a + x)
     df.select(col("id").as("vec_id"),
-        (round(total + lit(1e-9), 4) + lit(0.0)).as("total_counts"),
+        NumFmt.roundSigned(total + lit(1e-9), 4).as("total_counts"),
         ScMatrix.nGenes(col("vec"), tau).as("n_genes_by_counts"),
-        (round(top5 * lit(100.0) / total + lit(1e-9), 4) + lit(0.0))
+        NumFmt.roundSigned(top5 * lit(100.0) / total + lit(1e-9), 4)
           .as("pct_counts_top5"))
       .orderBy("vec_id")
   }

@@ -2,6 +2,7 @@ package graft.sc
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.functions.NumFmt
 
 /** Oracle-checked query surface over ScMatrix (SURVEY.md §2B sc-matrix
   * rows). vec = abs(embedding) as doubles throughout (counts view). */
@@ -82,9 +83,9 @@ object ScQueries {
   def scScale(s: SparkSession, d: String): DataFrame =
     ScMatrix.scaleZ(ScMatrix.counts(s, d), CLIP)
       .select(col("id").as("vec_id"),
-        (round(aggregate(col("vec"), lit(0.0), (a, x) => a + x), 3) + lit(0.0))
+        NumFmt.roundSigned(aggregate(col("vec"), lit(0.0), (a, x) => a + x), 3)
           .as("row_checksum"),
-        (round(array_max(col("vec")), 4) + lit(0.0)).as("max_z"))
+        NumFmt.roundSigned(array_max(col("vec")), 4).as("max_z"))
       .orderBy("vec_id")
 
   /** R9 HVG: top-k genes by dispersion (var/mean) — Zheng17 core. */

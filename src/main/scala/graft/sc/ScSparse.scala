@@ -2,6 +2,7 @@ package graft.sc
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.functions.NumFmt
 
 /** Sparse single-cell matrix ops — reference R12 (SURVEY.md §2A: scipy CSR
   * blocks, `densify()` before dense-only compute [recalled:med]).
@@ -155,9 +156,9 @@ object ScSparse {
     val dense = toDense(coo(s, d), dim = dimOf(s, d), cells = cells)
     ScMatrix.scaleZ(dense, maxValue = 3.0)
       .select(col("id").as("vec_id"),
-        (round(aggregate(col("vec"), lit(0.0), (a, x) => a + x), 3) + lit(0.0))
+        NumFmt.roundSigned(aggregate(col("vec"), lit(0.0), (a, x) => a + x), 3)
           .as("row_checksum"),
-        (round(array_max(col("vec")), 4) + lit(0.0)).as("max_z"))
+        NumFmt.roundSigned(array_max(col("vec")), 4).as("max_z"))
       .orderBy("vec_id")
   }
 

@@ -3,6 +3,7 @@ package graft.sc
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.NumFmt
 
 /** scanpy `tl.score_genes` (Satija et al. cell-cycle scoring form) —
   * per-cell signature score: mean expression of a gene SET minus mean
@@ -44,10 +45,9 @@ object ScoreGenes {
         when(col("in_set"), lit("set")).otherwise(lit("ctrl")).as("cls"))
     x.join(broadcast(cls), Seq("pos"))
       .groupBy(col("id"))
-      .agg((round(
+      .agg(NumFmt.roundSigned(
         avg(when(col("cls") === "set", col("x"))) -
-          avg(when(col("cls") === "ctrl", col("x"))) + lit(1e-9), 4)
-        + lit(0.0)).as("score"))
+          avg(when(col("cls") === "ctrl", col("x"))) + lit(1e-9), 4).as("score"))
       .select(col("id").as("vec_id"), col("score"))
       .orderBy("vec_id")
   }

@@ -2,6 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.functions.NumFmt
 import graft.tables.{Fixtures, Tables}
 
 /** The remaining interchange formats a corpus pipeline meets at its
@@ -49,15 +50,10 @@ object OtherFormats {
         "l_extendedprice DOUBLE, l_discount DOUBLE")
       .csv(csvDir(s, d))
       .groupBy("l_returnflag")
-      // Money sums accumulate in DECIMAL, not double: at sf1 the revenue
-      // sum reaches ~10^11 where double accumulation order shifts the
-      // 2-dp rounding by a cent between engines. The 2-dp source values
-      // cast exactly; decimal sums are order-independent and bit-equal in
-      // every engine at every scale — the money-aggregation pattern that
-      // actually survives 100 TB.
+      // money sums accumulate in DECIMAL (order-independent at any
+      // scale/partitioning) — the shared convention, see NumFmt.moneySum
       .agg(count(lit(1)).as("n_rows"),
-        sum(col("l_quantity").cast("decimal(18,2)"))
-          .cast("decimal(30,2)").cast("double").as("sum_qty"),
+        NumFmt.moneySum(col("l_quantity"), 2, 2).as("sum_qty"),
         round(sum(col("l_extendedprice").cast("decimal(18,2)") *
             (lit(java.math.BigDecimal.ONE).cast("decimal(18,2)") -
              col("l_discount").cast("decimal(18,2)"))), 2)
@@ -138,11 +134,10 @@ object OtherFormats {
     // column conversion errors pass silently); touching all five
     // columns closes that hole
     val clean = col("_corrupt_record").isNull
-    // decimal accumulation for the same reason as csvScan: order-exact
-    // money sums at any scale (2-dp doubles cast exactly to decimal)
+    // decimal accumulation (NumFmt.moneySum): order-exact money sums at
+    // any scale; srcDp=4 because l_discount carries 4 decimals here
     def cleanSum(c: org.apache.spark.sql.Column, dp: Int) =
-      coalesce(sum(when(clean, c).cast("decimal(18,4)"))
-        .cast(s"decimal(30,$dp)").cast("double"), lit(-1.0))
+      coalesce(NumFmt.moneySum(when(clean, c), 4, dp), lit(-1.0))
     parsed
       .withColumn("bucket", when(clean, "clean").otherwise("corrupt"))
       .groupBy(col("bucket"))
@@ -165,10 +160,10 @@ object OtherFormats {
     // clean bucket == the parquet source exactly; corrupt == the 4
     // planted lines (fixture contract, see CorruptCsvLines)
     "q_csv_quarantine" ->
-      """SELECT 'clean' AS bucket, CAST(count(1) AS BIGINT) AS n_rows,
-                CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(30,2)) AS DOUBLE) AS sum_qty,
-                CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(30,2)) AS DOUBLE) AS sum_price,
-                CAST(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(30,4)) AS DOUBLE) AS sum_disc,
+      s"""SELECT 'clean' AS bucket, CAST(count(1) AS BIGINT) AS n_rows,
+                ${NumFmt.moneySumSql("l_quantity", 4, 2)} AS sum_qty,
+                ${NumFmt.moneySumSql("l_extendedprice", 4, 2)} AS sum_price,
+                ${NumFmt.moneySumSql("l_discount", 4, 4)} AS sum_disc,
                 CAST(sum(l_orderkey) AS BIGINT) AS sum_keys,
                 CAST(count(l_returnflag) AS BIGINT) AS n_flags
          FROM lineitem
@@ -176,8 +171,8 @@ object OtherFormats {
          SELECT 'corrupt', 4, -1.0, -1.0, -1.0, -1, 0
          ORDER BY bucket""",
     "q_csv_scan" ->
-      """SELECT l_returnflag, CAST(count(1) AS BIGINT) AS n_rows,
-                CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(30,2)) AS DOUBLE) AS sum_qty,
+      s"""SELECT l_returnflag, CAST(count(1) AS BIGINT) AS n_rows,
+                ${NumFmt.moneySumSql("l_quantity", 2, 2)} AS sum_qty,
                 CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
                       (CAST(1.00 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE)
                   AS revenue

@@ -3,6 +3,7 @@ package graft.stream
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.NumFmt
 import graft.tables.Tables
 
 /** Time-series regularization: resample the event stream onto a fixed
@@ -100,9 +101,9 @@ object TimeSeries {
       (nh - ph).cast("double")
     g.select(col("event_type"), col("hour_us"),
         coalesce(col("n"), lit(0L)).as("n"),
-        (round(
+        NumFmt.roundSigned(
           when(col("av").isNotNull, col("av"))
-            .otherwise(pv + (nv - pv) * frac) + lit(1e-9), 4) + lit(0.0))
+            .otherwise(pv + (nv - pv) * frac) + lit(1e-9), 4)
           .as("value_li"))
       .orderBy("event_type", "hour_us")
   }
@@ -137,10 +138,8 @@ object TimeSeries {
     val nw = count(col("av")).over(w)
     hourly
       .select(col("event_type"), col("hour_us"), col("av"),
-        // + 0.0 normalizes -0.0 (a tiny negative z that rounds to zero
-        // prints '-0.0' in DuckDB but '0.0' here — the agg_stats trick)
         when(nw >= 12 && sd > 0.0,
-          round((col("av") - m) / sd + lit(1e-9), 3) + lit(0.0)).as("z"))
+          NumFmt.roundSigned((col("av") - m) / sd + lit(1e-9), 3)).as("z"))
       .withColumn("is_anomaly", coalesce(abs(col("z")) > lit(3.0), lit(false)))
   }
 
@@ -188,7 +187,7 @@ object TimeSeries {
       lit(0.0), (a, x) => a + x)
     val den = (lit(1.0) - pow(lit(0.8), n.cast("double"))) / lit(0.2)
     withL.select(col("event_type"), col("hour_us"), col("value_ff"),
-        (round(num / den + lit(1e-9), 4) + lit(0.0)).as("ewma"))
+        NumFmt.roundSigned(num / den + lit(1e-9), 4).as("ewma"))
       .orderBy("event_type", "hour_us")
   }
 

@@ -63,7 +63,9 @@ object GenData {
     val pmf = (0 to max).scanLeft(math.exp(-mean)) { case (p, k) => p * mean / (k + 1) }
     val cdf = pmf.tail.scanLeft(pmf.head)(_ + _).take(max + 1)
     val uu = u(tag, id)
-    size(filter(typedlit(cdf), c => c <= uu))
+    // cdf has max+1 entries, so an (astronomically rare) draw with
+    // u >= cdf(max) would count all of them = max+1 — cap at max.
+    least(size(filter(typedlit(cdf), c => c <= uu)), lit(max))
   }
 
   private val Segments   = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
@@ -187,6 +189,9 @@ object GenData {
       .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L
     val spanUs = 30L * 24 * 3600 * 1000000L
     val gap = spanUs / n
+    // at sf ~2.6M the fixed 30-day window runs out of micros and every
+    // timestamp would collapse to the same slot — refuse loudly there
+    require(gap > 0, s"events: sf too large for the fixed 30-day window (n=$n)")
     s.range(n).select(
       col("id").as("event_id"),
       ntz(timestamp_micros(lit(startUs) + col("id") * gap +
@@ -209,9 +214,14 @@ object GenData {
     val id = col("id")
     val uDup = u("ddup", id)
     val back = (u("dback", id) * 20).cast("long") + 1
-    val donor = when(id > 0 && uDup < lit(0.006), greatest(id - back, lit(0L)))
-      .otherwise(id)
-    val mutate = id > 0 && uDup >= lit(0.002) && uDup < lit(0.006)
+    val donorCand = greatest(id - back, lit(0L))
+    // a donor that is ITSELF a dup would have its base word stream copied,
+    // not its actual (copied/mutated) text — such rows would be labeled
+    // dups without matching any real row, so they fall back to originals
+    val donorIsDup = donorCand > 0 && u("ddup", donorCand) < lit(0.006)
+    val isDup = id > 0 && uDup < lit(0.006) && !donorIsDup
+    val donor = when(isDup, donorCand).otherwise(id)
+    val mutate = isDup && uDup >= lit(0.002)
     def wordsOf(doc: Column): Column = {
       val nw = (u("dnw", doc) * 91).cast("int") + 10
       transform(sequence(lit(1), nw), i =>
@@ -219,9 +229,14 @@ object GenData {
           pmod(xxhash64(lit("dword"), doc, i), lit(Vocab.size)).cast("int") + 1))
     }
     val baseWords = wordsOf(donor)
+    // replacement word drawn from the 30 OTHER vocab entries (skip-over-
+    // original), so a "near dup" can never silently be an exact dup
+    val nwDonor = (u("dnw", donor) * 91).cast("int") + 10
+    val origIdx = pmod(xxhash64(lit("dword"), donor, nwDonor), lit(Vocab.size)).cast("int")
+    val replDraw = pmod(xxhash64(lit("dmut"), id), lit(Vocab.size - 1)).cast("int")
+    val replIdx = when(replDraw >= origIdx, replDraw + 1).otherwise(replDraw)
     val mutated = concat(slice(baseWords, lit(1), size(baseWords) - 1),
-      array(element_at(typedlit(Vocab),
-        pmod(xxhash64(lit("dmut"), id), lit(Vocab.size)).cast("int") + 1)))
+      array(element_at(typedlit(Vocab), replIdx + 1)))
     val text = array_join(when(mutate, mutated).otherwise(baseWords), " ")
     val lang = Langs.tail.foldLeft(when(u("dlang", id) < Langs.head._2, Langs.head._1)) {
       case (acc, (l, cut)) => acc.when(u("dlang", id) < cut, l)

@@ -2,6 +2,7 @@ package graft.zarr
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.functions.NumFmt
 import graft.tables.Tables
 
 /** Zarr write sink (R2) + parquet→zarr converter (R3's shape) + the
@@ -93,7 +94,7 @@ object ZarrQueries {
         // + 0.0 collapses IEEE −0.0 to +0.0: a vector summing to a tiny
         // negative that rounds to zero at 4dp otherwise prints "-0.0" in
         // one engine and "0.0" in the other (first seen at sf1)
-        (round(aggregate(col("vec"), lit(0.0), (a, x) => a + x), 4) + lit(0.0))
+        NumFmt.roundSigned(aggregate(col("vec"), lit(0.0), (a, x) => a + x), 4)
           .as("checksum"),
         size(col("vec")).as("dim"))
       .orderBy("row_id")
@@ -107,7 +108,7 @@ object ZarrQueries {
     s.read.format("zarr").load(p)
       .filter(col("row_id") >= 100 && col("row_id") < 300)
       .select(col("row_id"),
-        (round(aggregate(col("vec"), lit(0.0), (a, x) => a + x), 4) + lit(0.0))
+        NumFmt.roundSigned(aggregate(col("vec"), lit(0.0), (a, x) => a + x), 4)
           .as("checksum"))
       .orderBy("row_id")
   }
@@ -150,7 +151,7 @@ object ZarrQueries {
         // + 0.0 collapses IEEE −0.0 to +0.0: a vector summing to a tiny
         // negative that rounds to zero at 4dp otherwise prints "-0.0" in
         // one engine and "0.0" in the other (first seen at sf1)
-        (round(aggregate(col("vec"), lit(0.0), (a, x) => a + x), 4) + lit(0.0))
+        NumFmt.roundSigned(aggregate(col("vec"), lit(0.0), (a, x) => a + x), 4)
           .as("checksum"),
         size(col("vec")).as("dim"))
       .orderBy("row_id")

@@ -218,6 +218,30 @@ class AnnDataSpec extends SparkSpec {
       (3L, 4L, 2.0), (4L, 0L, 0.125), (4L, 3L, 2.0)))
   }
 
+  test("varp/varm round-trip on the var axis (gene graph + gene stats)") {
+    val dir = java.nio.file.Files.createTempDirectory("ad_varp").toString
+    graft.zarr.ZarrGroup.writeGroupMarker(dir)
+    // 4 genes; gene 1 has NO out-edges (indptr carry-forward on the var axis)
+    val edges = Seq((0L, 2L, 0.75), (0L, 3L, -0.25), (2L, 0L, 0.75),
+      (3L, 0L, -0.25), (3L, 2L, 0.5)).toDF("id", "nbr", "value")
+    AnnData.writeVarp(edges, dir, "correlations", n = 4)
+    val stats = Seq((0L, Seq(1.5, 0.25)), (1L, Seq(-2.0, 0.5)),
+      (2L, Seq(0.0, 1.0)), (3L, Seq(3.25, 2.0))).toDF("id", "vec")
+    AnnData.writeVarm(stats, dir, "gene_stats")
+    val m = graft.zarr.ZarrGroup.consolidated(dir).get
+    assert(m.contains("varp/correlations/data/.zarray") &&
+      m.contains("varp/correlations/indptr/.zarray") &&
+      m.contains("varm/gene_stats/.zarray"))
+    val gotP = AnnData.readVarp(spark, dir, "correlations")
+      .as[(Long, Long, Double)].collect().sortBy(e => (e._1, e._2))
+    assert(gotP.toSeq == Seq((0L, 2L, 0.75), (0L, 3L, -0.25), (2L, 0L, 0.75),
+      (3L, 0L, -0.25), (3L, 2L, 0.5)))
+    val gotM = AnnData.readVarm(spark, dir, "gene_stats").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toVector)).sortBy(_._1).toSeq
+    assert(gotM == Seq((0L, Vector(1.5, 0.25)), (1L, Vector(-2.0, 0.5)),
+      (2L, Vector(0.0, 1.0)), (3L, Vector(3.25, 2.0)))) // <f8: bit-exact
+  }
+
   test("layers round-trip through writeZarr/readZarr and follow filterCells") {
     val dir = java.nio.file.Files.createTempDirectory("ad_layers").toString
     val x = Seq((0L, Seq(3.0, 0.0, 2.0)), (1L, Seq(0.0, 0.0, 1.0)),

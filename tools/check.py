@@ -101,7 +101,10 @@ for name in names:
         print(f"[FAIL] {name}: " + "; ".join(problems[:4]))
     else:
         print(f"[ok]   {name}: {len(s)} rows")
-missing = set(oracle) - set(names)
+# compute "missing" against the FULL directory listing, not the optional
+# subset filter — else every deliberately-excluded entry warns on resume runs
+all_names = set(d for d in os.listdir(out) if os.path.isdir(f"{out}/{d}"))
+missing = set(oracle) - all_names
 if missing:
     print(f"[warn] oracle entries without results: {sorted(missing)}")
 print(f"{len(names)-fail}/{len(names)} pass")
