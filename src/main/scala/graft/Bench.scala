@@ -58,7 +58,12 @@ object Bench {
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     val timedPasses = 3
     try {
+      // dev-only subset filter (quiet A/B runs, scale probes); the driver
+      // never sets it, so gate runs always cover the full surface
+      val onlyEnv = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+        .map(_.split(",").toSet).getOrElse(Set.empty[String])
       val names = SparkEntry.queries.keys.toSeq
+        .filter(n => onlyEnv.isEmpty || onlyEnv(n))
       // pass 0 = warm-up (JVM/codegen warm-up, discarded); passes 1..3 timed
       for (pass <- 0 to timedPasses; name <- names) {
         val fn = SparkEntry.queries(name)

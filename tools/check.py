@@ -45,6 +45,11 @@ def run_oracle(sql):
 
 oracle = json.load(open(f"{out}/oracle_sql.json"))
 fail = 0
+# CHECK_JSON=<path>: also write a driver-format per-query JSON artifact
+# ({rows_match, schema_match, hash_match, spark_rows, oracle_rows, err})
+# so scale-gate runs can be committed like CORRECTNESS_r{N}.json
+json_out = os.environ.get("CHECK_JSON")
+report = {}
 names = sorted(d for d in os.listdir(out) if os.path.isdir(f"{out}/{d}"))
 if only is not None:
     names = [n for n in names if n in only]
@@ -52,12 +57,19 @@ for name in names:
     spark_df = pd.read_parquet(f"{out}/{name}")
     if name not in oracle:
         print(f"[rows-only] {name}: {len(spark_df)} rows")
+        report[name] = {"rows_match": None, "schema_match": None,
+                        "hash_match": None, "spark_rows": len(spark_df),
+                        "oracle_rows": None, "err": "no_oracle"}
         continue
     try:
         duck_df = run_oracle(oracle[name])
     except Exception as e:
         fail += 1
         print(f"[FAIL] {name}: oracle raised {type(e).__name__}: {str(e)[:200]}")
+        report[name] = {"rows_match": None, "schema_match": None,
+                        "hash_match": None, "spark_rows": len(spark_df),
+                        "oracle_rows": None,
+                        "err": f"oracle {type(e).__name__}"}
         continue
     s = spark_df[sorted(spark_df.columns)].reset_index(drop=True)
     d = duck_df[sorted(duck_df.columns)].reset_index(drop=True)
@@ -101,11 +113,22 @@ for name in names:
         print(f"[FAIL] {name}: " + "; ".join(problems[:4]))
     else:
         print(f"[ok]   {name}: {len(s)} rows")
+    rows_ok = len(spark_df) == len(duck_df)
+    cols_ok = list(s.columns) == list(d.columns)
+    report[name] = {"rows_match": rows_ok, "schema_match": cols_ok,
+                    "hash_match": not problems,
+                    "spark_rows": len(spark_df),
+                    "oracle_rows": len(duck_df),
+                    "err": "; ".join(problems[:4]) if problems else None}
 # compute "missing" against the FULL directory listing, not the optional
 # subset filter — else every deliberately-excluded entry warns on resume runs
 all_names = set(d for d in os.listdir(out) if os.path.isdir(f"{out}/{d}"))
 missing = set(oracle) - all_names
 if missing:
     print(f"[warn] oracle entries without results: {sorted(missing)}")
+if json_out:
+    with open(json_out, "w") as fh:
+        json.dump(dict(sorted(report.items())), fh, indent=1)
+    print(f"[json] wrote {json_out} ({len(report)} queries)")
 print(f"{len(names)-fail}/{len(names)} pass")
 sys.exit(1 if fail else 0)
