@@ -2,10 +2,10 @@ package graft.tables
 
 import java.io.File
 
-/** Once-per-(tag, sfDir) cached local fixtures under java.io.tmpdir —
-  * derived datasets (zarr twin, media lake, partitioned rewrite) built
-  * from the driver's testdata on first use and reused across suites,
-  * Verify and Bench runs in one container.
+/** Once-per-(tag, sfDir-content) cached local fixtures under
+  * java.io.tmpdir — derived datasets (zarr twin, media lake, partitioned
+  * rewrite) built from the driver's testdata on first use and reused
+  * across suites, Verify and Bench runs in one container.
   *
   * Local-mode scaffolding by design: build callbacks may write from
   * executor tasks because local[*] shares the driver filesystem; on a
@@ -14,13 +14,37 @@ import java.io.File
   * already assume exactly that). The `_DONE` marker is written only
   * after `verify` passes, so a crashed or half-built fixture is rebuilt
   * on the next call instead of being cached broken.
+  *
+  * The cache key mixes a FINGERPRINT of the source directory's parquet
+  * listing (names, sizes, mtimes) into the path: regenerating the
+  * tables under an unchanged sfDir path invalidates every derived
+  * fixture automatically. Without this, a regenerated corpus silently
+  * serves STALE fixtures to the engine while the oracle reads the new
+  * parquet — the exact failure mode the r11 sf1 gate hit (13 ids
+  * mismatching by a few chars each). Over-invalidation on identical
+  * bytes with fresh mtimes costs a rebuild; staleness costs a wrong
+  * answer — the trade is one-sided.
   */
 object Fixtures {
+
+  /** Stable fingerprint of the source dir's parquet listing. Empty-dir
+    * or missing-dir hashes to a constant, so non-table sfDirs (tests
+    * passing scratch paths) still cache consistently. */
+  private def sourceFingerprint(sfDir: String): String = {
+    val files = Option(new File(sfDir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .sortBy(_.getName)
+    val sig = files.map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      .mkString("|")
+    java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(sig).toLong & 0xffffffffL)
+  }
 
   def cached(tag: String, sub: String, sfDir: String)
             (build: File => Unit)
             (verify: File => Boolean = _ => true): String = synchronized {
-    val key = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    val key = sfDir.replaceAll("[^A-Za-z0-9]", "_") +
+      "_" + sourceFingerprint(sfDir)
     val root = new File(System.getProperty("java.io.tmpdir"), s"graft_$tag$key")
     val dir = new File(root, sub)
     val marker = new File(root, "_DONE")
