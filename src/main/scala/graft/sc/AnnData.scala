@@ -345,6 +345,18 @@ object AnnData {
     writeCompressed(elems, n, dim, path, "csr_matrix", (n, dim), chunk)
   }
 
+  /** COO-direct CSR write — the path reference-scale matrices must
+    * take: `elems` is (id, gene, value) with ids already 0..n-1; the
+    * dense (id, vec) form is never materialized (at 1.3M×28k that
+    * would be 3.6e10 cells). Same distributed compressed-axis writer
+    * as [[writeCsrX]]. */
+  def writeCsrCoo(elems: DataFrame, n: Long, dim: Long, path: String,
+                  chunk: Int = 4096): Unit =
+    writeCompressed(
+      elems.select(col("id").cast("long").as("major"),
+        col("gene").cast("long").as("minor"), col("value").as("v")),
+      n, dim, path, "csr_matrix", (n, dim), chunk)
+
   /** The CSC twin — gene-major storage (fast per-gene access; the
     * layout h5ad's CSC ingest reads, now writable on zarr too). */
   def writeCscX(x: DataFrame, path: String,
