@@ -304,7 +304,15 @@ object AnnData {
     val keyed = elems.withColumn("k", col("major") * nMinor + col("minor"))
     val emap = reindexMap(keyed.select(col("k").as("id")))
       .select(col("id").as("k"), col("new_id").as("eidx"))
-    val indexed = keyed.join(emap, "k")
+    // the rank map has ONE ROW PER ELEMENT — it must never be broadcast,
+    // but the static planner's size estimate for it compounds through the
+    // window+join chain and can collapse under the broadcast threshold
+    // (observed at 650M elements: Spark planned a BroadcastHashJoin and
+    // died at the 512M-row broadcast cap; at 130M it "succeeded" by
+    // broadcasting a ~109M-row table). MERGE pins the element⋈rank join
+    // to sort-merge — both sides are element-sized at scale, and at
+    // fixture scale the extra sort is noise.
+    val indexed = keyed.join(emap.hint("merge"), "k")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       ZarrGroup.write1(indexed.select(col("eidx").as("id"), col("v").as("value")),

@@ -96,12 +96,22 @@ object RefShapeProbe {
     val genes = args.lift(1).map(_.toInt).getOrElse(28000)
     val draws = args.lift(2).map(_.toInt).getOrElse(100)
     val out = args.lift(3).getOrElse("/tmp/graft_refshape")
-    val minGenes = draws // drops cells whose draws collided (~16% at ref shape)
+    // default drops cells whose draws collided (~16% at draws=100); at
+    // higher densities collisions are Poisson(draws²/2·genes), so pass an
+    // explicit 5th arg sitting near that distribution's ~85th percentile
+    // to keep the filter's bite comparable
+    val minGenes = args.lift(4).map(_.toInt).getOrElse(draws)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // at 650M+ nonzeros AQE fans the big exchanges into ~450 tasks and
+      // the CUMULATIVE task-result metadata (status + SQL metrics per
+      // task) crosses the 1g default — an operational knob any large
+      // job sets, not a data collect (every driver-side collect in this
+      // path is bounded)
+      .config("spark.driver.maxResultSize", "8g")
       .config("spark.ui.enabled", "false")
       .appName("graft-refshape").getOrCreate()
     s.sparkContext.setLogLevel("WARN")
