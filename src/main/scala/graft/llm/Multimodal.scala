@@ -150,6 +150,71 @@ object Multimodal {
   def syntheticJpegs(s: SparkSession, d: String): DataFrame =
     s.read.parquet(jpegFixture(s, d))
 
+  /** Typed MP4-lake row. `codec` alternates by id parity: even ids are
+    * MJPEG-in-MP4 ('jpeg' sample entries — REAL pixel decode through
+    * [[JpegCodec]]); odd ids are 'avc1' tracks with a REAL SPS/PPS in
+    * the avcC record (H.264 METADATA decode is real; only macroblock
+    * pixels stay behind the documented stub). */
+  case class Mp4Row(id: Long, codec: String, width: Int, height: Int,
+                    n_samples: Int, payload: Array[Byte])
+
+  /** Deterministic MP4 synthesis over the video-slot docs (id%5==3).
+    * MJPEG rows reuse the continuous text-byte frame cycle of the AVI
+    * lake (frame f gray byte i = text byte ((f·w·h + i) % len), DC-only
+    * blocks) so the oracle needs no MP4 or JPEG parsing; avc1 rows get
+    * a real SPS for their dims (several are NOT multiples of 16, so the
+    * frame-cropping arm is exercised on every gate run) and
+    * text-derived AVCC sample payloads. Chunking varies by id so the
+    * demuxer's stsc run expansion is exercised by the lake itself, not
+    * just the spec. */
+  def mkMp4Row(id: Long, text: String): Mp4Row = {
+    val bytes = text.getBytes("UTF-8")
+    require(bytes.length == text.length,
+      s"mp4 fixture doc $id: non-ASCII text — the DuckDB mp4 oracle " +
+        "indexes text by character; regenerate the corpus ASCII-only")
+    val spc = (id % 3 + 1).toInt
+    if (id % 2 == 0) {
+      val w = ((id % 6) + 2).toInt * 8
+      val h = ((id % 3) + 2).toInt * 8
+      val nf = (id % 10 + 2).toInt
+      val frames = (0 until nf).map { f =>
+        JpegCodec.encodeJpegGray(w, h, Array.tabulate(w * h)(i =>
+          bytes(((f.toLong * w * h + i) % bytes.length).toInt)),
+          dcOnly = true)
+      }
+      Mp4Row(id, "jpeg", w, h, nf,
+        Mp4Codec.encodeMp4Mjpeg(w, h, fps = 10, frames, samplesPerChunk = spc))
+    } else {
+      val w = ((id % 7) + 2).toInt * 8
+      val h = ((id % 5) + 2).toInt * 8
+      val ns = (id % 6 + 1).toInt
+      val samples = (0 until ns).map { k =>
+        val len = ((id + k) % 24 + 4).toInt
+        val nal = Array(0x65.toByte) ++ Array.tabulate(len - 1)(i =>
+          bytes((k * 131 + i) % bytes.length))
+        Array[Byte](((nal.length >> 24) & 0xff).toByte,
+          ((nal.length >> 16) & 0xff).toByte,
+          ((nal.length >> 8) & 0xff).toByte,
+          (nal.length & 0xff).toByte) ++ nal
+      }
+      Mp4Row(id, "avc1", w, h, ns,
+        Mp4Codec.encodeMp4Avc(w, h, fps = 25, samples, samplesPerChunk = spc))
+    }
+  }
+
+  def mp4Fixture(s: SparkSession, sfDir: String): String =
+    graft.tables.Fixtures.cached("mediamp4a", "media_mp4.parquet", sfDir) { dir =>
+      import s.implicits._
+      Tables.documents(s, sfDir)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .filter(_._1 % 5 == 3)
+        .map { case (id, text) => mkMp4Row(id, text) }
+        .write.mode("overwrite").parquet(dir.toString)
+    }()
+
+  def syntheticMp4s(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(mp4Fixture(s, d))
+
   /** STUB codec for compressed formats: bytes → w×h float "pixels",
     * deterministic (payload bytes cycled and normalized). */
   def decodeStub(payload: Array[Byte], w: Int, h: Int): Array[Float] = {
@@ -393,9 +458,79 @@ object Multimodal {
       .orderBy("id")
   }
 
+  /** HASH-VERIFIED MP4 pipeline: real ISO BMFF demux (box walk + full
+    * stts/stsc/stsz/stco sample-table resolution, multi-sample chunks
+    * included) → per-sample baseline-JPEG decode → stride-3 frame
+    * sample → pooled features. Same exact-integer feature contract as
+    * the AVI lake, so the DuckDB oracle rebuilds every value from the
+    * text bytes with no container or codec parsing. */
+  def multimodalMp4(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    syntheticMp4s(s, d).as[Mp4Row]
+      .filter(col("codec") === "jpeg")
+      .mapPartitions { rows =>
+        rows.map { m =>
+          val t = Mp4Codec.demuxMp4(m.payload)
+          require(t.codec == "jpeg" && t.width == m.width && t.height == m.height,
+            s"mp4 ${m.id}: demuxed header (${t.codec},${t.width},${t.height}) " +
+              s"drifts from lake metadata (${m.codec},${m.width},${m.height})")
+          val kept = sampleFrames(t.samples.length, stride = 3)
+          val feats = kept.toArray.flatMap { f =>
+            val (fw, fh, gray) = JpegCodec.decodeJpegGray(t.samples(f))
+            require(fw == t.width && fh == t.height, s"mp4 ${m.id}: frame dims drift")
+            poolIntMean(gray.map(_ & 0xff), fw, fh, DefaultPoolFactor, 255.0)
+          }
+          (m.id, kept.size, feats)
+        }
+      }
+      .toDF("id", "n_frames", "features")
+      .select(col("id"), col("n_frames"),
+        size(col("features")).as("n_features"),
+        round(aggregate(col("features"), lit(0.0),
+          (a, x) => a + x) + lit(1e-6), 2).as("checksum"))
+      .orderBy("id")
+  }
+
+  /** HASH-VERIFIED MP4 metadata catalog: per video, what a lakehouse
+    * ingest would record — codec fourcc from the stsd entry, sample
+    * count from the real sample tables, and for 'avc1' tracks the
+    * dimensions/profile/level parsed from the REAL H.264 SPS bitstream
+    * in the avcC record (Exp-Golomb walk incl. the frame-cropping arm —
+    * several fixture dims are not multiples of 16). The oracle rebuilds
+    * every value from the id formulas: the check is that the engine
+    * recovers them from genuine container + bitstream bytes. */
+  def multimodalMp4Meta(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    syntheticMp4s(s, d).as[Mp4Row]
+      .mapPartitions { rows =>
+        rows.map { m =>
+          val t = Mp4Codec.demuxMp4(m.payload)
+          t.codec match {
+            case "jpeg" =>
+              (m.id, t.codec, t.width, t.height, t.samples.length,
+                Option.empty[Int], Option.empty[Int])
+            case "avc1" =>
+              val rec = t.avcC.getOrElse(
+                sys.error(s"mp4 ${m.id}: avc1 without avcC"))
+              val sps = Mp4Codec.parseSps(Mp4Codec.avcCSps(rec))
+              require(sps.width == t.width && sps.height == t.height,
+                s"mp4 ${m.id}: SPS dims ${sps.width}x${sps.height} drift " +
+                  s"from stsd ${t.width}x${t.height}")
+              (m.id, t.codec, sps.width, sps.height, t.samples.length,
+                Some(sps.profileIdc), Some(sps.levelIdc))
+            case other => sys.error(s"mp4 ${m.id}: unexpected codec '$other'")
+          }
+        }
+      }
+      .toDF("id", "codec", "width", "height", "n_samples", "profile", "level")
+      .orderBy("id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_multimodal_features" -> multimodalFeatures _,
     "q_multimodal_binfile"  -> multimodalBinaryFiles _,
+    "q_multimodal_mp4"      -> multimodalMp4 _,
+    "q_multimodal_mp4_meta" -> multimodalMp4Meta _,
   )
 
   // The shared image-feature reconstruction: pixels from the text-byte
@@ -515,5 +650,58 @@ object Multimodal {
          FROM ($imageFeatureSql)
          WHERE fmt = 'ppm'
          ORDER BY id""",
+    // MJPEG-in-MP4: the AVI DC-block arithmetic with the mp4 lake's dim
+    // formulas and the stride-3 frame sample — no MP4/JPEG parsing here
+    "q_multimodal_mp4" ->
+      """WITH mp4s AS (
+           SELECT doc_id AS id,
+                  CAST((doc_id % 6 + 2) * 8 AS INT) AS w,
+                  CAST((doc_id % 3 + 2) * 8 AS INT) AS h,
+                  CAST(doc_id % 10 + 2 AS INT) AS nf,
+                  text, length(text) AS len
+           FROM documents WHERE doc_id % 5 = 3 AND doc_id % 2 = 0)
+         SELECT id, CAST((nf + 2) // 3 AS INT) AS n_frames,
+                CAST(((nf + 2) // 3) * (w // 4) * (h // 4) AS INT)
+                  AS n_features,
+                round(list_sum(fl) + 1e-6, 2) AS checksum
+         FROM (
+           SELECT id, nf, w, h, list(blockv ORDER BY f, oy, ox) AS fl
+           FROM (
+             SELECT id, nf, w, h, f, 2 * gy + dy AS oy, 2 * gx + dx AS ox,
+                    blockv
+             FROM (
+               SELECT id, nf, w, h, f, gy, gx,
+                      (2 * ((SUM(g) - 8128) // 128) + 128)::DOUBLE / 255.0
+                        AS blockv
+               FROM (
+                 SELECT id, nf, w, h,
+                        p // (w * h) AS f,
+                        ((p % (w * h)) // w) // 8 AS gy,
+                        ((p % (w * h)) % w) // 8 AS gx,
+                        ord(substr(text, CAST(p % len AS INT) + 1, 1)) AS g
+                 FROM mp4s, LATERAL (SELECT unnest(range(0,
+                        CAST(nf AS BIGINT) * w * h)) AS p)
+                 WHERE (p // (w * h)) % 3 = 0)
+               GROUP BY id, nf, w, h, f, gy, gx),
+               LATERAL (SELECT unnest(range(0, 2)) AS dy),
+               LATERAL (SELECT unnest(range(0, 2)) AS dx))
+           GROUP BY id, nf, w, h)
+         ORDER BY id""",
+    // MP4 catalog metadata: the id formulas the fixture encodes; the
+    // engine must recover them from real BMFF boxes + SPS bitstreams
+    "q_multimodal_mp4_meta" ->
+      """SELECT doc_id AS id,
+                CASE WHEN doc_id % 2 = 0 THEN 'jpeg' ELSE 'avc1' END AS codec,
+                CAST(CASE WHEN doc_id % 2 = 0 THEN (doc_id % 6 + 2) * 8
+                          ELSE (doc_id % 7 + 2) * 8 END AS INT) AS width,
+                CAST(CASE WHEN doc_id % 2 = 0 THEN (doc_id % 3 + 2) * 8
+                          ELSE (doc_id % 5 + 2) * 8 END AS INT) AS height,
+                CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 10 + 2
+                          ELSE doc_id % 6 + 1 END AS INT) AS n_samples,
+                CAST(CASE WHEN doc_id % 2 = 0 THEN NULL ELSE 66 END AS INT)
+                  AS profile,
+                CAST(CASE WHEN doc_id % 2 = 0 THEN NULL ELSE 30 END AS INT)
+                  AS level
+         FROM documents WHERE doc_id % 5 = 3 ORDER BY doc_id""",
   )
 }

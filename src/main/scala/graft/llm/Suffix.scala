@@ -75,14 +75,16 @@ object Suffix {
     * the longest document it is the full lexicographic suffix rank
     * (ties = identical whole suffixes).
     *
-    * RADIX-4 doubling: each round combines FOUR adjacent width-w class
-    * ids (lead at w, 2w, 3w — one window spec, one exchange), so width
-    * grows 4× per round — log4 rounds instead of log2 (a 1024-char cap
-    * is 5 synchronization rounds, the 64-char window cap is 3). Tuple
-    * lexicographic order equals string order because a suffix that
-    * runs out mid-tuple has -1 sentinels in every later slot. A
-    * trailing ×2 round covers a prefixLen that is not a power of four
-    * — never an overshoot, because classes must express EXACTLY
+    * RADIX-m doubling (m = min(maxRadix, prefixLen/width), default
+    * maxRadix 16): each round combines m adjacent width-w class ids
+    * (leads at w..(m−1)·w — ONE window spec, one exchange, one
+    * WindowExec pass), so width grows m× per round — log_m rounds
+    * instead of log2 (a 1024-char cap is 3 synchronization rounds at
+    * radix 16, the 64-char window cap is 2). Tuple lexicographic order
+    * equals string order because a suffix that runs out mid-tuple has
+    * -1 sentinels in every later slot. The final round's radix is the
+    * remainder power of two, so the ladder lands on prefixLen EXACTLY
+    * — never an overshoot, because classes must express exactly
     * prefixLen-char equality (the window dedup consumes prefix-64
     * classes; overshooting would split prefix-equal positions that
     * differ later). */
@@ -96,10 +98,13 @@ object Suffix {
     * (lineage-cut), so keeping references costs storage, not
     * recomputation. Levels stop early on saturation like ranks does. */
   def ranksWithLevels(docs: DataFrame, prefixLen: Int,
-                      checkpointDir: Option[String] = None)
+                      checkpointDir: Option[String] = None,
+                      maxRadix: Int = 16)
       : (DataFrame, Seq[(Int, DataFrame)]) = {
     require(prefixLen >= 2 && (prefixLen & (prefixLen - 1)) == 0,
       s"prefixLen must be a power of two >= 2, got $prefixLen")
+    require(maxRadix >= 2 && (maxRadix & (maxRadix - 1)) == 0,
+      s"maxRadix must be a power of two >= 2, got $maxRadix")
     val spark = docs.sparkSession
     // one row per corpus position; the explode is compute-light but the
     // rounds it feeds are not, so spread rows first (explicit count —
@@ -135,11 +140,26 @@ object Suffix {
     var width = 1
     var saturated = false
     while (width < prefixLen && !saturated) {
-      val m = if (width * 4 <= prefixLen) 4 else 2
-      var paired = r.withColumn("r2", lead(col("rank"), width, -1L).over(byDoc))
-      if (m == 4) paired = paired
-        .withColumn("r3", lead(col("rank"), 2 * width, -1L).over(byDoc))
-        .withColumn("r4", lead(col("rank"), 3 * width, -1L).over(byDoc))
+      // RADIX-m round, m = min(maxRadix, prefixLen/width) — both are
+      // powers of two, so the ladder lands on prefixLen exactly. All
+      // m−1 leads share ONE window spec (one exchange, one WindowExec
+      // pass), so raising the radix trades wider shuffle rows
+      // (m+2 longs/row) for fewer synchronization rounds (log_m instead
+      // of log_4). maxRadix=16 makes a 1024-char cap 3 rounds instead
+      // of 5 — at fixture scale rounds are nearly all fixed cost, and
+      // at cluster scale the per-round latency floor (2 shuffles + a
+      // lineage cut) is what a 100 TB corpus pays log_m(L) times; a
+      // bytes-bound deployment can lower maxRadix to shrink row width.
+      // the FIRST round re-ranks inside width-1 classes — alphabet-sized
+      // classes are the biggest window partitions the ladder ever sees,
+      // and sorting them by m−1 tuple columns is the round's cost, so
+      // the first round stays at radix 4 regardless of maxRadix
+      val m = math.min(if (width == 1) 4 else maxRadix, prefixLen / width)
+      var paired = r
+      (1 until m).foreach { i =>
+        paired = paired.withColumn(s"r${i + 1}",
+          lead(col("rank"), i * width, -1L).over(byDoc))
+      }
       val tupleCols = (2 to m).map(i => col(s"r$i"))
       // the Larsson–Sadakane step: members of a split class take
       // ordinals inside the class's own [head, head+size) range —

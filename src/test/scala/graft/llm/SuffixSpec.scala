@@ -57,6 +57,19 @@ class SuffixSpec extends SparkSpec {
     assert(engineRanks(texts, 1024) == modelRanks(texts))
   }
 
+  test("radix-ladder equivalence: maxRadix 2, 4, and 16 produce " +
+    "identical head-ordinal ranks (the radix only changes round count)") {
+    val texts = Seq("banana", "anana", "bandana band", "", "ban")
+    val docs = graft.tables.Tables.documents(spark, docsDir(texts))
+    def ranksAt(r: Int): Map[(Long, Long), Long] =
+      Suffix.ranksWithLevels(docs, 16, None, maxRadix = r)._1.collect()
+        .map(x => (x.getLong(0), x.getLong(1)) -> x.getLong(2)).toMap
+    val m = modelRanks(texts)
+    assert(ranksAt(2) == m)
+    assert(ranksAt(4) == m)
+    assert(ranksAt(16) == m)
+  }
+
   test("randomized: 30 ASCII docs with engineered sharing match the model") {
     val rnd = new scala.util.Random(7)
     val vocab = "abcdr "

@@ -124,6 +124,10 @@ for name in names:
 # subset filter — else every deliberately-excluded entry warns on resume runs
 all_names = set(d for d in os.listdir(out) if os.path.isdir(f"{out}/{d}"))
 missing = set(oracle) - all_names
+# a subset run (Verify called with an explicit query list writes only
+# those result dirs) legitimately lacks everything outside the subset
+if only is not None:
+    missing &= only
 if missing:
     print(f"[warn] oracle entries without results: {sorted(missing)}")
 if json_out:
