@@ -29,6 +29,19 @@ object GraftFunctions {
   val dotBuilder: Seq[Expression] => Expression =
     exprs => DotProduct(exprs(0), exprs(1))
 
+  /** cdc_chunks(text, w, b, mask, divisor) — params must be literals
+    * (they parameterize the generated kernel call, not a row value). */
+  val cdcChunksBuilder: Seq[Expression] => Expression = { exprs =>
+    def asLong(e: Expression, name: String): Long = e.eval(null) match {
+      case i: Int  => i.toLong
+      case l: Long => l
+      case other => throw new IllegalArgumentException(
+        s"cdc_chunks: $name must be an integer literal, got $other")
+    }
+    CdcChunks(exprs(0), asLong(exprs(1), "w").toInt, asLong(exprs(2), "b"),
+      asLong(exprs(3), "mask"), asLong(exprs(4), "divisor"))
+  }
+
   /** Idempotent runtime registration. EVERY path is guarded by a
     * functionExists check: both udf.register and
     * createOrReplaceTempFunction WARN "replaced a previously registered
@@ -45,6 +58,8 @@ object GraftFunctions {
       reg.createOrReplaceTempFunction("l2_sq", l2SqBuilder, "scala_udf")
     if (missing("dot_product"))
       reg.createOrReplaceTempFunction("dot_product", dotBuilder, "scala_udf")
+    if (missing("cdc_chunks"))
+      reg.createOrReplaceTempFunction("cdc_chunks", cdcChunksBuilder, "scala_udf")
     // aggregator surface for SQL users — `SELECT g, exact_median(v) …`,
     // `SELECT g, bounded_top3(score, id) …` (array<struct<score,id>>,
     // descending, O(3) agg state; see BoundedTopK)
@@ -70,6 +85,16 @@ object GraftFunctions {
     * register(spark) first in that session). */
   def dot(a: Column, b: Column): Column =
     call_function("dot_product", a, b)
+
+  /** Column-API form of the native CDC chunker (requires
+    * register(spark) first in that session). */
+  def cdcChunks(text: Column, w: Int, b: Long, mask: Long,
+                divisor: Long): Column =
+    call_function("cdc_chunks", text,
+      org.apache.spark.sql.functions.lit(w),
+      org.apache.spark.sql.functions.lit(b),
+      org.apache.spark.sql.functions.lit(mask),
+      org.apache.spark.sql.functions.lit(divisor))
 
   /** Exact-median typed Aggregator (UDAF surface demo, SURVEY.md §7.3).
     * Buffers ALL values — fine for bounded per-group cardinalities (the

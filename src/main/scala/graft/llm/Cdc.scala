@@ -14,30 +14,25 @@ import graft.tables.Tables
   * that survives it — and its chunk hashes feed substring-level dedup.
   *
   * Everything is exact integer arithmetic: H(i) = Σ_k ord(c_{i+k})·B^k
-  * mod 2^20 (B = 31, W = 16) — Spark computes it as a codegen'd
-  * `aggregate` fold with per-step masking, DuckDB as a HUGEINT
-  * power-table sum reduced mod 2^20 at the end; mod distributes over
-  * +/×, so the two are identical BIGINTs and both queries hash-verify.
+  * mod 2^20 (B = 31, W = 16) — Spark computes it in the native
+  * [[graft.functions.CdcChunks]] kernel as a per-step-masked fold,
+  * DuckDB as a HUGEINT power-table sum reduced mod 2^20 at the end; mod
+  * distributes over +/×, so the two are identical BIGINTs and both
+  * queries hash-verify.
   *
-  * Scale shape: per-doc chunking is pure projection (one pass of
-  * higher-order expressions — no UDF, no shuffle); the cross-doc
-  * dup-pair query shuffles once on chunk hash with a df cap (same
-  * posting-list discipline as q_similarity_sparse) so a boilerplate
-  * chunk shared by everything can never go quadratic.
-  *
-  * Per-doc cost is O(len·W): the text is exploded to a code-point array
-  * ONCE per row (split + ascii, O(len)) and every window hash does W
-  * O(1) element_at lookups on it. The naive form — ascii(substring(
-  * text, i+k+1, 1)) inside the fold — is O(len²·W), because
-  * UTF8String.substring must scan from the string start to find a
-  * variable-width code point's byte offset; harmless on this fixture's
-  * ~300-char docs, quadratic death on real 10–100 KB web documents.
-  * The array is bound through a single-element transform lambda
-  * (`transform(array(<ords>), ords -> …)[1]`) so CollapseProject can
-  * never inline the O(len) construction into the per-(i,k) lambda body,
-  * where it would be re-evaluated per window step. Chunk EXTRACTION
-  * still uses substring — O(n_cuts·len) ≈ O(len²/64) total, fine up to
-  * ~100 KB docs and exact-identical bytes to the oracle's substr. */
+  * Scale shape: per-doc chunking is pure projection — since round 11 a
+  * NATIVE Catalyst expression ([[graft.functions.CdcChunks]]): one
+  * compiled O(len·W) JVM loop per row, resident in whole-stage codegen,
+  * with chunk extraction slicing the code-point array directly. The
+  * earlier higher-order-function formulation (kept below as
+  * `chunksExpr`, the declarative twin CdcChunksSpec pins the kernel
+  * against) paid interpreted-evaluator lambda dispatch per window step
+  * — tens of millions of interpreted steps per MB — plus an
+  * O(len²/64) substring-extraction tail; the kernel removes both, which
+  * is what makes the operator viable on real 10–100 KB web documents.
+  * The cross-doc dup-pair query shuffles once on chunk hash with a df
+  * cap (same posting-list discipline as q_similarity_sparse) so a
+  * boilerplate chunk shared by everything can never go quadratic. */
 object Cdc {
   type Q = (SparkSession, String) => DataFrame
 
@@ -49,12 +44,14 @@ object Cdc {
   val MinChunkLen = 20  // trivia chunks don't witness duplication
   val MaxChunkDf = 20   // df cap on the chunk-hash join (skew guard)
 
-  /** The chunk builder as one SQL-string HOF expression (nested lambdas
-    * capture both `i` and `k` for the inner `substring(text, i+k+1, 1)`),
-    * shared by both queries so the chunk definition cannot drift. The
-    * doc-shorter-than-one-window case yields a single whole-doc chunk
-    * (sequence() would DESCEND on a negative stop — guarded). */
-  private val chunksExpr: String = {
+  /** The chunk builder as one SQL-string HOF expression. Kept as the
+    * DECLARATIVE TWIN of the native kernel: the query path runs
+    * [[graft.functions.CdcChunks]] (compiled per-row loop,
+    * codegen-resident); CdcChunksSpec pins expr(chunksExpr) == kernel so
+    * the two definitions cannot drift. The doc-shorter-than-one-window
+    * case yields a single whole-doc chunk (sequence() would DESCEND on
+    * a negative stop — guarded). */
+  private[graft] val chunksExpr: String = {
     val positions =
       s"CASE WHEN length(text) >= $W THEN sequence(0, length(text) - $W) " +
         "ELSE array() END"
@@ -93,16 +90,19 @@ object Cdc {
   /** `q_text_cdc`: per-doc chunk census — count, span sanity, and an
     * order-preserving md5 fingerprint of the chunk hash sequence. */
   def textCdc(s: SparkSession, d: String): DataFrame =
-    // the chunker is ~10³ interpreted HOF steps per ROW, so compute-per-
-    // byte dwarfs scan-per-byte and file-split parallelism (1 small file
-    // = 1 partition) is the wrong unit — spread rows across the cluster
-    // first; the 1-wide shuffle is noise next to the projection it feeds.
+    // chunking is compute-per-byte-bound (W multiply-adds per position),
+    // so file-split parallelism (1 small file = 1 partition) is the wrong
+    // unit — spread rows across the cluster first; the 1-wide shuffle is
+    // noise next to the projection it feeds.
     // The partition COUNT is explicit because AQE sizes exchanges by
     // BYTES and would coalesce this megabyte-scale-but-compute-bound
     // shuffle back to one partition.
+    {
+    graft.functions.GraftFunctions.register(s)
     Tables.documents(s, d)
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-      .select(col("doc_id"), expr(chunksExpr).as("chunks"))
+      .select(col("doc_id"), graft.functions.GraftFunctions
+        .cdcChunks(col("text"), W, B, Mask, Divisor).as("chunks"))
       .select(col("doc_id"),
         size(col("chunks")).cast("long").as("n_chunks"),
         expr("CAST(aggregate(chunks, 0L, (a, c) -> a + length(c)) AS BIGINT)")
@@ -110,15 +110,18 @@ object Cdc {
         md5(concat_ws("|",
           expr("transform(chunks, c -> md5(c))"))).as("fingerprint"))
       .orderBy("doc_id")
+    }
 
   /** `q_dedup_cdc`: doc pairs sharing ≥ 2 substantial chunks — the
     * shift-robust near-dup witness. One shuffle keyed on chunk md5,
     * df-capped so no chunk joins more than MaxChunkDf docs. */
   def dedupCdc(s: SparkSession, d: String): DataFrame = {
     // same row-spreading rationale (and explicit count) as textCdc
+    graft.functions.GraftFunctions.register(s)
     val chunks = Tables.documents(s, d)
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-      .select(col("doc_id"), explode(expr(chunksExpr)).as("chunk"))
+      .select(col("doc_id"), explode(graft.functions.GraftFunctions
+        .cdcChunks(col("text"), W, B, Mask, Divisor)).as("chunk"))
       .filter(length(col("chunk")) >= MinChunkLen)
       .select(col("doc_id"), md5(col("chunk")).as("h"))
       .distinct()
