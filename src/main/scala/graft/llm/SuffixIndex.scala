@@ -1,0 +1,88 @@
+package graft.llm
+
+import java.io.File
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.tables.{Fixtures, Tables}
+
+/** The corpus SUFFIX INDEX: the prefix-doubling class ladder of
+  * [[Suffix.ranksWithLevels]], built ONCE per corpus and persisted as a
+  * reusable columnar artifact — the batch-pipeline shape of suffix-array
+  * corpus dedup, where the expensive global suffix ordering is
+  * constructed in one pass and then MANY analyses (census, window dedup,
+  * coverage clipping, longest-repeat) consume it.
+  *
+  * Why an index and not per-query recomputation: the ladder is
+  * O(N·log L) shuffle rounds over one row per corpus POSITION — at
+  * 100 TB it is by far the most expensive artifact in the suffix-dedup
+  * family, while every consumer is a handful of cheap keyed
+  * aggregations over its fixed-width (doc_id, pos, rank) rows. The
+  * published suffix-dedup pipelines build the suffix array once per
+  * corpus snapshot for exactly this reason. Locally the index lives
+  * under java.io.tmpdir via [[graft.tables.Fixtures.cached]], keyed on
+  * a FINGERPRINT of the corpus parquet listing (a regenerated corpus
+  * rebuilds the index, never serves stale ranks); on a cluster the same
+  * artifact would be parquet on the shared store beside the corpus.
+  *
+  * Layout: `<cache>/levels/w<width>/` — one parquet dataset of
+  * (doc_id, pos, rank) per ladder level, widths ascending, the last
+  * level ranked at `cap` = the smallest power of two >= the longest
+  * document (or earlier if the ladder saturated — all classes
+  * singleton, every further level identical by construction). A
+  * `_WIDTHS` manifest pins the level list so readers never glob blind.
+  *
+  * Equality with direct computation is spec-pinned
+  * (SuffixIndexSpec: every persisted level == the in-memory ladder
+  * frame, row-exact), so consumers inherit the [[Suffix]] proofs.
+  */
+object SuffixIndex {
+
+  /** Build (first call per corpus fingerprint) or open the index; returns
+    * the ascending (width, frame) ladder. */
+  def levels(s: SparkSession, sfDir: String): Seq[(Int, DataFrame)] = {
+    val dir = Fixtures.cached("suffixidx", "levels", sfDir) { out =>
+      val docs = Tables.documents(s, sfDir)
+      val maxLen = docs.agg(coalesce(max(length(col("text"))), lit(2)))
+        .head.getInt(0)
+      var cap = 2
+      while (cap < maxLen) cap *= 2
+      val (_, lvls) = Suffix.ranksWithLevels(docs, cap)
+      lvls.foreach { case (w, t) =>
+        t.write.mode("overwrite").parquet(new File(out, f"w$w%08d").toString)
+      }
+      java.nio.file.Files.writeString(
+        new File(out, "_WIDTHS").toPath, lvls.map(_._1).mkString(","))
+    } { out => new File(out, "_WIDTHS").isFile }
+    val widths = java.nio.file.Files
+      .readString(new File(dir, "_WIDTHS").toPath)
+      .split(",").map(_.toInt).toSeq
+    widths.map(w => w -> s.read.parquet(new File(dir, f"w$w%08d").toString))
+  }
+
+  /** The full suffix ranking (ties = identical whole suffixes): the
+    * ladder's last level. */
+  def full(s: SparkSession, sfDir: String): DataFrame =
+    levels(s, sfDir).last._2
+
+  /** The level whose classes witness `w`-char prefix equality: the
+    * ladder lands on every radix step exactly (1, 4, 64, …, cap), so a
+    * `w` on the ladder is returned directly; a ladder that SATURATED
+    * below `w` (all classes singleton) returns its last level — further
+    * refinement is the identity, so its classes (and head-ordinal
+    * ranks) already equal the width-`w` ones. A `w` that is neither on
+    * the ladder nor past saturation is a contract error, not a silent
+    * approximation. */
+  def levelFor(s: SparkSession, sfDir: String, w: Int): DataFrame = {
+    val lvls = levels(s, sfDir)
+    lvls.find(_._1 >= w) match {
+      case Some((lw, t)) =>
+        require(lw == w || lvls.last._1 == lw && lw >= w,
+          s"suffix index has no width-$w level (ladder: ${lvls.map(_._1)})")
+        if (lw == w) t
+        else sys.error(
+          s"suffix index ladder skipped width $w (ladder: ${lvls.map(_._1)})")
+      case None => lvls.last._2 // saturated (or cap) below w: identical
+    }
+  }
+}

@@ -29,13 +29,25 @@ object Fixtures {
 
   /** Stable fingerprint of the source dir's parquet listing. Empty-dir
     * or missing-dir hashes to a constant, so non-table sfDirs (tests
-    * passing scratch paths) still cache consistently. */
+    * passing scratch paths) still cache consistently. `<table>.parquet`
+    * can be a plain file (the driver/GenData layout) or a Spark-written
+    * DIRECTORY of part files (spec scratch corpora) — the fingerprint
+    * walks one level into directories so a rewritten directory corpus
+    * invalidates exactly like a rewritten file. */
   private def sourceFingerprint(sfDir: String): String = {
-    val files = Option(new File(sfDir).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    val entries = Option(new File(sfDir).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet"))
       .sortBy(_.getName)
-    val sig = files.map(f => s"${f.getName}:${f.length}:${f.lastModified}")
-      .mkString("|")
+    val sig = entries.map { f =>
+      if (f.isFile) s"${f.getName}:${f.length}:${f.lastModified}"
+      else {
+        val parts = Option(f.listFiles()).getOrElse(Array.empty)
+          .filter(_.isFile).sortBy(_.getName)
+          .map(p => s"${p.getName}:${p.length}:${p.lastModified}")
+          .mkString(",")
+        s"${f.getName}/[$parts]"
+      }
+    }.mkString("|")
     java.lang.Long.toHexString(
       scala.util.hashing.MurmurHash3.stringHash(sig).toLong & 0xffffffffL)
   }

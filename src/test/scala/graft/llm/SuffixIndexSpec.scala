@@ -1,0 +1,81 @@
+package graft.llm
+
+import graft.SparkSpec
+
+/** The persisted suffix index inherits [[SuffixSpec]]'s proofs only if
+  * the artifact IS the computation: every persisted level must equal the
+  * direct in-memory ladder row-exactly, levelFor must hand consumers the
+  * exact width they asked for (or a provably-identical saturated level),
+  * and a regenerated corpus must rebuild — never serve stale ranks. */
+class SuffixIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeDocs(dir: String, texts: Seq[String]): Unit =
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(dir + "/documents.parquet")
+
+  private def docsDir(texts: Seq[String]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("sfxidx").toString
+    writeDocs(dir, texts)
+    dir
+  }
+
+  private def collectRanks(df: org.apache.spark.sql.DataFrame) =
+    df.select("doc_id", "pos", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+
+  test("every persisted level equals the direct ladder computation " +
+    "row-exactly, and the ladder widths match") {
+    val texts = Seq("banana" * 20, "anana" * 17, "band" * 9, "b")
+    val d = docsDir(texts)
+    val docs = graft.tables.Tables.documents(spark, d)
+    val maxLen = texts.map(_.length).max
+    var cap = 2
+    while (cap < maxLen) cap *= 2
+    val (_, direct) = Suffix.ranksWithLevels(docs, cap)
+    val indexed = SuffixIndex.levels(spark, d)
+    assert(indexed.map(_._1) == direct.map(_._1))
+    indexed.zip(direct).foreach { case ((wi, ti), (wd, td)) =>
+      assert(wi == wd)
+      assert(collectRanks(ti) == collectRanks(td), s"level width $wi")
+    }
+  }
+
+  test("levelFor(64) on a long corpus returns true width-64 head " +
+    "ordinals — identical to a dedicated ranks(docs, 64) build") {
+    // > 64-char docs sharing a 64+ char passage so width-64 classes are
+    // genuinely coarser than the full order (a non-singleton 64-class)
+    val shared = "the quick brown fox jumps over the lazy dog again and again forever"
+    val texts = Seq(shared + " alpha tail", "prefix " + shared, "unrelated text")
+    val d = docsDir(texts)
+    val docs = graft.tables.Tables.documents(spark, d)
+    val dedicated = collectRanks(Suffix.ranks(docs, Suffix.WindowLen))
+    val indexed = collectRanks(SuffixIndex.levelFor(spark, d, Suffix.WindowLen))
+    assert(indexed == dedicated)
+  }
+
+  test("a ladder that saturates below 64 serves its last level for " +
+    "levelFor(64) — provably identical ranks (all classes singleton)") {
+    val texts = Seq("abcdefgh", "ijklmnop") // distinct at char 1, len 8 < 64
+    val d = docsDir(texts)
+    val docs = graft.tables.Tables.documents(spark, d)
+    val lvls = SuffixIndex.levels(spark, d)
+    assert(lvls.last._1 < 64, s"expected saturation below 64: ${lvls.map(_._1)}")
+    val dedicated = collectRanks(Suffix.ranks(docs, Suffix.WindowLen))
+    assert(collectRanks(SuffixIndex.levelFor(spark, d, Suffix.WindowLen))
+      == dedicated)
+  }
+
+  test("regenerating the corpus under the same path rebuilds the index " +
+    "(fingerprint key) — stale ranks are never served") {
+    val d = docsDir(Seq("aaaa", "bbbb"))
+    val before = collectRanks(SuffixIndex.full(spark, d))
+    assert(before.nonEmpty)
+    Thread.sleep(1100) // mtime granularity: make the rewrite observable
+    writeDocs(d, Seq("zzzzzz", "yyyyyy", "xxxxxx"))
+    val after = collectRanks(SuffixIndex.full(spark, d))
+    assert(after.size == 18, s"rebuilt index should rank 18 suffixes, got ${after.size}")
+    assert(after != before)
+  }
+}
