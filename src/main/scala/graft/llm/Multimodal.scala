@@ -152,9 +152,10 @@ object Multimodal {
 
   /** Typed MP4-lake row. `codec` alternates by id parity: even ids are
     * MJPEG-in-MP4 ('jpeg' sample entries — REAL pixel decode through
-    * [[JpegCodec]]); odd ids are 'avc1' tracks with a REAL SPS/PPS in
-    * the avcC record (H.264 METADATA decode is real; only macroblock
-    * pixels stay behind the documented stub). */
+    * [[JpegCodec]]); odd ids are 'avc1' tracks with REAL SPS/PPS in the
+    * avcC record AND real I_PCM IDR pictures per sample — pixel decode
+    * through [[H264Codec]] (predicted/transform macroblocks remain that
+    * codec's documented extension point). */
   case class Mp4Row(id: Long, codec: String, width: Int, height: Int,
                     n_samples: Int, payload: Array[Byte])
 
@@ -188,10 +189,12 @@ object Multimodal {
       val w = ((id % 7) + 2).toInt * 8
       val h = ((id % 5) + 2).toInt * 8
       val ns = (id % 6 + 1).toInt
+      // REAL H.264: each sample is one I_PCM IDR picture (lossless, so
+      // the decoded gray IS the text-byte cycle — same pixel contract as
+      // the MJPEG arm, shifted to the avc1 dims)
       val samples = (0 until ns).map { k =>
-        val len = ((id + k) % 24 + 4).toInt
-        val nal = Array(0x65.toByte) ++ Array.tabulate(len - 1)(i =>
-          bytes((k * 131 + i) % bytes.length))
+        val nal = H264Codec.encodeIdrPcm(w, h, Array.tabulate(w * h)(i =>
+          bytes(((k.toLong * w * h + i) % bytes.length).toInt) & 0xff))
         Array[Byte](((nal.length >> 24) & 0xff).toByte,
           ((nal.length >> 16) & 0xff).toByte,
           ((nal.length >> 8) & 0xff).toByte,
@@ -203,7 +206,7 @@ object Multimodal {
   }
 
   def mp4Fixture(s: SparkSession, sfDir: String): String =
-    graft.tables.Fixtures.cached("mediamp4a", "media_mp4.parquet", sfDir) { dir =>
+    graft.tables.Fixtures.cached("mediamp4b", "media_mp4.parquet", sfDir) { dir =>
       import s.implicits._
       Tables.documents(s, sfDir)
         .select(col("doc_id"), col("text")).as[(Long, String)]
@@ -378,7 +381,8 @@ object Multimodal {
               poolIntMean(gray.map(_ & 0xff), w, h, poolFactor, 255.0)
             }
             MediaFeatures(m.id, m.format, kept.size, feats)
-          case _ => // no-pure-JVM-route formats (e.g. H.264): documented stub
+          case _ => // no-pure-JVM-route formats (e.g. HEVC/VP9): documented
+            // stub (H.264 intra now decodes for real — H264Codec)
             val px = decodeStub(m.payload, m.width, m.height)
             MediaFeatures(m.id, m.format, 1,
               meanPool(px, m.width, m.height, poolFactor).map(_.toDouble))
@@ -491,6 +495,44 @@ object Multimodal {
       .orderBy("id")
   }
 
+  /** HASH-VERIFIED H.264 pipeline: real BMFF demux → avcC SPS/PPS parse
+    * → per-sample I_PCM IDR slice decode ([[H264Codec]] — slice header
+    * against the active parameter sets, emulation-prevention strip, PCM
+    * macroblock reconstruction, crop window) → stride-3 frame sample →
+    * pooled features. I_PCM is LOSSLESS, so the decoded gray equals the
+    * text-byte cycle exactly and the DuckDB oracle rebuilds every pooled
+    * value as a plain integer-window mean — no container, NAL, or slice
+    * parsing on the oracle side. */
+  def multimodalH264(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    syntheticMp4s(s, d).as[Mp4Row]
+      .filter(col("codec") === "avc1")
+      .mapPartitions { rows =>
+        rows.map { m =>
+          val t = Mp4Codec.demuxMp4(m.payload)
+          require(t.codec == "avc1" && t.width == m.width && t.height == m.height,
+            s"mp4 ${m.id}: demuxed header (${t.codec},${t.width},${t.height}) " +
+              s"drifts from lake metadata (${m.codec},${m.width},${m.height})")
+          val rec = t.avcC.getOrElse(sys.error(s"mp4 ${m.id}: avc1 without avcC"))
+          val kept = sampleFrames(t.samples.length, stride = 3)
+          val feats = kept.toArray.flatMap { f =>
+            val frame = H264Codec.decodeAvccSample(rec, t.samples(f))
+            require(frame.width == t.width && frame.height == t.height,
+              s"mp4 ${m.id}: decoded dims drift")
+            poolIntMean(frame.y.map(_ & 0xff), frame.width, frame.height,
+              DefaultPoolFactor, 255.0)
+          }
+          (m.id, kept.size, feats)
+        }
+      }
+      .toDF("id", "n_frames", "features")
+      .select(col("id"), col("n_frames"),
+        size(col("features")).as("n_features"),
+        round(aggregate(col("features"), lit(0.0),
+          (a, x) => a + x) + lit(1e-6), 2).as("checksum"))
+      .orderBy("id")
+  }
+
   /** HASH-VERIFIED MP4 metadata catalog: per video, what a lakehouse
     * ingest would record — codec fourcc from the stsd entry, sample
     * count from the real sample tables, and for 'avc1' tracks the
@@ -531,6 +573,7 @@ object Multimodal {
     "q_multimodal_binfile"  -> multimodalBinaryFiles _,
     "q_multimodal_mp4"      -> multimodalMp4 _,
     "q_multimodal_mp4_meta" -> multimodalMp4Meta _,
+    "q_multimodal_h264"     -> multimodalH264 _,
   )
 
   // The shared image-feature reconstruction: pixels from the text-byte
@@ -685,6 +728,38 @@ object Multimodal {
                GROUP BY id, nf, w, h, f, gy, gx),
                LATERAL (SELECT unnest(range(0, 2)) AS dy),
                LATERAL (SELECT unnest(range(0, 2)) AS dx))
+           GROUP BY id, nf, w, h)
+         ORDER BY id""",
+    // H.264 I_PCM is lossless: decoded gray = the text-byte cycle, so
+    // every pooled feature is a plain 4×4 integer-window mean — the
+    // oracle needs no container/NAL/slice parsing, only the contract
+    "q_multimodal_h264" ->
+      """WITH h264s AS (
+           SELECT doc_id AS id,
+                  CAST((doc_id % 7 + 2) * 8 AS INT) AS w,
+                  CAST((doc_id % 5 + 2) * 8 AS INT) AS h,
+                  CAST(doc_id % 6 + 1 AS INT) AS nf,
+                  text, length(text) AS len
+           FROM documents WHERE doc_id % 5 = 3 AND doc_id % 2 = 1)
+         SELECT id, CAST((nf + 2) // 3 AS INT) AS n_frames,
+                CAST(((nf + 2) // 3) * (w // 4) * (h // 4) AS INT)
+                  AS n_features,
+                round(list_sum(fl) + 1e-6, 2) AS checksum
+         FROM (
+           SELECT id, nf, w, h, list(pooled ORDER BY f, oy, ox) AS fl
+           FROM (
+             SELECT id, nf, w, h, f, oy, ox,
+                    SUM(g)::DOUBLE / COUNT(*) / 255.0 AS pooled
+             FROM (
+               SELECT id, nf, w, h,
+                      p // (w * h) AS f,
+                      ((p % (w * h)) // w) // 4 AS oy,
+                      ((p % (w * h)) % w) // 4 AS ox,
+                      ord(substr(text, CAST(p % len AS INT) + 1, 1)) AS g
+               FROM h264s, LATERAL (SELECT unnest(range(0,
+                      CAST(nf AS BIGINT) * w * h)) AS p)
+               WHERE (p // (w * h)) % 3 = 0)
+             GROUP BY id, nf, w, h, f, oy, ox)
            GROUP BY id, nf, w, h)
          ORDER BY id""",
     // MP4 catalog metadata: the id formulas the fixture encodes; the

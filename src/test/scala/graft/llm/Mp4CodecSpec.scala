@@ -45,7 +45,10 @@ class Mp4CodecSpec extends SparkSpec {
     val t = Mp4Codec.demuxMp4(Mp4Codec.encodeMp4Avc(56, 24, 25, samples))
     assert(t.codec === "avc1")
     val sps = Mp4Codec.parseSps(Mp4Codec.avcCSps(t.avcC.get))
-    assert(sps === Mp4Codec.SpsInfo(66, 30, 56, 24))
+    assert((sps.profileIdc, sps.levelIdc, sps.width, sps.height)
+      === ((66, 30, 56, 24)))
+    assert((sps.mbWidth, sps.mbHeight) === ((4, 2)))
+    assert((sps.cropRight, sps.cropBottom) === ((8, 8)))
     val nals = Mp4Codec.avccNals(t.samples.head)
     assert(nals.length === 1 && nals.head.toSeq === Seq[Byte](0x65, 0x11))
   }
@@ -108,7 +111,13 @@ class Mp4CodecSpec extends SparkSpec {
     val rbsp = bits.toString.grouped(8)
       .map(Integer.parseInt(_, 2).toByte).toArray
     val info = Mp4Codec.parseSps(Array(0x67.toByte) ++ rbsp)
-    assert(info === Mp4Codec.SpsInfo(100, 31, 320, 176))
+    assert((info.profileIdc, info.levelIdc, info.width, info.height)
+      === ((100, 31, 320, 176)))
+    // the slice-layer fields the decoder consumes came off THIS bitstream
+    assert((info.log2MaxFrameNum, info.pocType, info.log2MaxPocLsb)
+      === ((8, 0, 8)))
+    assert((info.mbWidth, info.mbHeight, info.chromaFormatIdc)
+      === ((20, 11, 1)))
   }
 
   test("loud rejections: truncated box, missing sample tables, bad NAL") {
