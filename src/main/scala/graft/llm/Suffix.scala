@@ -384,11 +384,72 @@ object Suffix {
     result.toDF("max_rep_len", "n_max_pairs", "rep_md5")
   }
 
+  /** `q_dedup_suffix_clip`: the REMOVE pass the span census feeds — the
+    * exact-substring dedup TRANSFORMATION (the "deduplicating training
+    * data" pipelines don't just count duplicated passages, they cut
+    * them): every character inside a cross-document-shared
+    * WindowLen-char window is clipped out, and the row certifies the
+    * exact surviving text. One row per document (clipping may empty a
+    * doc but never drops it): (doc_id, n_chars, n_kept, kept_md5).
+    *
+    * Shape: the merged spans are q_dedup_suffix_coverage's
+    * gaps-and-islands frame (cheap keyed aggs over the shared
+    * [[SuffixIndex]] level); the cut itself is ONE codegen fold per doc
+    * over its sorted span array (substring concat across the gaps) —
+    * per-doc local work, no explosion: the engine never materializes a
+    * row per character, where the oracle brute-forces exactly that
+    * (per-char rows anti-joined to the covered-offset union, string_agg
+    * in offset order — md5 equality proves the clipped TEXT, not just
+    * its length). */
+  def dedupSuffixClip(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val lens = docs.select(col("doc_id"),
+      length(col("text")).cast("long").as("len"))
+    val windows = SuffixIndex.levelFor(s, d, WindowLen)
+      .join(lens, "doc_id")
+      .filter(col("pos") + WindowLen <= col("len"))
+    val shared = windows.groupBy("rank")
+      .agg(countDistinct("doc_id").as("ndocs"))
+      .filter(col("ndocs") >= 2)
+      .select("rank")
+    val dup = windows.join(shared, "rank").select(col("doc_id"), col("pos"))
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val spans = dup
+      .withColumn("prev_end", max(col("pos") + WindowLen)
+        .over(byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_island",
+        when(col("prev_end").isNull || col("pos") > col("prev_end"), 1L)
+          .otherwise(0L))
+      .withColumn("island", sum("new_island").over(byDoc))
+      .groupBy("doc_id", "island")
+      .agg(min("pos").as("s"), max(col("pos") + WindowLen).as("e"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("spans"))
+    docs.join(spans, Seq("doc_id"), "left")
+      .withColumn("kept", coalesce(expr(
+        // fold the doc's disjoint sorted spans: emit the gap before each
+        // span, then the tail after the last — one pass, codegen HOF
+        """aggregate(spans,
+             struct(CAST(0 AS BIGINT) AS p, '' AS acc),
+             (st, x) -> struct(x.e AS p,
+               concat(st.acc, substring(text, CAST(st.p + 1 AS INT),
+                                        CAST(x.s - st.p AS INT))) AS acc),
+             st -> concat(st.acc, substring(text, CAST(st.p + 1 AS INT),
+                            CAST(length(text) - st.p AS INT))))"""),
+        col("text")))
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        length(col("kept")).cast("long").as("n_kept"),
+        md5(col("kept")).as("kept_md5"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_text_suffix_census"    -> suffixCensus _,
     "q_dedup_suffix_window"   -> dedupSuffixWindow _,
     "q_dedup_suffix_maxrep"   -> dedupSuffixMaxrep _,
     "q_dedup_suffix_coverage" -> dedupSuffixCoverage _,
+    "q_dedup_suffix_clip"     -> dedupSuffixClip _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -469,5 +530,34 @@ object Suffix {
          JOIN documents d ON d.doc_id = o.doc_id
          LEFT JOIN ofs p ON p.doc_id = o.doc_id AND p.off = o.off - 1
          GROUP BY o.doc_id ORDER BY o.doc_id""",
+    // the oracle rebuilds the clipped text the brute-force way: one row
+    // per character, anti-joined to the covered-offset union, re-strung
+    // in offset order — md5 equality proves the engine's span fold cut
+    // EXACTLY the duplicated characters and nothing else
+    "q_dedup_suffix_clip" ->
+      """WITH w AS (
+           SELECT doc_id, i AS pos, substr(text, CAST(i + 1 AS INT), 64) AS win
+           FROM documents,
+                LATERAL unnest(range(0, greatest(len(text) - 63, 0))) u(i)),
+         x AS (SELECT win FROM w GROUP BY win
+               HAVING count(DISTINCT doc_id) >= 2),
+         dp AS (SELECT DISTINCT doc_id, pos FROM w JOIN x USING (win)),
+         ofs AS (SELECT DISTINCT doc_id, off
+                 FROM dp, LATERAL unnest(range(pos, pos + 64)) t(off)),
+         chars AS (SELECT doc_id, i AS off,
+                          substr(text, CAST(i + 1 AS INT), 1) AS ch
+                   FROM documents, LATERAL unnest(range(0, len(text))) u(i)),
+         kept AS (SELECT c.doc_id,
+                         string_agg(c.ch, '' ORDER BY c.off) AS kt,
+                         count(1) AS nk
+                  FROM chars c
+                  LEFT JOIN ofs o ON o.doc_id = c.doc_id AND o.off = c.off
+                  WHERE o.off IS NULL
+                  GROUP BY c.doc_id)
+         SELECT d.doc_id, CAST(len(d.text) AS BIGINT) AS n_chars,
+                CAST(coalesce(k.nk, 0) AS BIGINT) AS n_kept,
+                md5(coalesce(k.kt, '')) AS kept_md5
+         FROM documents d LEFT JOIN kept k USING (doc_id)
+         ORDER BY d.doc_id""",
   )
 }

@@ -186,6 +186,41 @@ class SuffixSpec extends SparkSpec {
     assert(out(2L)._2 == 64L && out(2L)._3 == 1L, s"doc2 ${out(2L)}")
   }
 
+  test("q_dedup_suffix_clip: the kept text equals the brute-force " +
+    "anti-join of chars against the covered-offset union, md5-exact; " +
+    "untouched and fully-clipped docs both keep their rows") {
+    def fill(c: Char, n: Int) = c.toString * n
+    val p = ('A' to 'Z').mkString + ('a' to 'z').mkString +
+      "0123456789!@#$%^&*()_+-=[]{};:" // 92 chars, unique content
+    val texts = Seq(
+      fill('a', 11) + p + fill('b', 20), // passage mid-doc
+      p,                                  // passage IS the doc: fully clipped
+      fill('z', 40))                      // untouched
+    def model(t: String, d: Int): (Long, Long, String) = {
+      val wins = texts.zipWithIndex.flatMap { case (s, i) =>
+        (0 to s.length - 64).map(q => (s.substring(q, q + 64), i))
+      }
+      val sharedW = wins.groupBy(_._1).filter(_._2.map(_._2).distinct.size >= 2).keySet
+      val covered = (0 to t.length - 64)
+        .filter(q => sharedW(t.substring(q, q + 64)))
+        .flatMap(q => q until q + 64).toSet
+      val kept = t.indices.filterNot(covered).map(t.charAt).mkString
+      def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (t.length.toLong, kept.length.toLong, md5(kept))
+    }
+    val got = Suffix.dedupSuffixClip(spark, docsDir(texts)).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    assert(got.keySet == texts.indices.map(_.toLong).toSet)
+    texts.zipWithIndex.foreach { case (t, d) =>
+      assert(got(d.toLong) == model(t, d), s"doc $d")
+    }
+    // the fully-clipped doc really emptied; the untouched doc really kept all
+    assert(got(1L)._2 == 0L)
+    assert(got(2L)._2 == 40L)
+  }
+
   test("q_text_suffix_census fingerprint matches the model's ranks") {
     val texts = Seq("abab", "baba", "ab")
     val m = modelRanks(texts)
