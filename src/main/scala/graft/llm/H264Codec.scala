@@ -29,10 +29,14 @@ import Mp4Codec.{BitReader, BitWriter, SpsInfo, escapeRbsp, unescapeRbsp}
   */
 object H264Codec {
 
-  /** Parsed PPS fields the slice layer consumes (§7.3.2.2). */
+  /** Parsed PPS fields the slice layer consumes (§7.3.2.2) — every flag
+    * that changes SLICE HEADER syntax is captured, so a foreign PPS can
+    * never silently misalign the slice parse. */
   case class PpsInfo(entropyCabac: Boolean, picInitQp: Int,
                      deblockingControlPresent: Boolean,
-                     numSliceGroups: Int)
+                     numSliceGroups: Int,
+                     bottomFieldPocPresent: Boolean,
+                     redundantPicCntPresent: Boolean)
 
   def parsePps(nal: Array[Byte]): PpsInfo = {
     require(nal.nonEmpty && (nal(0) & 0x1f) == 8,
@@ -40,7 +44,7 @@ object H264Codec {
     val r = new BitReader(unescapeRbsp(nal.drop(1)))
     r.ue(); r.ue()                    // pps id, sps id
     val cabac = r.bit() == 1
-    r.bit()                           // bottom_field_pic_order_in_frame
+    val bottomPoc = r.bit() == 1      // bottom_field_pic_order_in_frame
     val groups = r.ue().toInt + 1
     require(groups == 1, s"FMO slice groups unsupported (got $groups)")
     r.ue(); r.ue()                    // num_ref_idx defaults
@@ -50,7 +54,9 @@ object H264Codec {
     r.se()                            // pic_init_qs_minus26
     r.se()                            // chroma_qp_index_offset
     val deblock = r.bit() == 1
-    PpsInfo(cabac, qp, deblock, groups)
+    r.bit()                           // constrained_intra_pred_flag
+    val redundant = r.bit() == 1      // redundant_pic_cnt_present_flag
+    PpsInfo(cabac, qp, deblock, groups, bottomPoc, redundant)
   }
 
   /** One decoded frame, cropped to the SPS display window: full-range
@@ -128,9 +134,11 @@ object H264Codec {
     r.ue()                               // idr_pic_id
     if (sps.pocType == 0) {
       r.bits(sps.log2MaxPocLsb)          // pic_order_cnt_lsb
+      if (pps.bottomFieldPocPresent) r.se() // delta_pic_order_cnt_bottom
     } else if (sps.pocType == 1) {
       sys.error("poc type 1 slice fields unsupported (§7.3.3)")
     }
+    if (pps.redundantPicCntPresent) r.ue() // redundant_pic_cnt
     r.bit(); r.bit()                     // dec_ref_pic_marking (IDR)
     r.se()                               // slice_qp_delta (PCM ignores QP)
     if (pps.deblockingControlPresent) {

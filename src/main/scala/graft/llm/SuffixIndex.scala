@@ -75,14 +75,13 @@ object SuffixIndex {
     * approximation. */
   def levelFor(s: SparkSession, sfDir: String, w: Int): DataFrame = {
     val lvls = levels(s, sfDir)
-    lvls.find(_._1 >= w) match {
-      case Some((lw, t)) =>
-        require(lw == w || lvls.last._1 == lw && lw >= w,
-          s"suffix index has no width-$w level (ladder: ${lvls.map(_._1)})")
-        if (lw == w) t
-        else sys.error(
+    lvls.find(_._1 == w) match {
+      case Some((_, t)) => t
+      case None =>
+        val (lastW, lastT) = lvls.last
+        require(lastW < w,
           s"suffix index ladder skipped width $w (ladder: ${lvls.map(_._1)})")
-      case None => lvls.last._2 // saturated (or cap) below w: identical
+        lastT // saturated (or capped) below w: provably identical classes
     }
   }
 }

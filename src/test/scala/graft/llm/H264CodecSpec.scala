@@ -85,6 +85,75 @@ class H264CodecSpec extends AnyFunSuite {
     assert(pps.numSliceGroups == 1)
   }
 
+  test("foreign PPS flags that change slice-header syntax are honored: " +
+    "bottom-field poc + redundant_pic_cnt fields parse without " +
+    "misaligning the macroblock layer") {
+    // hand-built PPS: CABAC off, bottom_field_poc ON, redundant ON
+    val bw = new Mp4Codec.BitWriter
+    bw.ue(0); bw.ue(0)   // ids
+    bw.putBit(0)         // CAVLC
+    bw.putBit(1)         // bottom_field_pic_order_in_frame_present
+    bw.ue(0)             // one slice group
+    bw.ue(0); bw.ue(0)   // ref idx defaults
+    bw.putBit(0); bw.putBits(0, 2) // weighted pred/bipred
+    bw.se(0); bw.se(0); bw.se(0)   // qp/qs/chroma offsets
+    bw.putBit(0)         // deblocking control
+    bw.putBit(0)         // constrained intra
+    bw.putBit(1)         // redundant_pic_cnt_present
+    val ppsNal = Array(0x68.toByte) ++ Mp4Codec.escapeRbsp(bw.trailing())
+    val pps = H264Codec.parsePps(ppsNal)
+    assert(pps.bottomFieldPocPresent && pps.redundantPicCntPresent)
+    // poc-type-0 SPS so the bottom-field arm is actually on the path
+    val spsW = new Mp4Codec.BitWriter
+    spsW.putBits(66, 8); spsW.putBits(0xc0L, 8); spsW.putBits(30, 8)
+    spsW.ue(0)           // sps id
+    spsW.ue(0)           // log2_max_frame_num_minus4
+    spsW.ue(0)           // pic_order_cnt_type 0
+    spsW.ue(0)           //   log2_max_pic_order_cnt_lsb_minus4
+    spsW.ue(1); spsW.putBit(0) // max refs, no gaps
+    spsW.ue(0); spsW.ue(0)     // 1x1 MBs = 16x16
+    spsW.putBit(1); spsW.putBit(1) // frame_mbs_only, direct_8x8
+    spsW.putBit(0); spsW.putBit(0) // no crop, no vui
+    val sps = Mp4Codec.parseSps(
+      Array(0x67.toByte) ++ Mp4Codec.escapeRbsp(spsW.trailing()))
+    assert((sps.pocType, sps.log2MaxPocLsb) == ((0, 4)))
+    // slice against THAT pair: poc lsb + delta_bottom + redundant present
+    val g = gray(16, 16, 9)
+    val sl = new Mp4Codec.BitWriter
+    sl.ue(0); sl.ue(7); sl.ue(0)   // first_mb, I, pps id
+    sl.putBits(0L, 4)              // frame_num
+    sl.ue(0)                       // idr_pic_id
+    sl.putBits(0L, 4)              // pic_order_cnt_lsb
+    sl.se(0)                       // delta_pic_order_cnt_bottom
+    sl.ue(0)                       // redundant_pic_cnt
+    sl.putBit(0); sl.putBit(0)     // dec_ref_pic_marking
+    sl.se(0)                       // slice_qp_delta
+    sl.ue(25); sl.align()          // I_PCM
+    g.foreach(v => sl.putBits(v.toLong, 8))
+    (0 until 128).foreach(_ => sl.putBits(128L, 8))
+    val nal = Array(0x65.toByte) ++ Mp4Codec.escapeRbsp(sl.trailing())
+    val f = H264Codec.decodeIdr(sps, pps, nal)
+    assert(f.y.map(_ & 0xff).toSeq == g.toSeq)
+  }
+
+  test("the MP4-lake avc1 fixture rows decode to the text-byte pixel " +
+    "contract the DuckDB oracle assumes") {
+    val text = ('a' to 'z').mkString * 40
+    val row = Multimodal.mkMp4Row(7L, text) // odd id -> avc1
+    assert(row.codec == "avc1")
+    val t = Mp4Codec.demuxMp4(row.payload)
+    val bytes = text.getBytes("UTF-8")
+    (0 until t.samples.length).foreach { k =>
+      val f = H264Codec.decodeAvccSample(t.avcC.get, t.samples(k))
+      assert((f.width, f.height) == ((row.width, row.height)))
+      f.y.zipWithIndex.foreach { case (b, i) =>
+        assert((b & 0xff) ==
+          (bytes(((k.toLong * row.width * row.height + i) % bytes.length).toInt) & 0xff),
+          s"sample $k pixel $i")
+      }
+    }
+  }
+
   test("everything outside the subset refuses loudly, naming the clause") {
     val sps = Mp4Codec.parseSps(Mp4Codec.encodeSps(16, 16))
     val pps = H264Codec.parsePps(Mp4Codec.encodePps())
