@@ -38,26 +38,41 @@ import graft.tables.{Fixtures, Tables}
   */
 object SuffixIndex {
 
+  /** Build the index for `docs` at an EXPLICIT path — the cluster-store
+    * entry point (parquet beside the corpus; the local fixture route
+    * below delegates here, so every gate run exercises this writer).
+    * The `_WIDTHS` manifest is written LAST: a killed build leaves no
+    * manifest and readers refuse, never half-read. */
+  def buildAt(docs: DataFrame, path: String): Unit = {
+    val maxLen = docs.agg(coalesce(max(length(col("text"))), lit(2)))
+      .head.getInt(0)
+    var cap = 2
+    while (cap < maxLen) cap *= 2
+    val (_, lvls) = Suffix.ranksWithLevels(docs, cap)
+    lvls.foreach { case (w, t) =>
+      t.write.mode("overwrite").parquet(s"$path/" + f"w$w%08d")
+    }
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path, "_WIDTHS"), lvls.map(_._1).mkString(","))
+  }
+
+  /** Open an index previously written by [[buildAt]]: the ascending
+    * (width, frame) ladder, manifest-driven (no blind globbing). */
+  def openAt(s: SparkSession, path: String): Seq[(Int, DataFrame)] = {
+    val manifest = java.nio.file.Paths.get(path, "_WIDTHS")
+    require(java.nio.file.Files.isRegularFile(manifest),
+      s"no suffix index at $path (missing _WIDTHS manifest — incomplete build?)")
+    java.nio.file.Files.readString(manifest).split(",").map(_.toInt).toSeq
+      .map(w => w -> s.read.parquet(s"$path/" + f"w$w%08d"))
+  }
+
   /** Build (first call per corpus fingerprint) or open the index; returns
     * the ascending (width, frame) ladder. */
   def levels(s: SparkSession, sfDir: String): Seq[(Int, DataFrame)] = {
     val dir = Fixtures.cached("suffixidx", "levels", sfDir) { out =>
-      val docs = Tables.documents(s, sfDir)
-      val maxLen = docs.agg(coalesce(max(length(col("text"))), lit(2)))
-        .head.getInt(0)
-      var cap = 2
-      while (cap < maxLen) cap *= 2
-      val (_, lvls) = Suffix.ranksWithLevels(docs, cap)
-      lvls.foreach { case (w, t) =>
-        t.write.mode("overwrite").parquet(new File(out, f"w$w%08d").toString)
-      }
-      java.nio.file.Files.writeString(
-        new File(out, "_WIDTHS").toPath, lvls.map(_._1).mkString(","))
+      buildAt(Tables.documents(s, sfDir), out.toString)
     } { out => new File(out, "_WIDTHS").isFile }
-    val widths = java.nio.file.Files
-      .readString(new File(dir, "_WIDTHS").toPath)
-      .split(",").map(_.toInt).toSeq
-    widths.map(w => w -> s.read.parquet(new File(dir, f"w$w%08d").toString))
+    openAt(s, dir)
   }
 
   /** The full suffix ranking (ties = identical whole suffixes): the

@@ -67,6 +67,30 @@ class SuffixIndexSpec extends SparkSpec {
       == dedicated)
   }
 
+  test("the explicit-path API (buildAt/openAt) round-trips the ladder " +
+    "and refuses a manifest-less (killed) build") {
+    val texts = Seq("banana band bandana", "anana banned")
+    val d = docsDir(texts)
+    val docs = graft.tables.Tables.documents(spark, d)
+    val path = java.nio.file.Files.createTempDirectory("sfxat").toString
+    SuffixIndex.buildAt(docs, path)
+    val opened = SuffixIndex.openAt(spark, path)
+    val direct = {
+      var cap = 2
+      while (cap < texts.map(_.length).max) cap *= 2
+      Suffix.ranksWithLevels(docs, cap)._2
+    }
+    assert(opened.map(_._1) == direct.map(_._1))
+    opened.zip(direct).foreach { case ((w, a), (_, b)) =>
+      assert(collectRanks(a) == collectRanks(b), s"width $w") }
+    // a build that died before the manifest must refuse loudly
+    java.nio.file.Files.delete(java.nio.file.Paths.get(path, "_WIDTHS"))
+    val e = intercept[IllegalArgumentException] {
+      SuffixIndex.openAt(spark, path)
+    }
+    assert(e.getMessage.contains("_WIDTHS"))
+  }
+
   test("regenerating the corpus under the same path rebuilds the index " +
     "(fingerprint key) — stale ranks are never served") {
     val d = docsDir(Seq("aaaa", "bbbb"))
