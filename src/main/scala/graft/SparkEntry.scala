@@ -46,7 +46,7 @@ object SparkEntry {
       sc.KCore.queries ++ rel.Incremental.queries ++
       llm.RetrievalEval.queries ++ llm.UnigramLm.queries ++ llm.Cdc.queries ++
       llm.Suffix.queries ++ llm.NearDedupStream.queries ++
-      sc.AnnData.queries
+      sc.AnnData.queries ++ zarr.ForeignZarr.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -83,5 +83,5 @@ object SparkEntry {
       sc.KCore.oracle ++ rel.Incremental.oracle ++
       llm.RetrievalEval.oracle ++ llm.UnigramLm.oracle ++ llm.Cdc.oracle ++
       llm.Suffix.oracle ++ llm.NearDedupStream.oracle ++
-      sc.AnnData.oracle
+      sc.AnnData.oracle ++ zarr.ForeignZarr.oracle
 }

@@ -79,6 +79,9 @@ object Multimodal {
         "index text by character and would silently diverge from the " +
         "byte-cycled payload; regenerate the corpus ASCII-only or extend " +
         "the oracles to byte indexing")
+    require(bytes.nonEmpty,
+      s"media fixture doc $id: empty text — the byte cycle is " +
+        "`% bytes.length` and the oracle has no bytes to index")
     def cycled(n: Int): Array[Byte] =
       Array.tabulate(n)(i => bytes(i % bytes.length))
     val payload = fmt match {
@@ -130,6 +133,9 @@ object Multimodal {
       s"jpeg fixture doc $id: non-ASCII text — the DuckDB jpeg oracle " +
         "indexes text by character and would silently diverge from the " +
         "byte-cycled payload; regenerate the corpus ASCII-only")
+    require(bytes.nonEmpty,
+      s"jpeg fixture doc $id: empty text — the gray cycle is " +
+        "`% bytes.length` and the oracle has no bytes to index")
     val gray = Array.tabulate(w * h)(i => bytes(i % bytes.length))
     JpegRow(id, w, h, JpegCodec.encodeJpegGray(w, h, gray, dcOnly = true))
   }
@@ -173,6 +179,9 @@ object Multimodal {
     require(bytes.length == text.length,
       s"mp4 fixture doc $id: non-ASCII text — the DuckDB mp4 oracle " +
         "indexes text by character; regenerate the corpus ASCII-only")
+    require(bytes.nonEmpty,
+      s"mp4 fixture doc $id: empty text — the frame byte cycle is " +
+        "`% bytes.length` and the oracle has no pixels to index")
     val spc = (id % 3 + 1).toInt
     if (id % 2 == 0) {
       val w = ((id % 6) + 2).toInt * 8

@@ -61,7 +61,8 @@ import graft.tables.Tables
   * every round (reliable checkpointing via the shared
   * [[graft.sc.Lineage]] switch).
   *
-  * The four suffix queries do NOT each rebuild the ladder: they consume
+  * The five suffix queries (census, window, maxrep, coverage, clip)
+  * do NOT each rebuild the ladder: they consume
   * the persisted corpus [[SuffixIndex]] (built once per corpus
   * fingerprint from [[ranksWithLevels]]), the build-once/analyze-many
   * shape of the suffix-dedup pipelines. [[ranks]]/[[ranksWithLevels]]

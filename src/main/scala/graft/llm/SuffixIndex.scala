@@ -38,31 +38,86 @@ import graft.tables.{Fixtures, Tables}
   */
 object SuffixIndex {
 
+  /** Hadoop FileSystem for `path` under this session's conf — the level
+    * data already goes through Spark's FS-agnostic parquet writer, so the
+    * MANIFEST must too: on the shared-store deployment the scaladoc
+    * promises (the artifact beside the corpus on `hdfs://`/`gs://`), a
+    * `java.nio.file` manifest would fail at the last step of the build. */
+  private def fsFor(s: SparkSession, path: String) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(s.sparkContext.hadoopConfiguration), p)
+  }
+
   /** Build the index for `docs` at an EXPLICIT path — the cluster-store
     * entry point (parquet beside the corpus; the local fixture route
     * below delegates here, so every gate run exercises this writer).
     * The `_WIDTHS` manifest is written LAST: a killed build leaves no
-    * manifest and readers refuse, never half-read. */
+    * manifest and readers refuse, never half-read. A manifest already
+    * present means the artifact is complete — buildAt is an idempotent
+    * no-op then (delete the directory to force a rebuild; the fingerprint
+    * route below gets a FRESH path per corpus generation, so staleness
+    * is the explicit-path caller's contract, as with any shared-store
+    * artifact).
+    *
+    * Concurrent builders at the same explicit path (two pipeline runs
+    * racing on a shared store — the local fixture route is already
+    * serialized by [[Fixtures.cached]]'s FileLock) are serialized by an
+    * exclusive-create `_BUILD_LOCK`: `FileSystem.create(overwrite=false)`
+    * is atomic on HDFS-semantics stores, so exactly one builder wins;
+    * the loser polls for the winner's manifest instead of interleaving
+    * parquet overwrites into the same level dirs. A builder that DIES
+    * holding the lock leaves no manifest, so readers still refuse
+    * loudly; the stale lock is operator-removable (documented contract,
+    * same as Spark's own output-committer temp dirs). */
   def buildAt(docs: DataFrame, path: String): Unit = {
-    val maxLen = docs.agg(coalesce(max(length(col("text"))), lit(2)))
-      .head.getInt(0)
-    var cap = 2
-    while (cap < maxLen) cap *= 2
-    val (_, lvls) = Suffix.ranksWithLevels(docs, cap)
-    lvls.foreach { case (w, t) =>
-      t.write.mode("overwrite").parquet(s"$path/" + f"w$w%08d")
+    val spark = docs.sparkSession
+    val (fs, root) = fsFor(spark, path)
+    val manifest = new org.apache.hadoop.fs.Path(root, "_WIDTHS")
+    if (fs.exists(manifest)) return // already built (manifest-last ⇒ complete)
+    fs.mkdirs(root)
+    val lock = new org.apache.hadoop.fs.Path(root, "_BUILD_LOCK")
+    val won =
+      try { fs.create(lock, /* overwrite = */ false).close(); true }
+      catch { case _: java.io.IOException => false }
+    if (!won) {
+      // another builder holds the lock: wait for its manifest-last commit
+      val deadlineNs = System.nanoTime() + 30L * 60 * 1000000000L
+      while (!fs.exists(manifest)) {
+        require(System.nanoTime() < deadlineNs,
+          s"suffix index build at $path: lock held but no manifest after " +
+            "30 min — a builder died mid-build; remove _BUILD_LOCK and retry")
+        Thread.sleep(500)
+      }
+      return
     }
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(path, "_WIDTHS"), lvls.map(_._1).mkString(","))
+    try {
+      val maxLen = docs.agg(coalesce(max(length(col("text"))), lit(2)))
+        .head.getInt(0)
+      var cap = 2
+      while (cap < maxLen) cap *= 2
+      val (_, lvls) = Suffix.ranksWithLevels(docs, cap)
+      lvls.foreach { case (w, t) =>
+        t.write.mode("overwrite").parquet(s"$path/" + f"w$w%08d")
+      }
+      val out = fs.create(manifest, /* overwrite = */ true)
+      try out.write(lvls.map(_._1).mkString(",").getBytes("UTF-8"))
+      finally out.close()
+    } finally fs.delete(lock, false)
   }
 
   /** Open an index previously written by [[buildAt]]: the ascending
     * (width, frame) ladder, manifest-driven (no blind globbing). */
   def openAt(s: SparkSession, path: String): Seq[(Int, DataFrame)] = {
-    val manifest = java.nio.file.Paths.get(path, "_WIDTHS")
-    require(java.nio.file.Files.isRegularFile(manifest),
+    val (fs, root) = fsFor(s, path)
+    val manifest = new org.apache.hadoop.fs.Path(root, "_WIDTHS")
+    require(fs.exists(manifest) && fs.getFileStatus(manifest).isFile,
       s"no suffix index at $path (missing _WIDTHS manifest — incomplete build?)")
-    java.nio.file.Files.readString(manifest).split(",").map(_.toInt).toSeq
+    val in = fs.open(manifest)
+    val widths =
+      try new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+      finally in.close()
+    widths.split(",").map(_.toInt).toSeq
       .map(w => w -> s.read.parquet(s"$path/" + f"w$w%08d"))
   }
 

@@ -38,16 +38,20 @@ object Fixtures {
     val entries = Option(new File(sfDir).listFiles()).getOrElse(Array.empty)
       .filter(_.getName.endsWith(".parquet"))
       .sortBy(_.getName)
-    val sig = entries.map { f =>
+    // Full recursive walk: a partitioned Spark write nests part files
+    // under partition SUBDIRECTORIES, and a one-level walk would hash
+    // them as empty — a regenerated partitioned corpus would then serve
+    // stale derived fixtures, the exact staleness this fingerprint exists
+    // to prevent. Directory names participate so a renamed partition
+    // changes the signature even when its files do not.
+    def walk(f: File): String =
       if (f.isFile) s"${f.getName}:${f.length}:${f.lastModified}"
       else {
         val parts = Option(f.listFiles()).getOrElse(Array.empty)
-          .filter(_.isFile).sortBy(_.getName)
-          .map(p => s"${p.getName}:${p.length}:${p.lastModified}")
-          .mkString(",")
+          .sortBy(_.getName).map(walk).mkString(",")
         s"${f.getName}/[$parts]"
       }
-    }.mkString("|")
+    val sig = entries.map(walk).mkString("|")
     java.lang.Long.toHexString(
       scala.util.hashing.MurmurHash3.stringHash(sig).toLong & 0xffffffffL)
   }
