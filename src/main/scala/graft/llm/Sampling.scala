@@ -154,10 +154,16 @@ object Sampling {
       Tables.embeddings(s, d).select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v")))
       .select(col("vec_id"),
-        round(aggregate(col("y"), lit(0.0), (a, x) => a + x) + lit(1e-9), 4)
+        // roundSigned: a projection summing to ~-1e-9 rounds to -0.0 in
+        // one engine and +0.0 in the other (surfaced at sf10, row
+        // 190622 of 200k) — the signed-zero collapse is the shared
+        // NumFmt convention for exactly this class
+        graft.functions.NumFmt.roundSigned(
+          aggregate(col("y"), lit(0.0), (a, x) => a + x) + lit(1e-9), 4)
           .as("proj_sum"),
-        round(sqrt(aggregate(col("y"), lit(0.0), (a, x) => a + x * x))
-          + lit(1e-9), 4).as("proj_norm"))
+        graft.functions.NumFmt.roundSigned(
+          sqrt(aggregate(col("y"), lit(0.0), (a, x) => a + x * x))
+            + lit(1e-9), 4).as("proj_norm"))
       .orderBy("vec_id")
 
   /** Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
@@ -350,9 +356,9 @@ object Sampling {
                   FOR j IN range(0, 16)] AS y
                FROM c)
          SELECT vec_id,
-                round(list_sum(y) + 1e-9, 4) AS proj_sum,
+                round(list_sum(y) + 1e-9, 4) + 0.0 AS proj_sum,
                 round(sqrt(list_sum(list_transform(y, t -> t * t)))
-                  + 1e-9, 4) AS proj_norm
+                  + 1e-9, 4) + 0.0 AS proj_norm
          FROM p ORDER BY vec_id""",
     "q_decontaminate" ->
       """WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks,
