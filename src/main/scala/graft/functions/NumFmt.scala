@@ -36,13 +36,32 @@ object NumFmt {
   def roundSignedSql(expr: String, dp: Int): String =
     s"round($expr, $dp) + 0.0"
 
-  /** Order-independent sum of 2-dp money values: accumulate in
-    * DECIMAL(18,`srcDp`) (exact for dp-decimal doubles), widen to
-    * DECIMAL(30,`dp`), return as double for a stable display type. */
+  /** Order-independent sum of dp-decimal money values: accumulate in
+    * DECIMAL(18,`srcDp`) (exact for srcDp-decimal doubles), display at
+    * `dp` as double.
+    *
+    * Scale-preserving (`dp == srcDp`): widen to DECIMAL(30,dp), cast to
+    * double — both engines nearest-double the same exact decimal.
+    *
+    * Scale-REDUCING (`dp < srcDp`): the naive DECIMAL(30,dp) downcast is
+    * a trap — DuckDB TRUNCATES decimal scale-downs (123.455 → 123.45,
+    * even 123.4550001 → 123.45) while Spark rounds HALF_UP, so every
+    * row whose dropped digits are nonzero disagrees by one display unit
+    * (surfaced at sf10: q_sql_tpch_q1's 6-dp charge sums, all 6 groups
+    * one cent apart). Instead: cast the EXACT decimal sum to double
+    * (identical bits both engines) and apply the repo's shared
+    * round(+1e-6) display convention to identical inputs. */
   def moneySum(c: Column, srcDp: Int, dp: Int): Column =
-    sum(c.cast(s"decimal(18,$srcDp)")).cast(s"decimal(30,$dp)").cast("double")
+    if (dp == srcDp)
+      sum(c.cast(s"decimal(18,$srcDp)")).cast(s"decimal(30,$dp)").cast("double")
+    else
+      round(sum(c.cast(s"decimal(18,$srcDp)")).cast("double") + lit(1e-6), dp)
 
-  /** Oracle-SQL twin of [[moneySum]]. */
+  /** Oracle-SQL twin of [[moneySum]] — the same text runs on Spark SQL
+    * and DuckDB, so SQL-mode queries can share one string. */
   def moneySumSql(expr: String, srcDp: Int, dp: Int): String =
-    s"CAST(CAST(sum(CAST($expr AS DECIMAL(18,$srcDp))) AS DECIMAL(30,$dp)) AS DOUBLE)"
+    if (dp == srcDp)
+      s"CAST(CAST(sum(CAST($expr AS DECIMAL(18,$srcDp))) AS DECIMAL(30,$dp)) AS DOUBLE)"
+    else
+      s"round(CAST(sum(CAST($expr AS DECIMAL(18,$srcDp))) AS DOUBLE) + 1e-6, $dp)"
 }

@@ -2,6 +2,7 @@ package graft.rel
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.functions.NumFmt
 import graft.tables.Tables
 
 /** Relational operator surface: scans, joins, aggregations (SURVEY.md §2B,
@@ -319,14 +320,22 @@ object Relational {
     * and the shipdate predicate pushes to the parquet scan. */
   def sqlTpchQ1(s: SparkSession, d: String): DataFrame = {
     Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
-    s.sql("""
+    // money sums through the DECIMAL accumulation convention
+    // (NumFmt.moneySumSql — identical text on both engines): at sf10 the
+    // 60M-row double sums drifted past the cent boundary by accumulation
+    // order (438947722471.68 vs .67), the exact class moneySum closes.
+    // avg_* stay double: their 4-dp display needs only ~1e-9 relative
+    // precision on values ~1e4, nine orders above the drift.
+    s.sql(s"""
       SELECT l_returnflag, l_linestatus,
              round(sum(l_quantity) + 1e-6, 2) AS sum_qty,
-             round(sum(l_extendedprice) + 1e-6, 2) AS sum_base_price,
-             round(sum(l_extendedprice * (1 - l_discount)) + 1e-6, 2)
+             ${NumFmt.moneySumSql("l_extendedprice", 2, 2)}
+               AS sum_base_price,
+             ${NumFmt.moneySumSql("l_extendedprice * (1 - l_discount)", 4, 2)}
                AS sum_disc_price,
-             round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))
-                   + 1e-6, 2) AS sum_charge,
+             ${NumFmt.moneySumSql(
+                "l_extendedprice * (1 - l_discount) * (1 + l_tax)", 6, 2)}
+               AS sum_charge,
              round(avg(l_quantity) + 1e-6, 4) AS avg_qty,
              round(avg(l_extendedprice) + 1e-6, 4) AS avg_price,
              round(avg(l_discount) + 1e-6, 4) AS avg_disc,
@@ -742,13 +751,15 @@ object Relational {
          GROUP BY l_returnflag
          ORDER BY l_returnflag""",
     "q_sql_tpch_q1" ->
-      """SELECT l_returnflag, l_linestatus,
+      s"""SELECT l_returnflag, l_linestatus,
                 round(sum(l_quantity) + 1e-6, 2) AS sum_qty,
-                round(sum(l_extendedprice) + 1e-6, 2) AS sum_base_price,
-                round(sum(l_extendedprice * (1 - l_discount)) + 1e-6, 2)
+                ${NumFmt.moneySumSql("l_extendedprice", 2, 2)}
+                  AS sum_base_price,
+                ${NumFmt.moneySumSql("l_extendedprice * (1 - l_discount)", 4, 2)}
                   AS sum_disc_price,
-                round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))
-                      + 1e-6, 2) AS sum_charge,
+                ${NumFmt.moneySumSql(
+                   "l_extendedprice * (1 - l_discount) * (1 + l_tax)", 6, 2)}
+                  AS sum_charge,
                 round(avg(l_quantity) + 1e-6, 4) AS avg_qty,
                 round(avg(l_extendedprice) + 1e-6, 4) AS avg_price,
                 round(avg(l_discount) + 1e-6, 4) AS avg_disc,

@@ -163,7 +163,10 @@ object ScalarFuncs {
       .agg(
         expr("percentile(l_extendedprice, array(0.5, 0.9))").as("pcts"),
         round(stddev_samp(col("l_extendedprice")), 2).as("sd_price"),
-        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("qty_price_corr"),
+        // roundSigned: at sf10 one group's corr lands within 1e-9 of 0
+        // and the engines round to differently-signed zeros
+        NumFmt.roundSigned(corr(col("l_quantity"), col("l_extendedprice")), 4)
+          .as("qty_price_corr"),
         NumFmt.roundSigned(covar_samp(col("l_discount"), col("l_tax")), 6).as("disc_tax_cov"))
       .select(col("l_returnflag"),
         round(element_at(col("pcts"), 1), 4).as("median_price"),
@@ -502,7 +505,7 @@ object ScalarFuncs {
                 round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
                 round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
                 round(stddev_samp(l_extendedprice), 2) AS sd_price,
-                round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+                round(corr(l_quantity, l_extendedprice), 4) + 0.0 AS qty_price_corr,
                 round(covar_samp(l_discount, l_tax), 6) + 0.0 AS disc_tax_cov
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
   )
