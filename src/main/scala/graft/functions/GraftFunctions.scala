@@ -42,6 +42,26 @@ object GraftFunctions {
       asLong(exprs(3), "mask"), asLong(exprs(4), "divisor"))
   }
 
+  val simHash60Builder: Seq[Expression] => Expression =
+    exprs => SimHash60(exprs(0))
+
+  /** dsir_buckets(text, salt, buckets) — salt/buckets must be literals
+    * (they parameterize the generated kernel call, not a row value). */
+  val dsirBucketsBuilder: Seq[Expression] => Expression = { exprs =>
+    val salt = exprs(1).eval(null) match {
+      case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+      case other => throw new IllegalArgumentException(
+        s"dsir_buckets: salt must be a string literal, got $other")
+    }
+    val buckets = exprs(2).eval(null) match {
+      case i: Int  => i
+      case l: Long => l.toInt
+      case other => throw new IllegalArgumentException(
+        s"dsir_buckets: buckets must be an integer literal, got $other")
+    }
+    DsirBuckets(exprs(0), salt, buckets)
+  }
+
   /** Idempotent runtime registration. EVERY path is guarded by a
     * functionExists check: both udf.register and
     * createOrReplaceTempFunction WARN "replaced a previously registered
@@ -60,6 +80,10 @@ object GraftFunctions {
       reg.createOrReplaceTempFunction("dot_product", dotBuilder, "scala_udf")
     if (missing("cdc_chunks"))
       reg.createOrReplaceTempFunction("cdc_chunks", cdcChunksBuilder, "scala_udf")
+    if (missing("simhash60"))
+      reg.createOrReplaceTempFunction("simhash60", simHash60Builder, "scala_udf")
+    if (missing("dsir_buckets"))
+      reg.createOrReplaceTempFunction("dsir_buckets", dsirBucketsBuilder, "scala_udf")
     // aggregator surface for SQL users — `SELECT g, exact_median(v) …`,
     // `SELECT g, bounded_top3(score, id) …` (array<struct<score,id>>,
     // descending, O(3) agg state; see BoundedTopK)
@@ -95,6 +119,18 @@ object GraftFunctions {
       org.apache.spark.sql.functions.lit(b),
       org.apache.spark.sql.functions.lit(mask),
       org.apache.spark.sql.functions.lit(divisor))
+
+  /** Column-API form of the native SimHash fingerprint (requires
+    * register(spark) first in that session). */
+  def simHash60(text: Column): Column =
+    call_function("simhash60", text)
+
+  /** Column-API form of the native DSIR bigram-bucket histogram
+    * (requires register(spark) first in that session). */
+  def dsirBuckets(text: Column, salt: String, buckets: Int): Column =
+    call_function("dsir_buckets", text,
+      org.apache.spark.sql.functions.lit(salt),
+      org.apache.spark.sql.functions.lit(buckets))
 
   /** Exact-median typed Aggregator (UDAF surface demo, SURVEY.md §7.3).
     * Buffers ALL values — fine for bounded per-group cardinalities (the

@@ -62,15 +62,25 @@ object Dedup {
 
   // ------------------------------------------------------------ simhash --
 
-  /** 60-bit SimHash per document over its token multiset.
-    *
-    * The 60 per-bit counters are 60 columns of ONE keyed aggregation
-    * (not an explode to 60 rows per token): the shuffle carries one
-    * 60-counter row per doc per map partition instead of 60x the token
-    * count, and the whole fingerprint needs a single exchange. The
-    * earlier explode(0..59) form shipped two shuffles and 60x the rows
-    * — same math, strictly worse movement. */
+  /** 60-bit SimHash per document over its token multiset — now the
+    * native [[graft.functions.SimHash60]] expression: a pure per-row
+    * compiled kernel, so the fingerprint pass carries ZERO shuffles and
+    * zero row amplification (r12 optimization; guide §2.3/§4). The
+    * aggregation formulation below ([[simhashAgg]]) is kept as the
+    * declarative twin SimHash60Spec pins the kernel against. */
   def simhash(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs.select(col("doc_id"),
+      graft.functions.GraftFunctions.simHash60(col("text")).as("simhash"))
+  }
+
+  /** The pre-r12 formulation: explode tokens, 60 per-bit counters as 60
+    * columns of ONE keyed aggregation (itself an optimization over the
+    * earlier explode(0..59): one exchange, not two). Still exchanges the
+    * corpus once per fingerprint pass where the expression form needs no
+    * exchange at all. Kept as the independently-derived twin for the
+    * kernel-equality spec. */
+  private[graft] def simhashAgg(docs: DataFrame): DataFrame = {
     val tok = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
       .withColumn("hv", md5Hash60(col("t")))

@@ -47,23 +47,36 @@ object Selection {
     * the 100 TB cost is exactly one corpus scan + one doc-keyed
     * shuffle. */
   def textDsir(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val docs = Tables.documents(s, d)
-    val grams = docs
+    // r12 optimization (guide §2.3/§4): the per-doc bucket HISTOGRAM is
+    // computed by one compiled kernel pass (DsirBuckets — identical
+    // tokenize/bigram/md5 contract, pinned by DsirBucketsSpec) instead
+    // of exploding one row per gram occurrence. Downstream shuffles now
+    // carry (doc, bucket, count) integers, never gram strings, and the
+    // corpus-tokens-sized explode + its persist are gone. Docs below 2
+    // tokens have no grams and are filtered exactly as the explode form
+    // dropped them. Persisted: feeds the model fit and the score pass
+    // (harness-released via clearCache, the BM25 pattern).
+    val perDoc = docs
       .select(col("doc_id"), col("source"),
-        explode(TextOps.wordNGrams(TextOps.tokens(col("text")), 2)).as("g"))
-      .withColumn("b", bucket(col("g")))
-      // g was only needed to hash; dropping it keeps the shuffle rows
-      // at (doc_id, source, b) width. Persisted: feeds the model fit
-      // and the score pass (harness-released via clearCache, the BM25
-      // pattern).
-      .drop("g")
+        graft.functions.GraftFunctions
+          .dsirBuckets(col("text"), DsirSalt, DsirBuckets).as("bc"))
+      .withColumn("ng",
+        aggregate(col("bc"), lit(0L), (a, x) => a + x))
+      .filter(col("ng") > 0)
       .persist()
+    val bRows = perDoc.select(col("doc_id"), col("source"), col("ng"),
+      posexplode(col("bc")).as(Seq("b", "c")))
+      .filter(col("c") > 0)
+      .select(col("doc_id"), col("source"), col("ng"),
+        col("b").cast("long").as("b"), col("c"))
     // BOTH bucket-count frames in ONE keyed pass (target is a
     // conditional sum, not a second scan); totals are a 1-row broadcast
     // — the bounded-stats class, no driver action anywhere
-    val counts = grams.groupBy("b").agg(
-      sum(when(col("source") === "src0", 1L).otherwise(0L)).as("tc"),
-      count(lit(1)).as("rc"))
+    val counts = bRows.groupBy("b").agg(
+      sum(when(col("source") === "src0", col("c")).otherwise(0L)).as("tc"),
+      sum(col("c")).as("rc"))
     val totals = counts.agg(
       sum(col("tc")).cast("double").as("t_tot"),
       sum(col("rc")).cast("double").as("r_tot"))
@@ -78,11 +91,46 @@ object Selection {
           (col("t_tot") + DsirBuckets)).as("log_t"),
         log((coalesce(col("rc"), lit(0L)) + 1.0) /
           (col("r_tot") + DsirBuckets)).as("log_r"))
+    bRows.join(broadcast(model), "b")
+      .groupBy("doc_id")
+      .agg(max(col("ng")).as("n_grams"),
+        // + 0.0 collapses IEEE −0.0 (a doc whose importance ratio rounds
+        // to zero at 4dp — first seen at sf1)
+        NumFmt.roundSigned(
+          sum(col("c") * (col("log_t") - col("log_r"))) + lit(1e-9), 4)
+          .as("log_w"))
+      .orderBy("doc_id")
+  }
+
+  /** The pre-r12 gram-explode formulation — kept as the independently
+    * derived twin DsirBucketsSpec pins [[textDsir]] against (same
+    * pattern as Dedup.simhashAgg / Cdc's HOF twin). */
+  private[graft] def textDsirExplode(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val grams = docs
+      .select(col("doc_id"), col("source"),
+        explode(TextOps.wordNGrams(TextOps.tokens(col("text")), 2)).as("g"))
+      .withColumn("b", bucket(col("g")))
+      .drop("g")
+      .persist()
+    val counts = grams.groupBy("b").agg(
+      sum(when(col("source") === "src0", 1L).otherwise(0L)).as("tc"),
+      count(lit(1)).as("rc"))
+    val totals = counts.agg(
+      sum(col("tc")).cast("double").as("t_tot"),
+      sum(col("rc")).cast("double").as("r_tot"))
+    val spine = s.range(DsirBuckets).select(col("id").as("b"))
+    val model = spine
+      .join(counts, Seq("b"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("b"),
+        log((coalesce(col("tc"), lit(0L)) + 1.0) /
+          (col("t_tot") + DsirBuckets)).as("log_t"),
+        log((coalesce(col("rc"), lit(0L)) + 1.0) /
+          (col("r_tot") + DsirBuckets)).as("log_r"))
     grams.join(broadcast(model), "b")
       .groupBy("doc_id")
       .agg(count(lit(1)).cast("long").as("n_grams"),
-        // + 0.0 collapses IEEE −0.0 (a doc whose importance ratio rounds
-        // to zero at 4dp — first seen at sf1)
         NumFmt.roundSigned(sum(col("log_t") - col("log_r")) + lit(1e-9), 4).as("log_w"))
       .orderBy("doc_id")
   }
