@@ -549,15 +549,22 @@ object Dedup {
         .distinct(), checkpointDir)
     var converged = false
     var i = 0
+    // fixpoint test: the two-phase contraction converges exactly when
+    // the edge set is stable (its only fixpoints are disjoint stars
+    // centred at component minima). Both sets are distinct, so
+    // |next| == |e| AND next ⊆ e ⇔ next == e. The count comparison is
+    // a near-free aggregate over the just-materialized blocks and
+    // SHORT-CIRCUITS the subset probe: rounds that still change the
+    // edge-set size (almost all of them) pay no except at all,
+    // where the former two-sided except ran two full anti-join
+    // shuffles every round just to learn "not yet".
+    var eCount = e.count()
     while (!converged && i < maxIter) {
       val next = graft.sc.Lineage.cut(smallStar(largeStar(e)), checkpointDir)
-      // fixpoint test: the two-phase contraction converges exactly when
-      // the edge set is stable (its only fixpoints are disjoint stars
-      // centred at component minima). Both sets are distinct, so a
-      // two-sided except is an exact set comparison; isEmpty stops at
-      // the first differing row.
-      converged = next.except(e).unionAll(e.except(next)).isEmpty
+      val nextCount = next.count()
+      converged = nextCount == eCount && next.except(e).isEmpty
       e = next
+      eCount = nextCount
       i += 1
     }
     require(converged, s"connectedComponents: no fixpoint in $maxIter rounds")

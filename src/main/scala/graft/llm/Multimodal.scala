@@ -44,15 +44,34 @@ object Multimodal {
   case class MediaFeatures(id: Long, format: String, n_frames: Int,
                            features: Array[Double])
 
+  /** Output shard count for the synthetic media/jpeg/mp4 lake fixtures.
+    * A real media lake is MANY objects, so its scan parallelizes by
+    * construction; the local fixture written from one small documents
+    * scan lands in ONE part file otherwise, and because the per-row
+    * codec decode runs in the SCAN stage (mapPartitions over the
+    * pruned payload scan, shuffle-free by design), one part file
+    * serializes every decode query onto a single core. 32 shards keeps
+    * each decode task small at any local core count while standing in
+    * for the many-object layout the production lake arrives in; row
+    * order is irrelevant (every consumer aggregates or sorts by id).
+    * The jpeg/mp4 side lakes hold only the video-slot fifth of the
+    * corpus and their heaviest decodes are DC-only/I_PCM (cheap per
+    * row), so they shard less — A/B at sf0.1 showed the 64-shard form
+    * refunding its decode win as per-file open overhead on the
+    * metadata-only consumers (q_multimodal_mp4_meta 2×). */
+  val LakeShards = 32
+  val SideLakeShards = 8
+
   /** One-time media-lake fixture: payloads derived deterministically from
     * documents — REAL PPM/PNG/BMP/WAV/AVI(MJPEG) encodings for every
     * row. Written as parquet so the read path is an ordinary
     * binary-column scan. */
   def mediaFixture(s: SparkSession, sfDir: String): String =
-    graft.tables.Fixtures.cached("media4", "media.parquet", sfDir) { dir =>
+    graft.tables.Fixtures.cached("media6", "media.parquet", sfDir) { dir =>
       import s.implicits._
       Tables.documents(s, sfDir)
         .select(col("doc_id"), col("text")).as[(Long, String)]
+        .repartition(LakeShards)
         .map { case (id, text) => mkRow(id, text) }
         .write.mode("overwrite").parquet(dir.toString)
     }()
@@ -144,11 +163,12 @@ object Multimodal {
     * — the docs whose main-lake row is the video stub get a REAL
     * compressed decode here. */
   def jpegFixture(s: SparkSession, sfDir: String): String =
-    graft.tables.Fixtures.cached("mediajpeg1", "media_jpeg.parquet", sfDir) { dir =>
+    graft.tables.Fixtures.cached("mediajpeg3", "media_jpeg.parquet", sfDir) { dir =>
       import s.implicits._
       Tables.documents(s, sfDir)
         .select(col("doc_id"), col("text")).as[(Long, String)]
         .filter(_._1 % 5 == 3)
+        .repartition(SideLakeShards) // see [[LakeShards]]: decode runs in the scan stage
         .map { case (id, text) => mkJpegRow(id, text) }
         .write.mode("overwrite").parquet(dir.toString)
     }()
@@ -215,11 +235,12 @@ object Multimodal {
   }
 
   def mp4Fixture(s: SparkSession, sfDir: String): String =
-    graft.tables.Fixtures.cached("mediamp4b", "media_mp4.parquet", sfDir) { dir =>
+    graft.tables.Fixtures.cached("mediamp4d", "media_mp4.parquet", sfDir) { dir =>
       import s.implicits._
       Tables.documents(s, sfDir)
         .select(col("doc_id"), col("text")).as[(Long, String)]
         .filter(_._1 % 5 == 3)
+        .repartition(SideLakeShards) // see [[LakeShards]]: decode runs in the scan stage
         .map { case (id, text) => mkMp4Row(id, text) }
         .write.mode("overwrite").parquet(dir.toString)
     }()

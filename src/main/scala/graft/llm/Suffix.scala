@@ -228,10 +228,14 @@ object Suffix {
     val windows = SuffixIndex.levelFor(s, d, WindowLen)
       .join(lens, "doc_id")
       .filter(col("pos") + WindowLen <= col("len"))
-    // class -> does it span >= 2 docs (the cross-doc witness)
+    // class -> does it span >= 2 docs (the cross-doc witness).
+    // min != max IS the >=2-distinct-docs predicate, without the
+    // two-phase countDistinct expansion: min/max partial-aggregate
+    // map-side, so the rank-keyed exchange carries one row per class
+    // per map partition instead of one per (class, doc) pair.
     val shared = windows.groupBy("rank")
-      .agg(countDistinct("doc_id").as("ndocs"))
-      .filter(col("ndocs") >= 2)
+      .agg(min("doc_id").as("d0"), max("doc_id").as("d1"))
+      .filter(col("d0") =!= col("d1"))
       .select("rank")
     windows.join(shared, "rank")
       .groupBy("doc_id")
@@ -262,9 +266,11 @@ object Suffix {
     val windows = SuffixIndex.levelFor(s, d, WindowLen)
       .join(lens, "doc_id")
       .filter(col("pos") + WindowLen <= col("len"))
+    // min != max == ">= 2 distinct docs" (see dedupSuffixWindow): full
+    // map-side partial aggregation, no countDistinct expansion
     val shared = windows.groupBy("rank")
-      .agg(countDistinct("doc_id").as("ndocs"))
-      .filter(col("ndocs") >= 2)
+      .agg(min("doc_id").as("d0"), max("doc_id").as("d1"))
+      .filter(col("d0") =!= col("d1"))
       .select("rank")
     val dup = windows.join(shared, "rank").select(col("doc_id"), col("pos"))
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
@@ -329,19 +335,39 @@ object Suffix {
     val full = levels.last._2
     val lens = docs.select(col("doc_id"),
       length(col("text")).cast("long").as("len"))
-    val hit = levels.reverse.view
-      .map { case (w, t) =>
-        // only positions with >= w chars remaining form TRUE w-prefix
-        // classes (see scaladoc: short identical suffixes would
-        // otherwise certify repeats longer than they are)
-        val eligible = t.join(lens, "doc_id")
-          .filter(col("pos") + w <= col("len"))
-        val shared = eligible.groupBy("rank")
-          .agg(countDistinct("doc_id").as("nd"))
-          .filter(col("nd") >= 2).select("rank")
-        (w, eligible, shared)
-      }
-      .find { case (_, _, shared) => shared.limit(1).count() > 0 }
+    // ONE ladder scan replaces the per-level descent (which paid one
+    // Spark action — join + agg + count — per level until first hit,
+    // log L jobs back to back): tag every level with its width, keep
+    // positions with >= w chars remaining (only those form TRUE
+    // w-prefix classes — short identical suffixes would otherwise
+    // certify repeats longer than they are), and take the LARGEST
+    // width owning a class spanning >= 2 docs. min(doc_id) !=
+    // max(doc_id) is that witness without a countDistinct expansion,
+    // so the whole probe partial-aggregates map-side and ships one
+    // (w, rank) row per map partition. Bytes scanned equal the full
+    // descent's worst case (the descent re-scans one level per probe
+    // and typically probes most of the ladder — w* is small on real
+    // corpora); job count falls from log L actions to 1.
+    val wStarRow = levels
+      .map { case (w, t) => t.select(col("doc_id"), col("pos"), col("rank"))
+        .withColumn("w", lit(w)) }
+      .reduce(_ unionAll _)
+      .join(lens, "doc_id")
+      .filter(col("pos") + col("w") <= col("len"))
+      .groupBy("w", "rank")
+      .agg(min("doc_id").as("d0"), max("doc_id").as("d1"))
+      .filter(col("d0") =!= col("d1"))
+      .agg(max("w")).head
+    val hit = if (wStarRow.isNullAt(0)) None else {
+      val wStar = wStarRow.getInt(0)
+      val t = levels.find(_._1 == wStar).get._2
+      val eligible = t.join(lens, "doc_id")
+        .filter(col("pos") + wStar <= col("len"))
+      val shared = eligible.groupBy("rank")
+        .agg(min("doc_id").as("d0"), max("doc_id").as("d1"))
+        .filter(col("d0") =!= col("d1")).select("rank")
+      Some((wStar, eligible, shared))
+    }
     val result: Seq[(Long, Long, String)] = hit match {
       case None => Seq((0L, 0L, null))
       case Some((_, lvl, shared)) =>
@@ -409,9 +435,11 @@ object Suffix {
     val windows = SuffixIndex.levelFor(s, d, WindowLen)
       .join(lens, "doc_id")
       .filter(col("pos") + WindowLen <= col("len"))
+    // min != max == ">= 2 distinct docs" (see dedupSuffixWindow): full
+    // map-side partial aggregation, no countDistinct expansion
     val shared = windows.groupBy("rank")
-      .agg(countDistinct("doc_id").as("ndocs"))
-      .filter(col("ndocs") >= 2)
+      .agg(min("doc_id").as("d0"), max("doc_id").as("d1"))
+      .filter(col("d0") =!= col("d1"))
       .select("rank")
     val dup = windows.join(shared, "rank").select(col("doc_id"), col("pos"))
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")

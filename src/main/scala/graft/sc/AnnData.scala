@@ -711,6 +711,15 @@ object AnnData {
     * genes are never materialized even by scanpy. */
   def anndataVarGraph(s: SparkSession, d: String): DataFrame = {
     import graft.functions.NumFmt
+    // NOTE (r12 measurement): an in-row upper-triangle pair expansion
+    // (nested transform/slice/flatten HOFs, zero pre-agg shuffles) was
+    // tried here and measured SLOWER than this self-join at sf0.1
+    // (3.35 → 4.2 s, twice): higher-order functions evaluate
+    // interpreted per element, while the broadcast self-join + filter
+    // below stays entirely inside whole-stage codegen. Kept the
+    // codegen-friendly join form deliberately — guide §4 (prefer
+    // codegen expressions) outweighs §2.4 (fewer exchanges) at this
+    // operator's bounded-block contract.
     val g = graft.tables.Tables.embeddings(s, d)
       .filter(col("vec_id") < 300)
       .select(col("vec_id").as("id"),

@@ -84,17 +84,15 @@ object H5Ingest {
     val shape = Hdf5Scan.readLongs(file, "/matrix/shape")
     require(shape.length == 2 && shape(1).toInt == indptr.length - 1,
       s"shape ${shape.toSeq} inconsistent with indptr ${indptr.length}")
-    val cells = s.createDataFrame(
-      (0 until indptr.length - 1).map(j => (j.toLong, indptr(j), indptr(j + 1))))
-      .toDF("cell", "lo", "hi")
     val data = Hdf5Scan.scanDoubles(s, file, "/matrix/data")
     val idxs = Hdf5Scan.scanLongs(s, file, "/matrix/indices")
       .withColumnRenamed("val", "gene")
     val barcodes = Hdf5Scan.scanStrings(s, file, "/matrix/barcodes")
       .select(col("idx").as("cell"), col("val").as("barcode"))
-    data.join(idxs, "idx")
-      .join(broadcast(cells),
-        col("idx") >= col("lo") && col("idx") < col("hi"))
+    // cell assignment via the grid-cell EQUI-join (Hdf5Scan.joinSpans):
+    // the former broadcast range join was a BroadcastNestedLoopJoin
+    // evaluating O(nnz · n_cells) predicates
+    Hdf5Scan.joinSpans(data.join(idxs, "idx"), indptr, "cell")
       .groupBy("cell")
       .agg(count(lit(1)).as("n_genes"),
         sort_array(collect_list(struct(col("gene"), col("val")))).as("gv"))

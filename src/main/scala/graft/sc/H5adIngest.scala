@@ -199,17 +199,16 @@ object H5adIngest {
     val varDf = s.createDataFrame(
       varNames.indices.map(g => (g.toLong, varNames(g), geneScore(g))))
       .toDF("gene", "gene_name", "score")
-    // X COO: per-chunk scans, re-paired on the element index
-    val cells = s.createDataFrame(
-      (0 until indptr.length - 1).map(j => (j.toLong, indptr(j), indptr(j + 1))))
-      .toDF("row", "lo", "hi")
+    // X COO: per-chunk scans, re-paired on the element index; row
+    // assignment via the grid-cell EQUI-join (Hdf5Scan.joinSpans) — the
+    // former broadcast range join was a BroadcastNestedLoopJoin
+    // evaluating O(nnz · n_rows) predicates
     val data = Hdf5Scan.scanDoubles(s, file, "/X/data")
     val idxs = Hdf5Scan.scanLongs(s, file, "/X/indices")
       .withColumnRenamed("val", "gene")
-    data.join(idxs, "idx")
-      .join(broadcast(varDf), Seq("gene"))
-      .join(broadcast(cells),
-        col("idx") >= col("lo") && col("idx") < col("hi"))
+    Hdf5Scan.joinSpans(
+      data.join(idxs, "idx").join(broadcast(varDf), Seq("gene")),
+      indptr, "row")
       .groupBy("row")
       .agg(count(lit(1)).as("n_genes"),
         sort_array(collect_list(
@@ -247,15 +246,11 @@ object H5adIngest {
     val obsIndex = f.attrStr("/obs", "_index")
     val obsNames = Hdf5Scan.scanVlenStrings(s, file, s"/obs/$obsIndex")
       .select(col("idx").as("row"), col("val").as("barcode"))
-    val genes = s.createDataFrame(
-      (0 until indptr.length - 1).map(g => (g.toLong, indptr(g), indptr(g + 1))))
-      .toDF("gene", "lo", "hi")
     val data = Hdf5Scan.scanDoubles(s, file, "/X/data")
     val rowsIdx = Hdf5Scan.scanLongs(s, file, "/X/indices")
       .withColumnRenamed("val", "row")
-    data.join(rowsIdx, "idx")
-      .join(broadcast(genes),
-        col("idx") >= col("lo") && col("idx") < col("hi"))
+    // gene assignment via the grid-cell EQUI-join — see h5adIngest
+    Hdf5Scan.joinSpans(data.join(rowsIdx, "idx"), indptr, "gene")
       .groupBy("row")
       .agg(count(lit(1)).as("n_genes"),
         sort_array(collect_list(struct(col("gene"), col("val")))).as("gv"))

