@@ -75,6 +75,23 @@ object Suffix {
   /** repeated-window witness length (a power of two: 6 doubling rounds) */
   val WindowLen = 64
 
+  /** Rows of `windows` whose class (rank) spans >= 2 documents — the
+    * cross-doc duplication witness shared by the window/coverage/clip
+    * consumers. min(doc_id) != max(doc_id) over a rank-partitioned
+    * window is the ">= 2 distinct docs" predicate without a
+    * countDistinct expansion, and the window form keeps it to ONE scan
+    * + ONE rank-keyed exchange (the groupBy + join-back alternative
+    * scans and exchanges the corpus-position frame twice — plan
+    * branches don't share exchanges). */
+  private def sharedClassRows(windows: DataFrame): DataFrame = {
+    val byRank = Window.partitionBy("rank")
+    windows
+      .withColumn("_d0", min("doc_id").over(byRank))
+      .withColumn("_d1", max("doc_id").over(byRank))
+      .filter(col("_d0") =!= col("_d1"))
+      .drop("_d0", "_d1")
+  }
+
   /** (doc_id, pos, rank): rank is the 0-based HEAD-ORDINAL of the
     * suffix's first-`prefixLen`-chars equivalence class in global
     * suffix order — ties (equal prefixes) share it, and it equals the
@@ -229,15 +246,15 @@ object Suffix {
       .join(lens, "doc_id")
       .filter(col("pos") + WindowLen <= col("len"))
     // class -> does it span >= 2 docs (the cross-doc witness).
-    // min != max IS the >=2-distinct-docs predicate, without the
-    // two-phase countDistinct expansion: min/max partial-aggregate
-    // map-side, so the rank-keyed exchange carries one row per class
-    // per map partition instead of one per (class, doc) pair.
-    val shared = windows.groupBy("rank")
-      .agg(min("doc_id").as("d0"), max("doc_id").as("d1"))
-      .filter(col("d0") =!= col("d1"))
-      .select("rank")
-    windows.join(shared, "rank")
+    // min(doc_id) != max(doc_id) over a rank-partitioned WINDOW is the
+    // >=2-distinct-docs predicate in ONE pass: the former
+    // groupBy(rank) + join-back shape scanned the corpus-position
+    // level twice and exchanged it twice (the agg and the probe side
+    // of the join are different subtrees, so exchange reuse never
+    // fires); this shape is one scan, one rank-keyed exchange, one
+    // sort. The window partition is a class — the documented skew
+    // bound (largest ambiguous class), same as the re-rank rounds.
+    sharedClassRows(windows)
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_dup_windows"),
         countDistinct("rank").as("n_distinct_dup"))
@@ -266,13 +283,8 @@ object Suffix {
     val windows = SuffixIndex.levelFor(s, d, WindowLen)
       .join(lens, "doc_id")
       .filter(col("pos") + WindowLen <= col("len"))
-    // min != max == ">= 2 distinct docs" (see dedupSuffixWindow): full
-    // map-side partial aggregation, no countDistinct expansion
-    val shared = windows.groupBy("rank")
-      .agg(min("doc_id").as("d0"), max("doc_id").as("d1"))
-      .filter(col("d0") =!= col("d1"))
-      .select("rank")
-    val dup = windows.join(shared, "rank").select(col("doc_id"), col("pos"))
+    // one-pass cross-doc witness (see [[sharedClassRows]])
+    val dup = sharedClassRows(windows).select(col("doc_id"), col("pos"))
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
     val islands = dup
       .withColumn("prev_end", max(col("pos") + WindowLen)
@@ -363,16 +375,14 @@ object Suffix {
       val t = levels.find(_._1 == wStar).get._2
       val eligible = t.join(lens, "doc_id")
         .filter(col("pos") + wStar <= col("len"))
-      val shared = eligible.groupBy("rank")
-        .agg(min("doc_id").as("d0"), max("doc_id").as("d1"))
-        .filter(col("d0") =!= col("d1")).select("rank")
-      Some((wStar, eligible, shared))
+      Some((wStar, eligible))
     }
     val result: Seq[(Long, Long, String)] = hit match {
       case None => Seq((0L, 0L, null))
-      case Some((_, lvl, shared)) =>
+      case Some((_, lvl)) =>
         val texts = docs.select(col("doc_id"), col("text"))
-        val cand = lvl.join(shared, "rank")
+        // one-pass cross-doc witness (see [[sharedClassRows]])
+        val cand = sharedClassRows(lvl)
           .join(full.withColumnRenamed("rank", "frank"), Seq("doc_id", "pos"))
           .join(texts, "doc_id")
         val byClass = Window.partitionBy("rank")
@@ -435,13 +445,8 @@ object Suffix {
     val windows = SuffixIndex.levelFor(s, d, WindowLen)
       .join(lens, "doc_id")
       .filter(col("pos") + WindowLen <= col("len"))
-    // min != max == ">= 2 distinct docs" (see dedupSuffixWindow): full
-    // map-side partial aggregation, no countDistinct expansion
-    val shared = windows.groupBy("rank")
-      .agg(min("doc_id").as("d0"), max("doc_id").as("d1"))
-      .filter(col("d0") =!= col("d1"))
-      .select("rank")
-    val dup = windows.join(shared, "rank").select(col("doc_id"), col("pos"))
+    // one-pass cross-doc witness (see [[sharedClassRows]])
+    val dup = sharedClassRows(windows).select(col("doc_id"), col("pos"))
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
     val spans = dup
       .withColumn("prev_end", max(col("pos") + WindowLen)

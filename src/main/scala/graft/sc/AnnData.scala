@@ -315,11 +315,14 @@ object AnnData {
     val indexed = keyed.join(emap.hint("merge"), "k")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      ZarrGroup.write1(indexed.select(col("eidx").as("id"), col("v").as("value")),
-        s"$path/data", chunk = chunk, dtype = "<f8")
-      ZarrGroup.write1(
-        indexed.select(col("eidx").as("id"), col("minor").cast("long").as("value")),
-        s"$path/indices", chunk = chunk, dtype = "<i8")
+      // data + indices share the element-rank row domain, so they ride
+      // ONE batched member write (one count + one band shuffle) instead
+      // of two write1 jobs — the same batching writeZarr's obs members
+      // got in r10, applied to the compressed pair (r12)
+      ZarrGroup.writeMembers(
+        indexed.select(col("eidx").as("id"), col("v").cast("double").as("data"),
+          col("minor").cast("long").as("indices")),
+        path, Seq("data" -> "<f8", "indices" -> "<i8"), chunk = chunk)
       // indptr[m] = Σ counts of majors < m, one entry per m in
       // 0..nMajor — deltas land at idx major+1 so the inclusive cumsum
       // yields the exclusive start ladder
