@@ -277,7 +277,10 @@ object Sampling {
         explode(array_distinct(TextOps.wordNGrams(col("toks"), 5)))
           .as("gram"))
       .select(col("doc_id"), col("split"),
-        Dedup.md5Hash60(col("gram")).as("gram_h"))
+        // join-key-only hash: xxhash64 (never reaches the output; the
+        // oracle buckets its own md5 grams and the gate re-proves the
+        // no-collision assumption) — the Dedup.jaccardPairs argument
+        xxhash64(col("gram")).as("gram_h"))
 
   def contamination(s: SparkSession, d: String): DataFrame = {
     val sh = shingleFrame(s, d)
