@@ -49,6 +49,10 @@ object LmScore {
     val uni = t.select(explode(col("toks")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cw"))
     val vocab = uni.agg(count(lit(1)).as("v"))
+    // NOTE (r12 measurement): persisting this twice-consumed frame (the
+    // repeatedPassages pattern) was tried and measured NEUTRAL at sf0.1
+    // (1.37 → 1.40 s) — the bigram stream is cheap enough to recompute
+    // here, unlike the 8-gram distinct pipeline. Left unpersisted.
     val docBi = t.filter(size(col("toks")) >= 2)
       .select(col("doc_id"),
         explode(TextOps.wordNGrams(col("toks"), 2)).as("gram"))

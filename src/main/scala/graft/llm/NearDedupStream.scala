@@ -73,6 +73,13 @@ object NearDedupStream {
   /** same bounded block as q_dedup_minhash/q_dedup_ngram — the all-pairs
     * DuckDB oracle is quadratic in it */
   val Block = 100
+  /** File count for the file-fed gate replay (= micro-batch count under
+    * maxFilesPerTrigger=1) and, via the stream-scoped conf override in
+    * [[runFileFeed]], the state-store partition count — both follow the
+    * BOUNDED [[Block]] contract, not the corpus-scale session defaults
+    * (see the runFileFeed comment). */
+  val FeedFiles = 8
+  val StatePartitions = 8
   /** Hot-bucket cap — the streaming twin of minHashCandidates'
     * maxBucket: once a (band, band_hash) bucket holds this many
     * members, later arrivals neither compare against it nor join it,
@@ -299,15 +306,29 @@ object NearDedupStream {
     import s.implicits._
     val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft_neardedup_feed_${System.nanoTime()}").toString
-    prepFeed(s, d).write.mode("overwrite").parquet(dir)
+    // micro-batch granularity IS the feed's file layout under
+    // maxFilesPerTrigger=1 — uncoalesced, the prep join's shuffle
+    // partition count (a corpus-scale session setting) leaked through
+    // as ~32 near-empty files, i.e. ~32 stateful micro-batches over a
+    // BOUNDED block where each batch costs a full state-store round per
+    // partition. FeedFiles pins the replay to a fixed wave count
+    // (verdicts are emission-on-second-arrival, order-independent —
+    // NearDedupStreamSpec pins equality with the MemoryStream feed),
+    // and the bounded-block state partitioning follows the input like
+    // StateMetrics.StatePartitions does.
+    prepFeed(s, d).coalesce(FeedFiles).write.mode("overwrite").parquet(dir)
     val src = s.readStream
       .schema(s.read.parquet(dir).schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(dir).as[FeedRow]
     val flagged = topology(src, horizonSec = None, signaturesOnly)
     val sinkName = s"near_dedup_file_${System.nanoTime()}"
-    val q = flagged.writeStream.outputMode(OutputMode.Append)
-      .format("memory").queryName(sinkName).start()
+    val prevSP = s.conf.get("spark.sql.shuffle.partitions", "200")
+    s.conf.set("spark.sql.shuffle.partitions", StatePartitions.toString)
+    val q =
+      try flagged.writeStream.outputMode(OutputMode.Append)
+        .format("memory").queryName(sinkName).start()
+      finally s.conf.set("spark.sql.shuffle.partitions", prevSP)
     val pairs =
       try {
         q.processAllAvailable()
