@@ -360,22 +360,33 @@ object Suffix {
     // descent's worst case (the descent re-scans one level per probe
     // and typically probes most of the ladder — w* is small on real
     // corpora); job count falls from log L actions to 1.
-    val wStarRow = levels
-      .map { case (w, t) => t.select(col("doc_id"), col("pos"), col("rank"))
-        .withColumn("w", lit(w)) }
-      .reduce(_ unionAll _)
-      .join(lens, "doc_id")
-      .filter(col("pos") + col("w") <= col("len"))
-      .groupBy("w", "rank")
-      .agg(min("doc_id").as("d0"), max("doc_id").as("d1"))
-      .filter(col("d0") =!= col("d1"))
-      .agg(max("w")).head
-    val hit = if (wStarRow.isNullAt(0)) None else {
-      val wStar = wStarRow.getInt(0)
+    def probe(ls: Seq[(Int, DataFrame)]): Option[Int] =
+      if (ls.isEmpty) None
+      else {
+        val row = ls
+          .map { case (w, t) => t.select(col("doc_id"), col("pos"), col("rank"))
+            .withColumn("w", lit(w)) }
+          .reduce(_ unionAll _)
+          .join(lens, "doc_id")
+          .filter(col("pos") + col("w") <= col("len"))
+          .groupBy("w", "rank")
+          .agg(min("doc_id").as("d0"), max("doc_id").as("d1"))
+          .filter(col("d0") =!= col("d1"))
+          .agg(max("w")).head
+        if (row.isNullAt(0)) None else Some(row.getInt(0))
+      }
+    // probe the UPPER half of the ladder first: any shared class there
+    // dominates every lower width, so the lower half is scanned only
+    // when the upper probe comes back empty — on dup-bearing corpora
+    // (w* ≥ WindowLen almost always) this halves the ladder bytes
+    // scanned at a worst case of two jobs instead of one
+    val (lowLvls, highLvls) = levels.splitAt(levels.length / 2)
+    val wStarOpt = probe(highLvls).orElse(probe(lowLvls))
+    val hit = wStarOpt.map { wStar =>
       val t = levels.find(_._1 == wStar).get._2
       val eligible = t.join(lens, "doc_id")
         .filter(col("pos") + wStar <= col("len"))
-      Some((wStar, eligible))
+      (wStar, eligible)
     }
     val result: Seq[(Long, Long, String)] = hit match {
       case None => Seq((0L, 0L, null))

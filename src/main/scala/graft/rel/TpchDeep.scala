@@ -34,6 +34,14 @@ import graft.tables.Tables
   * SAME key domain as the outer query (asserted in TpchDeepSpec — a
   * surviving correlated-subquery loop would be O(n²) driver murder at
   * scale). No collects, no UDFs, everything whole-stage codegen.
+  *
+  * NOTE (r12 measurement): materializing the twice-referenced CTEs
+  * (q2's supply, q11's supply_value, q15's revenue) as persisted temp
+  * views was tried and measured 1.2–1.4× SLOWER at sf0.1 — the static
+  * formatted plan shows the CTE inlined twice, but AQE's runtime stage
+  * reuse already dedupes the identical shuffle stages, so the persist
+  * only added cache-write cost and broke pipelining. Left as single
+  * SQL texts deliberately.
   */
 object TpchDeep {
   type Q = (SparkSession, String) => DataFrame

