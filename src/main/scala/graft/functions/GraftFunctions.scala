@@ -45,6 +45,9 @@ object GraftFunctions {
   val simHash60Builder: Seq[Expression] => Expression =
     exprs => SimHash60(exprs(0))
 
+  val lcpLenBuilder: Seq[Expression] => Expression =
+    exprs => LcpLen(exprs(0), exprs(1), exprs(2), exprs(3))
+
   /** dsir_buckets(text, salt, buckets) — salt/buckets must be literals
     * (they parameterize the generated kernel call, not a row value). */
   val dsirBucketsBuilder: Seq[Expression] => Expression = { exprs =>
@@ -82,6 +85,8 @@ object GraftFunctions {
       reg.createOrReplaceTempFunction("cdc_chunks", cdcChunksBuilder, "scala_udf")
     if (missing("simhash60"))
       reg.createOrReplaceTempFunction("simhash60", simHash60Builder, "scala_udf")
+    if (missing("lcp_len"))
+      reg.createOrReplaceTempFunction("lcp_len", lcpLenBuilder, "scala_udf")
     if (missing("dsir_buckets"))
       reg.createOrReplaceTempFunction("dsir_buckets", dsirBucketsBuilder, "scala_udf")
     // aggregator surface for SQL users — `SELECT g, exact_median(v) …`,
@@ -124,6 +129,11 @@ object GraftFunctions {
     * register(spark) first in that session). */
   def simHash60(text: Column): Column =
     call_function("simhash60", text)
+
+  /** Column-API form of the native LCP-length probe (requires
+    * register(spark) first in that session). */
+  def lcpLen(text: Column, pos: Column, ptext: Column, ppos: Column): Column =
+    call_function("lcp_len", text, pos, ptext, ppos)
 
   /** Column-API form of the native DSIR bigram-bucket histogram
     * (requires register(spark) first in that session). */

@@ -342,6 +342,7 @@ object Suffix {
     * bound, unreachable for corpora sharing any 4-char string. */
   def dedupSuffixMaxrep(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    graft.functions.GraftFunctions.register(s) // lcp_len used below
     val docs = Tables.documents(s, d)
     val levels = SuffixIndex.levels(s, d)
     val full = levels.last._2
@@ -403,16 +404,15 @@ object Suffix {
           .withColumn("ppos", lag("pos", 1).over(byClass))
           .withColumn("ptext", lag("text", 1).over(byClass))
           .filter(col("pdoc").isNotNull && col("pdoc") =!= col("doc_id"))
-          .withColumn("lim", least(length(col("text")) - col("pos"),
-            length(col("ptext")) - col("ppos")).cast("int"))
-          .withColumn("mism", expr(
-            "array_position(zip_with(" +
-              "slice(filter(split(text, ''), ch -> ch <> ''), CAST(pos + 1 AS INT), lim), " +
-              "slice(filter(split(ptext, ''), ch -> ch <> ''), CAST(ppos + 1 AS INT), lim), " +
-              "(x, y) -> x <> y), true)"))
-          .withColumn("lcp", when(col("lim") === 0, 0L)
-            .otherwise(when(col("mism") === 0, col("lim").cast("long"))
-              .otherwise(col("mism") - 1)))
+          // native LCP kernel (graft.functions.LcpLen): one compiled
+          // byte-walk per candidate pair. The zip_with first-mismatch
+          // form it replaces split BOTH whole texts into per-char
+          // arrays per row (O(len) alloc for an O(lcp) answer) and
+          // walked them with the interpreted HOF evaluator — r12
+          // A/B'd; LcpLenSpec pins kernel == HOF equality.
+          .withColumn("lcp", graft.functions.GraftFunctions.lcpLen(
+            col("text"), col("pos").cast("long"),
+            col("ptext"), col("ppos").cast("long")))
           .select("doc_id", "pos", "text", "lcp")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
