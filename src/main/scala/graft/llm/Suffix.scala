@@ -361,10 +361,19 @@ object Suffix {
     // descent's worst case (the descent re-scans one level per probe
     // and typically probes most of the ladder — w* is small on real
     // corpora); job count falls from log L actions to 1.
-    def probe(ls: Seq[(Int, DataFrame)]): Option[Int] =
+    // The probe KEEPS its per-(w, rank) cross-doc class rows (persisted
+    // — a tiny fixed-width frame, one row per duplicated class) instead
+    // of aggregating straight to max(w): the candidate phase below
+    // needs exactly the wStar slice of that frame as its shared-class
+    // witness, and reusing it replaces sharedClassRows' second full
+    // rank-keyed window pass over the wStar level with one broadcast
+    // semi-join (r12 probe: the window pass was ~0.4 s of the 1.7 s
+    // candidate phase at sf0.1; identical rows by construction — the
+    // probe's groupBy filter IS the witness definition).
+    def probeClasses(ls: Seq[(Int, DataFrame)]): Option[(Int, DataFrame)] =
       if (ls.isEmpty) None
       else {
-        val row = ls
+        val cls = ls
           .map { case (w, t) => t.select(col("doc_id"), col("pos"), col("rank"))
             .withColumn("w", lit(w)) }
           .reduce(_ unionAll _)
@@ -373,8 +382,11 @@ object Suffix {
           .groupBy("w", "rank")
           .agg(min("doc_id").as("d0"), max("doc_id").as("d1"))
           .filter(col("d0") =!= col("d1"))
-          .agg(max("w")).head
-        if (row.isNullAt(0)) None else Some(row.getInt(0))
+          .select(col("w"), col("rank"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val row = cls.agg(max("w")).head
+        if (row.isNullAt(0)) { cls.unpersist(blocking = false); None }
+        else Some((row.getInt(0), cls))
       }
     // probe the UPPER half of the ladder first: any shared class there
     // dominates every lower width, so the lower half is scanned only
@@ -382,19 +394,28 @@ object Suffix {
     // (w* ≥ WindowLen almost always) this halves the ladder bytes
     // scanned at a worst case of two jobs instead of one
     val (lowLvls, highLvls) = levels.splitAt(levels.length / 2)
-    val wStarOpt = probe(highLvls).orElse(probe(lowLvls))
-    val hit = wStarOpt.map { wStar =>
-      val t = levels.find(_._1 == wStar).get._2
-      val eligible = t.join(lens, "doc_id")
-        .filter(col("pos") + wStar <= col("len"))
-      (wStar, eligible)
-    }
+    val hit = probeClasses(highLvls).orElse(probeClasses(lowLvls))
+      .map { case (wStar, cls) =>
+        val t = levels.find(_._1 == wStar).get._2
+        val eligible = t.join(lens, "doc_id")
+          .filter(col("pos") + wStar <= col("len"))
+        // eligible rows whose class the probe proved cross-doc — the
+        // sharedClassRows witness, without re-scanning the level. No
+        // broadcast hint: cls is already materialized (the probe's agg
+        // ran through the persist), so the planner sees its TRUE size —
+        // broadcast when tiny (the common case), shuffled semi-join on
+        // a pathological corpus whose duplicated-class list is itself
+        // huge (a forced broadcast would be the scale-killer here).
+        val shared = eligible.join(
+          cls.filter(col("w") === wStar).select("rank"),
+          Seq("rank"), "left_semi")
+        (shared, cls)
+      }
     val result: Seq[(Long, Long, String)] = hit match {
       case None => Seq((0L, 0L, null))
-      case Some((_, lvl)) =>
+      case Some((lvl, cls)) =>
         val texts = docs.select(col("doc_id"), col("text"))
-        // one-pass cross-doc witness (see [[sharedClassRows]])
-        val cand = sharedClassRows(lvl)
+        val cand = lvl
           .join(full.withColumnRenamed("rank", "frank"), Seq("doc_id", "pos"))
           .join(texts, "doc_id")
         val byClass = Window.partitionBy("rank")
@@ -427,7 +448,10 @@ object Suffix {
               .head
             Seq((mx, r.getLong(0), r.getString(1)))
           }
-        } finally pairs.unpersist(blocking = false)
+        } finally {
+          pairs.unpersist(blocking = false)
+          cls.unpersist(blocking = false)
+        }
     }
     result.toDF("max_rep_len", "n_max_pairs", "rep_md5")
   }
