@@ -121,13 +121,37 @@ object SuffixIndex {
       .map(w => w -> s.read.parquet(s"$path/" + f"w$w%08d"))
   }
 
+  /** Opened-ladder handles per (session, index dir): METADATA caching
+    * only — the values are lazy parquet-scan plans (no rows, no results;
+    * every consumer still computes from the parquet index at action
+    * time), saved because [[openAt]] pays file listing + footer schema
+    * reads per level per call, ~0.3 s × five suffix consumers × every
+    * run (r12 measured). Safe by construction: the fixture route hands
+    * out a FRESH fingerprint-keyed dir per corpus generation (a memo
+    * entry can never alias a regenerated corpus), and entries die with
+    * their session (WeakHashMap key). Explicit-path [[openAt]] callers
+    * are NOT memoized — their delete-and-rebuild contract allows the
+    * artifact at a fixed path to change. */
+  private val openedLadders =
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, DataFrame)]]]()
+
   /** Build (first call per corpus fingerprint) or open the index; returns
     * the ascending (width, frame) ladder. */
   def levels(s: SparkSession, sfDir: String): Seq[(Int, DataFrame)] = {
     val dir = Fixtures.cached("suffixidx", "levels", sfDir) { out =>
       buildAt(Tables.documents(s, sfDir), out.toString)
     } { out => new File(out, "_WIDTHS").isFile }
-    openAt(s, dir)
+    val perSession = openedLadders.synchronized {
+      var m = openedLadders.get(s)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[
+          String, Seq[(Int, DataFrame)]]()
+        openedLadders.put(s, m)
+      }
+      m
+    }
+    perSession.computeIfAbsent(dir, d => openAt(s, d))
   }
 
   /** The full suffix ranking (ties = identical whole suffixes): the
