@@ -92,7 +92,16 @@ final case class AnnData(x: DataFrame, obs: DataFrame, vars: DataFrame,
   def writeZarr(path: String, chunkRows: Int = 128,
                 sparse: Boolean = false): Unit = {
     val s = x.sparkSession
-    val map = AnnData.reindexMap(x.select(col("id")))
+    // ids + map are consumed by EVERY artifact below (X, each obs
+    // member batch, every layer) and their lineage contains the whole
+    // preprocessing chain — persist both so the pp chain executes once
+    // for the obs side instead of once per artifact (r13; these are
+    // 1–2 BIGINTs per cell, nothing like the ARRAY<DOUBLE> matrix whose
+    // caching measured slower in r12)
+    val ids = x.select(col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val map = AnnData.reindexMap(ids)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val x2 = x.join(map, "id").select(col("new_id").as("row_id"), col("vec"))
     if (sparse) {
       AnnData.writeCsrX(x2.select(col("row_id").as("id"), col("vec")),
@@ -140,6 +149,8 @@ final case class AnnData(x: DataFrame, obs: DataFrame, vars: DataFrame,
         .save(s"$path/layers/$name")
     }
     if (layers.nonEmpty) ZarrGroup.writeGroupMarker(s"$path/layers")
+    map.unpersist(blocking = false)
+    ids.unpersist(blocking = false)
     ZarrGroup.writeGroupMarker(path)
     ZarrGroup.writeGroupMarker(s"$path/obs")
     ZarrGroup.writeGroupMarker(s"$path/var")
@@ -236,6 +247,7 @@ object AnnData {
     * inside each bucket. Never a single global window partition. */
   private[sc] def reindexMap(ids: DataFrame): DataFrame = {
     val s = ids.sparkSession
+    import s.implicits._
     val st = ids.agg(min(col("id")).as("lo"), max(col("id")).as("hi"),
       count(lit(1)).as("n")).head
     if (st.getLong(2) == 0L)
@@ -254,11 +266,19 @@ object AnnData {
       least(lit(nBuckets - 1),
         floor((col("id") - lit(lo)).cast("double") * nBuckets / span)
           .cast("int")))
-    val offsets = bucketed.groupBy("b").agg(count(lit(1)).as("cnt"))
-      .withColumn("off", coalesce(sum("cnt").over(
-        Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)),
-        lit(0L)))
-      .select(col("b"), col("off"))
+    // per-bucket counts are a <= nBuckets-row frame: cumsum them on the
+    // driver instead of a one-partition window over a SECOND execution
+    // of the ids plan — the returned map's plan then references `ids`
+    // exactly once, so each materialization runs the upstream once
+    // (r13; before this, one map materialization executed the upstream
+    // pp/ingest chain twice — offsets branch + join branch)
+    val cnts = bucketed.groupBy("b").agg(count(lit(1)).as("cnt"))
+      .orderBy("b").collect()
+    var acc = 0L
+    val offRows = cnts.map { r =>
+      val o = (r.getInt(0), acc); acc += r.getLong(1); o
+    }.toSeq
+    val offsets = offRows.toDF("b", "off")
     bucketed.join(broadcast(offsets), "b")
       .withColumn("new_id",
         col("off") + row_number().over(Window.partitionBy("b").orderBy("id")) - 1)
@@ -302,7 +322,13 @@ object AnnData {
                               shape: (Long, Long), chunk: Int): Unit = {
     val s = elems.sparkSession
     val keyed = elems.withColumn("k", col("major") * nMinor + col("minor"))
-    val emap = reindexMap(keyed.select(col("k").as("id")))
+    // the rank's input is one BIGINT per element; persisting it keeps
+    // reindexMap's two driver actions (domain stats + bucket counts)
+    // and the map plan itself from re-running the element explode
+    // chain (r13 — same rationale as writeZarr's ids persist)
+    val keyIds = keyed.select(col("k").as("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val emap = reindexMap(keyIds)
       .select(col("id").as("k"), col("new_id").as("eidx"))
     // the rank map has ONE ROW PER ELEMENT — it must never be broadcast,
     // but the static planner's size estimate for it compounds through the
@@ -334,7 +360,10 @@ object AnnData {
         nMajor + 1)
       ZarrGroup.write1(indptr.select(col("id"), col("cum").as("value")),
         s"$path/indptr", chunk = chunk, dtype = "<i8")
-    } finally indexed.unpersist(blocking = false)
+    } finally {
+      indexed.unpersist(blocking = false)
+      keyIds.unpersist(blocking = false)
+    }
     ZarrGroup.writeAttrs(path,
       s"""{"encoding-type":"$kind","encoding-version":"0.1.0","shape":[${shape._1},${shape._2}]}""")
   }

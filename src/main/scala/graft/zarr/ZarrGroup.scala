@@ -187,89 +187,130 @@ object ZarrGroup extends Serializable {
 
   /** Distributed 1-D array write: `df` must be (id BIGINT 0..n-1, value)
     * — the annotation-column shape. One shuffle on id div chunk forms
-    * the chunk bands; each executor writes its own chunk objects
-    * (metadata first, so a concurrent consolidated read never sees a
-    * chunk without its meta — final visibility is the caller's
-    * consolidate/commit step). */
+    * the chunk bands; each executor writes its own chunk objects.
+    * Metadata (with the observed n) lands AFTER the chunks — final
+    * visibility is the caller's consolidate/commit step either way, and
+    * deriving n from the write pass itself keeps the whole write ONE
+    * Spark job (the separate df.count() used to re-execute the entire
+    * upstream plan — a full extra pp-chain/join execution per member
+    * write; r13, guide §1.2/§2.4). */
   def write1(df: DataFrame, path: String, chunk: Int, dtype: String,
              zlib: Boolean = true): Zarr1Meta =
     write1Impl(df, path,
       Zarr1Meta(0, chunk, dtype, if (zlib) Some("zlib") else None),
       metaName = ".zarray", metaText = _.metaJson, keyOf = _.toString)
 
+  /** Per-write-pass band accounting: (bands seen, rows seen, max band
+    * id, max band's length, every NON-max band full). Folding these
+    * across bands/partitions lets the driver validate the 0..n-1
+    * contiguity contract — every band but the last full, no band
+    * missing — without knowing n up front. */
+  private type BandSummary = (Long, Long, Long, Int, Boolean)
+  private val emptySummary: BandSummary = (0L, 0L, -1L, 0, true)
+  private def mergeSummaries(chunk: Int)(a: BandSummary, b: BandSummary)
+      : BandSummary = {
+    if (a._1 == 0L) return b
+    if (b._1 == 0L) return a
+    require(a._3 != b._3, s"band ${a._3} written twice")
+    val (hi, lo) = if (a._3 > b._3) (a, b) else (b, a)
+    (a._1 + b._1, a._2 + b._2, hi._3, hi._4,
+      a._5 && b._5 && lo._4 == chunk)
+  }
+  /** Validate a folded [[BandSummary]] against the contiguous 0..n-1
+    * id contract and return n (0 for an empty write — a legal member,
+    * e.g. writeZarr after filterCells kept nothing; ADVICE r9). */
+  private def validatedN(s: BandSummary, chunk: Int): Long = {
+    val (nBands, total, maxBand, maxLen, othersFull) = s
+    if (nBands == 0L) return 0L
+    require(othersFull,
+      "zarr write: a non-final band is short — ids are not contiguous 0..n-1")
+    require(nBands == maxBand + 1,
+      s"zarr write: $nBands bands for max band $maxBand — missing bands")
+    val n = maxBand * chunk + maxLen
+    require(total == n, s"zarr write: $total of $n values written")
+    n
+  }
+
   /** Shared distributed 1-D writer behind the v2 layer and
     * [[Zarr3Group]] — only the metadata object and chunk-key naming
-    * differ between the formats. `meta.n` is overwritten by the count. */
+    * differ between the formats. `meta.n` is set from the write pass. */
   private[zarr] def write1Impl(df: DataFrame, path: String, meta0: Zarr1Meta,
                                metaName: String, metaText: Zarr1Meta => String,
                                keyOf: Long => String): Zarr1Meta = {
     val spark = df.sparkSession
     import spark.implicits._
-    val n = df.count()
-    val meta = meta0.copy(n = n)
-    val chunk = meta.chunk
+    val chunk = meta0.chunk
     val (fs, p) = fsOf(path, ZarrIO.hadoopConf())
     fs.mkdirs(p)
-    writeUtf8(fs, new HPath(p, metaName), metaText(meta))
     val sconf = new SerializableHadoopConf(
       spark.sparkContext.hadoopConfiguration)
-    def writeBand(band: Long, items: Array[(Long, Any)]): Int = {
+    def writeBand(band: Long, items: Array[(Long, Any)]): BandSummary = {
       val lo = band * chunk
-      val vals = new Array[Any](math.min(chunk.toLong, n - lo).toInt)
+      val vals = new Array[Any](chunk)
+      var maxOff = -1
       items.foreach { case (i, v) =>
         val off = (i - lo).toInt
-        require(off >= 0 && off < vals.length, s"id $i outside 0..${n - 1}")
+        require(off >= 0 && off < chunk, s"id $i outside band $band")
         vals(off) = v
+        if (off > maxOff) maxOff = off
       }
-      require(!vals.contains(null), s"band $band has missing ids")
-      val bytes = encodeChunk(meta, vals)
+      val len = maxOff + 1
+      require(items.length == len,
+        s"band $band: ${items.length} rows for band length $len (duplicate ids)")
+      val trimmed =
+        if (len == chunk) vals
+        else java.util.Arrays.copyOf(vals.asInstanceOf[Array[AnyRef]], len)
+          .asInstanceOf[Array[Any]]
+      require(!trimmed.contains(null), s"band $band has missing ids")
+      val bytes = encodeChunk(meta0, trimmed)
       val (bfs, bp) = fsOf(path, sconf.value)
       val out = bfs.create(new HPath(bp, keyOf(band)), true)
       try out.write(bytes) finally out.close()
-      vals.length
+      (1L, len.toLong, band, len, true)
     }
-    // 0 rows is a legal member (e.g. writeZarr after filterCells kept
-    // nothing): metadata only, no chunk job — .reduce on the empty
-    // grouped dataset would throw (ADVICE r9)
-    if (n == 0L) return meta
     // the same equi-shuffle-on-band shape as ZarrSink.writeMatrix: each
     // executor writes its own chunk objects; typed per dtype family so
     // the shuffle rows stay primitive-encoded — int dtypes shuffle as
     // (Long, Long), NOT through double, so int64 ids beyond 2^53
     // (hashes, snowflake ids) write exactly (ADVICE r9)
-    val written =
-      if (meta.sWidth > 0)
+    val summaries =
+      if (meta0.sWidth > 0)
         df.select(col("id").cast("long"), col("value").cast("string"))
           .as[(Long, String)]
           .groupByKey(_._1 / chunk)
           .mapGroups((band: Long, rows: Iterator[(Long, String)]) =>
             writeBand(band, rows.map { case (i, v) =>
               (i, (if (v == null) "" else v): Any) }.toArray))
-          .reduce(_ + _)
-      else if (meta.isInt)
+      else if (meta0.isInt)
         df.select(col("id").cast("long"), col("value").cast("long"))
           .as[(Long, Long)]
           .groupByKey(_._1 / chunk)
           .mapGroups((band: Long, rows: Iterator[(Long, Long)]) =>
             writeBand(band, rows.map { case (i, v) => (i, v: Any) }.toArray))
-          .reduce(_ + _)
       else
         df.select(col("id").cast("long"), col("value").cast("double"))
           .as[(Long, Double)]
           .groupByKey(_._1 / chunk)
           .mapGroups((band: Long, rows: Iterator[(Long, Double)]) =>
             writeBand(band, rows.map { case (i, v) => (i, v: Any) }.toArray))
-          .reduce(_ + _)
-    require(written == n, s"zarr 1-D write: $written of $n values written")
+    // rdd.fold (not Dataset.reduce) so an EMPTY input folds to the zero
+    // summary instead of throwing; this is the write's ONE action
+    val n = validatedN(
+      summaries.rdd.fold(emptySummary)(mergeSummaries(chunk)), chunk)
+    val meta = meta0.copy(n = n)
+    writeUtf8(fs, new HPath(p, metaName), metaText(meta))
     meta
   }
 
   /** Batched 1-D member write: k same-row-domain annotation columns in
-    * ONE count + ONE shuffle (vs k jobs of [[write1]] — the AnnData
-    * obs frame's write cost was k× this). `df` is (id BIGINT 0..n-1,
-    * <one column per member>); `members` maps column name -> dtype.
-    * Rows shuffle to band-keyed partitions once; each partition emits
-    * every member's chunk object for its bands. Same typed-path rules
+    * ONE Spark job (vs 2k of count+write1 each — the AnnData obs
+    * frame's write cost was k× this; the shared count job was folded
+    * into the write pass in r13, so the upstream plan executes exactly
+    * once). `df` is (id BIGINT 0..n-1, <one column per member>);
+    * `members` maps column name -> dtype. Rows shuffle to band-keyed
+    * partitions once; each partition emits every member's chunk object
+    * for its bands; n is derived from the pass and validated on the
+    * driver (every band but the last full). Same typed-path rules
     * as write1 (ints as long — never through double; strings UTF-8). */
   def writeMembers(df: DataFrame, basePath: String,
                    members: Seq[(String, String)], chunk: Int,
@@ -277,16 +318,13 @@ object ZarrGroup extends Serializable {
     if (members.isEmpty) return Map.empty
     val spark = df.sparkSession
     import spark.implicits._
-    val n = df.count()
     val metas: Array[Zarr1Meta] = members.map { case (_, dtype) =>
-      Zarr1Meta(n, chunk, dtype, if (zlib) Some("zlib") else None) }.toArray
+      Zarr1Meta(0, chunk, dtype, if (zlib) Some("zlib") else None) }.toArray
     val names: Array[String] = members.map(_._1).toArray
-    members.zip(metas).foreach { case ((name, _), meta) =>
+    members.foreach { case (name, _) =>
       val (fs, p) = fsOf(s"$basePath/$name", ZarrIO.hadoopConf())
       fs.mkdirs(p)
-      writeUtf8(fs, new HPath(p, ".zarray"), meta.metaJson)
     }
-    if (n == 0L) return names.zip(metas).toMap
     val sconf = new SerializableHadoopConf(
       spark.sparkContext.hadoopConfiguration)
     val proj = col("id").cast("long").as("id") +:
@@ -296,26 +334,37 @@ object ZarrGroup extends Serializable {
          else if (meta.isInt) c.cast("long") else c.cast("double")).as(name)
       }
     val k = names.length
-    val written = df.select(proj: _*)
+    val merge = mergeSummaries(chunk) _
+    val summaries = df.select(proj: _*)
       .repartition(col("id").divide(lit(chunk)).cast("long"))
       .sortWithinPartitions("id")
       .mapPartitions { rows =>
-        var count = 0L
+        var acc = emptySummary
         var band = -1L
         var lo = 0L
-        var len = 0
+        var maxOff = -1
+        var bandRows = 0L
         var bufs: Array[Array[Any]] = null
         def flush(): Unit = if (band >= 0) {
+          val len = maxOff + 1
+          require(bandRows == len,
+            s"band $band: $bandRows rows for band length $len (duplicate ids)")
           var j = 0
           while (j < k) {
-            require(!bufs(j).contains(null),
+            val vals =
+              if (len == chunk) bufs(j)
+              else java.util.Arrays.copyOf(
+                bufs(j).asInstanceOf[Array[AnyRef]], len)
+                .asInstanceOf[Array[Any]]
+            require(!vals.contains(null),
               s"member ${names(j)} band $band has missing ids or null values")
-            val bytes = encodeChunk(metas(j), bufs(j))
+            val bytes = encodeChunk(metas(j), vals)
             val (bfs, bp) = fsOf(s"$basePath/${names(j)}", sconf.value)
             val out = bfs.create(new HPath(bp, band.toString), true)
             try out.write(bytes) finally out.close()
             j += 1
           }
+          acc = merge(acc, (1L, len.toLong, band, len, true))
         }
         rows.foreach { row =>
           val id = row.getLong(0)
@@ -324,11 +373,13 @@ object ZarrGroup extends Serializable {
             flush()
             band = b
             lo = b * chunk
-            len = math.min(chunk.toLong, n - lo).toInt
-            bufs = Array.fill(k)(new Array[Any](len))
+            maxOff = -1
+            bandRows = 0L
+            bufs = Array.fill(k)(new Array[Any](chunk))
           }
           val off = (id - lo).toInt
-          require(off >= 0 && off < len, s"id $id outside 0..${n - 1}")
+          require(off >= 0 && off < chunk, s"id $id outside band $band")
+          if (off > maxOff) maxOff = off
           var j = 0
           while (j < k) {
             bufs(j)(off) =
@@ -339,13 +390,18 @@ object ZarrGroup extends Serializable {
               else row.getDouble(j + 1)
             j += 1
           }
-          count += 1L
+          bandRows += 1L
         }
         flush()
-        Iterator.single(count)
-      }(Encoders.scalaLong).reduce(_ + _)
-    require(written == n, s"zarr member write: $written of $n rows written")
-    names.zip(metas).toMap
+        Iterator.single(acc)
+      }(Encoders.product[BandSummary])
+    val n = validatedN(summaries.rdd.fold(emptySummary)(merge), chunk)
+    val finalMetas = names.zip(metas.map(_.copy(n = n)))
+    finalMetas.foreach { case (name, meta) =>
+      val (fs, p) = fsOf(s"$basePath/$name", ZarrIO.hadoopConf())
+      writeUtf8(fs, new HPath(p, ".zarray"), meta.metaJson)
+    }
+    finalMetas.toMap
   }
 
   // -------------------------------------------------------------- read --

@@ -244,6 +244,48 @@ class ZarrGroupSpec extends SparkSpec {
     assert(e.getMessage != null)
   }
 
+  test("one-pass write derives n and rejects non-contiguous id domains") {
+    // r13: the separate count() job was folded into the write pass, so
+    // n and the 0..n-1 contiguity contract are now validated from the
+    // bands the pass observed — these are the failure modes that used
+    // to be caught by the up-front count and must STILL fail loudly.
+    val dir = tmp()
+    // a whole band absent (ids 0..99 + 200..256, chunk 100: band 1 missing)
+    val bandGap = spark.range(257)
+      .filter(col("id") < 100 || col("id") >= 200)
+      .select(col("id"), col("id").as("value"))
+    val e1 = intercept[Exception] {
+      ZarrGroup.write1(bandGap, s"$dir/a", chunk = 100, dtype = "<i8")
+    }
+    assert(e1.getMessage.contains("missing bands"))
+    // a non-final band short at its tail (ids 0..89 + 100..256: band 0
+    // has 90 of 100 slots)
+    val shortMid = spark.range(257)
+      .filter(col("id") < 90 || col("id") >= 100)
+      .select(col("id"), col("id").as("value"))
+    val e2 = intercept[Exception] {
+      ZarrGroup.write1(shortMid, s"$dir/b", chunk = 100, dtype = "<i8")
+    }
+    assert(e2.getMessage.contains("not contiguous"))
+    // same two contracts through the batched member writer
+    val e3 = intercept[Exception] {
+      ZarrGroup.writeMembers(bandGap.withColumnRenamed("value", "v"),
+        s"$dir/c", Seq("v" -> "<i8"), chunk = 100)
+    }
+    assert(e3.getMessage.contains("missing bands"))
+    val e4 = intercept[Exception] {
+      ZarrGroup.writeMembers(shortMid.withColumnRenamed("value", "v"),
+        s"$dir/d", Seq("v" -> "<i8"), chunk = 100)
+    }
+    assert(e4.getMessage.contains("not contiguous"))
+    // the derived n equals the count-derived n byte-for-byte: a valid
+    // non-multiple-length write round-trips (covered above) AND its
+    // metadata carries the exact n
+    val ok = spark.range(123).select(col("id"), col("id").as("value"))
+    val m = ZarrGroup.write1(ok, s"$dir/e", chunk = 50, dtype = "<i8")
+    assert(m.n == 123 && ZarrGroup.read1Meta(s"$dir/e").n == 123)
+  }
+
   test("q_zarr_anndata runs and groups every label") {
     val out = ZarrQueries.zarrAnndata(spark, sf).collect()
     assert(out.length == 10) // labels 0..9
