@@ -61,24 +61,12 @@ object PageRank {
                       damping: Double = Damping,
                       redistributeDangling: Boolean = false,
                       checkpointDir: Option[String] = None): DataFrame = {
-    // NOTE (r12 measurement): hash-partitioning this cache by id1
-    // (repartition before persist, so the per-round contribution joins
-    // reuse the partitioning) was tried and measured NEUTRAL for
-    // q_graph_pagerank and ~1.1 s SLOWER for the dangling variant at
-    // sf0.1 local[32] — at fixture scale the rounds are job-overhead-
-    // bound, and the extra upfront exchange + AQE's runtime re-planning
-    // of the tiny per-round joins refunded nothing. Left unpartitioned;
-    // on a real cluster with a large static edge table the
-    // pre-partitioned cache saves `iters` edge-table shuffles and the
-    // one-line change is documented here for that deployment.
     val edges = rawEdges.select(col("id1"), col("id2"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // out-degree per source, attached once so each round's contribution
     // is a single projected join (kNN makes od == k, but derive it from
     // the data — the operator must hold on any edge list)
     val deg = edges.groupBy("id1").agg(count(lit(1)).as("od"))
-    val edgesD = edges.join(deg, "id1")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // BOTH endpoints: distinct(id1) alone would drop pure sinks and the
     // mass they receive (they never source an edge)
     val nodes = edges.select(col("id1").as("id"))
@@ -87,6 +75,27 @@ object PageRank {
     // n is a bounded single-scalar fetch (the IVF-fit class) feeding the
     // per-node constants; everything per-node stays distributed
     val n = nodes.count().toDouble
+    // Edge-cache pre-partition, keyed on INPUT SIZE (r12 measured the
+    // lever both ways; r13 landed it behind a size gate). Hash-
+    // partitioning the cached edge table by id1 lets every round's
+    // contribution join reuse the cache's partitioning instead of
+    // re-shuffling the edge side per iteration — at 200k nodes / 2M
+    // synthetic edges on local[32] that measured 12.55 → 11.09 s for
+    // 10 rounds (ranksum identical; probe in OPTIMIZATION_r13.md), and
+    // on a cluster it saves `iters` edge-table exchanges. BELOW the
+    // gate it stays off: at fixture scale (the declared queries'
+    // bounded ≤300-node kNN substrate) the rounds are job-overhead-
+    // bound and r12 measured the upfront exchange NEUTRAL for plain /
+    // ~1.1 s SLOWER for dangling (AQE re-plans the tiny joins). Keyed
+    // on the node count the loop ALREADY fetches — an edge count would
+    // be the more direct proxy for the per-round shuffle but costs one
+    // extra action per run (measured +0.1 s/query at fixture scale);
+    // the threshold is a session conf so a deployment can tune it.
+    val prePartition = n >= rawEdges.sparkSession.conf
+      .get("spark.graft.pagerank.prepartitionMinNodes", "100000").toLong
+    val edgesD0 = edges.join(deg, "id1")
+    val edgesD = (if (prePartition) edgesD0.repartition(col("id1")) else edgesD0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // sinks = nodes that never source an edge (anti join against the
     // out-degree table); only materialized when redistribution is on
     val sinks =
