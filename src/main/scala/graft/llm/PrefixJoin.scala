@@ -59,10 +59,11 @@ object PrefixJoin {
       .withColumn("n", size(col("rs")))
   }
 
-  /** Candidate (id1 < id2) pairs sharing a prefix token, length- and
-    * position-filtered. Complete w.r.t. Jaccard ≥ tau by the theorem
-    * above; the gate's naive oracle re-proves it. */
-  private[llm] def candidatesFrom(ranked: DataFrame, tau: Double): DataFrame = {
+  /** Candidate rows (one per surviving shared-prefix-token occurrence,
+    * so a pair can appear more than once) sharing a prefix token,
+    * length- and position-filtered. Complete w.r.t. Jaccard ≥ tau by
+    * the theorem above; the gate's naive oracle re-proves it. */
+  private[llm] def candidateRows(ranked: DataFrame, tau: Double): DataFrame = {
     val prefixLen = (col("n") - ceil(lit(tau) * col("n")) + 1).cast("int")
     val pref = ranked.select(col("doc_id"), col("n"),
       posexplode(slice(col("rs"), lit(1), prefixLen)).as(Seq("p", "r")))
@@ -79,8 +80,12 @@ object PrefixJoin {
       // a pair if ANY of its shared-token rows passes preserves it)
       .filter(least(col("n1") - col("p1"), col("n2") - col("p2")) >=
         minOverlap)
-      .select("id1", "id2").distinct()
+      .select("id1", "id2")
   }
+
+  /** Candidate (id1 < id2) pairs, deduplicated — the spec-facing shape. */
+  private[llm] def candidatesFrom(ranked: DataFrame, tau: Double): DataFrame =
+    candidateRows(ranked, tau).distinct()
 
   /** Back-compat entry used by specs: candidates straight from the
     * relational (doc_id, t) token frame. */
@@ -97,7 +102,17 @@ object PrefixJoin {
     // returned plan's cached lineage themselves (round-8 advisory).
     val ranked = rankedSets(Dedup.tokenSets(Tables.documents(s, d)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cand = candidatesFrom(ranked, TAU)
+    // NON-deduplicated candidate rows feed the verify, and the pair
+    // dedupe runs AFTER the jaccard filter (r13, guide §2.4): the
+    // pre-verify .distinct() was a full exchange + hash dedupe of the
+    // ENTIRE candidate set — measured 1.81M rows at sf0.1, of which
+    // exactly 1.81M were already unique (at τ=0.95 the positional
+    // filter admits only position-0/position-0 prefix matches, one row
+    // per pair) — while post-filter the distinct dedupes only the few
+    // surviving near-identical pairs. A pair appearing k>1 times (legal
+    // on other corpora) costs k cheap codegen intersects and dedupes to
+    // one identical output row, so the declared result is unchanged.
+    val cand = candidateRows(ranked, TAU)
     // array verify: two doc-keyed joins, one codegen intersect per pair —
     // same rounded-jaccard contract as Dedup.jaccardPairs (round boundary
     // argued there; set sizes ≤ ~40 keep the 4-dp band rational-free)
@@ -112,6 +127,7 @@ object PrefixJoin {
           + lit(1e-9), 4))
       .filter(col("jaccard") >= TAU)
       .select("id1", "id2", "jaccard")
+      .distinct()
       .orderBy("id1", "id2")
   }
 
