@@ -30,7 +30,7 @@ object Partitioned {
     * directory before any file I/O. Oracle computes the same from the
     * unpartitioned orders table. */
   def scanPartitionPruned(s: SparkSession, d: String): DataFrame =
-    s.read.parquet(fixture(s, d))
+    Tables.readParquet(s, fixture(s, d))
       .filter(col("yr") === 1995)
       .groupBy(month(col("o_orderdate")).as("mo"))
       .agg(count(lit(1)).as("n_orders"),

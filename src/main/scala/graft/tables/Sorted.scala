@@ -48,7 +48,7 @@ object Sorted {
     * 1996. Oracle computes the same from the unsorted original — the
     * rewrite must be content-preserving. */
   def scanSortedSkip(s: SparkSession, d: String): DataFrame =
-    s.read.parquet(fixture(s, d))
+    Tables.readParquet(s, fixture(s, d))
       .filter(col("ship_day") >= lit("1996-06-01").cast("date") &&
         col("ship_day") < lit("1996-07-01").cast("date"))
       .groupBy(col("l_returnflag"))

@@ -20,10 +20,42 @@ object Tables {
 
   private def path(dir: String, name: String) = s"$dir/$name.parquet"
 
+  /** Parquet SCHEMA memo keyed on (qualified path, mtime, length).
+    *
+    * `spark.read.parquet(p)` runs schema inference on EVERY call — a
+    * driver-side footer-reading job measured at ~100–135 ms per table
+    * construction at sf0.1 (r13 probe), paid by every one of the 258
+    * queries × 4 bench passes: the single largest shared component of
+    * the sub-second tail's fixed cost. The schema of a given parquet
+    * file is a pure function of its bytes, so it is memoized per
+    * (path, mtime, len) — one cheap getFileStatus per construction
+    * replaces the inference job, and a regenerated/replaced file gets a
+    * new key (mtime+length change) so the memo can never serve a stale
+    * shape. METADATA caching only (the SuffixIndex handle-memo class):
+    * no rows, no results, every query still scans the parquet at action
+    * time. Inference-relevant session confs must ride the key via
+    * `confKey` — events passes its timestamp-inference confs; plain
+    * tables have conf-independent shapes and pass none. */
+  private val schemaMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long, Long, String), org.apache.spark.sql.types.StructType]()
+
+  /** Read a parquet file/dir with the memoized schema (see above). */
+  def readParquet(spark: SparkSession, p: String,
+                  confKey: String = ""): DataFrame = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+    val st = fs.getFileStatus(fs.makeQualified(hp))
+    val key = (fs.makeQualified(hp).toString, st.getModificationTime,
+      st.getLen, confKey)
+    val sch = schemaMemo.computeIfAbsent(key,
+      _ => spark.read.parquet(p).schema)
+    spark.read.schema(sch).parquet(p)
+  }
+
   /** Plain parquet load for every table except `events`. */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     require(name != "events", "use Tables.events (ns-timestamp handling)")
-    spark.read.parquet(path(dir, name))
+    readParquet(spark, path(dir, name))
   }
 
   def region(s: SparkSession, d: String): DataFrame   = load(s, d, "region")
@@ -63,7 +95,11 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.types.{LongType, TimestampType, TimestampNTZType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = s.read.parquet(path(d, "events"))
+    // memoized-schema read is safe here because every conf the
+    // inference depends on rides the key: nanosAsLong is pinned true
+    // one line up, and inferTimestampNTZ is carried explicitly
+    val raw = readParquet(s, path(d, "events"), confKey = "events:ntz=" +
+      s.conf.get("spark.sql.parquet.inferTimestampNTZ.enabled", "true"))
     raw.schema("ts").dataType match {
       case LongType => // nanos-as-long generation
         raw.withColumn("ts_ns", col("ts"))

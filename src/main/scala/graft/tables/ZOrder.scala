@@ -78,7 +78,7 @@ object ZOrder {
     * reads only the matching bands (metric-asserted in ZOrderSpec).
     * Oracle recomputes from the unsorted original. */
   def scanZOrder(s: SparkSession, d: String): DataFrame =
-    s.read.parquet(fixture(s, d))
+    Tables.readParquet(s, fixture(s, d))
       .filter(col("l_partkey") <= 25)
       .groupBy(col("l_partkey"))
       .agg(count(lit(1)).as("n_items"),
